@@ -1,0 +1,60 @@
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is fully materialized through the noop sink (no driver
+collect, no parquet-metadata count shortcuts) — wall-clock per query,
+total as the headline value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from psvm_spark import registry
+from psvm_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("psvm_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+
+    # Warm the JVM/codegen path once on the flagship before timing.
+    materialize(registry.QUERIES["agg_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in registry.QUERIES.items():
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

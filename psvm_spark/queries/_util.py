@@ -1,0 +1,65 @@
+"""Shared helpers for oracle-parity-safe queries.
+
+Float-parity strategy (SURVEY.md section 7 watch-list a): the driver
+hash-compares values exactly, and double summation is order-dependent —
+Spark's partial/final aggregation and DuckDB's parallel sum would differ
+in the last ulps.  All fixture doubles are clean 2-decimal values
+(verified in FIXTURES.md data), so we aggregate in DECIMAL (exact, order
+independent in both engines) and cast to DOUBLE only at the very end.
+A decimal->double cast of the *same* exact decimal is correctly rounded
+in both engines (int128 < 2^53 at our scales), hence bit-identical.
+
+Per-row double arithmetic (no aggregation) is safe as-is: IEEE ops on
+identical inputs are correctly rounded in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2-decimal money/ratio columns fit comfortably in DECIMAL(12,2); keeping
+# precision low leaves headroom for exact products: d(12,2)*d(4,2)*d(4,2)
+# stays under 38 digits in both engines.
+MONEY = "decimal(12,2)"
+RATE = "decimal(4,2)"
+
+
+def dmoney(c: str) -> Column:
+    return F.col(c).cast(MONEY)
+
+
+def drate(c: str) -> Column:
+    return F.col(c).cast(RATE)
+
+
+def one() -> Column:
+    return F.lit(1).cast(RATE)
+
+
+def dsum(col: Column) -> Column:
+    """Exact decimal sum, surfaced as double."""
+    return F.sum(col).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Exact decimal sum / count, both sides computing double/long once."""
+    return F.sum(col).cast("double") / F.count(F.lit(1))
+
+
+# SQL-side twins -------------------------------------------------------------
+
+def sql_money(c: str) -> str:
+    return f"CAST({c} AS DECIMAL(12,2))"
+
+
+def sql_rate(c: str) -> str:
+    return f"CAST({c} AS DECIMAL(4,2))"
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*)"

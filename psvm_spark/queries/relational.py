@@ -1,0 +1,265 @@
+"""Scans, projection, filtering, conditionals, sort/limit, set ops.
+
+SURVEY.md section 2.2: B1 (scan), B6 (project), B7 (filter predicates),
+B8 (case when), B27 (multi-key sort), B28 (top-k), B30 (set ops), plus
+the flagship B17 ``agg_pricing_summary`` (TPC-H Q1 shape).
+
+Scale notes (100 TB): every query here is a single scan -> narrow ops
+(+ one shuffle for the aggregate/sort).  Filters and projections are
+plain Catalyst expressions, so they reach the parquet reader as
+PushedFilters/ReadSchema — verified via .explain in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.queries._util import (
+    davg,
+    dmoney,
+    drate,
+    dsum,
+    one,
+    sql_davg,
+    sql_dsum,
+    sql_money,
+    sql_rate,
+)
+from psvm_spark.registry import query
+
+# --------------------------------------------------------------------------
+# B17 flagship — TPC-H Q1 pricing summary.
+# Reference parity: the closest psvm analogue is its evaluation/reduction
+# phase (SURVEY.md A9/A15: distributed sums via AllReduce) — here a single
+# partial+final hash aggregate, 4 groups, map-side combined.
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+       AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    charge = disc_price * (one() + drate("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dmoney("l_quantity")).alias("sum_qty"),
+            dsum(dmoney("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(dmoney("l_quantity")).alias("avg_qty"),
+            davg(dmoney("l_extendedprice")).alias("avg_price"),
+            davg(drate("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# B1 — raw parquet scan (column-pruned: ReadSchema should show 4 columns).
+
+
+@query(
+    "scan_lineitem",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+""",
+)
+def scan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+# --------------------------------------------------------------------------
+# B6 — projection with computed columns + aliases.  Per-row double math is
+# deterministic (correctly-rounded IEEE ops on identical inputs), so no
+# decimal detour is needed here.
+
+
+@query(
+    "project_compute",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice * (1 - l_discount) AS revenue,
+  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+  l_quantity * 0.5 AS half_qty,
+  concat(l_returnflag, '/', l_linestatus) AS flag_status
+FROM lineitem
+""",
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue.alias("revenue"),
+        (revenue * (F.lit(1) + F.col("l_tax"))).alias("charge"),
+        (F.col("l_quantity") * F.lit(0.5)).alias("half_qty"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B7 — predicate zoo: comparison, boolean combos, IN, BETWEEN, LIKE,
+# null-safe equality.  All of these push down to the parquet scan.
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice BETWEEN 1000 AND 200000
+  AND o_orderstatus IN ('F', 'O')
+  AND o_orderpriority LIKE '%URGENT%'
+  AND NOT (o_custkey IS NULL)
+  AND (o_totalprice > 150000 OR o_custkey % 2 = 0)
+""",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+        & ((F.col("o_totalprice") > 150000) | (F.col("o_custkey") % 2 == 0))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# B8 — CASE WHEN / conditional expressions.
+
+
+@query(
+    "case_when",
+    oracle="""
+SELECT
+  CASE WHEN o_totalprice < 50000 THEN 'small'
+       WHEN o_totalprice < 200000 THEN 'medium'
+       ELSE 'large' END AS bucket,
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dmoney("o_totalprice")).alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B27 — global multi-key sort.  Sort order itself is invisible to the
+# order-insensitive hash, so the observable part is the row set; the
+# ordering is separately asserted in tests/test_relational.py.  At scale
+# this is a range-partitioned sort (sampled bounds), no single-node sort.
+
+
+@query(
+    "sort_multi",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+""",
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment").orderBy(
+        F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+
+
+# --------------------------------------------------------------------------
+# B28 — top-k: Catalyst turns orderBy+limit into TakeOrderedAndProject
+# (per-partition heap + driver merge — no global sort shuffle).
+# o_orderkey tie-break keeps the row *set* deterministic.
+
+
+@query(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# B30 — set operations: UNION ALL / INTERSECT / EXCEPT exercised in one
+# query over nation keys seen in customers vs suppliers.
+
+
+@query(
+    "setops",
+    oracle="""
+WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT 'both' AS side, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+UNION ALL
+SELECT 'customer_only' AS side, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+UNION ALL
+SELECT 'supplier_only' AS side, nk FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+""",
+)
+def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("side"), "nk")
+    c_only = c.exceptAll(s).select(F.lit("customer_only").alias("side"), "nk")
+    s_only = s.exceptAll(c).select(F.lit("supplier_only").alias("side"), "nk")
+    return both.unionByName(c_only).unionByName(s_only)
