@@ -1,1 +1,231 @@
-"""Placeholder — populated in a later milestone."""
+"""Aggregation operators: B18-B23 from SURVEY.md section 2.2.
+
+All of these are single partial+final hash aggregates (map-side combine
+comes free from Catalyst).  Statistical moments (stddev/var/corr) are
+derived from *exact* decimal power sums and then identical double
+arithmetic on both engines — bit-reproducible, unlike streaming moment
+aggregators whose result depends on partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.queries._util import dmoney, dsum
+from psvm_spark.registry import query
+
+# --------------------------------------------------------------------------
+# B18 — distinct + count-distinct (exact).
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B19 — approximate count-distinct (HLL++).  Approximate => rows-only
+# check: Spark's HLL and DuckDB's differ by design.  The test suite
+# asserts the estimate is within rsd of the exact count instead.
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B20 — rollup (hierarchical grouping sets).  grouping() disambiguates
+# real NULL group keys from rollup subtotal rows.
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(dmoney("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(dmoney("o_totalprice")).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B21 — filtered / conditional aggregation.
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                     FILTER (WHERE l_quantity >= 25), 0) AS DOUBLE) AS big_qty_price
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_quantity") >= 25, dmoney("l_extendedprice"))), F.lit(0)
+        )
+        .cast("double")
+        .alias("big_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B22 — collect_list / collect_set / min_by / max_by.  Lists are sorted
+# so the value-hash is deterministic.
+
+
+@query(
+    "agg_collect",
+    oracle="""
+SELECT n_regionkey,
+       list_sort(list(n_name)) AS nations,
+       min_by(n_name, n_nationkey) AS first_nation,
+       max_by(n_name, n_nationkey) AS last_nation
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.min_by("n_name", "n_nationkey").alias("first_nation"),
+        F.max_by("n_name", "n_nationkey").alias("last_nation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B23 — statistical aggregates from exact power sums.  Formulas written
+# identically on both sides so the double arithmetic is bit-identical:
+#   var_samp = (sxx - sx*sx/n) / (n-1)
+#   corr     = (sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n))
+# Power sums are exact decimals: x is DECIMAL(12,2) so x*x is
+# DECIMAL(*,4) — no rounding anywhere before the final doubles.
+# Column choice matters: the scaled-int of every power sum must stay
+# under 2^53, else DuckDB's int128->double cast (two roundings) can
+# drift an ulp from Spark's arbitrary-precision cast — observed with
+# sum(l_extendedprice^2) at sf0.001.  quantity (<=50) and discount
+# (<=0.1) keep all sums exactly double-representable up to ~1e9 rows.
+
+
+@query(
+    "agg_stats",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       sx / n AS mean_qty,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_disc
+FROM s
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dmoney("l_quantity")
+    p = dmoney("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sx"),
+        dsum(q * q).alias("sxx"),
+        dsum(p).alias("sy"),
+        dsum(p * p).alias("syy"),
+        dsum(q * p).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).alias(
+            "corr_qty_disc"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact median/percentiles via DuckDB-matching interpolation are fragile
+# across engines; expose Spark's native percentile as a rows-only query
+# and assert bounds in tests instead.
+
+
+@query("agg_percentile")
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )

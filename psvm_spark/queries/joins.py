@@ -1,1 +1,313 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators: B9-B16 from SURVEY.md section 2.2.
+
+Scale notes (100 TB):
+- ``join_broadcast``: dims (part/nation/region/supplier) stay dimension-
+  sized at scale — `F.broadcast` pins a broadcast hash join, no shuffle
+  of the fact table.
+- ``join_sortmerge``: fact-fact (lineitem x orders) shuffles on the join
+  key; AQE handles skew-splitting. At 100 TB both sides would be
+  bucketed on orderkey at write time to skip the shuffle entirely
+  (see psvm_spark/operators/bucketing.py).
+- ``join_range`` / ``join_asof``: never expressed as a naive non-equi
+  join (O(n^2) BroadcastNestedLoop). Range -> equi-join on coarse time
+  buckets + band filter; as-of -> union + running `last` window, one
+  shuffle on (user), no per-row subqueries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.operators.asof import asof_join
+from psvm_spark.operators.rangejoin import band_join
+from psvm_spark.queries._util import dmoney, drate, dsum, one
+from psvm_spark.registry import query
+
+# --------------------------------------------------------------------------
+# B9 — broadcast hash join: fact x small dim.
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(dmoney("l_quantity")).alias("sum_qty"),
+            dsum(revenue).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — shuffle (sort-merge) join: fact x fact on l_orderkey.
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus <> 'P'
+GROUP BY o.o_orderpriority
+""",
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    revenue = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum(revenue).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — outer joins.  Full outer over nation presence in customers vs
+# suppliers exercises unmatched rows on BOTH sides (only 10 suppliers),
+# and the left join keeps customers with zero orders.
+
+
+@query(
+    "join_outer",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+       COALESCE(cn.n_cust, 0) AS n_cust,
+       COALESCE(sn.n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+""",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_left_count",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dmoney("o_totalprice")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — semi / anti joins (existence tests, no row multiplication).
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+SELECT 'has_urgent_order' AS cohort, COUNT(*) AS n
+FROM customer c
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'no_order_at_all' AS cohort, COUNT(*) AS n
+FROM customer c
+WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("has_urgent_order").alias("cohort"), "n")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("no_order_at_all").alias("cohort"), "n")
+    )
+    return semi.unionByName(anti)
+
+
+# --------------------------------------------------------------------------
+# B13 — theta (non-equi) join.  Small x small -> BroadcastNestedLoop is
+# the *correct* plan here; the scale-sensitive non-equi cases are
+# join_range/join_asof below which avoid NL entirely.
+
+
+@query(
+    "join_theta",
+    oracle="""
+SELECT a.s_suppkey AS low_supp, b.s_suppkey AS high_supp,
+       b.s_acctbal - a.s_acctbal AS bal_gap
+FROM supplier a JOIN supplier b
+  ON a.s_acctbal < b.s_acctbal AND a.s_nationkey <> b.s_nationkey
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("low_supp"),
+        F.col("s_acctbal").alias("a_bal"),
+        F.col("s_nationkey").alias("a_nk"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("high_supp"),
+        F.col("s_acctbal").alias("b_bal"),
+        F.col("s_nationkey").alias("b_nk"),
+    )
+    return (
+        a.join(F.broadcast(b), (F.col("a_bal") < F.col("b_bal")) & (F.col("a_nk") != F.col("b_nk")))
+        .select("low_supp", "high_supp", (F.col("b_bal") - F.col("a_bal")).alias("bal_gap"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 — range (band) join: clicks within +-5 minutes of an error, same
+# user.  Implemented scale-correctly via bucketed equi-join
+# (operators/rangejoin.py), NOT a nested-loop non-equi join.
+
+
+@query(
+    "join_range",
+    oracle="""
+SELECT e.event_id AS error_id, e.user_id,
+       COUNT(*) AS n_nearby_clicks
+FROM events e JOIN events c
+  ON e.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.unix_micros("ts").alias("e_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.unix_micros("ts").alias("c_us")
+    )
+    joined = band_join(
+        errors,
+        clicks,
+        left_keys=["user_id"],
+        right_keys=["c_user"],
+        left_ts="e_us",
+        right_ts="c_us",
+        band=300_000_000,  # 5 minutes in us
+    )
+    return joined.groupBy("error_id", "user_id").agg(F.count(F.lit(1)).alias("n_nearby_clicks"))
+
+
+# --------------------------------------------------------------------------
+# B15 — as-of join: for each purchase, the most recent view by the same
+# user at or before the purchase.  Union + running-last window
+# (operators/asof.py): one shuffle on user_id, no correlated subqueries.
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       p.ts AS purchase_ts,
+       (SELECT max(v.ts) FROM events v
+         WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts)
+       AS last_view_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    return asof_join(
+        purchases,
+        views,
+        left_keys=["user_id"],
+        right_keys=["v_user"],
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        value_col="view_ts",
+        out_col="last_view_ts",
+    )
+
+
+# --------------------------------------------------------------------------
+# B16 — cross join (explicit Cartesian on small inputs).
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r1.r_name AS from_region, r2.r_name AS to_region
+FROM region r1 CROSS JOIN region r2
+WHERE r1.r_name <> r2.r_name
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    r1 = r.select(F.col("r_name").alias("from_region"))
+    r2 = r.select(F.col("r_name").alias("to_region"))
+    return r1.crossJoin(r2).filter(F.col("from_region") != F.col("to_region"))

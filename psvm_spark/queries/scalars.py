@@ -1,1 +1,238 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function families: B31-B37 from SURVEY.md section 2.2.
+
+One query per family, each exercising the named functions end-to-end.
+All are narrow (no shuffle) except where an aggregate compacts the
+output for hash-stability.  Per-row double math is bit-deterministic
+(correctly-rounded IEEE ops), so no decimal detour is needed outside
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.registry import query
+
+# --------------------------------------------------------------------------
+# B31 — string functions.
+
+
+@query(
+    "scalar_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 5) AS name_head,
+       trim(concat('  ', p_name, '  ')) AS name_trim,
+       replace(p_type, ' ', '_') AS type_snake,
+       split_part(p_type, ' ', 1) AS type_first,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       contains(p_name, 'a') AS has_a,
+       starts_with(p_brand, 'Brand') AS is_brand,
+       levenshtein(p_brand, 'Brand#1') AS brand_dist
+FROM part
+""",
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.contains(F.col("p_name"), F.lit("a")).alias("has_a"),
+        F.startswith(F.col("p_brand"), F.lit("Brand")).alias("is_brand"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("long").alias("brand_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B32 — date/time functions.  date_trunc returns TIMESTAMP in both
+# engines; datediff day counts use date-cast semantics in both.
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       quarter(o_orderdate) AS q,
+       dayofweek(o_orderdate) + 1 AS dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_ts,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+       CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+FROM orders
+""",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B33 + B37 — math + null-handling functions.
+
+
+@query(
+    "scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_quantity - 25) AS abs_dev,
+       round(l_extendedprice / 1000, 1) AS price_k,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+       sqrt(l_quantity) AS qty_sqrt,
+       round(ln(l_extendedprice), 9) AS price_ln,
+       round(log10(l_extendedprice), 9) AS price_log10,
+       round(exp(l_discount), 9) AS disc_exp,
+       pow(l_quantity, 2) AS qty_sq,
+       CAST(sign(l_quantity - 25.0) AS DOUBLE) AS dev_sign,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+FROM lineitem
+""",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.round(F.col("l_extendedprice") / 1000, 1).alias("price_k"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        # transcendentals (ln/log10/exp) are not correctly-rounded and the
+        # JVM and libm differ in the last ulp — round to 9 decimals on both
+        # sides (sqrt/pow are IEEE-exact, no rounding needed)
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 9).alias("price_log10"),
+        F.round(F.exp("l_discount"), 9).alias("disc_exp"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.signum(F.col("l_quantity") - 25.0).alias("dev_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("flag_or_none"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B34 — array functions incl. higher-order transform/filter/aggregate.
+# Exercised on embeddings.embedding (array<float>).  Element values are
+# floats cast to double identically in both engines; zip_with/aggregate
+# run in whole-stage codegen, not Python.
+
+
+@query(
+    "scalar_array",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS vec_sum_r6,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(embedding[1] AS DOUBLE) AS first_dim,
+       list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS head3_sorted,
+       list_contains(list_transform(embedding, x -> x > 1.0), true) AS any_gt1
+FROM embeddings
+""",
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 6).alias("vec_sum_r6"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.col("embedding")[0].cast("double").alias("first_dim"),
+        F.array_sort(F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))).alias(
+            "head3_sorted"
+        ),
+        F.exists("embedding", lambda x: x > 1.0).alias("any_gt1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B36 — JSON extraction from events.props.
+
+
+@query(
+    "scalar_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+       CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       json_valid(props) AS is_valid
+FROM events
+""",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_mod"),
+        F.from_json("props", "k INT").isNotNull().alias("is_valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B35 — map functions.  Built from events props; DuckDB's MAP syntax
+# differs enough that the oracle recasts through sorted entry lists.
+
+
+@query(
+    "scalar_map",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       list_sort(list(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER) % 5)) AS k_mod_set
+FROM events
+GROUP BY event_type
+""",
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # build a map column, consume it via map functions, then aggregate to a
+    # deterministic, oracle-able shape
+    k = F.from_json("props", "k INT").getField("k")
+    withmap = ev.select(
+        "event_type",
+        F.create_map(F.lit("k_mod"), (k % 5)).alias("m"),
+    ).select(
+        "event_type",
+        F.element_at(F.col("m"), "k_mod").alias("k_mod"),
+    )
+    return withmap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_set("k_mod")).alias("k_mod_set"),
+    )

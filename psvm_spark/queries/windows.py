@@ -1,1 +1,152 @@
-"""Placeholder — populated in a later milestone."""
+"""Window functions: B24-B26 + per-group top-k (B29).
+
+Deterministic tie-breaking convention (SURVEY.md section 4.2.2): every
+ORDER BY inside a window ends with a unique key so rank/lag outputs are
+stable and oracle-hashable.  A window is one shuffle on its partition
+keys; frames are evaluated in a single in-partition pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.registry import query
+
+# --------------------------------------------------------------------------
+# B24 — ranking functions.
+
+
+@query(
+    "window_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B25 — lag/lead analytics: per-user event deltas.
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev,
+       lead(event_type) OVER w AS next_type,
+       first_value(event_type) OVER w AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (us - F.lag(us).over(w)).alias("us_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B26 — frames: running totals (rows) + range-framed moving aggregate.
+# Decimal arithmetic inside the frame keeps the running sums exact.
+
+
+@query(
+    "window_frames",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS last3_total,
+       COUNT(*) OVER (PARTITION BY o_custkey) AS n_cust_orders
+FROM orders
+""",
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    money = F.col("o_totalprice").cast("decimal(12,2)")
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_3 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(money).over(w_run).cast("double").alias("running_total"),
+        F.sum(money).over(w_3).cast("double").alias("last3_total"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — per-group top-k: rank + filter.  At scale, if k is small and
+# groups are many this stays one shuffle; for heavy skew pre-aggregate
+# with min_by/max_by sketches first.
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 5
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
