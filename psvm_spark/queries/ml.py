@@ -1,1 +1,326 @@
-"""Placeholder — populated in a later milestone."""
+"""Tier A queries: kernels, SVM scoring/eval, vector reductions, training.
+
+Reference parity map (SURVEY.md section 2.1; psvm file citations are
+repo-level — line numbers unavailable per section 0.1):
+  kernel_linear/poly/rbf/laplacian  <-> [psvm:kernel.cc]    (A3-A6)
+  svm_predict_score                 <-> [psvm:model.cc,
+                                         psvm:svm_predict.cc] (A14)
+  eval_accuracy                     <-> [psvm:svm_predict.cc] (A15)
+  vec_reductions                    <-> [psvm:matrix_manipulation.cc] (A9)
+  svm_train_eval / svm_nystrom_*    <-> [psvm:pd_ipm.cc + ICF] (A7/A10)
+  svm_model_roundtrip               <-> [psvm:model.cc Save/Load] (A13)
+  scan_libsvm                       <-> [psvm:document.cc] (A1)
+
+The pair queries sample embeddings deterministically (vec_id % N) to
+keep the cross join bounded: the 100 TB path for all-pairs kernels is
+LSH-blocked similarity search (queries/llm.py), not a full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.ml import kernels as K
+from psvm_spark.registry import query
+
+GAMMA = 0.5
+POLY_COEF = 1.0
+POLY_DEG = 3
+SVM_B = 0.05
+
+# deterministic pair sample: |A| = |B| = n/25 rows -> n^2/625 pairs
+_A_MOD, _A_RES = 25, 0
+_B_MOD, _B_RES = 25, 1
+
+
+def _pairs(spark: SparkSession, sf_dir: str):
+    e = load_table(spark, sf_dir, "embeddings")
+    a = (
+        e.filter(F.col("vec_id") % _A_MOD == _A_RES)
+        .select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    )
+    b = (
+        e.filter(F.col("vec_id") % _B_MOD == _B_RES)
+        .select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    )
+    return a.crossJoin(F.broadcast(b))
+
+
+_PAIR_SQL = f"""
+FROM (SELECT vec_id AS i, embedding AS va FROM embeddings WHERE vec_id % {_A_MOD} = {_A_RES}) a
+CROSS JOIN (SELECT vec_id AS j, embedding AS vb FROM embeddings WHERE vec_id % {_B_MOD} = {_B_RES}) b
+"""
+
+
+@query(
+    "kernel_linear",
+    oracle=f"SELECT i, j, {K.sql_dot('va', 'vb')} AS k_lin {_PAIR_SQL}",
+)
+def kernel_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs(spark, sf_dir).select(
+        "i", "j", K.linear_kernel(F.col("va"), F.col("vb")).alias("k_lin")
+    )
+
+
+@query(
+    "kernel_poly",
+    oracle=f"""
+SELECT i, j,
+       round(pow({GAMMA} * {K.sql_dot('va', 'vb')} + {POLY_COEF}, {POLY_DEG}), 9) AS k_poly
+{_PAIR_SQL}""",
+)
+def kernel_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pow is ~1-ulp in both engines -> round(9) on both sides
+    return _pairs(spark, sf_dir).select(
+        "i",
+        "j",
+        F.round(
+            K.poly_kernel(F.col("va"), F.col("vb"), GAMMA, POLY_COEF, POLY_DEG), 9
+        ).alias("k_poly"),
+    )
+
+
+@query(
+    "kernel_rbf",
+    oracle=f"""
+SELECT i, j, round(exp(-{GAMMA} * {K.sql_sq_l2('va', 'vb')}), 9) AS k_rbf
+{_PAIR_SQL}""",
+)
+def kernel_rbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs(spark, sf_dir).select(
+        "i", "j", F.round(K.rbf_kernel(F.col("va"), F.col("vb"), GAMMA), 9).alias("k_rbf")
+    )
+
+
+@query(
+    "kernel_laplacian",
+    oracle=f"""
+SELECT i, j, round(exp(-{GAMMA} * {K.sql_l1('va', 'vb')}), 9) AS k_lap
+{_PAIR_SQL}""",
+)
+def kernel_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs(spark, sf_dir).select(
+        "i", "j", F.round(K.laplacian_kernel(F.col("va"), F.col("vb"), GAMMA), 9).alias("k_lap")
+    )
+
+
+# --------------------------------------------------------------------------
+# A14 — SVM scoring as a relational query: broadcast the SV "model" table,
+# cross join with the test shard, kernel-weighted sum per test row.
+# The fixed synthetic model (deterministic alpha_y per SV) makes this
+# fully SQL-expressible — exactly the reference's
+# f(x) = sum_i alpha_i y_i K(s_i, x) + b   [psvm:model.cc].
+
+_SV_MOD, _SV_RES = 20, 0  # support-vector shard
+_TS_MOD, _TS_RES = 20, 1  # test shard
+
+
+def _sv_test(spark: SparkSession, sf_dir: str):
+    e = load_table(spark, sf_dir, "embeddings")
+    sv = e.filter(F.col("vec_id") % _SV_MOD == _SV_RES).select(
+        F.col("vec_id").alias("sv_id"),
+        F.col("embedding").alias("sv_vec"),
+        (((F.col("vec_id") % 7).cast("double") - 3.0) * 0.1).alias("alpha_y"),
+    )
+    test = e.filter(F.col("vec_id") % _TS_MOD == _TS_RES).select(
+        F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"), "label"
+    )
+    return sv, test
+
+
+_SCORE_SQL = f"""
+WITH sv AS (
+  SELECT vec_id AS sv_id, embedding AS sv_vec,
+         (CAST(vec_id % 7 AS DOUBLE) - 3.0) * 0.1 AS alpha_y
+  FROM embeddings WHERE vec_id % {_SV_MOD} = {_SV_RES}
+), tst AS (
+  SELECT vec_id AS t_id, embedding AS t_vec, label
+  FROM embeddings WHERE vec_id % {_TS_MOD} = {_TS_RES}
+), scored AS (
+  SELECT t.t_id, t.label,
+         round(SUM(sv.alpha_y * exp(-{GAMMA} * {K.sql_sq_l2('sv.sv_vec', 't.t_vec')}))
+               + {SVM_B}, 6) AS score
+  FROM tst t CROSS JOIN sv
+  GROUP BY t.t_id, t.label
+)
+"""
+
+
+@query(
+    "svm_predict_score",
+    oracle=_SCORE_SQL
+    + """
+SELECT t_id, score,
+       CASE WHEN score >= 0 THEN 1 ELSE -1 END AS pred
+FROM scored
+""",
+)
+def svm_predict_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + SVM_B, 6).alias("score"))
+    )
+    return scored.select(
+        "t_id",
+        "score",
+        F.when(F.col("score") >= 0, 1).otherwise(-1).cast("int").alias("pred"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A15 — accuracy evaluation of the scored shard against y = sign(label%2).
+
+
+@query(
+    "eval_accuracy",
+    oracle=_SCORE_SQL
+    + """
+SELECT COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN (CASE WHEN score >= 0 THEN 1 ELSE -1 END)
+                          = (CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END)
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+FROM scored
+""",
+)
+def eval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + SVM_B, 6).alias("score"))
+    )
+    pred = F.when(F.col("score") >= 0, 1).otherwise(-1)
+    truth = F.when(F.col("label") % 2 == 0, 1).otherwise(-1)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        (F.sum(F.when(pred == truth, 1).otherwise(0)).cast("double") / F.count(F.lit(1))).alias(
+            "accuracy"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 — distributed vector reductions (the AllReduce workloads): per-label
+# counts, mean of first component, norm sums.
+
+
+@query(
+    "vec_reductions",
+    oracle=f"""
+SELECT label,
+       COUNT(*) AS n,
+       round(SUM(CAST(embedding[1] AS DOUBLE)), 6) AS sum_dim0,
+       round(SUM(sqrt({K.sql_dot('embedding', 'embedding')})), 6) AS sum_norm,
+       round(MAX(sqrt({K.sql_dot('embedding', 'embedding')})), 9) AS max_norm
+FROM embeddings
+GROUP BY label
+""",
+)
+def vec_reductions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = K.norm2(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("embedding")[0].cast("double")), 6).alias("sum_dim0"),
+        F.round(F.sum(nrm), 6).alias("sum_norm"),
+        F.round(F.max(nrm), 9).alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 + A15 — LinearSVC training & eval (rows-only: iterative solver).
+
+
+@query("svm_train_eval")
+def svm_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.ml.svm import binary_train_test, fit_eval_linear_svc
+
+    train, test, _ = binary_train_test(spark, sf_dir)
+    _, acc = fit_eval_linear_svc(train, test, "embedding")
+    return spark.createDataFrame(
+        [("linear_svc_binary", float(train.count()), float(test.count()), acc)],
+        "model string, n_train double, n_test double, accuracy double",
+    )
+
+
+# A7 — Nystrom kernel approximation feeding the linear solver.
+
+
+@query("svm_nystrom_train_eval")
+def svm_nystrom_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.ml.svm import (
+        binary_train_test,
+        fit_eval_linear_svc,
+        nystrom_map,
+        pick_landmarks,
+    )
+
+    landmarks = pick_landmarks(spark, sf_dir, every=10)
+    train, test, _ = binary_train_test(spark, sf_dir)
+    tr = nystrom_map(train, "embedding", landmarks, GAMMA)
+    te = nystrom_map(test, "embedding", landmarks, GAMMA)
+    _, acc = fit_eval_linear_svc(tr, te, "phi")
+    return spark.createDataFrame(
+        [("nystrom_rbf_svc", float(len(landmarks)), acc)],
+        "model string, n_landmarks double, accuracy double",
+    )
+
+
+# A13 — model persistence round-trip (sharded parquet SV table, like
+# psvm's per-rank model files).
+
+
+@query("svm_model_roundtrip")
+def svm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    sv, test = _sv_test(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="psvm_model_") + "/model_sv"
+    sv.write.mode("overwrite").parquet(path)
+    sv2 = spark.read.parquet(path)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), GAMMA)
+
+    def score(svdf):
+        return (
+            test.crossJoin(F.broadcast(svdf))
+            .groupBy("t_id")
+            .agg(F.round(F.sum(F.col("alpha_y") * k) + SVM_B, 6).alias("score"))
+        )
+
+    a = score(sv).withColumnRenamed("score", "score_orig")
+    b = score(sv2).withColumnRenamed("score", "score_reloaded")
+    return (
+        a.join(b, "t_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum((F.col("score_orig") == F.col("score_reloaded")).cast("long")).alias("n_equal"),
+        )
+    )
+
+
+# A1 — LibSVM ingestion: derive the reference's native text format from
+# embeddings, read it back via Spark's libsvm source.
+
+
+@query("scan_libsvm")
+def scan_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    rows = e.filter(F.col("vec_id") % 10 == 0).collect()
+    d = tempfile.mkdtemp(prefix="psvm_libsvm_")
+    fp = os.path.join(d, "data.libsvm")
+    with open(fp, "w") as f:
+        for r in sorted(rows, key=lambda r: r.vec_id):
+            y = 1 if r.label % 2 == 0 else -1
+            feats = " ".join(f"{i + 1}:{v}" for i, v in enumerate(r.embedding) if v != 0.0)
+            f.write(f"{y} {feats}\n")
+    df = spark.read.format("libsvm").option("numFeatures", "64").load(fp)
+    return df.groupBy("label").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,90 @@
+"""Tier A ML surface tests.
+
+Note on accuracy (established empirically, see git history): the fixture
+``embeddings.label`` is random w.r.t. the vectors — out-of-sample
+accuracy is chance-level (~0.5 binary / ~0.1 ten-class) for ANY model
+(verified with a numpy least-squares reference).  Reference-faithful
+accuracy-threshold testing (SURVEY.md section 5.2.2) therefore asserts
+the pipeline runs, predicts on every test row, and is not WORSE than
+chance by a wide margin — the data ceiling, not the model, binds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from psvm_spark import registry
+from psvm_spark.catalog import load_table
+
+registry.load_all()
+
+
+class TestKernels:
+    def test_rbf_self_similarity_is_one(self, spark, sf_dir):
+        from psvm_spark.ml.kernels import rbf_kernel
+
+        e = load_table(spark, sf_dir, "embeddings").limit(20).alias("a")
+        out = e.select(rbf_kernel(F.col("embedding"), F.col("embedding"), 0.5).alias("k")).collect()
+        assert all(abs(r.k - 1.0) < 1e-12 for r in out)
+
+    def test_kernel_symmetry(self, spark, sf_dir):
+        res = {(r.i, r.j): r.k_rbf for r in registry.QUERIES["kernel_rbf"](spark, sf_dir).collect()}
+        # pairs are (A-shard, B-shard); symmetry check via recompute with flipped args
+        from psvm_spark.ml.kernels import rbf_kernel
+
+        e = load_table(spark, sf_dir, "embeddings")
+        a = e.filter(F.col("vec_id") % 25 == 0).select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+        b = e.filter(F.col("vec_id") % 25 == 1).select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+        flipped = {
+            (r.i, r.j): r.k
+            for r in a.crossJoin(b)
+            .select("i", "j", F.round(rbf_kernel(F.col("vb"), F.col("va"), 0.5), 9).alias("k"))
+            .collect()
+        }
+        assert res == flipped
+
+    def test_nystrom_approximates_kernel(self, spark, sf_dir):
+        """phi(x).phi(y) ~= K(x,y): mean abs error well under 0.05 with
+        20% landmarks (the ICF-equivalent low-rank quality check)."""
+        from psvm_spark.ml.svm import nystrom_map, pick_landmarks
+
+        L = pick_landmarks(spark, sf_dir, every=5)
+        e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+        phi = {r.vec_id: np.array(r.phi) for r in nystrom_map(e, "embedding", L, 0.5).collect()}
+        X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+        errs = []
+        ids = sorted(phi)
+        for i in ids[:20]:
+            for j in ids[20:40]:
+                k_true = np.exp(-0.5 * np.sum((X[i] - X[j]) ** 2))
+                errs.append(abs(float(phi[i] @ phi[j]) - k_true))
+        assert np.mean(errs) < 0.05, np.mean(errs)
+
+
+class TestSVM:
+    @pytest.fixture(scope="class")
+    def train_result(self, spark, sf_dir):
+        return registry.QUERIES["svm_train_eval"](spark, sf_dir).collect()[0]
+
+    def test_linear_svc_runs_and_predicts(self, train_result):
+        assert train_result.n_train > 0 and train_result.n_test > 0
+        # chance-level is the data ceiling (random labels); assert sanity band
+        assert 0.3 <= train_result.accuracy <= 0.8
+
+    def test_model_roundtrip_identical(self, spark, sf_dir):
+        row = registry.QUERIES["svm_model_roundtrip"](spark, sf_dir).collect()[0]
+        assert row.n_scored == row.n_equal and row.n_scored > 0
+
+    def test_libsvm_scan_counts(self, spark, sf_dir):
+        rows = registry.QUERIES["scan_libsvm"](spark, sf_dir).collect()
+        assert sum(r.n for r in rows) == 50  # every 10th of 500 embeddings
+
+    def test_ovr_multiclass_runs(self, spark, sf_dir):
+        from psvm_spark.ml.svm import fit_eval_ovr_multiclass
+
+        _, pred = fit_eval_ovr_multiclass(spark, sf_dir, max_iter=5)
+        n = pred.count()
+        assert n == 100  # 20% of 500
+        assert pred.filter(F.col("prediction").isNull()).count() == 0
