@@ -1,1 +1,512 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline operators: B45-B52 (SURVEY.md section 2.2) + text
+analysis extras (lang-ID, quality scoring, fingerprinting).
+
+Scale notes (100 TB):
+- exact dedup: hash-groupBy, one shuffle on the digest.
+- MinHash near-dedup: deterministic signatures (xxhash64 with fixed
+  seeds), LSH banding -> candidate pairs meet in a *band-bucket
+  equi-join* (shuffle on band hash), exact Jaccard verify on candidates
+  only.  Never all-pairs.
+- cosine top-k: brute-force is the correctness baseline (probe set x
+  corpus via broadcast); the scale path is LSH bucketing (sim_ann_lsh).
+- centroid ops: posexplode -> per-(label,dim) partial aggregation — a
+  map-side-combined shuffle of 64 x n_labels cells, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.ml import kernels as K
+from psvm_spark.registry import query
+
+# --------------------------------------------------------------------------
+# B45 — exact dedup by content digest (md5 matches DuckDB's md5).
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, md5(text) AS digest,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, digest FROM keyed WHERE rn = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        d.withColumn("digest", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "digest")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared shingling: word 4-grams.  Both engines build the identical
+# shingle list (Spark slice(words,i,4) == DuckDB words[i:i+3] inclusive).
+
+_SHINGLE_SPARK = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 1)), "
+    "i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+)
+_SHINGLE_DUCK = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1), "
+    "i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))"
+)
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint (winnowing-style): min md5 over shingles — a
+# deterministic 1-value sketch; docs sharing a fingerprint are near-dup
+# candidates.
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_aggregate(list_transform({_SHINGLE_DUCK}, s -> md5(s)), 'min') AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_min(F.expr(f"transform({_SHINGLE_SPARK}, s -> md5(s))")).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard similarity on a deterministic candidate sample — the
+# exact verifier used after LSH pruning, exposed standalone (B46 family).
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(inter > 0)
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B46 — MinHash + LSH banding near-dedup, fully deterministic (xxhash64
+# with fixed salt constants, no RNG).  Candidates from band-bucket
+# equi-join, then exact Jaccard verification >= 0.5.  rows-only: the
+# xxhash64 signature family isn't expressible in DuckDB; recall vs the
+# brute-force oracle is asserted in tests/test_llm.py.
+
+_N_HASH = 16
+_N_BANDS = 8  # rows per band = 2
+
+
+@query("dedup_minhash")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    # signature[k] = min over shingles of xxhash64(k, shingle)
+    sig_cols = [
+        F.array_min(F.expr(f"transform(shingles, s -> xxhash64({k}, s))")).alias(f"h{k}")
+        for k in range(_N_HASH)
+    ]
+    sig = sh.select("doc_id", "shingles", *sig_cols)
+    rows_per_band = _N_HASH // _N_BANDS
+    bands = []
+    for bidx in range(_N_BANDS):
+        cols = [F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                "shingles",
+                F.lit(bidx).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# B47 — exact cosine top-k: probe shard x corpus (broadcast), windowed
+# top-k with rounded-score + id tie-breaking.
+
+
+@query(
+    "sim_topk_cosine",
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS i, embedding AS vp FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT p.i, e.vec_id AS j,
+         round({K.sql_dot('p.vp', 'e.embedding')}
+               / (sqrt({K.sql_dot('p.vp', 'p.vp')}) * sqrt({K.sql_dot('e.embedding', 'e.embedding')})), 9)
+           AS cosine
+  FROM probes p CROSS JOIN embeddings e
+  WHERE e.vec_id <> p.i
+), ranked AS (
+  SELECT i, j, cosine,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j ASC) AS rank
+  FROM scored
+)
+SELECT i, j, cosine, rank FROM ranked WHERE rank <= 10
+""",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("vp")
+    )
+    corpus = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("ve"))
+    cosine = F.round(
+        K.dot(F.col("vp"), F.col("ve"))
+        / (F.sqrt(K.dot(F.col("vp"), F.col("vp"))) * F.sqrt(K.dot(F.col("ve"), F.col("ve")))),
+        9,
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        probes.join(F.broadcast(corpus), F.col("j") != F.col("i"))
+        .select("i", "j", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# B48 — ANN via random-projection LSH (MLlib), deterministic seed.
+# rows-only; recall vs sim_topk_cosine asserted in tests.
+
+
+@query("sim_ann_lsh")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=8, seed=42
+    )
+    model = lsh.fit(e)
+    probes = e.filter(F.col("vec_id") % 50 == 0)
+    joined = model.approxSimilarityJoin(probes, e, threshold=2.5, distCol="dist")
+    out = joined.select(
+        F.col("datasetA.vec_id").alias("i"),
+        F.col("datasetB.vec_id").alias("j"),
+        F.round("dist", 9).alias("l2_dist"),
+    ).filter(F.col("i") != F.col("j"))
+    w = Window.partitionBy("i").orderBy(F.col("l2_dist").asc(), F.col("j").asc())
+    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+# --------------------------------------------------------------------------
+# B49 — term frequency: top-5 terms per language.
+
+
+@query(
+    "text_term_freq",
+    oracle="""
+WITH words AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT lang, word, COUNT(*) AS n FROM words GROUP BY lang, word
+), ranked AS (
+  SELECT lang, word, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+  FROM counts
+)
+SELECT lang, word, n, rank FROM ranked WHERE rank <= 5
+""",
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF (exact explode/count formulation; ln rounded for libm parity).
+
+
+@query(
+    "text_tfidf_top",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, word, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tfidf FROM ranked WHERE rank = 1
+""",
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") == 1).drop(
+        "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# B50 — quality scoring + filtering: length/word-count/stopword-ratio
+# heuristics, aggregated per (lang, source-cohort).
+
+_STOPWORDS = ("the", "and", "of", "a", "in", "to", "is")
+_SW_SQL = "', '".join(_STOPWORDS)
+
+
+@query(
+    "text_quality_filter",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ('{_SW_SQL}'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE n_words BETWEEN 10 AND 100 AND stop_ratio < 0.4) AS n_quality,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       round(CAST(SUM(stop_ratio) AS DOUBLE) / COUNT(*), 9) AS avg_stop_ratio
+FROM feats
+GROUP BY lang
+""",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    # NOT array_intersect (it dedups) — per-token filter count
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("double") / F.size(words)
+    )
+    feats = d.select(
+        "lang",
+        "n_chars",
+        F.size(words).alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(
+            F.col("n_words").between(10, 100) & (F.col("stop_ratio") < 0.4)
+        ).alias("n_quality"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.round(F.sum("stop_ratio") / F.count(F.lit(1)), 9).alias("avg_stop_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic: marker-word voting (deterministic; the fixture
+# text is synthetic word-salad so this mostly demonstrates the operator).
+
+_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w IN ('{"', '".join(_MARKERS["en"])}'))) AS s_en,
+         len(list_filter(string_split(text, ' '), w -> w IN ('{"', '".join(_MARKERS["de"])}'))) AS s_de,
+         len(list_filter(string_split(text, ' '), w -> w IN ('{"', '".join(_MARKERS["es"])}'))) AS s_es
+  FROM documents
+), pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+              WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+              WHEN s_es > 0 THEN 'es'
+              ELSE 'unknown' END AS pred_lang
+  FROM scored
+)
+SELECT pred_lang, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE pred_lang = lang) AS n_correct
+FROM pred GROUP BY pred_lang
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def score(lang: str):
+        return F.size(F.filter(words, lambda w: w.isin(*_MARKERS[lang])))
+
+    s_en, s_de, s_es = score("en"), score("de"), score("es")
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_es) & (s_en > 0), "en")
+        .when((s_de >= s_es) & (s_de > 0), "de")
+        .when(s_es > 0, "es")
+        .otherwise("unknown")
+    )
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("pred_lang") == F.col("lang")).alias("n_correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B51 — per-label vector stats (first dims + norm summary).  Sums are
+# rounded once, then divided by exact counts — deterministic.
+
+
+@query(
+    "vec_group_stats",
+    oracle=f"""
+SELECT label, COUNT(*) AS n,
+       round(SUM(CAST(embedding[1] AS DOUBLE)), 6) / COUNT(*) AS mean_d0,
+       round(SUM(CAST(embedding[2] AS DOUBLE)), 6) / COUNT(*) AS mean_d1,
+       round(SUM({K.sql_dot('embedding', 'embedding')}), 6) / COUNT(*) AS mean_sq_norm
+FROM embeddings
+GROUP BY label
+""",
+)
+def vec_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum(F.col("embedding")[0].cast("double")), 6) / F.count(F.lit(1))).alias(
+            "mean_d0"
+        ),
+        (F.round(F.sum(F.col("embedding")[1].cast("double")), 6) / F.count(F.lit(1))).alias(
+            "mean_d1"
+        ),
+        (
+            F.round(F.sum(K.dot(F.col("embedding"), F.col("embedding"))), 6) / F.count(F.lit(1))
+        ).alias("mean_sq_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B52 — centroid per label + mean distance to centroid.  Distributed:
+# posexplode -> (label, dim) partial sums -> centroid arrays -> join back.
+
+
+@query(
+    "vec_centroid_dist",
+    oracle="""
+WITH dims AS (
+  SELECT label, u.dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, 64)) AS dim,
+                       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v) u
+), cent AS (
+  SELECT label, dim, round(SUM(v), 6) / COUNT(*) AS c FROM dims GROUP BY label, dim
+), cent_arr AS (
+  SELECT label, list(c ORDER BY dim) AS centroid FROM cent GROUP BY label
+), dists AS (
+  SELECT e.label, e.vec_id,
+         sqrt(list_aggregate(list_transform(list_zip(e.embedding, ca.centroid),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')) AS dist
+  FROM embeddings e JOIN cent_arr ca ON e.label = ca.label
+)
+SELECT label, COUNT(*) AS n, round(SUM(dist), 6) / COUNT(*) AS mean_dist
+FROM dists GROUP BY label
+""",
+)
+def vec_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg((F.round(F.sum("col"), 6) / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.col("pc.c").alias("centroid"))
+    )
+    dist = F.sqrt(K.sq_l2(F.col("embedding"), F.col("centroid")))
+    return (
+        e.join(F.broadcast(cent), "label")
+        .select("label", dist.alias("dist"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("dist"), 6) / F.count(F.lit(1))).alias("mean_dist"),
+        )
+    )
