@@ -1,1 +1,229 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming operators B38-B44: real Structured Streaming runs whose
+final results are hash-checked against batch DuckDB SQL (stream/batch
+equivalence), plus rows-only entries for watermark/dedup/arbitrary-state
+semantics DuckDB can't express.
+
+Every oracle'd query here executes an actual streaming job (file source
+-> availableNow -> memory sink); determinism comes from complete/append
+mode finals being independent of batch slicing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.registry import query
+from psvm_spark.streaming.jobs import run_to_table, stream_events
+
+# --------------------------------------------------------------------------
+# B38 — tumbling window aggregate (10-minute buckets x event_type).
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+    return run_to_table(agg, "complete").select(
+        F.col("w.start").alias("win_start"), "event_type", "n", "total"
+    )
+
+
+# --------------------------------------------------------------------------
+# B39 — sliding window (10-minute width, 5-minute slide): each event
+# lands in two windows.  Oracle replicates via the two shifted buckets.
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+WITH contrib AS (
+  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS win_start,
+         event_type, value
+  FROM events
+)
+SELECT win_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM contrib
+GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+    return run_to_table(agg, "complete").select(
+        F.col("w.start").alias("win_start"), "event_type", "n", "total"
+    )
+
+
+# --------------------------------------------------------------------------
+# B40 — session windows (5-minute inactivity gap) per user.  Oracle:
+# classic gaps-and-islands (lag + cumulative sum).
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+    return run_to_table(agg, "complete").select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total",
+    )
+
+
+# --------------------------------------------------------------------------
+# B44 — stream-static join: streaming events x static customer dim
+# (broadcast), aggregated after the sink (append mode can't aggregate
+# without a watermark; the join itself is the streaming operator).
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
+        "c_mktsegment", "event_type", "value"
+    )
+    sunk = run_to_table(joined, "append")
+    return sunk.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B41 — watermark + late-data semantics (rows-only: emission depends on
+# batch slicing; correctness asserted in tests/test_streaming.py with an
+# explicit two-batch late-arrival scenario).
+
+
+@query("stream_watermark")
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_to_table(agg, "update").select(
+        F.col("w.start").alias("win_start"), "event_type", "n"
+    )
+
+
+# --------------------------------------------------------------------------
+# B42 — stateful streaming dedup within watermark.
+
+
+@query("stream_dedup")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = run_to_table(deduped.select("event_id", "user_id", "event_type"), "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --------------------------------------------------------------------------
+# B43 — arbitrary stateful processing: per-user running spend tracker
+# via applyInPandasWithState (GroupState), emitting one summary row per
+# user per batch.
+
+
+@query("stream_stateful")
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir)
+
+    # Self-contained closure: executors can't import psvm_spark.
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_table(out, "update")

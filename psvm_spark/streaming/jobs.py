@@ -1,0 +1,61 @@
+"""Structured Streaming plumbing over the events table (SURVEY.md B5,
+B38-B44).
+
+Batch and stream share one data model: ``stream_events`` re-reads the
+same parquet through ``readStream`` with the batch-inferred schema (incl.
+the ns->us timestamp conversion from catalog.py), so every windowed
+operator can run in either mode and the driver's DuckDB oracle checks
+the *streaming* result against batch SQL — stream/batch equivalence is
+the correctness claim, not just a rows-only smoke.
+
+``run_to_table`` drives a query to completion with the availableNow
+trigger into a uniquely-named memory sink and returns the result as a
+plain DataFrame.  At production scale the same code points at a
+directory of arriving files (or Kafka) with a real checkpoint location;
+state stores shard by the grouping key across executors.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psvm_spark.session import ensure_session_invariants
+
+_counter = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a stream: same schema + ts semantics as the batch table."""
+    ensure_session_invariants(spark)
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    # the file source watches a directory; select just events.parquet
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_to_table(df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) through a
+    memory sink; return the final result as a batch DataFrame."""
+    name = f"psvm_stream_{next(_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="psvm_ckpt_")
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

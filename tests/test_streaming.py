@@ -1,0 +1,126 @@
+"""Streaming semantics tests: batch/stream equivalence, watermark
+late-data drop (two-batch scenario), stateful ops."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from psvm_spark import registry
+from psvm_spark.catalog import load_table
+
+registry.load_all()
+
+
+class TestBatchStreamEquivalence:
+    def test_session_window_stream_equals_batch(self, spark, sf_dir):
+        got = registry.QUERIES["stream_session"](spark, sf_dir)
+        ev = load_table(spark, sf_dir, "events")
+        batch = (
+            ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "total",
+            )
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+class TestWatermark:
+    def test_late_row_dropped_after_restart(self, spark, tmp_path):
+        """Run 1 establishes (and checkpoints) watermark = max(ts) - 10min;
+        run 2's late row (49min behind the watermark) must be dropped from
+        its already-closed window, while the on-time row updates its own.
+
+        NOTE (empirical, Spark 4.1): *within* one availableNow run, rows a
+        later micro-batch delivers are NOT filtered by the watermark the
+        previous micro-batch established — only state eviction uses it.
+        Filtering is enforced against the checkpointed watermark on
+        restart, which is what this test pins down.
+        """
+        def mk(rows):
+            return spark.createDataFrame(
+                [(i, ts, float(v)) for i, ts, v in rows],
+                "event_id long, ts_s string, value double",
+            ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+        d = str(tmp_path / "stream_in")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(d, exist_ok=True)
+
+        def run():
+            got = []
+            schema = spark.read.parquet(d).schema
+            stream = spark.readStream.schema(schema).parquet(d)
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "10 minutes").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda df, bid: got.extend(
+                        (r.w.start.strftime("%H:%M"), r.n) for r in df.collect()
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(got)
+
+        mk(
+            [
+                (1, "2024-01-01 10:00:30", 5),
+                (2, "2024-01-01 10:05:00", 5),
+                (3, "2024-01-01 11:00:00", 5),  # watermark -> 10:50
+            ]
+        ).coalesce(1).write.mode("append").parquet(d)
+        assert run() == [("10:00", 2), ("11:00", 1)]
+
+        mk(
+            [
+                (4, "2024-01-01 10:01:00", 5),  # late: window closed at 10:50
+                (5, "2024-01-01 11:01:00", 5),  # on time
+            ]
+        ).coalesce(1).write.mode("append").parquet(d)
+        # late row dropped: 10:00 window NOT re-emitted; 11:00 updated to 2
+        assert run() == [("11:00", 2)]
+
+
+class TestStatefulOps:
+    def test_stateful_totals_match_batch(self, spark, sf_dir):
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in registry.QUERIES["stream_stateful"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        exp = {
+            r.user_id: (r.n, round(r.total, 2))
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert set(got) == set(exp)
+        for uid in exp:
+            assert got[uid][0] == exp[uid][0]
+            assert abs(got[uid][1] - exp[uid][1]) < 0.05
+
+    def test_stream_dedup_keeps_at_most_distinct_pairs(self, spark, sf_dir):
+        rows = registry.QUERIES["stream_dedup"](spark, sf_dir).collect()
+        ev = load_table(spark, sf_dir, "events")
+        distinct_pairs = ev.select("user_id", "event_type").distinct().count()
+        assert 0 < sum(r.n_kept for r in rows) <= distinct_pairs * 10
+
+    def test_watermark_query_runs(self, spark, sf_dir):
+        assert registry.QUERIES["stream_watermark"](spark, sf_dir).count() > 0
