@@ -1,0 +1,70 @@
+"""Sources & sinks beyond parquet: B2 (CSV/JSON scan), B4 (partitioned
+parquet sink, verified by re-read).
+
+At 100 TB: CSV/JSON land in a bronze zone and are rewritten to parquet
+once (columnar, splittable, pushdown-capable); the partitioned sink
+demonstrates the layout step (partitionBy low-cardinality keys so
+downstream scans partition-prune).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.registry import query
+
+# --------------------------------------------------------------------------
+# B2 — CSV and JSON scans with explicit schemas.  Side files are derived
+# deterministically from the nation fixture (tiny), then read back; the
+# oracle checks the values survive both formats.
+
+
+@query(
+    "scan_csv_json",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, 'csv' AS fmt FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, 'json' AS fmt FROM nation
+""",
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="psvm_sources_")
+    csv_dir, json_dir = os.path.join(d, "csv"), os.path.join(d, "json")
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+    n.coalesce(1).write.mode("overwrite").json(json_dir)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    c = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    j = spark.read.schema(schema).json(json_dir)
+    return c.withColumn("fmt", F.lit("csv")).unionByName(j.withColumn("fmt", F.lit("json")))
+
+
+# --------------------------------------------------------------------------
+# B4 — partitioned parquet sink, verified by re-reading with a partition
+# filter (the re-read scan must prune to one partition directory).
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderstatus
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="psvm_sink_") + "/orders_by_status"
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )

@@ -46,8 +46,11 @@ def load_all() -> None:
         joins,
         llm,
         ml,
+        multimodal,
         relational,
         scalars,
+        sources,
         streaming,
+        udfs,
         windows,
     )

@@ -37,12 +37,20 @@ def _cpus() -> int:
 
 
 def ensure_session_invariants(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs needed for correctness on any session."""
+    """Apply runtime confs needed for correctness on any session, plus
+    shuffle parallelism sized to this box (the default 200 is pure
+    scheduling overhead on local test scales; AQE coalesces upward
+    workloads at real scale anyway)."""
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build; accept the session's value
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(_cpus()))
+    except Exception:
+        pass
     return spark
 
 
