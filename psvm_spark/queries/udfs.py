@@ -140,11 +140,15 @@ def udtf_explode_taxes(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield orderkey, round(price * tax, 4)
 
     spark.udtf.register("tax_rows", TaxRows)
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_v")
+    # filter BEFORE the lateral UDTF — the %100 predicate doesn't push
+    # below a Python table function, so pre-filter the view (measured
+    # ~5.6s -> sub-second at sf0.1)
+    load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    ).createOrReplaceTempView("li_v")
     exploded = spark.sql(
         "SELECT t.l_orderkey, t.tax_amt FROM li_v, "
-        "LATERAL tax_rows(l_orderkey, l_extendedprice, l_tax) t "
-        "WHERE li_v.l_orderkey % 100 = 0"
+        "LATERAL tax_rows(l_orderkey, l_extendedprice, l_tax) t"
     )
     return exploded.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_parts"),
