@@ -188,6 +188,127 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SimHash near-dedup (B46 family).  64-bit fingerprint: bit k = sign of
+# the vote sum over distinct words of (2*bit_k(md5(word)) - 1).  Votes
+# are exact integers, so Spark and DuckDB agree bit-for-bit — full SQL
+# oracle, unlike MinHash (xxhash64 not in DuckDB).
+#
+# Scale path (Spark side): the 64 bits split into 4 blocks of 16; by
+# pigeonhole, hamming <= 3 implies at least one identical block, so
+# candidates come from a block equi-join (shuffle on (band, block)),
+# never an all-pairs cross join.  The oracle brute-forces the pairs —
+# same output, infeasible algorithm, which is exactly the point.
+
+_SIMHASH_BITS = 64
+_SIMHASH_BANDS = 4  # 16 bits per block -> guarantees recall for hamming <= 3
+_SIMHASH_MAX_HAMMING = 3
+
+# per-word vote arrays: md5 computed once per word, then 64 bit lookups
+# on the cached 16-hex-char digest.
+_SIMHASH_FP_SPARK = """
+transform(sequence(0, 63), k ->
+  IF(aggregate(
+       transform(array_distinct(split(text, ' ')), x -> substring(md5(x), 1, 16)),
+       0,
+       (acc, d) -> acc + 2 * (CAST(shiftright(
+           instr('0123456789abcdef', substring(d, (k div 4) + 1, 1)) - 1,
+           k % 4) AS INT) & 1) - 1) >= 0, 1, 0))
+"""
+
+_SIMHASH_FP_DUCK = """
+list_transform(range(0, 64), k ->
+  CASE WHEN list_aggregate(
+         list_transform(list_distinct(string_split(text, ' ')), x ->
+           2 * (((strpos('0123456789abcdef', substr(md5(x), (k // 4) + 1, 1)) - 1)
+                 >> (k % 4)) & 1) - 1), 'sum') >= 0
+  THEN 1 ELSE 0 END)
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, {_SIMHASH_FP_DUCK} AS f FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_filter(list_zip(a.f, b.f), p -> p[1] <> p[2])) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE len(list_filter(list_zip(a.f, b.f), p -> p[1] <> p[2])) <= {_SIMHASH_MAX_HAMMING}
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.expr(_SIMHASH_FP_SPARK).alias("f"))
+    bits_per_band = _SIMHASH_BITS // _SIMHASH_BANDS
+    banded = fp.select(
+        "doc_id",
+        "f",
+        F.expr(
+            f"explode(transform(sequence(0, {_SIMHASH_BANDS - 1}), "
+            f"b -> struct(b AS band, slice(f, b * {bits_per_band} + 1, {bits_per_band}) AS block)))"
+        ).alias("bb"),
+    ).select("doc_id", "f", F.col("bb.band").alias("band"), F.col("bb.block").alias("block"))
+    a = banded.select(F.col("doc_id").alias("id_a"), F.col("f").alias("fa"), "band", "block")
+    b = banded.select(F.col("doc_id").alias("id_b"), F.col("f").alias("fb"), "band", "block")
+    cand = (
+        a.join(b, ["band", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fa", "fb")
+        .distinct()
+    )
+    hamming = F.expr("size(filter(zip_with(fa, fb, (x, y) -> x <> y), v -> v))")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dedup (B46 family): all pairs with cosine >= t.
+# Norms are computed once per side before the join.  The fixture
+# embeddings are near-random (max pairwise cosine ~0.51), so t = 0.4
+# exercises a small non-empty pair set.  Scale path: random-hyperplane
+# LSH banding (sim_ann_lsh's primitive) prunes candidates before the
+# exact cosine verify; the brute-force form here is the correctness
+# baseline the pruned variant is tested against.
+
+_COS_DEDUP_T = 0.4
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({K.sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({K.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round({K.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) >= {_COS_DEDUP_T}
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
+    cosine = F.round(K.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _COS_DEDUP_T)
+    )
+
+
+# --------------------------------------------------------------------------
 # B47 — exact cosine top-k: probe shard x corpus (broadcast), windowed
 # top-k with rounded-score + id tie-breaking.
 
@@ -258,6 +379,107 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("i") != F.col("j"))
     w = Window.partitionBy("i").orderBy(F.col("l2_dist").asc(), F.col("j").asc())
     return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN (B48 family, SQL-oracle-able variant).  Coarse quantizer
+# = per-label centroids (deterministic — no k-means RNG); every vector is
+# assigned to its nearest centroid (one broadcast of 10x64 doubles + one
+# codegen'd map pass, no shuffle); a probe searches only the nprobe
+# nearest inverted lists.  At 100 TB the corpus is *stored* partitioned
+# by cluster id, so a probe touches nprobe partitions instead of all of
+# them — the candidate join below shuffles only on the small cluster key.
+# Distances round to 6 with label tie-break, so assignment is exact and
+# the whole query hash-matches DuckDB.
+
+_IVF_NPROBE = 3
+_IVF_TOPK = 10
+
+_IVF_CENT_DUCK = """
+dims AS (
+  SELECT label, u.dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, 64)) AS dim,
+                       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v) u
+), cent AS (
+  SELECT label, dim, round(SUM(v), 6) / COUNT(*) AS c FROM dims GROUP BY label, dim
+), cent_arr AS (
+  SELECT label AS clab, list(c ORDER BY dim) AS centroid FROM cent GROUP BY label
+)
+"""
+
+
+@query(
+    "sim_ivf",
+    oracle=f"""
+WITH {_IVF_CENT_DUCK},
+assign AS (
+  SELECT e.vec_id, e.embedding, c.clab,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({K.sql_sq_l2('e.embedding', 'c.centroid')}, 6), c.clab
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent_arr c
+),
+clusters AS (SELECT vec_id, embedding, clab FROM assign WHERE rk = 1),
+probe_c AS (SELECT vec_id AS i, clab FROM assign WHERE vec_id % 50 = 0 AND rk <= {_IVF_NPROBE}),
+probes AS (SELECT vec_id AS i, embedding AS vp FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT pc.i, c.vec_id AS j,
+         round({K.sql_dot('p.vp', 'c.embedding')}
+               / (sqrt({K.sql_dot('p.vp', 'p.vp')}) * sqrt({K.sql_dot('c.embedding', 'c.embedding')})), 9)
+           AS cosine
+  FROM probe_c pc
+  JOIN clusters c ON pc.clab = c.clab AND c.vec_id <> pc.i
+  JOIN probes p ON pc.i = p.i
+),
+ranked AS (
+  SELECT i, j, cosine,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j ASC) AS rank
+  FROM scored
+)
+SELECT i, j, cosine, rank FROM ranked WHERE rank <= {_IVF_TOPK}
+""",
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg((F.round(F.sum("col"), 6) / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(F.col("label").alias("clab"), F.col("pc.c").alias("centroid"))
+    )
+    dist = F.round(K.sq_l2(F.col("embedding"), F.col("centroid")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("clab").asc())
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .select("vec_id", "embedding", "clab", "rk")
+    )
+    clusters = assign.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("j"), F.col("embedding").alias("ve"), F.col("clab").alias("cl_j")
+    )
+    probe_c = assign.filter((F.col("vec_id") % 50 == 0) & (F.col("rk") <= _IVF_NPROBE)).select(
+        F.col("vec_id").alias("i"), F.col("clab").alias("cl_i")
+    )
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("vp")
+    )
+    cosine = F.round(
+        K.dot(F.col("vp"), F.col("ve"))
+        / (F.sqrt(K.dot(F.col("vp"), F.col("vp"))) * F.sqrt(K.dot(F.col("ve"), F.col("ve")))),
+        9,
+    )
+    w_rank = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        probe_c.join(clusters, (F.col("cl_i") == F.col("cl_j")) & (F.col("j") != F.col("i")))
+        .join(probes, "i")
+        .select("i", "j", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_TOPK)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -94,3 +94,65 @@ class TestTextAnalysis:
         rows = registry.QUERIES["text_quality_filter"](spark, sf_dir).collect()
         assert all(0 <= r.avg_stop_ratio <= 1 for r in rows)
         assert all(r.n_quality <= r.n_docs for r in rows)
+
+
+class TestSimhash:
+    def test_banding_loses_no_pair(self, spark, sf_dir):
+        """Pigeonhole guarantee: with 4 blocks of 16 bits, any pair at
+        hamming <= 3 shares a block — the banded candidate join must
+        find exactly the brute-force pair set."""
+        from psvm_spark.queries.llm import _SIMHASH_FP_SPARK, _SIMHASH_MAX_HAMMING
+
+        out = {
+            (r.id_a, r.id_b): r.hamming
+            for r in registry.QUERIES["dedup_simhash"](spark, sf_dir).collect()
+        }
+        d = load_table(spark, sf_dir, "documents")
+        fp = d.select("doc_id", F.expr(_SIMHASH_FP_SPARK).alias("f"))
+        a = fp.select(F.col("doc_id").alias("id_a"), F.col("f").alias("fa"))
+        b = fp.select(F.col("doc_id").alias("id_b"), F.col("f").alias("fb"))
+        brute = {
+            (r.id_a, r.id_b): r.hamming
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", F.expr("size(filter(zip_with(fa, fb, (x, y) -> x <> y), v -> v))"))
+            .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+            .collect()
+        }
+        assert out == brute
+
+    def test_hamming_bounds(self, spark, sf_dir):
+        rows = registry.QUERIES["dedup_simhash"](spark, sf_dir).collect()
+        assert all(0 <= r.hamming <= 3 for r in rows)
+        assert all(r.id_a < r.id_b for r in rows)
+
+
+class TestEmbeddingDedup:
+    def test_threshold_and_ordering(self, spark, sf_dir):
+        from psvm_spark.queries.llm import _COS_DEDUP_T
+
+        rows = registry.QUERIES["dedup_embedding"](spark, sf_dir).collect()
+        assert all(r.cosine >= _COS_DEDUP_T for r in rows)
+        assert all(r.id_a < r.id_b for r in rows)
+        assert all(r.cosine <= 1.0 + 1e-9 for r in rows)
+
+
+class TestIVF:
+    def test_ivf_subset_of_exact_candidates(self, spark, sf_dir):
+        """Every IVF neighbor must come from the probe's nprobe clusters,
+        and per-probe results are correctly ranked; recall vs exact
+        brute-force top-10 is positive (ANN, not exact)."""
+        ivf = registry.QUERIES["sim_ivf"](spark, sf_dir).collect()
+        exact = registry.QUERIES["sim_topk_cosine"](spark, sf_dir).collect()
+        assert ivf, "ivf returned no rows"
+        by_probe = {}
+        for r in ivf:
+            by_probe.setdefault(r.i, []).append(r)
+        for probe, rs in by_probe.items():
+            assert len(rs) <= 10
+            rs.sort(key=lambda r: r.rank)
+            scores = [r.cosine for r in rs]
+            assert scores == sorted(scores, reverse=True)
+        ivf_pairs = {(r.i, r.j) for r in ivf}
+        exact_pairs = {(r.i, r.j) for r in exact}
+        recall = len(ivf_pairs & exact_pairs) / max(len(exact_pairs), 1)
+        assert recall > 0.0
