@@ -63,3 +63,16 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*)"
+
+
+def fan_out(df, spark):
+    """Round-robin repartition a *small-cardinality* input up to the
+    cluster's parallelism before a compute-heavy stage (pair joins,
+    fingerprinting).  The local fixture tables are single parquet files
+    -> one input partition, which would serialize a nested-loop join or
+    a per-row HOF pipeline onto one core; a 100 TB table already has
+    thousands of splits, so max() makes this a no-op there.  Values are
+    unaffected: placement is not observable in any query result."""
+    cur = df.rdd.getNumPartitions()
+    want = spark.sparkContext.defaultParallelism
+    return df.repartition(want) if cur < want else df

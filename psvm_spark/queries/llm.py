@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
 from psvm_spark.ml import kernels as K
+from psvm_spark.queries._util import fan_out
 from psvm_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -143,45 +144,45 @@ _N_BANDS = 8  # rows per band = 2
 
 @query("dedup_minhash")
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
-    # signature[k] = min over shingles of xxhash64(k, shingle)
+    # signature[k] = min over shingles of xxhash64(k, shingle); one
+    # explode produces all bands in a single pass (no union-of-selects,
+    # which would re-evaluate the shingling once per band), and the
+    # banding join carries only (doc_id, band, bucket) — the heavy
+    # shingle arrays are joined back AFTER the distinct pair set is
+    # known, so the shuffle moves 16 bytes/row, not whole documents.
+    rows_per_band = _N_HASH // _N_BANDS
     sig_cols = [
         F.array_min(F.expr(f"transform(shingles, s -> xxhash64({k}, s))")).alias(f"h{k}")
         for k in range(_N_HASH)
     ]
-    sig = sh.select("doc_id", "shingles", *sig_cols)
-    rows_per_band = _N_HASH // _N_BANDS
-    bands = []
-    for bidx in range(_N_BANDS):
-        cols = [F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                "shingles",
-                F.lit(bidx).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
-        )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"), "band", "bucket"
+    band_structs = ", ".join(
+        f"struct({b} AS band, xxhash64("
+        + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ") AS bucket)"
+        for b in range(_N_BANDS)
     )
-    b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"), "band", "bucket"
+    banded = (
+        sh.select("doc_id", *sig_cols)
+        .select("doc_id", F.expr(f"explode(array({band_structs}))").alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
+        banded.alias("ba")
+        .join(banded.alias("bb"), ["band", "bucket"])
+        .filter(F.col("ba.doc_id") < F.col("bb.doc_id"))
+        .select(F.col("ba.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b"))
         .distinct()
     )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_distinct(F.concat("sa", "sb")))
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union)
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
     )
@@ -238,7 +239,7 @@ WHERE len(list_filter(list_zip(a.f, b.f), p -> p[1] <> p[2])) <= {_SIMHASH_MAX_H
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     fp = d.select("doc_id", F.expr(_SIMHASH_FP_SPARK).alias("f"))
     bits_per_band = _SIMHASH_BITS // _SIMHASH_BANDS
     banded = fp.select(
@@ -292,7 +293,7 @@ WHERE round({K.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) >= {
 """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     n = e.select(
         "vec_id",
         "embedding",
@@ -334,16 +335,21 @@ SELECT i, j, cosine, rank FROM ranked WHERE rank <= 10
 """,
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Norms are computed once per row BEFORE the pair join (the oracle
+    # inlines them — the value is identical, but per-pair recomputation
+    # would triple the higher-order-function work on n_probes x n rows).
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("i"), F.col("embedding").alias("vp")
+    probes = fan_out(e.filter(F.col("vec_id") % 50 == 0), spark).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("vp"),
+        F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("np"),
     )
-    corpus = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("ve"))
-    cosine = F.round(
-        K.dot(F.col("vp"), F.col("ve"))
-        / (F.sqrt(K.dot(F.col("vp"), F.col("vp"))) * F.sqrt(K.dot(F.col("ve"), F.col("ve")))),
-        9,
+    corpus = e.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("ve"),
+        F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("ne"),
     )
+    cosine = F.round(K.dot(F.col("vp"), F.col("ve")) / (F.col("np") * F.col("ne")), 9)
     w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
     return (
         probes.join(F.broadcast(corpus), F.col("j") != F.col("i"))
