@@ -78,7 +78,7 @@ FROM documents
 """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return d.select(
         "doc_id",
         F.array_min(F.expr(f"transform({_SHINGLE_SPARK}, s -> md5(s))")).alias("fingerprint"),
@@ -110,7 +110,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (shingle -> doc) posting list and equi-join on the shingle (measured
     # at sf0.1: 55k candidate pairs vs 1M brute-force — and at 100 TB the
     # cross join is simply not runnable).  Output is identical.
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d = fan_out(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0), spark)
     sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
     post = sh.select("doc_id", F.explode("shingles").alias("s"))
     cand = (
@@ -508,7 +508,7 @@ SELECT lang, word, n, rank FROM ranked WHERE rank <= 5
 """,
 )
 def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     counts = (
         d.select("lang", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("lang", "word")
@@ -546,7 +546,7 @@ SELECT doc_id, word, tfidf FROM ranked WHERE rank = 1
 """,
 )
 def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
@@ -590,7 +590,7 @@ GROUP BY lang
 """,
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = F.split("text", " ")
     # NOT array_intersect (it dedups) — per-token filter count
     stop_ratio = (
@@ -648,7 +648,7 @@ FROM pred GROUP BY pred_lang
 """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = F.split("text", " ")
 
     def score(lang: str):
