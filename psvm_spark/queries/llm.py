@@ -563,6 +563,45 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex tokenization
+# (letter runs / single digits / punctuation — the GPT-2 pre-tokenizer
+# shape, simplified to the character classes both regex engines agree
+# on).  Pure per-row expressions + one partial+final aggregate: at
+# 100 TB this is a single scan, no shuffle beyond the tiny final agg.
+
+_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS bpe_tokens,
+       round(CAST(SUM(n_chars) AS DOUBLE) / SUM(len(regexp_extract_all(text, '{_BPE_RE}'))), 9)
+         AS chars_per_token
+FROM documents
+GROUP BY lang
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ws = F.size(F.split("text", " "))
+    bpe = F.expr(f"regexp_count(text, '{_BPE_RE}')")
+    return (
+        d.select("lang", "n_chars", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.sum("bpe"), 9).alias("chars_per_token"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # B50 — quality scoring + filtering: length/word-count/stopword-ratio
 # heuristics, aggregated per (lang, source-cohort).
 
