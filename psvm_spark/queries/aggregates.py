@@ -229,3 +229,77 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted two-phase aggregation (SURVEY.md section 4.2.3).
+# l_returnflag has only 3 values, so at 100 TB a plain groupBy funnels
+# ~33 TB into each of 3 reducers; the salted form aggregates within
+# (key, salt) first — n_buckets-way parallel — then combines partials.
+# Decimal partial sums are exact, so the two-phase result is
+# bit-identical to the oracle's single GROUP BY.
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.operators.salt import salted_groupby
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_groupby(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.sum(dmoney("l_quantity")).alias("ps_qty"),
+            F.sum(dmoney("l_extendedprice")).alias("ps_price"),
+            F.count(F.lit(1)).alias("pc"),
+        ],
+        final_aggs=[
+            F.sum("ps_qty").cast("double").alias("sum_qty"),
+            F.sum("ps_price").cast("double").alias("sum_price"),
+            F.sum("pc").alias("n"),
+            (F.sum("ps_qty").cast("double") / F.sum("pc")).alias("avg_qty"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# B20 — explicit GROUPING SETS (rollup and cube are the hierarchical /
+# power-set specializations; this is the general form, via SQL).
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM gs_lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+    )

@@ -101,3 +101,32 @@ class TestDeterminism:
         a = sorted(map(tuple, fn(spark, sf_dir).collect()))
         b = sorted(map(tuple, fn(spark, sf_dir).collect()))
         assert a == b
+
+
+class TestSalting:
+    def test_salted_join_equals_plain_join(self, spark, sf_dir):
+        from psvm_spark.operators.salt import salted_join_small
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        p = load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand"
+        )
+        plain = li.join(p, "l_partkey").groupBy("p_brand").count()
+        salted = salted_join_small(li, p, ["l_partkey"], n_buckets=8).groupBy("p_brand").count()
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_salted_join_outer_keeps_unmatched(self, spark, sf_dir):
+        from psvm_spark.operators.salt import salted_join_small
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+        # restrict part to half the keys so left rows go unmatched
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0).select(
+            F.col("p_partkey").alias("l_partkey"), "p_brand"
+        )
+        plain = li.join(p, "l_partkey", "left").filter(F.col("p_brand").isNull()).count()
+        salted = (
+            salted_join_small(li, p, ["l_partkey"], n_buckets=8, how="left")
+            .filter(F.col("p_brand").isNull())
+            .count()
+        )
+        assert plain == salted
