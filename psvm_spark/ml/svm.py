@@ -162,3 +162,42 @@ def fit_eval_ovr_multiclass(
     )
     model = ovr.fit(train)
     return model, model.transform(test)
+
+
+def rff_map(
+    df: DataFrame,
+    vec_col: str,
+    dim_in: int,
+    gamma: float,
+    n_features: int = 256,
+    out_col: str = "phi",
+    seed: int = 42,
+) -> DataFrame:
+    """Attach Random Fourier Features for the RBF kernel (Rahimi &
+    Recht 2007): phi(x) = sqrt(2/D) * cos(Omega x + b) with
+    Omega ~ N(0, 2*gamma*I), b ~ U[0, 2pi) — E[phi(x)^T phi(y)] =
+    exp(-gamma*||x-y||^2).
+
+    The alternative low-rank path to Nystrom for SURVEY.md A7: data
+    independent (no landmark pass), Omega/b are a fixed-seed draw
+    broadcast once; the map itself is one Arrow-batched pandas UDF
+    pass, no shuffle, memory O(batch x D) per executor.
+    """
+    rng = np.random.default_rng(seed)
+    Omega = rng.normal(0.0, np.sqrt(2.0 * gamma), size=(dim_in, n_features))
+    b = rng.uniform(0.0, 2.0 * np.pi, size=n_features)
+    scale = np.sqrt(2.0 / n_features)
+
+    spark = df.sparkSession
+    bO = spark.sparkContext.broadcast(Omega)
+    bb = spark.sparkContext.broadcast(b)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def phi(col: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        X = _np.stack(col.to_numpy()).astype(_np.float64)
+        feats = scale * _np.cos(X @ bO.value + bb.value)
+        return pd.Series(list(feats))
+
+    return df.withColumn(out_col, phi(F.col(vec_col)))

@@ -324,3 +324,22 @@ def scan_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(f"{y} {feats}\n")
     df = spark.read.format("libsvm").option("numFeatures", "64").load(fp)
     return df.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+# A7 (alternative path) — Random Fourier Features feeding the linear
+# solver: data-independent low-rank map for RBF, fixed seed.
+
+
+@query("svm_rff_train_eval")
+def svm_rff_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.ml.svm import binary_train_test, fit_eval_linear_svc, rff_map
+
+    train, test, _ = binary_train_test(spark, sf_dir)
+    dim = len(train.select("embedding").first()[0])
+    tr = rff_map(train, "embedding", dim, GAMMA, n_features=256)
+    te = rff_map(test, "embedding", dim, GAMMA, n_features=256)
+    _, acc = fit_eval_linear_svc(tr, te, "phi")
+    return spark.createDataFrame(
+        [("rff_rbf_svc", 256.0, acc)],
+        "model string, n_features double, accuracy double",
+    )

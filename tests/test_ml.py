@@ -88,3 +88,35 @@ class TestSVM:
         n = pred.count()
         assert n == 100  # 20% of 500
         assert pred.filter(F.col("prediction").isNull()).count() == 0
+
+
+class TestRFF:
+    def test_rff_approximates_kernel(self, spark, sf_dir):
+        """E[phi(x).phi(y)] = exp(-gamma ||x-y||^2); with D=512 the mean
+        abs error over sample pairs stays under 0.08 (Monte-Carlo rate
+        ~1/sqrt(D)), and the map is deterministic under the fixed seed."""
+        from psvm_spark.ml.svm import rff_map
+
+        e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+        dim = len(e.select("embedding").first()[0])
+        phi = {
+            r.vec_id: np.array(r.phi)
+            for r in rff_map(e, "embedding", dim, 0.5, n_features=512).collect()
+        }
+        X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+        errs = []
+        ids = sorted(phi)
+        for i in ids[:20]:
+            for j in ids[20:40]:
+                k_true = np.exp(-0.5 * np.sum((X[i] - X[j]) ** 2))
+                errs.append(abs(float(phi[i] @ phi[j]) - k_true))
+        assert np.mean(errs) < 0.08, np.mean(errs)
+
+    def test_rff_deterministic(self, spark, sf_dir):
+        from psvm_spark.ml.svm import rff_map
+
+        e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+        dim = len(e.select("embedding").first()[0])
+        a = {r.vec_id: list(r.phi) for r in rff_map(e, "embedding", dim, 0.5).collect()}
+        b = {r.vec_id: list(r.phi) for r in rff_map(e, "embedding", dim, 0.5).collect()}
+        assert a == b
