@@ -59,3 +59,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def clear_cache() -> None:
     _cache.clear()
+
+
+def load_events_range(spark: SparkSession, sf_dir: str, lo_iso: str, hi_iso: str) -> DataFrame:
+    """Time-range scan of ``events`` with the range predicate pushed into
+    the parquet scan.
+
+    ``load_table`` derives the ``ts`` timestamp from the raw int64-ns
+    column, and Catalyst cannot invert that expression — a filter on the
+    derived column reaches the scan as ``IsNotNull`` only, which at
+    100 TB means scanning every row-group.  Filtering the *raw* bigint
+    column first (bounds converted to ns in Python) shows up as
+    ``GreaterThanOrEqual/LessThan`` in ``PushedFilters`` and prunes
+    row-groups by min/max statistics; the ns->us conversion happens
+    after, so results are identical to filtering the derived column.
+    """
+    from datetime import datetime, timezone
+
+    def _ns(iso: str) -> int:
+        dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    ensure_session_invariants(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.filter((F.col("ts") >= _ns(lo_iso)) & (F.col("ts") < _ns(hi_iso)))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.filter(
+        (F.col("ts") >= F.lit(lo_iso).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi_iso).cast("timestamp"))
+    )

@@ -68,3 +68,34 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pushdown-correct time-range scan over events (the canonical access
+# path for an event table).  load_events_range filters the raw int64-ns
+# column BEFORE the ns->us timestamp conversion, so the range reaches
+# parquet as GreaterThanOrEqual/LessThan PushedFilters and prunes
+# row-groups; filtering the derived ts column would scan everything.
+
+
+@query(
+    "scan_time_range",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+GROUP BY event_type
+""",
+)
+def scan_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.catalog import load_events_range
+
+    ev = load_events_range(spark, sf_dir, "2024-01-10", "2024-01-20")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -130,3 +130,32 @@ class TestSalting:
             .count()
         )
         assert plain == salted
+
+
+class TestTimeRangePushdown:
+    def test_range_reaches_parquet_scan(self, spark, sf_dir):
+        """load_events_range must surface the time bounds as pushed
+        parquet filters (row-group pruning at scale); filtering the
+        derived ts column only pushes IsNotNull."""
+        import io
+        from contextlib import redirect_stdout
+
+        from psvm_spark.catalog import load_events_range
+
+        df = load_events_range(spark, sf_dir, "2024-01-10", "2024-01-20")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan, plan
+
+    def test_range_scan_equals_post_filter(self, spark, sf_dir):
+        from psvm_spark.catalog import load_events_range, load_table
+        from pyspark.sql import functions as FF
+
+        fast = load_events_range(spark, sf_dir, "2024-01-10", "2024-01-20")
+        slow = load_table(spark, sf_dir, "events").filter(
+            (FF.col("ts") >= FF.lit("2024-01-10").cast("timestamp"))
+            & (FF.col("ts") < FF.lit("2024-01-20").cast("timestamp"))
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
