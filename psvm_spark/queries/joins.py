@@ -311,3 +311,37 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = r.select(F.col("r_name").alias("from_region"))
     r2 = r.select(F.col("r_name").alias("to_region"))
     return r1.crossJoin(r2).filter(F.col("from_region") != F.col("to_region"))
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (the 100 TB fact-fact path): both sides are
+# written bucketed+sorted on the join key, so the sort-merge join reads
+# matching buckets into the same task — zero Exchange in the join plan
+# (asserted in tests/test_operators.py).  The bucketed write is the
+# one-time ingest cost; this query pays it inline to stay hermetic.
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.operators.bucketing import bucketed_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    joined = bucketed_join(spark, li, o, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("revenue"),
+    )

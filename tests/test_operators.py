@@ -159,3 +159,34 @@ class TestTimeRangePushdown:
             & (FF.col("ts") < FF.lit("2024-01-20").cast("timestamp"))
         )
         assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+class TestBucketedJoin:
+    def test_no_exchange_under_join(self, spark, sf_dir):
+        """Bucketed+sorted tables joined on the bucket key must produce
+        a sort-merge join with NO shuffle Exchange — the co-located
+        read is the whole point of bucketing."""
+        import io
+        from contextlib import redirect_stdout
+
+        from psvm_spark.operators.bucketing import bucketed_join
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        # at fixture scale Catalyst prefers BHJ; disable broadcast to
+        # exercise the SMJ path bucketing exists for
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, li, o, "l_orderkey", "o_orderkey")
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            # and it returns the same rows as the plain shuffle join
+            plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+            assert joined.count() == plain
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
