@@ -263,3 +263,87 @@ def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_only = c.exceptAll(s).select(F.lit("customer_only").alias("side"), "nk")
     s_only = s.exceptAll(c).select(F.lit("supplier_only").alias("side"), "nk")
     return both.unionByName(c_only).unionByName(s_only)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: three-way join (customer x orders x lineitem) with
+# selective filters on both ends, grouped revenue, top-N.  This is the
+# query Catalyst's join reordering + AQE exist for: both filters reach
+# their scans, the customer side broadcasts, and the top-N compiles to
+# TakeOrderedAndProject (no global sort).
+
+
+@query(
+    "join_three_way_topn",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def join_three_way_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated subqueries: EXISTS / NOT EXISTS + a scalar subquery, via
+# SQL so Catalyst's decorrelation rewrites them (EXISTS -> semi join,
+# scalar -> aggregate + join) — no per-row re-execution anywhere.
+
+
+@query(
+    "subquery_exists_scalar",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(*) FILTER (WHERE EXISTS (
+         SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+       )) AS n_big_spenders
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def subquery_exists_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(*) FILTER (WHERE big) AS n_big_spenders
+FROM (
+  SELECT c_mktsegment,
+         EXISTS (SELECT 1 FROM sq_orders WHERE o_custkey = c_custkey
+                 AND o_totalprice > (SELECT AVG(o_totalprice) FROM sq_orders)) AS big
+  FROM sq_customer
+)
+GROUP BY c_mktsegment
+"""
+    )
