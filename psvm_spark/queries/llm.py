@@ -86,6 +86,37 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Karp–Rabin rolling hash fingerprint: h = fold (h*B + code(word)) mod M
+# over the word sequence (order-sensitive, unlike the min-md5 sketch
+# above).  M = 2^31-1 keeps every intermediate under 2^63 — DuckDB
+# raises on int64 overflow rather than wrapping, and Spark 4 ANSI mode
+# would too.  One scan, no shuffle; at 100 TB equal fingerprints are
+# the exact-dup groups and feed the same groupBy as dedup_exact.
+
+
+@query(
+    "doc_rolling_hash",
+    oracle="""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ' '), w ->
+        CAST(('0x' || substr(md5(w), 1, 8))::VARCHAR::INT64 AS BIGINT))),
+    (h, c) -> (h * 1000003 + c) % 2147483647) AS rh
+FROM documents
+""",
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    rh = F.expr(
+        "aggregate(split(text, ' '), CAST(0 AS BIGINT), "
+        "(h, w) -> (h * 1000003 + CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT))"
+        " % 2147483647)"
+    )
+    return d.select("doc_id", rh.alias("rh"))
+
+
+# --------------------------------------------------------------------------
 # N-gram Jaccard similarity on a deterministic candidate sample — the
 # exact verifier used after LSH pruning, exposed standalone (B46 family).
 
