@@ -343,3 +343,25 @@ def svm_rff_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("rff_rbf_svc", 256.0, acc)],
         "model string, n_features double, accuracy double",
     )
+
+
+# A18 — failsafe checkpointing: driver-coordinated power iteration that
+# persists its iterate and resumes identically (library + resume test in
+# tests/test_ml.py).  rows-only: iterative, not SQL-expressible.
+
+
+@query("svm_failsafe_power_iter")
+def svm_failsafe_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from psvm_spark.ml.failsafe import FailsafeState, power_iteration
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    state = FailsafeState(tempfile.mkdtemp(prefix="psvm_failsafe_"))
+    v, lam = power_iteration(e, "embedding", dim, n_iter=6, state=state, checkpoint_every=2)
+    step, _ = state.load_latest()
+    return spark.createDataFrame(
+        [(float(lam), float(v[0]), float(step))],
+        "rayleigh double, v0 double, last_checkpoint_step double",
+    )

@@ -120,3 +120,36 @@ class TestRFF:
         a = {r.vec_id: list(r.phi) for r in rff_map(e, "embedding", dim, 0.5).collect()}
         b = {r.vec_id: list(r.phi) for r in rff_map(e, "embedding", dim, 0.5).collect()}
         assert a == b
+
+
+class TestFailsafe:
+    def test_resume_produces_identical_result(self, spark, sf_dir, tmp_path):
+        """A18: kill after 4 of 9 iterations, resume from the last
+        checkpoint (iter 3), finish — bitwise identical eigenvector to
+        an uninterrupted run, and the eigenvalue matches NumPy."""
+        from psvm_spark.ml.failsafe import FailsafeState, power_iteration
+
+        e = load_table(spark, sf_dir, "embeddings")
+        dim = len(e.select("embedding").first()[0])
+
+        v_full, lam_full = power_iteration(e, "embedding", dim, n_iter=9)
+
+        ckpt = FailsafeState(str(tmp_path / "ck"))
+        # "crash" after 4 iterations (checkpoints at 3)
+        power_iteration(e, "embedding", dim, n_iter=4, state=ckpt, checkpoint_every=3)
+        step, arrays = ckpt.load_latest()
+        assert step == 3
+        # fresh "driver" resumes from the checkpoint: re-runs iter 4..9
+        v_res, lam_res = power_iteration(
+            e, "embedding", dim, n_iter=9, state=ckpt, checkpoint_every=3
+        )
+        assert lam_res == lam_full
+        assert np.array_equal(v_res, v_full)
+
+        # numerical ground truth: the Rayleigh quotient is bounded by the
+        # true top eigenvalue and (near-flat random spectrum — slow
+        # convergence) reaches a large fraction of it by iteration 9
+        X = np.array([r.embedding for r in e.collect()], dtype=np.float64)
+        eig_true = np.linalg.eigvalsh(X.T @ X)[-1]
+        assert lam_full <= eig_true * (1 + 1e-9)
+        assert lam_full >= 0.8 * eig_true, (lam_full, eig_true)
