@@ -141,7 +141,11 @@ def fit_eval_linear_svc(
 
 
 def fit_eval_ovr_multiclass(
-    spark: SparkSession, sf_dir: str, max_iter: int = 15, reg_param: float = 0.01
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 15,
+    reg_param: float = 0.01,
+    parallelism: int = 4,
 ):
     """10-class OneVsRest(LinearSVC) on embeddings (SURVEY.md A10)."""
     from pyspark.ml.classification import LinearSVC, OneVsRest
@@ -152,13 +156,17 @@ def fit_eval_ovr_multiclass(
         F.col("label").cast("double").alias("y"),
         array_to_vector(F.col("embedding")).alias("features"),
     )
-    train = e.filter(F.col("vec_id") % 5 < 4)
+    # all 10 binary fits iterate over the same rows: materialize the
+    # vectorized train set once instead of re-scanning parquet and
+    # re-running array_to_vector per class per OWLQN pass
+    train = e.filter(F.col("vec_id") % 5 < 4).persist()
+    train.count()
     test = e.filter(F.col("vec_id") % 5 == 4)
     ovr = OneVsRest(
         classifier=LinearSVC(maxIter=max_iter, regParam=reg_param),
         labelCol="y",
         featuresCol="features",
-        parallelism=4,
+        parallelism=parallelism,
     )
     model = ovr.fit(train)
     return model, model.transform(test)

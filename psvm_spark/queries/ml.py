@@ -249,6 +249,42 @@ def svm_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A10 multiclass — all 10 one-vs-rest hinge losses trained in ONE scan
+# per iteration (ml/multiclass.py), not 10 separate MLlib runs: scan
+# volume and job count are independent of class count, which is the
+# property that survives 100 TB.  The MLlib OneVsRest(LinearSVC) parity
+# path lives in ml/svm.py and is exercised by tests/test_ml.py.
+# rows-only: iterative solver.
+
+
+@query("svm_multiclass_train_eval")
+def svm_multiclass_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.ml.multiclass import eval_multiclass, train_multiclass_hinge
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("y"), "embedding"
+    )
+    dim = len(e.select("embedding").first()[0])
+    train = e.filter(F.col("vec_id") % 5 < 4).persist()
+    test = e.filter(F.col("vec_id") % 5 == 4)
+    try:
+        W = train_multiclass_hinge(train, "embedding", "y", 10, dim, n_iter=8)
+        res = eval_multiclass(test, "embedding", "y", W).collect()[0]
+    finally:
+        train.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                "multiclass_hinge_10class",
+                float(res.n_test),
+                float(res.n_correct),
+                float(res.accuracy),
+            )
+        ],
+        "model string, n_test double, n_correct double, accuracy double",
+    )
+
+
 # A7 — Nystrom kernel approximation feeding the linear solver.
 
 

@@ -153,3 +153,61 @@ class TestFailsafe:
         eig_true = np.linalg.eigvalsh(X.T @ X)[-1]
         assert lam_full <= eig_true * (1 + 1e-9)
         assert lam_full >= 0.8 * eig_true, (lam_full, eig_true)
+
+
+class TestMulticlassHinge:
+    def test_matches_numpy_full_batch_gd(self, spark, sf_dir):
+        """The distributed trainer is full-batch deterministic GD, so a
+        single-process NumPy replica must agree to float tolerance."""
+        from psvm_spark.ml.multiclass import train_multiclass_hinge
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("label").cast("long").alias("y"), "embedding"
+        )
+        dim = len(e.select("embedding").first()[0])
+        W = train_multiclass_hinge(e, "embedding", "y", 10, dim, n_iter=5)
+
+        rows = e.collect()
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        lab = np.array([r.y for r in rows], dtype=np.int64)
+        Wn = np.zeros((10, dim))
+        for _ in range(5):
+            Y = -np.ones((len(X), 10))
+            Y[np.arange(len(X)), lab] = 1.0
+            viol = (Y * (X @ Wn.T) < 1.0).astype(np.float64)
+            G = -(Y * viol).T @ X
+            Wn -= 0.5 * (G / len(X) + 1e-3 * Wn)
+        assert np.allclose(W, Wn, atol=1e-9)
+
+    def test_partitioning_invariant(self, spark, sf_dir):
+        """Result must not depend on how rows are distributed (AllReduce
+        over per-partition partials with a fixed reduce order)."""
+        from psvm_spark.ml.multiclass import train_multiclass_hinge
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("label").cast("long").alias("y"), "embedding"
+        )
+        dim = len(e.select("embedding").first()[0])
+        W3 = train_multiclass_hinge(e.repartition(3), "embedding", "y", 10, dim, n_iter=3)
+        W11 = train_multiclass_hinge(e.repartition(11), "embedding", "y", 10, dim, n_iter=3)
+        assert np.allclose(W3, W11, atol=1e-9)
+
+    def test_eval_beats_chance_on_separable_relabel(self, spark, sf_dir):
+        """Sanity: when labels are actually predictable (sign of dim 0,
+        2 classes), the trainer must learn them nearly perfectly."""
+        from psvm_spark.ml.multiclass import eval_multiclass, train_multiclass_hinge
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "embedding",
+            (F.col("embedding")[0] > 0).cast("long").alias("y"),
+        )
+        dim = len(e.select("embedding").first()[0])
+        # full-batch subgradient descent closes the last few percent
+        # slowly (points with x[0] near 0 have vanishing margin), so the
+        # bar is "clearly learned", not "fully converged": 60 iters at
+        # lr=5 reaches 0.94 (NumPy-verified), chance is 0.5
+        W = train_multiclass_hinge(
+            e, "embedding", "y", 2, dim, n_iter=60, lr=5.0, reg=1e-4
+        )
+        res = eval_multiclass(e, "embedding", "y", W).collect()[0]
+        assert res.accuracy > 0.9, res

@@ -124,3 +124,52 @@ class TestStatefulOps:
 
     def test_watermark_query_runs(self, spark, sf_dir):
         assert registry.QUERIES["stream_watermark"](spark, sf_dir).count() > 0
+
+
+class TestTransformWithState:
+    def test_tws_plan_builds_without_protobuf(self, spark, sf_dir):
+        """The Spark-4 StatefulProcessor path (B43) must at least build a
+        valid streaming plan everywhere; only execution needs protobuf."""
+        from psvm_spark.streaming.jobs import stream_events
+        from psvm_spark.streaming.stateful import spend_tracker_tws
+
+        out = spend_tracker_tws(stream_events(spark, sf_dir))
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == [
+            "user_id",
+            "n_events",
+            "total_value",
+        ]
+
+    def test_tws_totals_match_batch_when_runtime_present(self, spark, sf_dir):
+        """Executes only where the Python workers have protobuf (real
+        clusters); this container ships none, so it skips here."""
+        import pytest
+
+        from psvm_spark.streaming import stateful
+        from psvm_spark.streaming.jobs import run_to_table, stream_events
+
+        if not stateful.tws_runtime_available():
+            pytest.skip("google.protobuf absent: TWS state protocol cannot run")
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", stateful.ROCKSDB_PROVIDER
+        )
+        try:
+            out = run_to_table(
+                stateful.spend_tracker_tws(stream_events(spark, sf_dir)), "update"
+            )
+            got = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in out.collect()}
+            ev = load_table(spark, sf_dir, "events")
+            exp = {
+                r.user_id: (r.n, round(r.total, 2))
+                for r in ev.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+                .collect()
+            }
+            assert set(got) == set(exp)
+            for uid in exp:
+                assert got[uid][0] == exp[uid][0]
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
