@@ -122,8 +122,15 @@ def fit_eval_linear_svc(
     # 10/15/30); real deployments pass their own budget.
     max_iter: int = 15,
     reg_param: float = 0.01,
+    class_weights: tuple[float, float] | None = None,
 ):
-    """Train LinearSVC, return (model, accuracy-on-test)."""
+    """Train LinearSVC, return (model, accuracy-on-test).
+
+    ``class_weights=(w_neg, w_pos)`` reweights the hinge loss per class
+    — the reference's ``-negative_weight``/``-positive_weight`` flags
+    [psvm:pd_ipm_parm.h — SURVEY.md A10; file:line unavailable, §0.1]
+    — via LinearSVC's ``weightCol`` (the canonical imbalance knob).
+    """
     from pyspark.ml.classification import LinearSVC
     from pyspark.ml.functions import array_to_vector
 
@@ -132,6 +139,15 @@ def fit_eval_linear_svc(
     svc = LinearSVC(
         maxIter=max_iter, regParam=reg_param, labelCol=label_col, featuresCol="features"
     )
+    if class_weights is not None:
+        w_neg, w_pos = class_weights
+        tr = tr.withColumn(
+            "w",
+            F.when(F.col(label_col) == 1.0, F.lit(float(w_pos))).otherwise(
+                F.lit(float(w_neg))
+            ),
+        )
+        svc = svc.setWeightCol("w")
     model = svc.fit(tr)
     pred = model.transform(te)
     acc = pred.agg(

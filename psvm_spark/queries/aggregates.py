@@ -49,8 +49,11 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_distinct")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # rsd 0.05 (default): a tighter sketch costs 3x the agg time for no
+    # demonstrative gain — rows-only anyway, and the exact count rides
+    # alongside for comparison
     return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
 
@@ -215,19 +218,33 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Exact median/percentiles via DuckDB-matching interpolation are fragile
-# across engines; expose Spark's native percentile as a rows-only query
-# and assert bounds in tests instead.
+# Exact percentiles: Spark's `percentile` and DuckDB's `quantile_cont`
+# share the same linear-interpolation definition (lower + frac*(upper-
+# lower) at rank (n-1)*q); computed in double and rounded to 9 decimals
+# (the libm convention from _util.py) the two agree bitwise — verified
+# at sf0.01 — so this is a full hash-checked oracle, not rows-only.
 
 
-@query("agg_percentile")
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 9) AS median_price,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 9) AS p95_price,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("median_price"),
-        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.percentile(price, 0.5), 9).alias("median_price"),
+        F.round(F.percentile(price, 0.95), 9).alias("p95_price"),
+        F.min(price).alias("min_price"),
+        F.max(price).alias("max_price"),
     )
 
 

@@ -211,3 +211,40 @@ class TestMulticlassHinge:
         )
         res = eval_multiclass(e, "embedding", "y", W).collect()[0]
         assert res.accuracy > 0.9, res
+
+
+class TestClassWeights:
+    def test_positive_weight_shifts_predictions(self, spark, sf_dir):
+        """The reference's -positive_weight/-negative_weight knob: an
+        imbalanced task (y=1 iff label==0, ~10% positive) trained with a
+        heavy positive weight must predict positive strictly more often
+        than the unweighted model, and cover more of the true positives."""
+        from psvm_spark.ml.svm import fit_eval_linear_svc
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            (F.col("label") == 0).cast("double").alias("y"),
+            "embedding",
+        )
+        train = e.filter(F.col("vec_id") % 5 < 4)
+        test = e.filter(F.col("vec_id") % 5 == 4)
+
+        def positives(cw):
+            model, _ = fit_eval_linear_svc(
+                train, test, "embedding", class_weights=cw, max_iter=10
+            )
+            from pyspark.ml.functions import array_to_vector
+
+            pred = model.transform(
+                test.withColumn("features", array_to_vector(F.col("embedding")))
+            )
+            agg = pred.agg(
+                F.sum("prediction").alias("n_pos"),
+                F.sum(F.col("prediction") * F.col("y")).alias("tp"),
+            ).collect()[0]
+            return agg.n_pos or 0.0, agg.tp or 0.0
+
+        n_pos_plain, tp_plain = positives(None)
+        n_pos_wtd, tp_wtd = positives((1.0, 12.0))
+        assert n_pos_wtd > n_pos_plain
+        assert tp_wtd >= tp_plain
