@@ -347,3 +347,104 @@ FROM (
 GROUP BY c_mktsegment
 """
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: six-table join (region -> nation -> customer/supplier
+# -> orders -> lineitem) with the classic "local supplier" equality
+# (c_nationkey = s_nationkey), region filter, date range, grouped
+# revenue.  The three dims (region/nation + filtered customer) stay
+# under the broadcast threshold at any scale factor, so Catalyst plans
+# broadcast joins for them and the only shuffles are the two fact-side
+# equi-joins — at 100 TB this is the canonical star-join plan the
+# optimizer's join reordering exists for.
+
+
+@query(
+    "join_q5_shape",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM region
+  JOIN nation   ON n_regionkey = r_regionkey
+  JOIN supplier ON s_nationkey = n_nationkey
+  JOIN lineitem ON l_suppkey = s_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def join_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: long -> wide conditional aggregation.  Spark's pivot with an
+# explicit value list compiles to ordinary partial+final aggregation
+# (one shuffle, no extra pass to discover values); the oracle is the
+# equivalent CASE WHEN form, which is also what you write at 100 TB
+# when the pivot values are known.
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O,
+       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_F,
+       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_O
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(qty).cast("double").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("F_qty").alias("qty_F"),
+            F.col("O_qty").alias("qty_O"),
+            F.col("F_n").alias("n_F"),
+            F.col("O_n").alias("n_O"),
+        )
+    )
