@@ -821,3 +821,40 @@ def vec_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("dist"), 6) / F.count(F.lit(1))).alias("mean_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Text normalization (LLM preprocessing): lowercase, strip every char
+# outside [a-z0-9 space], collapse whitespace runs, trim.  Only ASCII
+# regex classes — identical semantics in Java regex (Spark) and RE2
+# (DuckDB) — so the oracle hash-matches on the md5 of the normalized
+# text.  Pure per-row expression work: single scan, whole-stage
+# codegen, no Python, embarrassingly parallel at any scale.
+
+
+@query(
+    "text_normalize",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g')) AS ntext
+  FROM documents
+)
+SELECT doc_id, md5(ntext) AS norm_digest, length(ntext) AS norm_len
+FROM norm
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(ntext).alias("norm_digest"),
+        F.length(ntext).alias("norm_len"),
+    )

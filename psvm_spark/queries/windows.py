@@ -150,3 +150,83 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# B24 (distribution): percent_rank and cume_dist.  Both are ratios of
+# small exact integers ((rank-1)/(n-1), n_le/n) computed in double with
+# the same formula in both engines — correctly-rounded IEEE division of
+# identical operands, so bit-parity holds with the round(9) convention.
+
+
+@query(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Upsert / CDC merge: base (events before the cutoff) + updates (at or
+# after) -> latest row per key, updates overriding base.  Expressed as
+# union + one ranking window — ONE shuffle on the key, the same plan a
+# native MERGE compiles to for latest-wins semantics; at 100 TB the
+# union sides are the stored table and the incoming CDC batch.
+
+
+@query(
+    "upsert_latest",
+    oracle="""
+WITH unioned AS (
+  SELECT user_id, event_type, ts, event_id, value FROM events
+    WHERE ts < TIMESTAMP '2024-01-20'
+  UNION ALL
+  SELECT user_id, event_type, ts, event_id, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20'
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM unioned
+)
+SELECT user_id, event_type, ts AS latest_ts, event_id AS latest_event_id, value
+FROM ranked WHERE rn = 1
+""",
+)
+def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = ev.filter(F.col("ts") < cutoff)
+    updates = ev.filter(F.col("ts") >= cutoff)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.col("event_id").alias("latest_event_id"),
+            "value",
+        )
+    )
