@@ -409,11 +409,12 @@ def join_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Pivot: long -> wide conditional aggregation.  Spark's pivot with an
-# explicit value list compiles to ordinary partial+final aggregation
-# (one shuffle, no extra pass to discover values); the oracle is the
-# equivalent CASE WHEN form, which is also what you write at 100 TB
-# when the pivot values are known.
+# Pivot: long -> wide conditional aggregation.  With an explicit value
+# list there is no value-discovery job; Spark plans two aggregation
+# stages (pre-aggregate on (group, pivot) pairs, then pivot on group) —
+# both shuffles move only pre-aggregated cells, cardinality
+# |groups| x |pivot values|, so data volume is trivial at any scale.
+# The oracle is the equivalent CASE WHEN form.
 
 
 @query(

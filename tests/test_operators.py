@@ -190,3 +190,44 @@ class TestBucketedJoin:
             assert joined.count() == plain
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestNewQueryPlans:
+    def test_q5_star_join_broadcasts_dims_and_pushes_dates(self, spark, sf_dir):
+        """Six-table star join: the explicitly-broadcast dims must plan
+        as BroadcastHashJoin, never nested-loop, and the o_orderdate
+        range must reach the orders scan as pushed filters."""
+        df = registry.QUERIES["join_q5_shape"](spark, sf_dir)
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan
+        assert "LessThan(o_orderdate" in plan
+
+    def test_pivot_shuffles_only_preaggregated_cells(self, spark, sf_dir):
+        """Pivot with an explicit value list: no value-discovery job,
+        just the two aggregation stages Spark plans for pivot (pair
+        pre-agg, then pivot agg) — exactly two Exchanges, each moving
+        pre-aggregated cells."""
+        df = registry.QUERIES["agg_pivot"](spark, sf_dir)
+        plan = _plan(df)
+        assert plan.count("+- Exchange") == 2, plan
+
+    def test_upsert_idempotent(self, spark, sf_dir):
+        """Applying the latest-wins merge to its own output changes
+        nothing (one row per key, stable winners)."""
+        out = registry.QUERIES["upsert_latest"](spark, sf_dir)
+        rows = sorted(map(tuple, out.collect()))
+        n_keys = out.select("user_id", "event_type").distinct().count()
+        assert len(rows) == n_keys  # one row per key
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("latest_ts").desc(), F.col("latest_event_id").desc()
+        )
+        again = (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        assert sorted(map(tuple, again.collect())) == rows
