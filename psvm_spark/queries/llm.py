@@ -858,3 +858,46 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(ntext).alias("norm_digest"),
         F.length(ntext).alias("norm_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stable hash-based splitting: deterministic train/val/test assignment
+# from a content digest (md5 prefix -> integer bucket mod 100), the
+# standard way to get reproducible splits in a training-data pipeline —
+# no RNG, no state, re-runs and backfills land every document in the
+# same split regardless of partitioning or cluster size.  Pure per-row
+# expressions + one partial/final aggregation.
+
+
+@query(
+    "split_stable_hash",
+    oracle="""
+WITH bucketed AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5(text), 1, 4))::INTEGER % 100 AS pct
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM bucketed
+GROUP BY 1, 2
+""",
+)
+def split_stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
