@@ -345,3 +345,53 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# NOT IN with NULLs: the classic three-valued-logic trap.  If the
+# subquery side contains a single NULL, `x NOT IN (...)` is never TRUE,
+# and a NULL probe value is never TRUE either.  Spark compiles this to
+# a null-aware anti join (BroadcastNestedLoopJoin with the NAAJ flag)
+# rather than a plain anti join, which would silently return wrong
+# rows.  NULLs are injected deterministically on both sides so the
+# oracle exercises every branch of the truth table.
+
+
+@query(
+    "join_not_in_nulls",
+    oracle="""
+WITH probe AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_nationkey END AS nk
+  FROM customer
+), block AS (
+  SELECT CASE WHEN s_suppkey % 89 = 0 THEN NULL ELSE s_nationkey END AS bnk
+  FROM supplier
+  WHERE s_nationkey < 13 OR s_suppkey % 89 = 0
+)
+SELECT COUNT(*) AS n_probe,
+       COUNT(*) FILTER (WHERE nk NOT IN (SELECT bnk FROM block)) AS n_not_in,
+       COUNT(*) FILTER (WHERE nk NOT IN (SELECT bnk FROM block WHERE bnk IS NOT NULL))
+         AS n_not_in_no_nulls
+FROM probe
+""",
+)
+def join_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None)).otherwise(F.col("c_nationkey")).alias("nk"),
+    ).createOrReplaceTempView("nin_probe")
+    s.filter((F.col("s_nationkey") < 13) | (F.col("s_suppkey") % 89 == 0)).select(
+        F.when(F.col("s_suppkey") % 89 == 0, F.lit(None)).otherwise(F.col("s_nationkey")).alias("bnk")
+    ).createOrReplaceTempView("nin_block")
+    return spark.sql(
+        """
+SELECT COUNT(*) AS n_probe,
+       COUNT(*) FILTER (WHERE nk NOT IN (SELECT bnk FROM nin_block)) AS n_not_in,
+       COUNT(*) FILTER (WHERE nk NOT IN (SELECT bnk FROM nin_block WHERE bnk IS NOT NULL))
+         AS n_not_in_no_nulls
+FROM nin_probe
+"""
+    )
