@@ -41,7 +41,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
         )
     )
-    return run_to_table(agg, "complete").select(
+    return run_to_table(agg, "complete", state_partitions=8).select(
         F.col("w.start").alias("win_start"), "event_type", "n", "total"
     )
 
@@ -76,7 +76,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
         )
     )
-    return run_to_table(agg, "complete").select(
+    return run_to_table(agg, "complete", state_partitions=8).select(
         F.col("w.start").alias("win_start"), "event_type", "n", "total"
     )
 
@@ -119,7 +119,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
         )
     )
-    return run_to_table(agg, "complete").select(
+    return run_to_table(agg, "complete", state_partitions=8).select(
         "user_id",
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
@@ -150,7 +150,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
         "c_mktsegment", "event_type", "value"
     )
-    sunk = run_to_table(joined, "append")
+    sunk = run_to_table(joined, "append", state_partitions=8)
     return sunk.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
@@ -171,7 +171,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return run_to_table(agg, "update").select(
+    return run_to_table(agg, "update", state_partitions=8).select(
         F.col("w.start").alias("win_start"), "event_type", "n"
     )
 
@@ -186,7 +186,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    out = run_to_table(deduped.select("event_id", "user_id", "event_type"), "append")
+    out = run_to_table(deduped.select("event_id", "user_id", "event_type"), "append", state_partitions=8)
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
 
 

@@ -44,18 +44,38 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def run_to_table(df: DataFrame, mode: str) -> DataFrame:
+def run_to_table(
+    df: DataFrame, mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
-    memory sink; return the final result as a batch DataFrame."""
+    memory sink; return the final result as a batch DataFrame.
+
+    ``state_partitions`` sizes the state store: a streaming aggregation
+    creates one state-store instance per shuffle partition (fixed at the
+    query's first run), so a low-cardinality keyed aggregation — a few
+    thousand windows — wastes startup and checkpoint I/O on the default
+    partition count.  Size it to state cardinality, not core count.
+    Leave it None for operators whose per-batch *compute* needs the
+    parallelism (e.g. applyInPandasWithState fans Python work across
+    partitions).  The conf is restored after the run; at 100 TB the
+    same knob is simply left at a number matched to key cardinality.
+    """
+    spark = df.sparkSession
     name = f"psvm_stream_{next(_counter)}"
     ckpt = tempfile.mkdtemp(prefix="psvm_ckpt_")
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
