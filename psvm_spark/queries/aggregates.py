@@ -320,3 +320,30 @@ FROM gs_lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
 """
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG): deterministic because the list
+# is sorted on the numeric key before joining — same pre-aggregated
+# partial/final shape as collect_list.
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+SELECT lang,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+       COUNT(*) AS n
+FROM documents
+GROUP BY lang
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ids = F.transform(
+        F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+    )
+    return d.groupBy("lang").agg(
+        F.array_join(ids, ",").alias("doc_ids"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -236,3 +236,33 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.array_sort(F.collect_set("k_mod")).alias("k_mod_set"),
     )
+
+
+# --------------------------------------------------------------------------
+# Regex extraction family: regexp_extract_all + element_at over the
+# extracted list.  ASCII-only pattern (identical in Java regex and RE2).
+
+
+@query(
+    "scalar_regex",
+    oracle="""
+WITH ex AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       len(words) AS n_words,
+       words[1] AS first_word,
+       words[-1] AS last_word
+FROM ex
+""",
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+    )
