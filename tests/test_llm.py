@@ -156,3 +156,25 @@ class TestIVF:
         exact_pairs = {(r.i, r.j) for r in exact}
         recall = len(ivf_pairs & exact_pairs) / max(len(exact_pairs), 1)
         assert recall > 0.0
+
+
+class TestStableSplit:
+    def test_split_partitions_all_docs_near_ratios(self, spark, sf_dir):
+        """Splits must cover every document exactly once and land near
+        the 80/10/10 design ratios (md5 buckets are uniform; at 500 docs
+        the binomial noise stays well inside +-8 points)."""
+        rows = registry.QUERIES["split_stable_hash"](spark, sf_dir).collect()
+        total_docs = load_table(spark, sf_dir, "documents").count()
+        by_split = {}
+        for r in rows:
+            by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+        assert sum(by_split.values()) == total_docs
+        assert set(by_split) == {"train", "val", "test"}
+        assert 0.72 <= by_split["train"] / total_docs <= 0.88
+        assert 0.04 <= by_split["val"] / total_docs <= 0.18
+        assert 0.04 <= by_split["test"] / total_docs <= 0.18
+
+    def test_split_is_stable_across_runs(self, spark, sf_dir):
+        a = sorted(map(tuple, registry.QUERIES["split_stable_hash"](spark, sf_dir).collect()))
+        b = sorted(map(tuple, registry.QUERIES["split_stable_hash"](spark, sf_dir).collect()))
+        assert a == b
