@@ -184,7 +184,11 @@ def fit_eval_ovr_multiclass(
         featuresCol="features",
         parallelism=parallelism,
     )
-    model = ovr.fit(train)
+    try:
+        model = ovr.fit(train)
+    finally:
+        # the fitted model no longer references train; don't leak cache
+        train.unpersist()
     return model, model.transform(test)
 
 
