@@ -901,3 +901,185 @@ def split_stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Test-set decontamination: flag training documents that share any word
+# 4-gram with the held-out test split (the standard n-gram overlap check
+# run before LLM training).  Splits come from the same md5-bucket rule as
+# split_stable_hash, so the check is reproducible across re-runs.
+#
+# Scale (100 TB): the eval/test side is always tiny relative to the
+# corpus (benchmarks, not the crawl), so its distinct n-gram set is
+# broadcast and the train corpus is checked map-side — one scan of the
+# training split, no shuffle of the corpus, no all-pairs join.
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(text), 1, 4))::INTEGER % 100 AS pct
+  FROM documents
+),
+tr AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLE_DUCK})) AS s
+  FROM split WHERE pct < 80
+),
+te AS (
+  SELECT DISTINCT unnest(list_distinct({_SHINGLE_DUCK})) AS s
+  FROM split WHERE pct >= 90
+)
+SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_shingles
+FROM tr JOIN te USING (s)
+GROUP BY tr.doc_id
+""",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pct = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+    base = d.select("doc_id", "text", pct.alias("pct"))
+    sh = F.array_distinct(F.expr(_SHINGLE_SPARK))
+    train_post = base.filter(F.col("pct") < 80).select(
+        "doc_id", F.explode(sh).alias("s")
+    )
+    test_sh = base.filter(F.col("pct") >= 90).select(F.explode(sh).alias("s")).distinct()
+    return (
+        train_post.join(F.broadcast(test_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition-ratio quality signal (Gopher-style): fraction of word
+# bigrams that are duplicates within the document.  Pure per-row array
+# expressions — one scan, no shuffle, embarrassingly parallel at any
+# scale; the ratio is exact-integer division so parity is bitwise.
+
+_BIGRAM_SPARK = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
+    "i -> array_join(slice(split(text, ' '), i, 2), ' '))"
+)
+_BIGRAM_DUCK = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1), "
+    "i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))"
+)
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+WITH g AS (SELECT doc_id, {_BIGRAM_DUCK} AS bi FROM documents)
+SELECT doc_id,
+       CAST(len(bi) AS BIGINT) AS n_bigrams,
+       CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi) AS dup_frac
+FROM g
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    bi = F.expr(_BIGRAM_SPARK)
+    g = d.select("doc_id", bi.alias("bi"))
+    n = F.size("bi")
+    return g.select(
+        "doc_id",
+        n.cast("bigint").alias("n_bigrams"),
+        ((n - F.size(F.array_distinct("bi"))).cast("double") / n).alias("dup_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group cap sampling: keep at most K documents per source domain,
+# chosen by a deterministic pseudo-random order (md5 of the id) — the
+# standard "domain cap" curation step that stops one crawl domain from
+# dominating the training mix.  One window shuffle on source; at 100 TB
+# heavy-hitter domains are the skew case and would be pre-capped with a
+# count-min pass (see agg_salted_skew for the salting machinery).
+
+_GROUP_CAP = 8
+
+
+@query(
+    "sample_per_group_cap",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {_GROUP_CAP}
+""",
+)
+def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GROUP_CAP)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-token-budget training
+# sequences by concat-then-chunk — running token total within a
+# (lang, shard) stream, sequence id = floor(preceding_tokens / budget).
+# Sharding makes the running sum parallel (lang x 8 independent window
+# partitions); at 100 TB the shard key is the same stable-hash bucket
+# used for splits, so packing stays deterministic under re-runs and the
+# per-partition sort replaces any global ORDER BY.  All-integer math.
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).cast("bigint").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.floor(start / F.lit(float(_PACK_BUDGET))).cast("bigint").alias("seq_id"),
+        (start % _PACK_BUDGET).alias("seq_offset"),
+    )

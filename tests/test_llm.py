@@ -178,3 +178,80 @@ class TestStableSplit:
         a = sorted(map(tuple, registry.QUERIES["split_stable_hash"](spark, sf_dir).collect()))
         b = sorted(map(tuple, registry.QUERIES["split_stable_hash"](spark, sf_dir).collect()))
         assert a == b
+
+
+class TestCurationOps:
+    def test_decontaminate_flags_only_real_overlaps(self, spark, sf_dir):
+        """Every flagged train doc must actually share a 4-gram with the
+        test split; counts are positive and bounded by the doc's own
+        distinct shingle count."""
+        from psvm_spark.queries.llm import _SHINGLE_SPARK
+
+        hits = registry.QUERIES["decontaminate_ngram"](spark, sf_dir).collect()
+        assert hits, "fixture corpus is known to have cross-split overlaps"
+        d = load_table(spark, sf_dir, "documents")
+        pct = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+        base = d.select("doc_id", "text", pct.alias("pct"))
+        sh = F.array_distinct(F.expr(_SHINGLE_SPARK))
+        test_set = {
+            r.s
+            for r in base.filter(F.col("pct") >= 90)
+            .select(F.explode(sh).alias("s"))
+            .distinct()
+            .collect()
+        }
+        train_sh = {
+            r.doc_id: set(r.sh)
+            for r in base.filter(F.col("pct") < 80).select("doc_id", sh.alias("sh")).collect()
+        }
+        for r in hits:
+            overlap = train_sh[r.doc_id] & test_set
+            assert r.n_hit_shingles == len(overlap) > 0
+
+    def test_repetition_ratio_bounds(self, spark, sf_dir):
+        rows = registry.QUERIES["text_repetition"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_bigrams >= 1
+            assert 0.0 <= r.dup_frac < 1.0
+
+    def test_group_cap_enforced_and_stable(self, spark, sf_dir):
+        res = registry.QUERIES["sample_per_group_cap"](spark, sf_dir)
+        rows = res.collect()
+        per_src = {}
+        for r in rows:
+            per_src[r.source] = per_src.get(r.source, 0) + 1
+        from psvm_spark.queries.llm import _GROUP_CAP
+
+        assert all(n <= _GROUP_CAP for n in per_src.values())
+        # groups smaller than the cap keep everything
+        totals = {
+            r.source: r.n
+            for r in load_table(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for src, n in totals.items():
+            assert per_src.get(src, 0) == min(n, _GROUP_CAP)
+        again = sorted(map(tuple, res.collect()))
+        assert sorted(map(tuple, rows)) == again
+
+    def test_pack_sequences_invariants(self, spark, sf_dir):
+        from psvm_spark.queries.llm import _PACK_BUDGET, _PACK_SHARDS
+
+        rows = registry.QUERIES["pack_sequences"](spark, sf_dir).collect()
+        total_docs = load_table(spark, sf_dir, "documents").count()
+        assert len(rows) == total_docs
+        streams = {}
+        for r in rows:
+            assert 0 <= r.seq_offset < _PACK_BUDGET
+            assert 0 <= r.shard < _PACK_SHARDS
+            streams.setdefault((r.lang, r.shard), []).append(r)
+        for key, docs in streams.items():
+            docs.sort(key=lambda r: r.doc_id)
+            cum = 0
+            for r in docs:
+                assert r.seq_id == cum // _PACK_BUDGET
+                assert r.seq_offset == cum % _PACK_BUDGET
+                cum += r.n_tokens
