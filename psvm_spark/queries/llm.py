@@ -953,6 +953,123 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Mixture weighting: deterministic per-language sampling rates — the
+# "data mixture" step that rebalances a corpus toward target language /
+# domain proportions before training.  Keep a document iff its salted
+# md5 bucket falls under the language's rate; salting with a distinct
+# prefix ('mix:') makes the decision independent of the train/val/test
+# split hash, so the two compose without correlation.  Pure per-row
+# expressions + one aggregation; reproducible across re-runs, backfills,
+# and any cluster size.
+
+_MIX_RATES = {"en": 50, "fr": 80, "zh": 90, "de": 100, "es": 100}  # pct kept
+
+
+@query(
+    "sample_mixture",
+    oracle=f"""
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5('mix:' || text), 1, 4))::INTEGER % 100 AS pct
+  FROM documents
+),
+k AS (
+  SELECT lang, pct,
+         CASE lang WHEN 'en' THEN {_MIX_RATES['en']} WHEN 'fr' THEN {_MIX_RATES['fr']}
+                   WHEN 'zh' THEN {_MIX_RATES['zh']} WHEN 'de' THEN {_MIX_RATES['de']}
+                   ELSE {_MIX_RATES['es']} END AS rate
+  FROM b
+)
+SELECT lang,
+       CAST(COUNT(*) FILTER (pct < rate) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (pct < rate) AS DOUBLE) / COUNT(*) AS kept_frac
+FROM k GROUP BY lang
+""",
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pct = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col("text"))), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    rate = F.col("lang")
+    expr = F.lit(_MIX_RATES["es"])
+    for lg, r in _MIX_RATES.items():
+        expr = F.when(rate == lg, F.lit(r)).otherwise(expr)
+    kept = (pct < expr).cast("long")
+    return (
+        d.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.sum("kept").alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+            (F.sum("kept").cast("double") / F.count(F.lit(1))).alias("kept_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: near-dup *pairs* -> transitively-closed *clusters*.
+# Edges = document pairs sharing >= 2 distinct word 4-grams (from the
+# same inverted-index candidate generation as dedup_ngram_jaccard — at
+# scale the edge list comes from MinHash bands, never all-pairs), then
+# min-label-propagation connected components (operators/components.py).
+# component = min doc_id of the cluster, so the result is deterministic
+# integer output — oracled against a DuckDB recursive-CTE transitive
+# closure.  A real pipeline then keeps MIN(doc_id) per component and
+# drops the rest.
+
+_CC_MIN_SHARED = 2
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE post AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLE_DUCK})) AS s FROM documents
+),
+pair AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_CC_MIN_SHARED}
+),
+edges AS (
+  SELECT ia AS ea, ib AS eb FROM pair
+  UNION ALL
+  SELECT ib AS ea, ia AS eb FROM pair
+),
+reach AS (
+  SELECT DISTINCT ea AS src, ea AS dst FROM edges
+  UNION
+  SELECT r.src, e.eb AS dst FROM reach r JOIN edges e ON r.dst = e.ea
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+FROM reach GROUP BY src
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.operators.components import connected_components
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    post = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s")
+    )
+    pairs = (
+        post.alias("pa")
+        .join(post.alias("pb"), "s")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .groupBy(F.col("pa.doc_id").alias("ia"), F.col("pb.doc_id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("nshared"))
+        .filter(F.col("nshared") >= _CC_MIN_SHARED)
+    )
+    cc = connected_components(pairs, src="ia", dst="ib")
+    return cc.select(F.col("v").alias("doc_id"), "component")
+
+
+# --------------------------------------------------------------------------
 # Repetition-ratio quality signal (Gopher-style): fraction of word
 # bigrams that are duplicates within the document.  Pure per-row array
 # expressions — one scan, no shuffle, embarrassingly parallel at any

@@ -255,3 +255,74 @@ class TestCurationOps:
                 assert r.seq_id == cum // _PACK_BUDGET
                 assert r.seq_offset == cum % _PACK_BUDGET
                 cum += r.n_tokens
+
+
+class TestDedupComponents:
+    def test_components_match_union_find(self, spark, sf_dir):
+        """Cross-check the distributed label propagation against a
+        pure-Python union-find over the same edge list."""
+        from psvm_spark.queries.llm import _CC_MIN_SHARED, _SHINGLE_SPARK
+
+        d = load_table(spark, sf_dir, "documents")
+        post = d.select(
+            "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s")
+        )
+        pairs = (
+            post.alias("pa")
+            .join(post.alias("pb"), "s")
+            .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+            .groupBy(F.col("pa.doc_id").alias("ia"), F.col("pb.doc_id").alias("ib"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= _CC_MIN_SHARED)
+            .collect()
+        )
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            ra, rb = find(r.ia), find(r.ib)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for v in parent:
+            expected.setdefault(find(v), set()).add(v)
+        got_rows = registry.QUERIES["dedup_components"](spark, sf_dir).collect()
+        got = {}
+        for r in got_rows:
+            got.setdefault(r.component, set()).add(r.doc_id)
+        assert {frozenset(s) for s in got.values()} == {
+            frozenset(s) for s in expected.values()
+        }
+        # label is the min member of its cluster
+        for comp, members in got.items():
+            assert comp == min(members)
+
+    def test_components_raises_without_convergence(self, spark):
+        from psvm_spark.operators.components import connected_components
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+        import pytest
+
+        with pytest.raises(RuntimeError):
+            connected_components(edges, max_iter=0)
+
+
+class TestSampleMixture:
+    def test_mixture_rates_enforced(self, spark, sf_dir):
+        from psvm_spark.queries.llm import _MIX_RATES
+
+        rows = {r.lang: r for r in registry.QUERIES["sample_mixture"](spark, sf_dir).collect()}
+        assert set(rows) == set(_MIX_RATES)
+        for lg, r in rows.items():
+            assert r.n_kept <= r.n_total
+            assert abs(r.kept_frac - r.n_kept / r.n_total) < 1e-12
+        # 100%-rate languages keep everything; en is downsampled hard
+        assert rows["de"].kept_frac == 1.0
+        assert rows["es"].kept_frac == 1.0
+        assert 0.30 <= rows["en"].kept_frac <= 0.70
