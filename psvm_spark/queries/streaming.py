@@ -227,3 +227,61 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(out, "update")
+
+
+# --------------------------------------------------------------------------
+# Stream-stream join (beyond B44's stream-static): click -> purchase
+# attribution — purchases joined to same-user clicks from the preceding
+# two hours.  Both sides are watermarked streams; the time-range
+# predicate is what lets Spark bound join state (click state expires
+# once the purchase-side watermark passes click_ts + 2h + delay).
+#
+# Stream≡batch: with the availableNow file source the single parquet
+# file is one micro-batch, and watermarks only advance *between*
+# batches, so no in-bound match can be dropped — the inner-join result
+# is exactly the batch band join the oracle runs.  At 100 TB the delay
+# ("1 day" here) is the knob that trades late-click tolerance for state
+# size: state per executor = clicks within (delay + 2h) for its share
+# of the user_id hash space.
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       date_diff('microsecond', c.ts, p.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias("gap_us"),
+    )
+    return run_to_table(j, "append", state_partitions=8)

@@ -173,3 +173,39 @@ class TestTransformWithState:
         finally:
             if prev is not None:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+class TestStreamStreamJoin:
+    def test_attribution_matches_batch_band_join(self, spark, sf_dir):
+        """Streaming click->purchase attribution must equal the batch
+        band join on the same table (stream/batch equivalence)."""
+        got = sorted(
+            (r.user_id, r.click_id, r.purchase_id, r.gap_us)
+            for r in registry.QUERIES["stream_stream_join"](spark, sf_dir).collect()
+        )
+        ev = load_table(spark, sf_dir, "events")
+        c = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+        exp = sorted(
+            (r.user_id, r.click_id, r.purchase_id, r.gap_us)
+            for r in c.join(
+                p,
+                (F.col("user_id") == F.col("pu"))
+                & (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 2 HOURS")),
+            )
+            .select(
+                "user_id", "click_id", "purchase_id",
+                F.expr("timestampdiff(MICROSECOND, cts, pts)").alias("gap_us"),
+            )
+            .collect()
+        )
+        assert got == exp
+        assert got, "fixture has known click->purchase matches"
+        for _, _, _, gap in got:
+            assert 0 <= gap <= 2 * 3600 * 1_000_000
