@@ -347,3 +347,39 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(ids, ",").alias("doc_ids"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram / feature discretization: bin a continuous column
+# with pure integer arithmetic (floor division by the bin width) and
+# count per bin — the discretization step before feature bucketing or a
+# distribution dashboard.  One scan + one partial/final aggregation over
+# at most a few hundred bins; decimal sums keep the per-bin averages
+# bitwise-stable (queries/_util.py rules).
+
+_HIST_WIDTH = 5000
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR(l_extendedprice / {_HIST_WIDTH}) AS BIGINT) AS bin,
+       CAST(bin * {_HIST_WIDTH} AS DOUBLE) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM lineitem
+GROUP BY bin
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_extendedprice") / _HIST_WIDTH).cast("bigint")
+    return (
+        li.select(b.alias("bin"), "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            (F.col("bin") * _HIST_WIDTH).cast("double").alias("bin_lo"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )

@@ -230,3 +230,64 @@ def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization: gap-based session ids via lag + running sum —
+# the batch twin of the streaming session window (B40).  One shuffle on
+# user_id; both window passes share the same (user_id | ts, event_id)
+# sort, so Catalyst evaluates them in a single Window operator chain
+# without a second exchange.  At 100 TB this is the standard
+# clickstream sessionize: partitions scale with users, session state
+# never leaves its partition.
+
+_SESSION_GAP_MIN = 30
+
+
+@query(
+    "window_sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sess_id
+""",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                  "(PARTITION BY user_id ORDER BY ts, event_id), ts)") > gap_us),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(new_sess).over(wsum).alias("sess_id"),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("duration_us"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )

@@ -231,3 +231,50 @@ class TestNewQueryPlans:
             .drop("rn")
         )
         assert sorted(map(tuple, again.collect())) == rows
+
+
+class TestSessionize:
+    def test_sessions_respect_gap_and_cover_all_events(self, spark, sf_dir):
+        """Session invariants: every event is in exactly one session,
+        sess_ids are dense per user, and durations are non-negative."""
+        rows = registry.QUERIES["window_sessionize"](spark, sf_dir).collect()
+        ev_total = load_table(spark, sf_dir, "events").count()
+        assert sum(r.n_events for r in rows) == ev_total
+        by_user = {}
+        for r in rows:
+            assert r.duration_us >= 0
+            by_user.setdefault(r.user_id, []).append(r.sess_id)
+        for user, sids in by_user.items():
+            sids.sort()
+            assert sids == list(range(1, len(sids) + 1))
+
+    def test_gap_boundary_split(self, spark, sf_dir):
+        """Consecutive events of one user >30min apart must land in
+        different sessions; <=30min in the same one."""
+        ev = load_table(spark, sf_dir, "events")
+        one = ev.filter(F.col("user_id") == 7).orderBy("ts", "event_id").collect()
+        sess = {
+            (r.user_id, r.sess_id): r
+            for r in registry.QUERIES["window_sessionize"](spark, sf_dir).collect()
+        }
+        n_sessions = len([k for k in sess if k[0] == 7])
+        gaps = [
+            (b.ts - a.ts).total_seconds() for a, b in zip(one, one[1:])
+        ]
+        expected_sessions = 1 + sum(1 for g in gaps if g > 1800)
+        assert n_sessions == expected_sessions
+
+
+class TestHistogram:
+    def test_bins_partition_the_value_range(self, spark, sf_dir):
+        from psvm_spark.queries.aggregates import _HIST_WIDTH
+
+        rows = registry.QUERIES["agg_histogram"](spark, sf_dir).collect()
+        li = load_table(spark, sf_dir, "lineitem")
+        assert sum(r.n for r in rows) == li.count()
+        for r in rows:
+            assert r.bin_lo == r.bin * _HIST_WIDTH
+        lo = min(r.bin for r in rows) * _HIST_WIDTH
+        hi = (max(r.bin for r in rows) + 1) * _HIST_WIDTH
+        mn, mx = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+        assert lo <= mn and mx < hi
