@@ -50,24 +50,33 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size the working partitioning to the measured edge count: the loop
+    # below runs O(diameter) tiny jobs, and on a small graph (the common
+    # case after candidate pruning) 32-task rounds are pure scheduler
+    # overhead.  The count is free — e is already materialized.  At real
+    # scale the gate never fires and e keeps its natural partitioning.
+    n_edges = e.count()
+    spark = e.sparkSession
+    if n_edges < 200_000:
+        parts = max(2, spark.sparkContext.defaultParallelism // 8)
+        e = e.repartition(parts, "d").localCheckpoint(eager=True)
     labels = (
         e.select(F.col("s").alias("v")).distinct().withColumn("label", F.col("v"))
     ).localCheckpoint(eager=True)
+    # Convergence test: labels only ever decrease, so sum(label) strictly
+    # decreases until the fixpoint — a one-column aggregate on the
+    # already-materialized table replaces a join-and-count per round.
+    prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
+        labels = (
             e.join(labels, e.d == labels.v)
             .select(F.col("s").alias("v"), "label")
             .union(labels)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            nbr_min.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = nbr_min
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             return labels.select("v", F.col("label").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")

@@ -98,3 +98,43 @@ class TestAsofProperty:
         a = {r.k: r.rs for r in last.collect()}
         b = {r.k: r.s for r in grp.collect()}
         assert a == b
+
+
+class TestComponentsProperty:
+    @_slow
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),
+                st.integers(min_value=0, max_value=20),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_components_match_union_find(self, spark, edges):
+        from psvm_spark.operators.components import connected_components
+
+        edf = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.v: r.component
+            for r in connected_components(edf, max_iter=50).collect()
+        }
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        clusters = {}
+        for v in parent:
+            clusters.setdefault(find(v), set()).add(v)
+        expected = {v: min(members) for root, members in clusters.items() for v in members}
+        assert got == expected
