@@ -953,6 +953,76 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# End-to-end curation pipeline: normalize -> quality-filter -> exact
+# dedup (keep lowest doc_id per normalized digest) -> stable split ->
+# per-(split, lang) corpus stats.  The point is composition: the whole
+# chain is ONE declarative plan — Catalyst fuses the per-row stages into
+# the scan, the dedup window and final aggregation are the only two
+# shuffles, and every stage reuses primitives proven parity-exact on
+# their own (normalization, md5 splits, window dedup).  At 100 TB this
+# is the shape of a real pre-training data build; intermediate
+# materialization happens only where a shuffle already forces it.
+
+
+@query(
+    "pipeline_curation",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g')) AS ntext
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, ntext, len(string_split(ntext, ' ')) AS n_words
+  FROM norm
+  WHERE length(ntext) >= 50 AND len(string_split(ntext, ' ')) >= 10
+),
+dd AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) AS rn
+  FROM q
+),
+sp AS (
+  SELECT lang, n_words,
+         ('0x' || substr(md5(ntext), 1, 4))::INTEGER % 100 AS pct
+  FROM dd WHERE rn = 1
+)
+SELECT CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM sp GROUP BY 1, 2
+""",
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    base = d.select("doc_id", "lang", ntext.alias("ntext")).withColumn(
+        "n_words", F.size(F.split("ntext", " "))
+    )
+    q = base.filter((F.length("ntext") >= 50) & (F.col("n_words") >= 10))
+    w = Window.partitionBy(F.md5("ntext")).orderBy("doc_id")
+    dd = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pct = F.conv(F.substring(F.md5("ntext"), 1, 4), 16, 10).cast("int") % 100
+    split = F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    return (
+        dd.select(split.alias("split"), "lang", "n_words")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Mixture weighting: deterministic per-language sampling rates — the
 # "data mixture" step that rebalances a corpus toward target language /
 # domain proportions before training.  Keep a document iff its salted

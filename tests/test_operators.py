@@ -278,3 +278,26 @@ class TestHistogram:
         hi = (max(r.bin for r in rows) + 1) * _HIST_WIDTH
         mn, mx = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
         assert lo <= mn and mx < hi
+
+
+class TestCurationPipeline:
+    def test_pipeline_stats_consistent(self, spark, sf_dir):
+        rows = registry.QUERIES["pipeline_curation"](spark, sf_dir).collect()
+        assert rows
+        total_docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in rows) <= total_docs  # filter+dedup only drop
+        assert {r.split for r in rows} <= {"train", "val", "test"}
+        assert "train" in {r.split for r in rows}
+        for r in rows:
+            # quality gate guarantees >=10 words per surviving doc
+            assert r.total_words >= 10 * r.n_docs
+
+    def test_pipeline_is_two_shuffles(self, spark, sf_dir):
+        """Normalize/filter/split are fused into the scan; only the dedup
+        window and the final aggregation may exchange."""
+        import re
+
+        df = registry.QUERIES["pipeline_curation"](spark, sf_dir)
+        plan = _plan(df)
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges <= 2, plan
