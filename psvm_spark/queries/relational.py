@@ -449,3 +449,77 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("O_n").alias("n_O"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional trade volume between two nations by
+# ship year.  The distinguishing pattern vs Q5 is one dimension table
+# (nation) joined in TWO roles (supplier side, customer side), each
+# pre-filtered to the two nations of interest so the per-role filter
+# pushes into its broadcast build side; the asymmetric pair condition
+# (N1,N2)|(N2,N1) then prunes same-nation rows after both roles
+# resolve.  Only the two fact-side equi-joins shuffle — identical plan
+# economics at 100 TB.
+
+
+@query(
+    "join_q7_shape",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol
+  FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def join_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_18", "NATION_19")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum(vol).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -301,3 +301,18 @@ class TestCurationPipeline:
         plan = _plan(df)
         n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
         assert n_exchanges <= 2, plan
+
+
+class TestQ7Shape:
+    def test_q7_broadcasts_dims_and_pushes_shipdate(self, spark, sf_dir):
+        df = registry.QUERIES["join_q7_shape"](spark, sf_dir)
+        plan = _plan(df)
+        assert plan.count("BroadcastHashJoin") >= 3  # supplier + both nation roles
+        assert "l_shipdate" in plan and "PushedFilters" in plan
+
+    def test_q7_directions_are_disjoint(self, spark, sf_dir):
+        rows = registry.QUERIES["join_q7_shape"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.supp_nation != r.cust_nation
+            assert r.l_year in (1996, 1997)
