@@ -523,3 +523,405 @@ def join_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: order-count distribution per customer.  The defining
+# pattern is a LEFT OUTER join whose extra predicate lives in the join
+# condition (it must not eliminate order-less customers, so it cannot be
+# a WHERE), followed by two cascaded aggregations.  Spark pushes the
+# right-side-only predicate into the orders scan; the first aggregate
+# reuses the join's hash partitioning on the customer key, so the
+# distribution rollup is the only extra (tiny: |distinct counts| rows)
+# shuffle at 100 TB.
+
+
+@query(
+    "join_q13_shape",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+""",
+)
+def join_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by revenue in a quarter.  An
+# aggregate joined against its own global max — the "argmax via
+# self-referencing scalar" pattern.  The max is one row, broadcast; the
+# equality compare on double is parity-safe because both sides derive
+# the value from the same exact decimal sum (queries/_util.py).  At
+# 100 TB the revenue agg is one shuffle on l_suppkey; the max is a
+# driver-free treeAggregate-style global agg of |suppliers| rows.
+
+
+@query(
+    "join_q15_shape",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def join_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(dmoney("l_extendedprice") * (one() - drate("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: revenue impact of small-quantity orders, i.e. a
+# correlated scalar aggregate subquery (per-part average quantity)
+# consumed as a row filter.  Spark-first plan: pre-filter parts to the
+# brand (broadcastable), semi-reduce lineitem through that broadcast,
+# compute the per-part threshold ONCE on the reduced set, and broadcast
+# it back — the fact table is read through the broadcast filter on both
+# legs, and the only shuffle is the map-side-combined per-part rollup
+# (≤ |brand parts| rows per task), never raw fact rows.  The threshold
+# is exact (decimal sum / count, then * 0.5 — both
+# IEEE-deterministic), so the `<` compare is parity-safe.
+
+
+@query(
+    "subquery_q17_shape",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+)
+def subquery_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li_brand = li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1)))
+        ).alias("thr")
+    )
+    return (
+        li_brand.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            (F.sum(dmoney("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders.  HAVING on a fact-key aggregate,
+# then the surviving (rare) keys join back to orders/customer.  At
+# 100 TB the qty rollup is one shuffle on l_orderkey with map-side
+# combine; the HAVING survivor set is tiny, so AQE converts the
+# orders/customer joins to broadcasts at runtime — we don't force the
+# hint because the survivor cardinality is data-dependent.
+
+
+@query(
+    "agg_q18_shape",
+    oracle="""
+SELECT c_name, o_orderkey, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250.0
+) big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def agg_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunct groups spanning both join
+# sides.  Catalyst's CNF conversion extracts the per-side residuals —
+# the part-only disjuncts (brand/size) push into the part scan and the
+# lineitem-only quantity bounds into the lineitem scan — while the mixed
+# residual evaluates post-join.  Tests assert an Or reaches
+# PushedFilters.  At 100 TB this is the difference between scanning 2%
+# and 100% of a fact table.
+
+
+@query(
+    "scan_q19_shape",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def scan_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        dsum(dmoney("l_extendedprice") * (one() - drate("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape (adapted: fixtures carry no receipt/commit dates, so
+# "kept waiting" becomes "sole returner"): for finished orders, count
+# per supplier the returned ('R') line items on multi-supplier orders
+# where NO other supplier also returned — a semi-join AND an anti-join
+# against the same fact table with a non-equi residual
+# (different-supplier) on the equi key.  Both self-joins co-partition on
+# l_orderkey, so at 100 TB the three fact legs share one shuffle key;
+# supplier is broadcast.
+
+
+@query(
+    "join_q21_shape",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders     ON o_orderkey = l1.l_orderkey
+WHERE l1.l_returnflag = 'R'
+  AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+)
+def join_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(o, cand.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape (adapted: every fixture customer has orders, so the
+# anti-join target is "no URGENT order" rather than "no order"):
+# wealthy-but-inactive accounts per nation.  Combines an uncorrelated
+# scalar subquery (global positive-balance average, broadcast as a
+# one-row frame — no driver collect) with a NOT EXISTS anti join.  The
+# average is exact decimal-sum/count, so the `>` threshold compare is
+# parity-safe.  At 100 TB: one broadcast (scalar), one anti-join shuffle
+# on the customer key, nation broadcast.
+
+
+@query(
+    "join_q22_shape",
+    oracle="""
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+""",
+)
+def join_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o_urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avgbal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dmoney("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avgbal")
+        )
+    )
+    return (
+        c.join(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("avgbal"))
+        .join(o_urgent, c.c_custkey == o_urgent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dmoney("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape (adapted: fixtures have no partsupp, so "important
+# stock" becomes "parts with outsized revenue share"): a per-key
+# aggregate filtered by a scalar subquery over the SAME aggregate — the
+# total is consumed as `1.2 * average share`, which is scale-invariant
+# (a fixed absolute fraction would go degenerate as SF grows).  Spark
+# computes the per-part rollup once; Catalyst reuses it for the scalar
+# via a separate tiny agg leg, both broadcast-joined back.
+
+
+@query(
+    "agg_q11_shape",
+    oracle="""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS part_rev
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, part_rev
+FROM pr
+WHERE part_rev > 1.2 * (SELECT CAST(SUM(CAST(part_rev AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM pr)
+""",
+)
+def agg_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        dsum(dmoney("l_extendedprice") * (one() - drate("l_discount"))).alias("part_rev")
+    )
+    mean = pr.agg(
+        (F.sum(F.col("part_rev").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_rev"
+        )
+    )
+    return (
+        pr.join(F.broadcast(mean))
+        .filter(F.col("part_rev") > F.lit(1.2) * F.col("mean_rev"))
+        .select("l_partkey", "part_rev")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier-count-per-part-attribute with a NOT IN
+# blacklist subquery.  COUNT(DISTINCT) after a join plus a null-aware
+# anti join against a filtered dimension.  The distinct agg expands to
+# Spark's two-phase plan (partial distinct on (group, suppkey), then
+# final count) — both phases map-side combine, so the shuffle carries
+# pre-deduplicated pairs at 100 TB.
+
+
+@query(
+    "agg_q16_shape",
+    oracle="""
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size IN (1, 4, 9, 16, 25, 36)
+  AND p_brand <> 'Brand#13'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+""",
+)
+def agg_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(1, 4, 9, 16, 25, 36) & (F.col("p_brand") != "Brand#13"))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

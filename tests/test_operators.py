@@ -316,3 +316,32 @@ class TestQ7Shape:
         for r in rows:
             assert r.supp_nation != r.cust_nation
             assert r.l_year in (1996, 1997)
+
+
+class TestTpchShapes:
+    def test_q13_pushes_priority_filter_and_keeps_left_join(self, spark, sf_dir):
+        df = registry.QUERIES["join_q13_shape"](spark, sf_dir)
+        plan = _plan(df)
+        # the right-side-only predicate must reach the orders scan, not
+        # sit post-join where it would defeat the outer semantics
+        assert "o_orderpriority" in plan.split("Join")[0] or "PushedFilters" in plan
+        assert "LeftOuter" in plan
+
+    def test_q19_disjunction_reaches_scan(self, spark, sf_dir):
+        df = registry.QUERIES["scan_q19_shape"](spark, sf_dir)
+        plan = _plan(df)
+        # CNF extraction: the part-side brand/size disjunction is pushed
+        assert "Or" in plan and "PushedFilters" in plan
+
+    def test_q15_result_is_argmax(self, spark, sf_dir):
+        rows = registry.QUERIES["join_q15_shape"](spark, sf_dir).collect()
+        assert rows
+        assert len({r.total_rev for r in rows}) == 1
+
+    def test_q16_plans_anti_join(self, spark, sf_dir):
+        plan = _plan(registry.QUERIES["agg_q16_shape"](spark, sf_dir))
+        assert "LeftAnti" in plan
+
+    def test_q21_self_joins_share_orderkey_partitioning(self, spark, sf_dir):
+        plan = _plan(registry.QUERIES["join_q21_shape"](spark, sf_dir))
+        assert "LeftSemi" in plan and "LeftAnti" in plan
