@@ -1,0 +1,338 @@
+"""Product/ops analytics over the event stream and dimension tables.
+
+Capabilities a warehouse user expects beyond core TPC-H shapes:
+time-series gap-fill (resample + forward fill), funnel conversion,
+weekly cohort retention, SCD2 interval building, column profiling,
+wide->long reshaping, and blocked fuzzy matching.
+
+Scale notes (100 TB): every query here shuffles at most once per
+logical stage and always on a bounded key (user_id, nation, group key).
+Grids and scalar aggregates are generated/broadcast, never collected to
+the driver.  The fuzzy matcher is *blocked* — candidate pairs only form
+inside an equi-join block, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_events_range, load_table
+from psvm_spark.registry import query
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill: resample each user's event values onto a fixed
+# hourly grid for one day and forward-fill holes.  The grid is
+# `explode(sequence(...))` per observed user (generated executor-side);
+# the fill is `last(ignorenulls)` over a running row frame — one shuffle
+# on user_id total, since the hourly rollup, the grid join, and the
+# window all share that partitioning.  The day filter pushes to the
+# parquet scan via the raw-ns column (catalog.load_events_range).
+
+
+@query(
+    "ts_gapfill",
+    oracle="""
+WITH day AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-02 00:00:00'),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, MAX(value) AS hv
+  FROM day GROUP BY user_id, date_trunc('hour', ts)),
+grid AS (
+  SELECT u.user_id, g.hour
+  FROM (SELECT DISTINCT user_id FROM day) u
+  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                            TIMESTAMP '2024-01-01 23:00:00',
+                                            INTERVAL 1 HOUR)) AS hour) g)
+SELECT grid.user_id, grid.hour,
+       last_value(hv IGNORE NULLS) OVER (
+         PARTITION BY grid.user_id ORDER BY grid.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM grid LEFT JOIN hourly
+  ON grid.user_id = hourly.user_id AND grid.hour = hourly.hour
+""",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = load_events_range(spark, sf_dir, "2024-01-01", "2024-01-02")
+    hourly = day.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.max("value").alias("hv"))
+    grid = (
+        day.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-01 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy(grid.user_id)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("hv", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion: users who viewed, then clicked strictly after the
+# first view, then purchased strictly after the first qualifying click.
+# Each step is a per-user min-timestamp aggregate joined forward — all
+# three stages hash-partition on user_id, so at 100 TB the funnel is one
+# logical shuffle reused three times; step counts are one-row frames
+# combined by (trivial) cross joins, never collected.
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase
+""",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by the ISO week of their first
+# event; for each (cohort, week-offset) cell, distinct returning users.
+# The first-event rollup and the activity join share user_id
+# partitioning; offsets are integer Monday-to-Monday day counts / 7, so
+# the matrix cell keys are exact in both engines.
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH first_ts AS (
+  SELECT user_id, MIN(ts) AS f FROM events GROUP BY user_id)
+SELECT CAST(date_trunc('week', f) AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', date_trunc('week', f), date_trunc('week', e.ts)) / 7 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_ts ON e.user_id = first_ts.user_id
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_ts = e.groupBy("user_id").agg(F.min("ts").alias("f"))
+    return (
+        e.join(first_ts, "user_id")
+        .groupBy(
+            F.date_trunc("week", "f").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.date_trunc("week", "f")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval building: turn a change stream (per-user 'error' events)
+# into type-2 validity intervals — each value is valid from its own ts
+# until the next change, the latest open-ended (NULL).  One shuffle on
+# user_id; (ts, event_id) is the deterministic order, so lead() is
+# parity-exact.  This is the standard warehouse pattern for building
+# dimension history from CDC feeds.
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+SELECT user_id, value AS v,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM events WHERE event_type = 'error'
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.col("value").alias("v"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column profiling: null count, distinct count, and null fraction per
+# column of `orders`, melted to long form.  Everything is computed in a
+# single global aggregate pass (one scan), then reshaped with stack() —
+# at 100 TB this is one treeAggregate-shaped job; distinct counts shuffle
+# (col, value) pairs pre-deduplicated map-side.  Values stay integral /
+# exact-ratio so the long rows hash identically in both engines.
+
+
+@query(
+    "profile_columns",
+    oracle="""
+SELECT * FROM (
+  SELECT 'o_orderkey' AS col_name,
+         COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         CAST(COUNT(*) - COUNT(o_orderkey) AS DOUBLE) / COUNT(*) AS null_frac
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+         CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) / COUNT(*) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+         CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE) / COUNT(*) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+         CAST(COUNT(*) - COUNT(o_orderpriority) AS DOUBLE) / COUNT(*) FROM orders
+) profile
+""",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_nulls",
+        "n_distinct",
+        (F.col("n_nulls").cast("double") / F.col("n_rows")).alias("null_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wide -> long reshape: pivot per-returnflag quantity sums into F/O
+# columns, then unpivot back with the DataFrame melt API.  Exercises
+# both directions of the reshape; NULL cells (combinations absent from
+# the data) are dropped to match the group-by long form.  Reshape of an
+# already-aggregated frame is driver-cheap at any scale.
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_linestatus IN ('F', 'O')
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+    )
+    return (
+        wide.unpivot("l_returnflag", ["F", "O"], "l_linestatus", "sum_qty")
+        .filter(F.col("sum_qty").isNotNull())
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy match: near-identical customer names within a nation
+# (levenshtein <= 2).  The block key (nation) is an equi-join, so
+# candidate pairs form only inside blocks — never all-pairs; the
+# key-order predicate halves the pairs and the integer edit distance is
+# bitwise-identical across engines.  At 100 TB the block key would be a
+# cheaper surrogate (name length + prefix) to keep blocks bounded; the
+# plan shape is identical.
+
+
+@query(
+    "fuzzy_blocked_match",
+    oracle="""
+SELECT c1.c_nationkey AS nationkey, COUNT(*) AS n_pairs
+FROM customer c1 JOIN customer c2
+  ON c1.c_nationkey = c2.c_nationkey
+ AND c1.c_custkey < c2.c_custkey
+WHERE levenshtein(c1.c_name, c2.c_name) <= 2
+GROUP BY c1.c_nationkey
+""",
+)
+def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    c1 = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("n1"),
+    )
+    c2 = c.select(
+        F.col("c_nationkey").alias("nk2"),
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("n2"),
+    )
+    return (
+        c1.join(
+            c2,
+            (F.col("nationkey") == F.col("nk2")) & (F.col("k1") < F.col("k2")),
+        )
+        .filter(F.levenshtein("n1", "n2") <= 2)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

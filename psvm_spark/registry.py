@@ -43,6 +43,7 @@ def load_all() -> None:
     """Import every query module so decorators run (idempotent)."""
     from psvm_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         llm,
         ml,

@@ -345,3 +345,43 @@ class TestTpchShapes:
     def test_q21_self_joins_share_orderkey_partitioning(self, spark, sf_dir):
         plan = _plan(registry.QUERIES["join_q21_shape"](spark, sf_dir))
         assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+class TestAnalytics:
+    def test_gapfill_grid_is_dense_and_filled(self, spark, sf_dir):
+        rows = registry.QUERIES["ts_gapfill"](spark, sf_dir).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for u, rs in by_user.items():
+            assert len(rs) == 24  # dense hourly grid
+            rs.sort(key=lambda r: r.hour)
+            seen = False
+            for r in rs:
+                if r.v_filled is not None:
+                    seen = True
+                elif seen:
+                    raise AssertionError(f"hole after fill for user {u}")
+
+    def test_gapfill_pushes_day_filter_to_scan(self, spark, sf_dir):
+        plan = _plan(registry.QUERIES["ts_gapfill"](spark, sf_dir))
+        assert "GreaterThanOrEqual" in plan and "PushedFilters" in plan
+
+    def test_funnel_is_monotone(self, spark, sf_dir):
+        r = registry.QUERIES["funnel_steps"](spark, sf_dir).collect()[0]
+        assert r.n_view >= r.n_click >= r.n_purchase >= 0
+
+    def test_scd2_intervals_chain(self, spark, sf_dir):
+        rows = registry.QUERIES["scd2_intervals"](spark, sf_dir).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for rs in by_user.values():
+            rs.sort(key=lambda r: r.valid_from)
+            assert sum(1 for r in rs if r.valid_to is None) == 1  # one open row
+            for a, b in zip(rs, rs[1:]):
+                assert a.valid_to == b.valid_from  # contiguous history
+
+    def test_fuzzy_match_is_blocked_not_cartesian(self, spark, sf_dir):
+        plan = _plan(registry.QUERIES["fuzzy_blocked_match"](spark, sf_dir))
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
