@@ -285,3 +285,73 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias("gap_us"),
     )
     return run_to_table(j, "append", state_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# foreachBatch CDC sink: the stream upserts each micro-batch into a
+# parquet target with latest-wins semantics (merge = read target, union
+# batch, keep max (ts, event_id) per user).  The swap is
+# write-new-then-rename so a crashed batch never leaves a torn target —
+# the batch-id makes the merge idempotent under retries.  The oracle is
+# the batch arg-max over the whole stream: stream/batch equivalence for
+# the merge loop.  At 100 TB foreachBatch is the standard escape hatch
+# for sinks Structured Streaming lacks (JDBC merges, Delta upserts).
+
+
+@query(
+    "stream_upsert_foreachbatch",
+    oracle="""
+SELECT user_id, ts AS latest_ts, event_id AS latest_event_id,
+       value AS v
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) ranked WHERE rn = 1
+""",
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    target = tempfile.mkdtemp(prefix="psvm_upsert_target_")
+    shutil.rmtree(target)  # start absent: first batch creates it
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cols = ["user_id", "ts", "event_id", "value"]
+        incoming = batch_df.select(*cols)
+        if os.path.isdir(target):
+            incoming = sp.read.parquet(target).unionByName(incoming)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            incoming.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = f"{target}__b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+
+    ev = stream_events(spark, sf_dir)
+    ckpt = __import__("tempfile").mkdtemp(prefix="psvm_ckpt_fb_")
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("ts").alias("latest_ts"),
+        F.col("event_id").alias("latest_event_id"),
+        F.col("value").alias("v"),
+    )

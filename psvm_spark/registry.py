@@ -53,5 +53,6 @@ def load_all() -> None:
         sources,
         streaming,
         udfs,
+        warehouse,
         windows,
     )

@@ -385,3 +385,32 @@ class TestAnalytics:
     def test_fuzzy_match_is_blocked_not_cartesian(self, spark, sf_dir):
         plan = _plan(registry.QUERIES["fuzzy_blocked_match"](spark, sf_dir))
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+class TestWarehouseOps:
+    def test_incremental_reads_only_new_day(self, spark, sf_dir):
+        df = registry.QUERIES["incremental_rollup"](spark, sf_dir)
+        plan = _plan(df)
+        # the refresh leg scans raw events with the day range pushed down
+        assert "GreaterThanOrEqual" in plan and "PushedFilters" in plan
+        # and the history leg comes from the persisted partial state
+        assert "psvm_rollup_state" in plan
+
+    def test_snapshot_diff_classifies_all_types(self, spark, sf_dir):
+        rows = registry.QUERIES["snapshot_diff"](spark, sf_dir).collect()
+        kinds = {r.change_type for r in rows}
+        assert kinds == {"added", "removed", "changed"}
+
+    def test_dq_expectations_all_clean(self, spark, sf_dir):
+        rows = registry.QUERIES["dq_expectations"](spark, sf_dir).collect()
+        assert len(rows) == 4
+        assert all(r.n_violations == 0 for r in rows)
+
+    def test_salted_join_matches_plain_join(self, spark, sf_dir):
+        from psvm_spark.operators.salt import salted_join_small
+        from psvm_spark.catalog import load_table
+        li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+        small = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+        a = salted_join_small(li, small, on=["l_returnflag"], n_buckets=8).count()
+        b = li.join(small, "l_returnflag").count()
+        assert a == b
