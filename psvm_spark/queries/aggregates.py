@@ -383,3 +383,23 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentile (B23's scale path): Spark's approx_percentile
+# is a mergeable quantile sketch (Greenwald–Khanna variant) — partials
+# combine associatively, so at 100 TB it is one treeAggregate pass with
+# bounded memory, where exact `percentile` must buffer every value of a
+# group on one reducer.  Rows-only (sketch internals differ from
+# DuckDB); tests bound the rank error against the exact result.
+
+
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(price, 0.5, 10000).alias("p50_approx"),
+        F.approx_percentile(price, 0.95, 10000).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

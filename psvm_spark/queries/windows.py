@@ -291,3 +291,42 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("duration_us"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-interval RANGE frame: per-user rolling 1-hour sum/count ordered
+# by event time.  Spark's rangeBetween needs a numeric ordering key, so
+# the frame is expressed over unix microseconds — exactly the µs
+# resolution DuckDB's `RANGE BETWEEN INTERVAL '1 HOUR' PRECEDING`
+# evaluates at, so peer sets match bit-for-bit.  One shuffle on
+# user_id + in-partition sort; at 100 TB this is the streaming-free way
+# to compute trailing-window features for training data.
+
+
+@query(
+    "window_time_range",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS sum_1h,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+FROM events
+""",
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )

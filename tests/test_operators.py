@@ -414,3 +414,26 @@ class TestWarehouseOps:
         a = salted_join_small(li, small, on=["l_returnflag"], n_buckets=8).count()
         b = li.join(small, "l_returnflag").count()
         assert a == b
+
+
+class TestQuantileAndRange:
+    def test_approx_percentile_within_rank_error(self, spark, sf_dir):
+        approx = {
+            r.l_returnflag: r
+            for r in registry.QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+        }
+        exact = {
+            r.l_returnflag: r
+            for r in registry.QUERIES["agg_percentile"](spark, sf_dir).collect()
+        }
+        for flag, a in approx.items():
+            e = exact[flag]
+            # accuracy=10000 bounds rank error at 1/10000; on clean
+            # 2-decimal prices that translates to a tight value band
+            assert abs(a.p50_approx - e.median_price) / e.median_price < 0.02
+            assert abs(a.p95_approx - e.p95_price) / e.p95_price < 0.02
+
+    def test_time_range_window_includes_peers(self, spark, sf_dir):
+        df = registry.QUERIES["window_time_range"](spark, sf_dir)
+        rows = df.collect()
+        assert all(r.n_1h >= 1 for r in rows)
