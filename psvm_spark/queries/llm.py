@@ -1270,3 +1270,68 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / F.lit(float(_PACK_BUDGET))).cast("bigint").alias("seq_id"),
         (start % _PACK_BUDGET).alias("seq_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model quality score: train corpus-level bigram
+# conditional counts, then flag each document's fraction of rare
+# transitions (p(w2|w1) < 0.02) — the classic cheap LM signal for
+# filtering noisy training text.  All float math is exact-int ratios
+# (count/count), so the score is parity-safe.  At 100 TB: the counts
+# table is vocabulary-bounded (Zipf — far smaller than the corpus), the
+# doc-bigram join is a sort-merge on (w1, w2) with map-side-combined
+# counts on both legs, and nothing touches the driver.
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]} FOR i IN range(1, len(t))]) AS bg
+  FROM toks),
+pairs AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY w1),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN CAST(n2 AS DOUBLE)/n1 < 0.02 THEN 1 ELSE 0 END AS is_rare
+  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(is_rare) AS BIGINT) AS n_rare,
+       CAST(SUM(is_rare) AS DOUBLE)/COUNT(*) AS rare_frac
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    rare = (
+        c2.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.when(F.col("n2").cast("double") / F.col("n1") < 0.02, 1)
+            .otherwise(0)
+            .alias("is_rare"),
+        )
+    )
+    return (
+        pairs.join(rare, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("is_rare").alias("n_rare"),
+        )
+        .withColumn(
+            "rare_frac", F.col("n_rare").cast("double") / F.col("n_bigrams")
+        )
+    )

@@ -99,3 +99,32 @@ def scan_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# ORC sink/scan round-trip: write orders as ORC, read it back, and
+# aggregate — proving the second columnar format end-to-end (type
+# fidelity included: decimal sums over the re-read data must hash-match
+# the oracle computed on the original parquet).  The ORC writer/reader
+# is JVM-native with predicate pushdown and column pruning like
+# parquet; at 100 TB the choice between them is ecosystem, not engine.
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="psvm_sink_orc_") + "/orders_orc"
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
