@@ -9,7 +9,7 @@ aggregators whose result depends on partition order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
@@ -402,4 +402,44 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile(price, 0.5, 10000).alias("p50_approx"),
         F.approx_percentile(price, 0.95, 10000).alias("p95_approx"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth (quantile) binning: ntile(10) over a total order, then
+# per-bin stats — the discretization twin of the equi-width
+# `agg_histogram`, used for feature bucketization and monotone binning.
+# ntile's bucket-size rule (first n_rows % k buckets get one extra row)
+# is the SQL standard one in both engines; the (price, orderkey) order
+# is total, so bin assignment is deterministic.  At 100 TB a global
+# single-partition sort is wrong — the scale path is approx_percentile
+# cutpoints + a broadcast range lookup (same shape as agg_histogram);
+# this query keeps the exact-ntile semantics as the correctness oracle.
+
+
+@query(
+    "agg_equidepth_bins",
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bin
+  FROM orders)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM b GROUP BY bin
+""",
+)
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum(dmoney("o_totalprice")).alias("total"),
+        )
     )

@@ -1335,3 +1335,108 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rare_frac", F.col("n_rare").cast("double") / F.col("n_bigrams")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Blocklist scrubbing: mask a (small, broadcast-able) term blocklist out
+# of every document and report how much was removed — the shape of PII /
+# profanity / boilerplate scrubbing in a curation pipeline (the fixture
+# corpus has no digits, so the blocklist is three common fixture terms).
+# Pure per-row array ops: no shuffle at all — the whole query is one
+# narrow scan, which is exactly what a 100 TB scrub pass must be.
+# Parity: token-level CASE mapping + md5 of the re-joined text is
+# deterministic and engine-independent.
+
+_BLOCKLIST = ("spark", "fast", "big")
+_BLOCK_SQL = "('spark', 'fast', 'big')"
+
+
+@query(
+    "text_blocklist_scrub",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(t, w -> w IN {_BLOCK_SQL})) AS BIGINT) AS n_masked,
+       md5(array_to_string(
+         list_transform(t, w -> CASE WHEN w IN {_BLOCK_SQL} THEN '<MASK>' ELSE w END),
+         ' ')) AS scrubbed_md5
+FROM toks
+""",
+)
+def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    in_block = "w IN " + _BLOCK_SQL
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.expr(f"filter(t, w -> {in_block})")).cast("bigint").alias("n_masked"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    f"transform(t, w -> CASE WHEN {in_block} THEN '<MASK>' ELSE w END)"
+                ),
+                " ",
+            )
+        ).alias("scrubbed_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary encoding: build the top-K corpus vocabulary (rank by count
+# desc, term asc — deterministic), then encode every document as a
+# token-id sequence with -1 for OOV.  The tokenizer front half of any
+# training-data pipeline.  At 100 TB: the vocab is vocabulary-bounded
+# (Zipf — tiny next to the corpus), so the single-partition ranking
+# window runs over ~10^5 rows regardless of corpus size, and the encode
+# join broadcasts the vocab to every executor — the corpus-sized leg is
+# never shuffled; per-doc re-assembly shuffles once on doc_id.
+
+_VOCAB_K = 32
+
+
+@query(
+    "vocab_encode",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tw AS (
+  SELECT doc_id, unnest([{{'pos': i, 'w': t[i]}} FOR i IN range(1, len(t) + 1)]) AS e
+  FROM toks),
+pos AS (SELECT doc_id, e.pos AS pos, e.w AS w FROM tw),
+vc AS (SELECT w, COUNT(*) AS n FROM pos GROUP BY w),
+vocab AS (
+  SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS BIGINT) - 1 AS tid
+  FROM vc QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) <= {_VOCAB_K}),
+enc AS (
+  SELECT p.doc_id, p.pos, COALESCE(v.tid, -1) AS tid
+  FROM pos p LEFT JOIN vocab v USING (w))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       list(tid ORDER BY pos) AS ids
+FROM enc GROUP BY doc_id
+""",
+)
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    vc = pos.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    vocab = (
+        vc.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= _VOCAB_K)
+        .select("w", (F.col("rn").cast("bigint") - 1).alias("tid"))
+    )
+    enc = pos.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("tid"), F.lit(-1).cast("bigint")).alias("tid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)"
+        ).alias("ids"),
+    )
