@@ -437,3 +437,27 @@ class TestQuantileAndRange:
         df = registry.QUERIES["window_time_range"](spark, sf_dir)
         rows = df.collect()
         assert all(r.n_1h >= 1 for r in rows)
+
+
+class TestCurationPlans:
+    """Plan shape for the late curation ops: the scrub pass must stay a
+    narrow scan, and the vocab encode must broadcast the (tiny) vocab."""
+
+    def test_blocklist_scrub_no_shuffle(self, spark, sf_dir):
+        df = registry.QUERIES["text_blocklist_scrub"](spark, sf_dir)
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+
+    def test_vocab_encode_broadcasts_vocab(self, spark, sf_dir):
+        df = registry.QUERIES["vocab_encode"](spark, sf_dir)
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_equidepth_bins_balanced(self, spark, sf_dir):
+        rows = {r.bin: r for r in registry.QUERIES["agg_equidepth_bins"](spark, sf_dir).collect()}
+        assert set(rows) == set(range(1, 11))
+        sizes = [rows[b].n for b in range(1, 11)]
+        assert max(sizes) - min(sizes) <= 1  # ntile's balanced-bucket rule
+        # bins tile the value range in order
+        for b in range(1, 10):
+            assert rows[b].hi <= rows[b + 1].lo
