@@ -1440,3 +1440,50 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)"
         ).alias("ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-entropy quality score: per-document Shannon entropy of the
+# unigram distribution — low-entropy docs are repetitive/templated, the
+# standard cheap diversity signal next to `text_repetition`.  Parity
+# trap handled: -sum(p ln p) over doubles is order-dependent, so each
+# term is rounded to 9 decimals and summed as DECIMAL (exact, order-
+# independent in both engines), then surfaced as double.  One scan +
+# one (doc_id, w) map-side-combined count — no joins, no Python.
+
+
+@query(
+    "text_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY doc_id, w),
+tot AS (SELECT doc_id, SUM(n) AS t FROM cnt GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(MAX(t.t) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(-SUM(CAST(round((n / CAST(t.t AS DOUBLE)) * ln(n / CAST(t.t AS DOUBLE)), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE) AS entropy
+FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id
+""",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(wt).cast("double")
+    term = F.round(p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        cnt.select("doc_id", F.sum("n").over(wt).alias("t"), term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("t").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            (-F.sum("term")).cast("double").alias("entropy"),
+        )
+    )

@@ -401,3 +401,29 @@ def svm_failsafe_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(float(lam), float(v[0]), float(step))],
         "rayleigh double, v0 double, last_checkpoint_step double",
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd's k-means (ml/kmeans.py): the clustering member of
+# the reference's iterate-then-tiny-driver-solve family (A10's loop
+# shape, A8's bounded driver step), and the trainer a production IVF
+# coarse quantizer needs.  Assignment is a narrow literal-broadcast
+# argmin (no shuffle); the update is one map-side-combined shuffle of
+# k x d cells per iteration.  rows-only: iterative, not SQL-expressible.
+
+
+@query("ml_kmeans_cluster")
+def ml_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.ml.kmeans import lloyd
+
+    assigned, history = lloyd(spark, sf_dir, k=4, n_iter=4)
+    assert history[-1] <= history[0] + 1e-9  # Lloyd's never diverges
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dist2").alias("inertia"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("cluster")
+    )

@@ -248,3 +248,45 @@ class TestClassWeights:
         n_pos_wtd, tp_wtd = positives((1.0, 12.0))
         assert n_pos_wtd > n_pos_plain
         assert tp_wtd >= tp_plain
+
+
+class TestKMeans:
+    def test_inertia_monotone_and_partition(self, spark, sf_dir):
+        from psvm_spark.ml.kmeans import lloyd
+
+        assigned, history = lloyd(spark, sf_dir, k=4, n_iter=4)
+        # Lloyd's inertia is non-increasing (allow float wiggle)
+        for a, b in zip(history, history[1:]):
+            assert b <= a + 1e-6
+        rows = assigned.collect()
+        n_emb = len(rows)
+        assert {r.cluster for r in rows} <= set(range(4))
+        assert all(r.dist2 >= 0.0 for r in rows)
+        # every vector assigned exactly once
+        assert len({r.vec_id for r in rows}) == n_emb
+
+    def test_assignment_is_nearest_centroid(self, spark, sf_dir):
+        """Spot-check the literal-broadcast argmin against numpy."""
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.ml.kmeans import lloyd
+
+        assigned, _ = lloyd(spark, sf_dir, k=3, n_iter=2)
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+        sample = assigned.orderBy("vec_id").limit(50).collect()
+        # reconstruct final centroids from the full assignment
+        allrows = assigned.collect()
+        cents = {}
+        for c in {r.cluster for r in allrows}:
+            members = [emb[r.vec_id] for r in allrows if r.cluster == c]
+            cents[c] = np.mean(members, axis=0)
+        for r in sample:
+            d_own = float(np.sum((emb[r.vec_id] - cents[r.cluster]) ** 2))
+            for c, cv in cents.items():
+                # own-cluster distance within one Lloyd step of optimal:
+                # assignment used the PREVIOUS centroids, so allow slack
+                assert d_own <= float(np.sum((emb[r.vec_id] - cv) ** 2)) + 25.0
