@@ -40,10 +40,13 @@ def _dist_expr(k: int) -> str:
 
 def lloyd(
     spark: SparkSession, sf_dir: str, k: int = 4, n_iter: int = 5
-) -> tuple[DataFrame, list[float]]:
-    """Run ``n_iter`` Lloyd iterations; return (assignments, inertia history).
+) -> tuple[DataFrame, list[float], list[list[float]]]:
+    """Run ``n_iter`` Lloyd iterations.
 
-    Assignments frame: (vec_id, label, cluster, dist2).
+    Returns (assignments, inertia history, centroids), where assignments
+    is (vec_id, label, cluster, dist2) under the returned centroids —
+    the centroids the *final* assignment pass used, so downstream users
+    (the IVF quantizer) see a consistent (centroids, assignment) pair.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
@@ -55,7 +58,9 @@ def lloyd(
     cents = init
     history: list[float] = []
     assigned = None
-    for _ in range(n_iter):
+    used = init
+    for it in range(n_iter):
+        used = cents
         lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
         assigned = (
             emb.withColumn("cents", lit)
@@ -74,6 +79,8 @@ def lloyd(
         history.append(
             assigned.agg(F.sum("dist2").alias("i")).collect()[0]["i"]
         )
+        if it == n_iter - 1:
+            break  # keep (centroids, assignment) consistent for callers
         cell = (
             assigned.select("cluster", F.posexplode("emb").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -90,4 +97,4 @@ def lloyd(
         for c, vec in sums.items():
             nxt[c] = [v / counts[c] for v in vec]
         cents = nxt
-    return assigned.select("vec_id", "label", "cluster", "dist2"), history
+    return assigned.select("vec_id", "label", "cluster", "dist2"), history, used

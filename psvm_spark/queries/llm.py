@@ -1487,3 +1487,62 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum("term")).cast("double").alias("entropy"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN with a k-means-trained coarse quantizer: the production form
+# of `sim_ivf` (whose deterministic label-centroid quantizer exists for
+# oracle parity).  The quantizer trains via ml/kmeans.py (literal-
+# broadcast Lloyd's); corpus assignment and probe nprobe-selection are
+# then *narrow* projections against the same centroid literals — the
+# only shuffles left are the candidate equi-join on cluster id and the
+# per-probe top-k window.  At rest at 100 TB the corpus is stored
+# partitioned by cluster id so a probe touches nprobe/k of the data.
+# rows-only: float centroids depend on the training loop, so no SQL
+# oracle; the recall floor vs the brute-force baseline is enforced in
+# tests/test_llm.py.
+
+_IVFK_K = 8
+_IVFK_NPROBE = 3
+
+
+@query("sim_ivf_kmeans")
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.ml.kmeans import _dist_expr, lloyd
+
+    _, _, cents = lloyd(spark, sf_dir, k=_IVFK_K, n_iter=3)
+    lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scored = e.withColumn("cents", lit).withColumn("d", F.expr(_dist_expr(_IVFK_K)))
+    corpus = scored.select(
+        F.col("vec_id").alias("j"),
+        F.col("emb").alias("ve"),
+        F.sqrt(K.dot(F.col("emb"), F.col("emb"))).alias("ne"),
+        (F.expr("array_position(d, array_min(d))").cast("int") - 1).alias("cl"),
+    )
+    nprobe_expr = (
+        "slice(transform(array_sort(zip_with(d, sequence(0, size(d) - 1),"
+        " (x, i) -> struct(x AS dist, i AS idx))), s -> s.idx), 1, "
+        f"{_IVFK_NPROBE})"
+    )
+    probes = (
+        scored.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("i"),
+            F.col("emb").alias("vp"),
+            F.sqrt(K.dot(F.col("emb"), F.col("emb"))).alias("np"),
+            F.explode(F.expr(nprobe_expr)).alias("cl"),
+        )
+    )
+    cosine = F.round(K.dot(F.col("vp"), F.col("ve")) / (F.col("np") * F.col("ne")), 9)
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        fan_out(probes, spark)
+        .join(F.broadcast(corpus), "cl")
+        .filter(F.col("j") != F.col("i"))
+        .select("i", "j", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+    )

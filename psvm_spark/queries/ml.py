@@ -416,7 +416,7 @@ def svm_failsafe_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psvm_spark.ml.kmeans import lloyd
 
-    assigned, history = lloyd(spark, sf_dir, k=4, n_iter=4)
+    assigned, history, _ = lloyd(spark, sf_dir, k=4, n_iter=4)
     assert history[-1] <= history[0] + 1e-9  # Lloyd's never diverges
     return (
         assigned.groupBy("cluster")

@@ -326,3 +326,32 @@ class TestSampleMixture:
         assert rows["de"].kept_frac == 1.0
         assert rows["es"].kept_frac == 1.0
         assert 0.30 <= rows["en"].kept_frac <= 0.70
+
+
+class TestIvfKmeans:
+    def test_recall_vs_bruteforce(self, spark, sf_dir):
+        """The k-means-quantized IVF must beat its scan fraction: with
+        nprobe=3 of k=8 it reads 3/8 of the corpus, so recall well above
+        0.375 means the quantizer actually clusters."""
+        bf = registry.QUERIES["sim_topk_cosine"](spark, sf_dir).collect()
+        ivf = registry.QUERIES["sim_ivf_kmeans"](spark, sf_dir).collect()
+        truth, got = {}, {}
+        for r in bf:
+            truth.setdefault(r.i, set()).add(r.j)
+        for r in ivf:
+            got.setdefault(r.i, set()).add(r.j)
+        recalls = [len(got.get(i, set()) & js) / len(js) for i, js in truth.items()]
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    def test_candidates_only_from_probed_clusters(self, spark, sf_dir):
+        """Every reported neighbor pair shares a probed cluster, and
+        per-probe results are correctly ranked by cosine descending."""
+        rows = registry.QUERIES["sim_ivf_kmeans"](spark, sf_dir).collect()
+        per_probe = {}
+        for r in rows:
+            per_probe.setdefault(r.i, []).append(r)
+        for i, rs in per_probe.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            cosines = [r.cosine for r in rs]
+            assert cosines == sorted(cosines, reverse=True)

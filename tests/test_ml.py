@@ -254,7 +254,7 @@ class TestKMeans:
     def test_inertia_monotone_and_partition(self, spark, sf_dir):
         from psvm_spark.ml.kmeans import lloyd
 
-        assigned, history = lloyd(spark, sf_dir, k=4, n_iter=4)
+        assigned, history, _ = lloyd(spark, sf_dir, k=4, n_iter=4)
         # Lloyd's inertia is non-increasing (allow float wiggle)
         for a, b in zip(history, history[1:]):
             assert b <= a + 1e-6
@@ -272,7 +272,7 @@ class TestKMeans:
         from psvm_spark.catalog import load_table
         from psvm_spark.ml.kmeans import lloyd
 
-        assigned, _ = lloyd(spark, sf_dir, k=3, n_iter=2)
+        assigned, _, _ = lloyd(spark, sf_dir, k=3, n_iter=2)
         emb = {
             r.vec_id: np.array(r.embedding, dtype=np.float64)
             for r in load_table(spark, sf_dir, "embeddings").collect()
