@@ -179,3 +179,115 @@ def map_in_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cogrouped-map pandas (the remaining pandas API after B54's grouped
+# map): orders and lineitem meet per-orderkey as two aligned pandas
+# frames — the escape hatch for per-key logic that needs BOTH sides as
+# local frames (custom reconciliation, per-key model scoring).  Float
+# parity: lineitem money is summed in integer cents inside pandas, so
+# the result is order-independent and matches the oracle's DECIMAL sum.
+# At 100 TB a cogroup is exactly one co-partitioning shuffle of each
+# side on the key — same cost as the equivalent join — and each group
+# must fit one worker's memory (orderkeys are fine; never cogroup on a
+# skewed key).
+
+
+@query(
+    "cogroup_reconcile",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+       CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 0) AS DOUBLE)
+         AS lineitem_total
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderkey
+""",
+)
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:  # lineitems whose order didn't pass the filter
+            return pd.DataFrame(
+                {"o_orderkey": [], "n_lines": [], "lineitem_total": []}
+            ).astype({"o_orderkey": "int64", "n_lines": "int64", "lineitem_total": "float64"})
+        cents = (ldf["l_extendedprice"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_lines": [len(ldf)],
+                "lineitem_total": [cents.sum() / 100.0],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile, "o_orderkey bigint, n_lines bigint, lineitem_total double"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow (the zero-copy Arrow-batch API below pandas): int8 vector
+# quantization of the embedding column — the storage/bandwidth step a
+# real ANN index applies before sharding (4x smaller vectors).  All
+# outputs are exact integers (floor(x*127 + 0.5), clipped to ±127 —
+# floor-plus-half, not round(), because numpy rounds half-even while
+# SQL rounds half-away), so the Python boundary is parity-exact.
+# At 100 TB this is a narrow Arrow-batched pass: no shuffle, memory
+# bounded by the batch size knob.
+
+
+@query(
+    "map_in_arrow_quantize",
+    oracle="""
+SELECT vec_id,
+       CAST(list_aggregate(list_transform(embedding,
+         x -> GREATEST(-127, LEAST(127, CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT)))),
+         'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(embedding,
+         x -> ABS(GREATEST(-127, LEAST(127, CAST(FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))))),
+         'sum') AS BIGINT) AS q_l1,
+       CAST(len(list_filter(embedding,
+         x -> FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) > 127
+           OR FLOOR(CAST(x AS DOUBLE) * 127 + 0.5) < -127)) AS BIGINT) AS n_clipped
+FROM embeddings
+""",
+)
+def map_in_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def quantize(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids, qs, l1s, nc = [], [], [], []
+            for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
+                xd = np.asarray(emb, dtype=np.float32).astype(np.float64)
+                raw = np.floor(xd * 127.0 + 0.5)
+                clipped = int(((raw > 127) | (raw < -127)).sum())
+                q = np.clip(raw, -127, 127).astype(np.int64)
+                ids.append(vid)
+                qs.append(int(q.sum()))
+                l1s.append(int(np.abs(q).sum()))
+                nc.append(clipped)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "q_sum": pa.array(qs, pa.int64()),
+                    "q_l1": pa.array(l1s, pa.int64()),
+                    "n_clipped": pa.array(nc, pa.int64()),
+                }
+            )
+
+    return e.mapInArrow(
+        quantize, "vec_id bigint, q_sum bigint, q_l1 bigint, n_clipped bigint"
+    )
