@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from psvm_spark.catalog import load_table
 
 
-def _dist_expr(k: int) -> str:
+def _dist_expr() -> str:
     # squared L2 distance from `emb` to each row of the `cents` literal
     return (
         "transform(cents, c -> aggregate(zip_with(emb, c, (a, b) -> "
@@ -64,7 +64,7 @@ def lloyd(
         lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
         assigned = (
             emb.withColumn("cents", lit)
-            .withColumn("d", F.expr(_dist_expr(k)))
+            .withColumn("d", F.expr(_dist_expr()))
             .select(
                 "vec_id",
                 "label",

@@ -1515,7 +1515,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    scored = e.withColumn("cents", lit).withColumn("d", F.expr(_dist_expr(_IVFK_K)))
+    scored = e.withColumn("cents", lit).withColumn("d", F.expr(_dist_expr()))
     corpus = scored.select(
         F.col("vec_id").alias("j"),
         F.col("emb").alias("ve"),
@@ -1545,4 +1545,69 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _IVF_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture upsampling (epochs): `sample_mixture` can only *keep or drop*
+# (rates <= 1); training mixtures also need weights > 1 — "2.5 epochs
+# of German" means every de doc appears 2 times and half of them a 3rd
+# time.  n_copies = floor(w) + (md5 bucket < frac(w)), all integer
+# arithmetic on a salted content hash ('epoch:' salt — independent of
+# the split/mix salts), so the expansion is deterministic under re-runs
+# and cluster resizing.  At 100 TB the explode is a narrow flatMap (no
+# shuffle); output size = sum of weights, exactly what the training job
+# wants to read.
+
+_EPOCH_PCT = {"en": 50, "fr": 100, "zh": 125, "de": 250, "es": 300}
+
+
+@query(
+    "sample_upsample_epochs",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('epoch:' || text), 1, 4))::INTEGER % 100 AS pct
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, pct,
+         CASE lang WHEN 'en' THEN {_EPOCH_PCT['en']} WHEN 'fr' THEN {_EPOCH_PCT['fr']}
+                   WHEN 'zh' THEN {_EPOCH_PCT['zh']} WHEN 'de' THEN {_EPOCH_PCT['de']}
+                   ELSE {_EPOCH_PCT['es']} END AS wp
+  FROM b
+),
+n AS (
+  SELECT doc_id, lang,
+         CAST(wp // 100 + CASE WHEN pct < wp % 100 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_copies
+  FROM w
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+FROM n WHERE n_copies >= 1
+""",
+)
+def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pct = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("epoch:"), F.col("text"))), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    wp = F.lit(_EPOCH_PCT["es"])
+    for lg, w in _EPOCH_PCT.items():
+        wp = F.when(F.col("lang") == lg, F.lit(w)).otherwise(wp)
+    n_copies = (
+        F.floor(wp / 100) + F.when(pct < wp % 100, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "lang", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias(
+                "copy"
+            ),
+        )
     )
