@@ -461,3 +461,39 @@ class TestCurationPlans:
         # bins tile the value range in order
         for b in range(1, 10):
             assert rows[b].hi <= rows[b + 1].lo
+
+
+class TestObservedMetrics:
+    def test_observe_collects_dq_metrics_in_one_pass(self, spark, sf_dir):
+        """`DataFrame.observe` piggybacks DQ metrics on a query's own
+        action — at 100 TB the audit costs zero extra scans, unlike a
+        separate dq_expectations pass.  The observed counts must agree
+        with directly-computed ones."""
+        from pyspark.sql import Observation
+
+        from psvm_spark.catalog import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        obs = Observation("dq")
+        observed = li.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0)
+            ).alias("qty_violations"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_price"),
+        )
+        # the "real" job: an unrelated aggregate over the same scan
+        result = observed.groupBy("l_returnflag").count().collect()
+        assert result
+        got = obs.get
+        direct = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0)
+            ).alias("qty_violations"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_price"),
+        ).collect()[0]
+        assert got["n_rows"] == direct["n_rows"]
+        assert got["qty_violations"] == direct["qty_violations"]
+        assert got["sum_price"] == direct["sum_price"]
