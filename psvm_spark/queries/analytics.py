@@ -365,3 +365,51 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_nation").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join: resolve each fact row (click) against the
+# dimension version valid at its timestamp — the lookup side of
+# `scd2_intervals`, and the single most common warehouse join after the
+# star join.  Expressed as an equi-join on the entity key with the
+# interval predicate as residual: one shuffle per side, residual
+# evaluated in-partition (intervals per user are non-overlapping by
+# construction, so each fact matches at most one version).  At 100 TB
+# the alternative formulation is the as-of join (operators/asof.py) —
+# union + running last — which avoids materializing wide dim rows per
+# fact candidate; both are one shuffle on the key.
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, value AS v, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_type = 'error'),
+fact AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT f.event_id, f.user_id, f.ts, d.v, d.valid_from
+FROM fact f JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+""",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")  # oracle's tie-break
+    dim = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("value").alias("v"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    fact = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return fact.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select("event_id", "user_id", "ts", "v", "valid_from")

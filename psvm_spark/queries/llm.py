@@ -1611,3 +1611,38 @@ def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# JSONL export: serialize curated documents to the JSON-lines records a
+# training job ingests, with a deterministic shard assignment (doc_id
+# mod N — at 100 TB the writer does `partitionBy("shard")` so each
+# shard is one file set and the export parallelizes without a
+# shuffle).  Spark's to_json(struct(...)) and DuckDB's json_object emit
+# byte-identical compact JSON for int/string fields, so the exported
+# line itself is oracle-checked, not just its stats.
+
+_EXPORT_SHARDS = 8
+
+
+@query(
+    "export_jsonl",
+    oracle=f"""
+SELECT doc_id,
+       doc_id % {_EXPORT_SHARDS} AS shard,
+       CAST(json_object('doc_id', doc_id, 'lang', lang, 'text', text) AS VARCHAR)
+         AS line,
+       CAST(length(CAST(json_object('doc_id', doc_id, 'lang', lang, 'text', text)
+                        AS VARCHAR)) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "text"))
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % _EXPORT_SHARDS).alias("shard"),
+        line.alias("line"),
+        F.length(line).cast("bigint").alias("n_chars"),
+    )
