@@ -497,3 +497,34 @@ class TestObservedMetrics:
         assert got["n_rows"] == direct["n_rows"]
         assert got["qty_violations"] == direct["qty_violations"]
         assert got["sum_price"] == direct["sum_price"]
+
+
+class TestDynamicPartitionPruning:
+    def test_dpp_prunes_fact_partitions(self, spark, sf_dir, tmp_path):
+        """At 100 TB, a fact table partitioned on the join key must be
+        pruned by the dim-side filter at RUNTIME (Catalyst DPP): the
+        join's partition filter shows a dynamicpruning expression, so
+        only the dim-selected partitions are scanned."""
+        from psvm_spark.catalog import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        fact_path = str(tmp_path / "orders_by_prio")
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(fact_path)
+        fact = spark.read.parquet(fact_path)
+        dim = (
+            o.select("o_orderpriority")
+            .distinct()
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        )
+        joined = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+        plan = _plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+        rows = {r.o_orderpriority: r["count"] for r in joined.collect()}
+        truth = {
+            r.o_orderpriority: r["count"]
+            for r in o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        }
+        assert rows == truth
