@@ -266,3 +266,36 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(words, 1).alias("first_word"),
         F.element_at(words, -1).alias("last_word"),
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT path for semi-structured data (Spark 4): parse_json once into
+# the binary-encoded VariantType, then typed variant_get extraction —
+# the engine-native replacement for repeated from_json/get_json_object
+# string re-parsing.  At 100 TB the parse happens once per row in the
+# scan projection and every later extraction is a cheap binary probe
+# (and parquet can store the variant column itself, making re-parses
+# zero).  The oracle extracts the same typed values from the JSON text;
+# schema_of_variant is checked as the engine's inferred per-row type.
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+       CAST(json_extract(props, '$.missing') AS BIGINT) AS absent,
+       'OBJECT<k: BIGINT>' AS vtype
+FROM events
+""",
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        (F.expr("variant_get(parse_json(props), '$.k', 'bigint')") * 2).alias("k_doubled"),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").alias("absent"),
+        F.expr("schema_of_variant(parse_json(props))").alias("vtype"),
+    )
