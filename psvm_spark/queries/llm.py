@@ -1646,3 +1646,47 @@ def export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         line.alias("line"),
         F.length(line).cast("bigint").alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contiguous global row ids (doc_id order): training shards need dense
+# 0..N-1 example ids, and the naive ROW_NUMBER() OVER (ORDER BY ...)
+# is a single-partition global sort — the canonical 100 TB anti-plan.
+# Two-phase instead: (1) count rows per doc_id block (map-side-combined
+# agg, block table is ~N/B rows), cumulative-sum the block counts into
+# offsets with a window over the TINY block table, (2) broadcast the
+# offsets back and add the within-block rank (shuffle on block id — B
+# bounds every window partition).  Same result as the global sort, no
+# global sort.
+
+_ID_BLOCK = 1024
+
+
+@query(
+    "ids_contiguous",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+FROM documents
+""",
+)
+def ids_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") - (F.col("doc_id") % _ID_BLOCK)).alias("blk")
+    )
+    counts = d.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "blk", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = Window.partitionBy("blk").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), "blk")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("offset") + F.row_number().over(w_in) - 1)
+            .cast("bigint")
+            .alias("global_id"),
+        )
+    )
