@@ -236,3 +236,50 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_above"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction: the steady-state maintenance job every 100 TB
+# table needs — streaming/CDC sinks leave thousands of KB-sized files,
+# and scan cost becomes per-file overhead instead of bytes.  The op:
+# read the fragmented table, repartitionByRange on the sort key (range
+# partitioning keeps files non-overlapping so min/max data skipping
+# stays effective), write back, and verify CONTENT IDENTITY — the
+# oracle aggregates the original table, the query aggregates the
+# compacted copy, so any row lost/duplicated in the rewrite breaks the
+# hash.  One shuffle, output file count = target partition count.
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+GROUP BY lang
+""",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="psvm_compact_")
+    frag, compact = base + "/frag", base + "/compact"
+    # simulate a fragmented CDC landing zone: 64 tiny files
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len(glob.glob(frag + "/part-*"))
+    back = spark.read.parquet(frag)
+    back.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(compact)
+    n_compact = len(glob.glob(compact + "/part-*"))
+    assert n_compact < n_frag, (n_compact, n_frag)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
