@@ -1690,3 +1690,39 @@ def ids_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick featurization: map every token to a fixed-width bucket
+# (md5-derived, engine-independent — Spark's hash() is Murmur3 and
+# DuckDB's hash() is not, so neither is used) and emit per-doc sparse
+# (bucket, count) features — the classic fixed-dimension featurizer
+# that needs NO vocabulary pass, no broadcast, and never changes shape
+# as the corpus grows.  One explode + one (doc_id, bucket) map-side-
+# combined count: a single shuffle at any scale.
+
+_HASH_DIM = 1024
+
+
+@query(
+    "feat_hashing_trick",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT doc_id,
+       ('0x' || substr(md5(w), 1, 4))::INTEGER % {_HASH_DIM} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY doc_id, bucket
+""",
+)
+def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("int") % _HASH_DIM
+    )
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
