@@ -1726,3 +1726,85 @@ def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining: top bigram associations by pointwise mutual
+# information — the standard corpus-linguistics signal for multiword
+# expressions (and a tokenizer-merge heuristic).  Parity care: PMI is
+# ln of a ratio of exact integers; both engines compute the integer
+# products exactly (all < 2^53), one double division, one ln, rounded
+# to 9 — bit-identical.  Totals are one-row aggregate frames cross-
+# joined (broadcast), never driver collects.  Unigram/bigram count
+# tables are vocabulary-bounded; the final top-20 is a
+# TakeOrderedAndProject, no global sort.
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@query(
+    "text_pmi_top",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT unnest(t) AS w FROM toks),
+u AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+tot AS (SELECT COUNT(*) AS t_total FROM uni),
+big AS (
+  SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}} FOR i IN range(1, len(t))]) AS bg
+  FROM toks),
+b AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS nb FROM big GROUP BY w1, w2),
+btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_total FROM big),
+scored AS (
+  SELECT b.w1, b.w2, b.nb,
+         round(ln(CAST(b.nb * tot.t_total * tot.t_total AS DOUBLE)
+                  / CAST(btot.b_total * u1.n * u2.n AS DOUBLE)), 9) AS pmi
+  FROM b, tot, btot
+  JOIN u u1 ON b.w1 = u1.w
+  JOIN u u2 ON b.w2 = u2.w
+  WHERE b.nb >= {_PMI_MIN_COUNT})
+SELECT w1, w2, CAST(nb AS BIGINT) AS nb, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_PMI_TOPK}
+""",
+)
+def text_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(F.split("text", " ").alias("t"))
+    uni = d.select(F.explode("t").alias("w"))
+    u = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t_total"))
+    big = d.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    b = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    btot = big.agg(F.count(F.lit(1)).cast("bigint").alias("b_total"))
+    u1 = u.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = u.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        b.filter(F.col("nb") >= _PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("nb").cast("bigint").alias("nb"),
+            F.round(
+                F.log(
+                    (F.col("nb") * F.col("t_total") * F.col("t_total")).cast("double")
+                    / (F.col("b_total") * F.col("n1") * F.col("n2")).cast("double")
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _PMI_TOPK)
+    )
