@@ -38,22 +38,29 @@ def main() -> None:
     materialize(registry.QUERIES["agg_pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in registry.QUERIES.items():
         t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
+        try:
+            materialize(fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001 — one transient failure must not kill the run
+            try:
+                materialize(fn(spark, sf_dir))  # one retry
+            except Exception as ex:  # noqa: BLE001
+                errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+                continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
