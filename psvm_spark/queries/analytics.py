@@ -413,3 +413,48 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
     ).select("event_id", "user_id", "ts", "v", "valid_from")
+
+
+# --------------------------------------------------------------------------
+# Rolling distinct actives (WAU): distinct users over a trailing 7-day
+# window, per day.  COUNT(DISTINCT) over a sliding window has no
+# incremental form, and the naive per-day re-scan is O(days x data);
+# the scalable pattern: dedup to (user, day) once, then each user-day
+# CONTRIBUTES to the 7 target days it keeps the user active for
+# (explode of a 7-element date sequence — narrow), dedup (user,
+# target_day), count per day.  Two map-side-combined shuffles total,
+# independent of window length ratio; the same shape computes MAU with
+# a 30-element sequence.  Days beyond the observed range are clipped
+# with a broadcast one-row max — no driver collect.
+
+
+@query(
+    "metric_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+mx AS (SELECT MAX(d) AS max_d FROM ud),
+contrib AS (
+  SELECT DISTINCT user_id, CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE) AS tday
+  FROM ud),
+clipped AS (
+  SELECT c.user_id, c.tday FROM contrib c, mx WHERE c.tday <= mx.max_d)
+SELECT CAST(tday AS TIMESTAMP) AS day, CAST(COUNT(*) AS BIGINT) AS wau
+FROM clipped GROUP BY tday
+""",
+)
+def metric_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    mx = ud.agg(F.max("d").alias("max_d"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("tday"),
+    ).distinct()
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .filter(F.col("tday") <= F.col("max_d"))
+        .groupBy("tday")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+        .select(F.col("tday").cast("timestamp").alias("day"), "wau")
+    )
