@@ -458,3 +458,57 @@ def metric_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
         .select(F.col("tday").cast("timestamp").alias("day"), "wau")
     )
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection (median/MAD): per-user robust z-scores over
+# event values — median and MAD resist the outliers that mean/stddev
+# z-scores absorb.  Two grouped exact-percentile passes (both shuffle
+# on user_id — the second reuses the first's partitioning) and a final
+# per-row flag.  Parity: Spark `percentile` == DuckDB `quantile_cont`
+# bitwise; |x - med| and the /1.4826-free MAD ratio are per-row IEEE
+# ops rounded to 9.  At 100 TB exact per-group percentiles buffer each
+# group (user) — bounded here; the corpus-wide variant would switch to
+# approx_percentile partials.
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id),
+dev AS (
+  SELECT e.user_id, e.event_id, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.user_id = m.user_id),
+mad AS (
+  SELECT user_id, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY user_id)
+SELECT d.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE mad.mad > 0
+              AND round(d.adev / mad.mad, 9) > 3.0) AS BIGINT) AS n_anomalies,
+       round(MAX(mad.mad), 9) AS mad
+FROM dev d JOIN mad ON d.user_id = mad.user_id
+GROUP BY d.user_id
+""",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(med, "user_id").select(
+        "user_id", "event_id", "value", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("user_id").agg(F.percentile("adev", 0.5).alias("mad"))
+    flagged = dev.join(mad, "user_id")
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                (F.col("mad") > 0) & (F.round(F.col("adev") / F.col("mad"), 9) > 3.0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies"),
+        F.round(F.max("mad"), 9).alias("mad"),
+    )

@@ -330,3 +330,38 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report: each row's share of its group total — the reporting
+# window that turns absolute measures into contribution percentages.
+# The partition-total window is a single shuffle on the group key and
+# Spark evaluates it with a partial+final window agg (no sort needed
+# for an unbounded frame).  Parity: the total is an exact DECIMAL
+# window sum cast to double once; the share divides two exact doubles,
+# rounded to 9.
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+       round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+             / CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_orderpriority) AS DOUBLE), 9) AS share
+FROM orders
+""",
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(12,2)")
+    w = Window.partitionBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        price_dec.cast("double").alias("price"),
+        F.round(
+            price_dec.cast("double") / F.sum(price_dec).over(w).cast("double"), 9
+        ).alias("share"),
+    )
