@@ -443,3 +443,35 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dmoney("o_totalprice")).alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted aggregates: quantity-weighted average price per return flag —
+# the measure class (weighted means, rates) behind every revenue /
+# exposure metric.  Both numerator (sum of decimal products) and
+# denominator (decimal sum) are exact and order-independent; ONE
+# double division at the end makes it parity-exact.  Same
+# partial+final agg shape as any sum — one map-side-combined shuffle.
+
+
+@query(
+    "agg_weighted",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wavg_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(p * q).cast("double") / F.sum(q).cast("double")).alias("wavg_price"),
+        F.sum(q).cast("double").alias("total_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -299,3 +299,49 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").alias("absent"),
         F.expr("schema_of_variant(parse_json(props))").alias("vtype"),
     )
+
+
+# --------------------------------------------------------------------------
+# NULL-comparison semantics: `equal_null` (Spark) == `IS NOT DISTINCT
+# FROM` (SQL) treats NULL = NULL as true, vs `=` whose NULL result
+# three-valued-logics through filters and joins — the semantics that
+# bite every CDC diff and dedup on nullable keys (snapshot_diff and
+# join_not_in_nulls rely on them).  Pure per-row expressions; the
+# nullable operands come from try_divide and a conditional NULL.
+
+
+@query(
+    "scalar_null_semantics",
+    oracle="""
+SELECT o_orderkey,
+       a IS NOT DISTINCT FROM b AS ndist,
+       a IS DISTINCT FROM b AS dist,
+       (a = b) IS NULL AS eq_is_null,
+       COALESCE(a, b, -1.0) AS first_non_null,
+       a IS NULL AND b IS NULL AS both_null
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN NULL
+              ELSE CAST(o_totalprice AS DOUBLE) END AS a,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE CAST(o_totalprice AS DOUBLE) END AS b
+  FROM orders)
+""",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("double")).otherwise(
+        F.col("o_totalprice").cast("double")
+    )
+    b = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("o_totalprice").cast("double")
+    )
+    base = o.select("o_orderkey", a.alias("a"), b.alias("b"))
+    return base.select(
+        "o_orderkey",
+        F.expr("a <=> b").alias("ndist"),
+        (~F.expr("a <=> b")).alias("dist"),
+        (F.col("a") == F.col("b")).isNull().alias("eq_is_null"),
+        F.coalesce("a", "b", F.lit(-1.0)).alias("first_non_null"),
+        (F.col("a").isNull() & F.col("b").isNull()).alias("both_null"),
+    )
