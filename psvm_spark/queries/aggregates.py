@@ -134,14 +134,17 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # B22 — collect_list / collect_set / min_by / max_by.  Lists are sorted
-# so the value-hash is deterministic.
+# so the value-hash is deterministic, then joined to a scalar string:
+# the driver's pandas-based hasher cannot sort/hash array-typed cells
+# (round-1 failure: TypeError unhashable 'numpy.ndarray'), so every
+# oracled query must emit scalar columns only.
 
 
 @query(
     "agg_collect",
     oracle="""
 SELECT n_regionkey,
-       list_sort(list(n_name)) AS nations,
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
        min_by(n_name, n_nationkey) AS first_nation,
        max_by(n_name, n_nationkey) AS last_nation
 FROM nation
@@ -151,7 +154,7 @@ GROUP BY n_regionkey
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
         F.min_by("n_name", "n_nationkey").alias("first_nation"),
         F.max_by("n_name", "n_nationkey").alias("last_nation"),
     )
