@@ -35,20 +35,38 @@ BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 _cache: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-TZ TIMESTAMP whatever physical
+    type the fixture parquet uses.
+
+    The fixtures have shipped ``ts`` two ways: int64 nanoseconds (read as
+    bigint under ``nanosAsLong``) and ``timestamp[us]`` with
+    ``isAdjustedToUTC=false``, which Spark 4 reads as TIMESTAMP_NTZ.  The
+    session timezone is pinned UTC (session.py), so an NTZ->TIMESTAMP cast
+    preserves wall-clock values exactly and DuckDB parity holds.  Every
+    downstream consumer (``unix_micros``, watermarks, event-time windows)
+    requires a true TIMESTAMP.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; memoized per (session, sf_dir, table).
 
-    ``events.ts`` arrives as long nanoseconds (see session.py conf) and is
-    converted here to a microsecond timestamp by integer floor-division —
-    exactly how DuckDB truncates the same parquet column, so oracle
-    comparisons on ``ts`` agree.
+    ``events.ts`` is normalized to TIMESTAMP (see ``normalize_event_ts``)
+    so oracle comparisons on ``ts`` agree with DuckDB.
     """
     ensure_session_invariants(spark)
     key = (id(spark), sf_dir.rstrip("/"), name)
     if key not in _cache:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            df = normalize_event_ts(df)
         _cache[key] = df
     return _cache[key]
 
@@ -82,9 +100,19 @@ def load_events_range(spark: SparkSession, sf_dir: str, lo_iso: str, hi_iso: str
 
     ensure_session_invariants(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.filter((F.col("ts") >= _ns(lo_iso)) & (F.col("ts") < _ns(hi_iso)))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        # Filter the raw NTZ column against NTZ literals so the predicate
+        # stays pushable into the parquet scan; cast to TIMESTAMP after
+        # (session TZ is UTC, values unchanged).
+        df = df.filter(
+            (F.col("ts") >= F.lit(lo_iso).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi_iso).cast("timestamp_ntz"))
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.filter(
         (F.col("ts") >= F.lit(lo_iso).cast("timestamp"))
         & (F.col("ts") < F.lit(hi_iso).cast("timestamp"))

@@ -23,6 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psvm_spark.catalog import normalize_event_ts
 from psvm_spark.session import ensure_session_invariants
 
 _counter = itertools.count()
@@ -39,9 +40,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_ts(df)
 
 
 def run_to_table(
