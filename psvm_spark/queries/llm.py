@@ -1414,7 +1414,7 @@ enc AS (
   FROM pos p LEFT JOIN vocab v USING (w))
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       list(tid ORDER BY pos) AS ids
+       array_to_string(list(tid ORDER BY pos), ',') AS ids
 FROM enc GROUP BY doc_id
 """,
 )
@@ -1437,7 +1437,8 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).cast("bigint").alias("n_oov"),
         F.expr(
-            "transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)"
+            "array_join(transform(array_sort(collect_list(struct(pos, tid))),"
+            " x -> cast(x.tid as string)), ',')"
         ).alias("ids"),
     )
 

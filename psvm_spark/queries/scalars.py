@@ -159,23 +159,29 @@ SELECT vec_id,
        round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS vec_sum_r6,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
        CAST(embedding[1] AS DOUBLE) AS first_dim,
-       list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS head3_sorted,
+       list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)))[1] AS head3_min,
+       list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)))[2] AS head3_mid,
+       list_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)))[3] AS head3_max,
        list_contains(list_transform(embedding, x -> x > 1.0), true) AS any_gt1
 FROM embeddings
 """,
 )
 def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head3 is emitted as three scalar double columns, not an array: the
+    # driver's pandas hasher cannot hash array cells, and joining doubles
+    # to a string would couple parity to float-formatting quirks.
     e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head3 = F.array_sort(F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double")))
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 6).alias("vec_sum_r6"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
         F.col("embedding")[0].cast("double").alias("first_dim"),
-        F.array_sort(F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))).alias(
-            "head3_sorted"
-        ),
+        F.element_at(head3, 1).alias("head3_min"),
+        F.element_at(head3, 2).alias("head3_mid"),
+        F.element_at(head3, 3).alias("head3_max"),
         F.exists("embedding", lambda x: x > 1.0).alias("any_gt1"),
     )
 
@@ -215,7 +221,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       list_sort(list(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER) % 5)) AS k_mod_set
+       array_to_string(list_sort(list(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER) % 5)), ',') AS k_mod_set
 FROM events
 GROUP BY event_type
 """,
@@ -234,7 +240,9 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return withmap.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.array_sort(F.collect_set("k_mod")).alias("k_mod_set"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_set("k_mod")), lambda x: x.cast("string")), ","
+        ).alias("k_mod_set"),
     )
 
 

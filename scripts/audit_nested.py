@@ -18,7 +18,11 @@ from pyspark.sql.types import ArrayType, MapType, StructType
 from psvm_spark.registry import ORACLES, QUERIES, load_all
 from psvm_spark.session import get_spark
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR = (
+    sys.argv[1]
+    if len(sys.argv) > 1
+    else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+)
 
 
 def main() -> int:
@@ -31,7 +35,7 @@ def main() -> int:
         try:
             df = fn(spark, SF_DIR)
         except Exception as exc:  # noqa: BLE001
-            errs.append((name, repr(exc)[:120]))
+            errs.append((name, f"{exc.__class__.__name__}: {str(exc)[:200]}"))
             continue
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
