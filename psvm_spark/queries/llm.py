@@ -366,28 +366,43 @@ SELECT i, j, cosine, rank FROM ranked WHERE rank <= 10
 """,
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: the CORPUS stays partitioned (it is the 100 TB side)
+    # and only the PROBES are broadcast — the reverse would ship the whole
+    # corpus to every executor.  Per-(probe, corpus-partition) partial
+    # top-k runs first, so the final per-probe window ranks at most
+    # n_partitions x 10 candidates per probe instead of the full corpus:
+    # the unavoidable one pass over all pairs is shuffled on the
+    # high-cardinality (i, pid) key (no skew), and the second shuffle is
+    # negligible.  The partial top-k uses the same (cosine DESC, j ASC)
+    # ordering as the final rank, so every global top-10 row survives its
+    # partition's top-10 — results are identical to the naive plan.
     # Norms are computed once per row BEFORE the pair join (the oracle
     # inlines them — the value is identical, but per-pair recomputation
     # would triple the higher-order-function work on n_probes x n rows).
     e = load_table(spark, sf_dir, "embeddings")
-    probes = fan_out(e.filter(F.col("vec_id") % 50 == 0), spark).select(
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("i"),
         F.col("embedding").alias("vp"),
         F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("np"),
     )
-    corpus = e.select(
+    corpus = fan_out(e, spark).select(
         F.col("vec_id").alias("j"),
         F.col("embedding").alias("ve"),
         F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("ne"),
     )
     cosine = F.round(K.dot(F.col("vp"), F.col("ve")) / (F.col("np") * F.col("ne")), 9)
-    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
-    return (
-        probes.join(F.broadcast(corpus), F.col("j") != F.col("i"))
-        .select("i", "j", cosine.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+    pairs = (
+        corpus.join(F.broadcast(probes), F.col("j") != F.col("i"))
+        .select("i", "j", cosine.alias("cosine"), F.spark_partition_id().alias("pid"))
     )
+    w_local = Window.partitionBy("i", "pid").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    cand = (
+        pairs.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= 10)
+        .drop("lr", "pid")
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 
 
 # --------------------------------------------------------------------------

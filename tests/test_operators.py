@@ -44,6 +44,17 @@ class TestPlanQuality:
         plan = _plan(df)
         assert "NestedLoop" not in plan and "Cartesian" not in plan
 
+    def test_topk_cosine_broadcasts_probes_not_corpus(self, spark, sf_dir):
+        """The corpus is the 100 TB side: only the probe set may be
+        broadcast.  Exactly one BroadcastExchange, and its subtree must be
+        the %50-sampled probes (the filter lives under the exchange)."""
+        df = registry.QUERIES["sim_topk_cosine"](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("BroadcastExchange") == 1
+        assert "% 50" in plan[plan.index("BroadcastExchange"):]
+
 
 class TestBandJoin:
     def test_matches_naive_nonequi(self, spark, sf_dir):
