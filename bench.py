@@ -44,6 +44,7 @@ def main() -> None:
         try:
             materialize(fn(spark, sf_dir))
         except Exception:  # noqa: BLE001 — one transient failure must not kill the run
+            t0 = time.perf_counter()  # time the retry alone, not failure + retry
             try:
                 materialize(fn(spark, sf_dir))  # one retry
             except Exception as ex:  # noqa: BLE001
@@ -56,6 +57,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "n_ok": len(timings),
         "sf": sf,
     }
     if errors:

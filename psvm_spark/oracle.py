@@ -104,6 +104,28 @@ def compare_query(
     if sorted(spdf.columns) != sorted(opdf.columns):
         notes.append(f"column mismatch: spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}")
         return CompareResult(name, False, len(spdf), len(opdf), notes)
+    # Dtype gate: the driver's schema_match compares result schemas, so
+    # the local check must too — a value-hash-equal int64-vs-float64 pair
+    # could pass the hash yet fail the driver.  Comparison is at dtype
+    # FAMILY level (int/float/bool/datetime/object): the driver tolerates
+    # width/unit differences (int32-vs-int64 ranks and ns-vs-us
+    # timestamps both passed schema_match in CORRECTNESS_r02), but a
+    # cross-family mismatch signals a genuinely different logical type.
+    def _family(dt) -> str:
+        kind = getattr(dt, "kind", "?")
+        return {
+            "i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "datetime", "m": "timedelta", "O": "object",
+        }.get(kind, str(dt))
+
+    dtype_bad = [
+        f"{c}: spark={spdf[c].dtype} oracle={opdf[c].dtype}"
+        for c in sorted(spdf.columns)
+        if _family(spdf[c].dtype) != _family(opdf[c].dtype)
+    ]
+    if dtype_bad:
+        notes.append("dtype mismatch: " + "; ".join(dtype_bad))
+        return CompareResult(name, False, len(spdf), len(opdf), notes)
     if len(spdf) != len(opdf):
         notes.append("row count mismatch")
     srows, orows = _canon_rows(spdf), _canon_rows(opdf)

@@ -346,19 +346,30 @@ def svm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("scan_libsvm")
 def scan_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import tempfile
 
+    # Fully distributed round-trip: each executor formats its own rows
+    # (`index:value` pairs via JVM-side transform/concat_ws — no Python
+    # in the row path) and writes its own text split; no driver collect,
+    # so the derivation works at any table size.  The libsvm source then
+    # reads the whole directory back.
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    rows = e.filter(F.col("vec_id") % 10 == 0).collect()
+    sample = e.filter(F.col("vec_id") % 10 == 0)
+    y = F.when(F.col("label") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("string")
+    feats = F.filter(
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                x != 0.0, F.concat((i + 1).cast("string"), F.lit(":"), x.cast("string"))
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
     d = tempfile.mkdtemp(prefix="psvm_libsvm_")
-    fp = os.path.join(d, "data.libsvm")
-    with open(fp, "w") as f:
-        for r in sorted(rows, key=lambda r: r.vec_id):
-            y = 1 if r.label % 2 == 0 else -1
-            feats = " ".join(f"{i + 1}:{v}" for i, v in enumerate(r.embedding) if v != 0.0)
-            f.write(f"{y} {feats}\n")
-    df = spark.read.format("libsvm").option("numFeatures", "64").load(fp)
+    sample.select(F.concat_ws(" ", y, feats).alias("value")).write.mode("overwrite").text(
+        f"{d}/data"
+    )
+    df = spark.read.format("libsvm").option("numFeatures", "64").load(f"{d}/data")
     return df.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
 
 
