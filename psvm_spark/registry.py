@@ -40,19 +40,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all() -> None:
-    """Import every query module so decorators run (idempotent)."""
+    """Import every query module so decorators run (idempotent).
+
+    Import order is deliberate: the driver's correctness sample is the
+    FIRST 50 registered keys, and rounds 1-2 sampled the same
+    aggregates/analytics/joins/llm window, leaving 105 queries with no
+    driver-green evidence.  The order rotates per round so every family
+    accumulates driver-sampled rows: round 3 fronts relational (incl.
+    the flagship), scalars, windows, streaming, sources — none of which
+    had ever been sampled.
+    """
     from psvm_spark.queries import (  # noqa: F401
+        relational,
+        scalars,
+        windows,
+        streaming,
+        sources,
+        udfs,
+        warehouse,
+        ml,
+        multimodal,
         aggregates,
         analytics,
         joins,
         llm,
-        ml,
-        multimodal,
-        relational,
-        scalars,
-        sources,
-        streaming,
-        udfs,
-        warehouse,
-        windows,
     )
