@@ -2,20 +2,28 @@
 ``binary`` payloads + typed metadata, with decode / feature-extract /
 frame-sample as Arrow-batched Python stages.
 
-The container has no image/audio libs, so the *codec* step is stubbed:
-``_decode_or_fake`` tries the real decoder import and falls back to a
-deterministic byte-statistics fake (clearly marked).  Everything
-Spark-side is real and tested: binary column synthesis, metadata
-structs, mapInPandas batch iteration, UDF signatures, partitioning.
+The payloads are REAL container formats, synthesized deterministically
+from documents with SQL-expressible byte math (so the metadata query
+keeps a full DuckDB oracle):
 
-The media table is synthesized deterministically from documents
-(payload = unhex(md5(text)) repeated), so the metadata query has a full
-DuckDB oracle; byte-level feature extraction is checked against a
-NumPy reference in tests instead.
+- ``image``: binary PPM (P6), 8x6 RGB — 11-byte header + 144 pixel
+  bytes derived from md5(text).
+- ``audio``: RIFF/WAVE, PCM16 mono 8 kHz, 64 samples — standard
+  44-byte header (constant, since the sample count is fixed) + 128
+  data bytes derived from md5(text).
+- ``video``: headerless stream of 16-byte frames (the md5 digest
+  repeated), consumed by the frame sampler.
+
+``mm_decode_features`` decodes pixels/samples with pure NumPy (header
+parse, reshape, channel stats, RMS) — no byte-stats fake; PIL/librosa
+are simply not needed for these uncompressed formats.  The decode is
+checked pixel/sample-level against an independent Python reference in
+tests/test_multimodal.py.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,15 +33,47 @@ from psvm_spark.registry import query
 
 _KINDS = ("image", "audio", "video")
 
+# "P6\n8 6\n255\n" — PPM header for a fixed 8x6 thumbnail.
+_PPM_W, _PPM_H = 8, 6
+_PPM_HEADER_HEX = b"P6\n8 6\n255\n".hex()
+# RIFF/WAVE PCM16 mono 8kHz, 64 samples (128 data bytes): the header is
+# a 44-byte constant because every size field is fixed.
+_WAV_SR, _WAV_N = 8000, 64
+_WAV_HEADER_HEX = (
+    b"RIFF"
+    + (36 + 2 * _WAV_N).to_bytes(4, "little")
+    + b"WAVEfmt "
+    + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")  # PCM
+    + (1).to_bytes(2, "little")  # mono
+    + _WAV_SR.to_bytes(4, "little")
+    + (2 * _WAV_SR).to_bytes(4, "little")  # byte rate
+    + (2).to_bytes(2, "little")  # block align
+    + (16).to_bytes(2, "little")  # bits/sample
+    + b"data"
+    + (2 * _WAV_N).to_bytes(4, "little")
+).hex()
+
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the media fixture: one row per document, kind by
-    doc_id%3, payload = md5 digest bytes repeated (kind-dependent
-    length), typed metadata struct."""
+    doc_id%3, payload a real PPM/WAV/frame-stream (see module doc),
+    typed metadata struct."""
     d = load_table(spark, sf_dir, "documents")
     kind = F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
-    reps = (F.col("doc_id") % 3 + 1) * 4  # 64/128/192-byte payloads
-    payload = F.to_binary(F.repeat(F.md5("text"), reps.cast("int")), F.lit("hex"))
+    digest = F.md5("text")  # 32 hex chars = 16 payload bytes per repeat
+    img = F.concat(
+        F.to_binary(F.lit(_PPM_HEADER_HEX), F.lit("hex")),
+        F.to_binary(F.repeat(digest, _PPM_W * _PPM_H * 3 // 16), F.lit("hex")),
+    )
+    wav = F.concat(
+        F.to_binary(F.lit(_WAV_HEADER_HEX), F.lit("hex")),
+        F.to_binary(F.repeat(digest, 2 * _WAV_N // 16), F.lit("hex")),
+    )
+    vid = F.to_binary(F.repeat(digest, 12), F.lit("hex"))  # 12 x 16-byte frames
+    payload = (
+        F.when(kind == "image", img).when(kind == "audio", wav).otherwise(vid)
+    )
     return d.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
@@ -53,11 +93,15 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_metadata_stats",
-    oracle="""
+    oracle=f"""
 WITH media AS (
   SELECT doc_id AS media_id,
          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-         from_hex(repeat(md5(text), CAST((doc_id % 3 + 1) * 4 AS INT))) AS payload,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN from_hex('{_PPM_HEADER_HEX}') || from_hex(repeat(md5(text), {_PPM_W * _PPM_H * 3 // 16}))
+           WHEN 1 THEN from_hex('{_WAV_HEADER_HEX}') || from_hex(repeat(md5(text), {2 * _WAV_N // 16}))
+           ELSE from_hex(repeat(md5(text), 12))
+         END AS payload,
          CAST((doc_id % 5 + 1) * 64 AS INT) AS width,
          n_chars * 10 AS duration_ms
   FROM documents
@@ -82,61 +126,87 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Decode + feature extraction over mapInPandas (rows-only; NumPy
-# reference check in tests/test_multimodal.py).
+# Real decoders: pure-NumPy PPM / WAV parsing.  These run inside the
+# Arrow-batched mapInPandas stage; no image/audio library required for
+# uncompressed containers.
 
 
-def _decoder_stub():
-    """Return (name, fn) — the real decoder if its lib exists, else the
-    deterministic byte-stats fake.  STUB: PIL/librosa are not in this
-    container; the fake stands in for pixel/sample decoding."""
-    try:  # pragma: no cover - lib absent in this container
-        from PIL import Image  # noqa: F401
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6, maxval 255) into an (h, w, 3) uint8 array."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval — whitespace-separated
+    parts, idx = [], 2
+    while len(parts) < 3:
+        while buf[idx] in b" \t\r\n":
+            idx += 1
+        start = idx
+        while buf[idx] not in b" \t\r\n":
+            idx += 1
+        parts.append(int(buf[start:idx]))
+    idx += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=idx)
+    return px.reshape(h, w, 3)
 
-        raise NotImplementedError("real image decode path not wired yet")
-    except ImportError:
-        def fake(buf: bytes):
-            import numpy as np
 
-            a = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
-            return [
-                float(a.mean()),
-                float(a.std()),
-                float(a.min()),
-                float(a.max()),
-            ]
-
-        return "byte_stats_fake", fake
+def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE PCM16 mono payload into (sample_rate, int16[n])."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    sr = int.from_bytes(buf[24:28], "little")
+    data_size = int.from_bytes(buf[40:44], "little")
+    return sr, np.frombuffer(buf, dtype="<i2", count=data_size // 2, offset=44)
 
 
 @query("mm_decode_features")
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every payload and emit modality-appropriate features:
+    image -> per-channel means + luma std; audio -> sample mean/RMS/peak
+    (normalized) + sample rate; video -> byte stats (no codec: the
+    stream is already raw frames).  rows-only; pixel/sample-level NumPy
+    reference check in tests/test_multimodal.py."""
     m = media_table(spark, sf_dir)
 
     def extract(batches):
-        import numpy as np
-
         for pdf in batches:
-            feats = []
-            for buf in pdf["payload"]:
-                a = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
-                feats.append(
-                    [float(a.mean()), float(a.std()), float(a.min()), float(a.max())]
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "features": feats,
-                }
-            )
+            rows = []
+            for mid, kind, buf in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                buf = bytes(buf)
+                if kind == "image":
+                    px = decode_ppm(buf).astype(np.float64)
+                    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                    feats = [
+                        float(px[:, :, 0].mean()),
+                        float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()),
+                        float(luma.std()),
+                    ]
+                elif kind == "audio":
+                    sr, smp = decode_wav(buf)
+                    x = smp.astype(np.float64) / 32768.0
+                    feats = [
+                        float(x.mean()),
+                        float(np.sqrt((x * x).mean())),
+                        float(np.abs(x).max()),
+                        float(sr),
+                    ]
+                else:
+                    a = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+                    feats = [float(a.mean()), float(a.std()), float(a.min()), float(a.max())]
+                rows.append((mid, kind, feats))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "features"])
 
     out = m.mapInPandas(extract, "media_id long, kind string, features array<double>")
     return out.select(
         "media_id",
         "kind",
-        F.round(F.col("features")[0], 6).alias("byte_mean"),
-        F.round(F.col("features")[1], 6).alias("byte_std"),
+        F.round(F.col("features")[0], 6).alias("f0"),
+        F.round(F.col("features")[1], 6).alias("f1"),
+        F.round(F.col("features")[2], 6).alias("f2"),
+        F.round(F.col("features")[3], 6).alias("f3"),
     )
 
 
@@ -155,6 +225,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_ids, out_frames, out_digests = [], [], []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(buf)
                 frames = [buf[i : i + 16] for i in range(0, len(buf), 16)]
                 for fi in range(0, len(frames), 3):  # every 3rd frame
                     out_ids.append(mid)

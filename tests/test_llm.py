@@ -312,6 +312,40 @@ class TestDedupComponents:
         with pytest.raises(RuntimeError):
             connected_components(edges, max_iter=0)
 
+    def test_star_contraction_on_long_path(self, spark):
+        """Diameter guard: a 10k-hop path would need 10k propagation
+        rounds; the large-star/small-star fallback must close it within
+        the default caps."""
+        from psvm_spark.operators.components import connected_components
+
+        n = 10_000
+        edges = spark.range(n).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        got = connected_components(edges, max_iter=25)
+        assert got.count() == n + 1
+        assert got.filter(F.col("component") != 0).count() == 0
+
+    def test_star_contraction_directly(self, spark):
+        """_star_components alone matches union-find on a mixed graph
+        (two chains + a clique + a singleton-ish pair)."""
+        from psvm_spark.operators.components import _star_components
+
+        edges = (
+            [(i, i + 1) for i in range(0, 50)]          # chain 0..50
+            + [(i, i + 1) for i in range(100, 140)]      # chain 100..140
+            + [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]  # clique
+            + [(300, 301)]
+        )
+        e = spark.createDataFrame(edges, "s long, d long")
+        e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        got = {r.v: r.component for r in _star_components(e).collect()}
+        for v in range(0, 51):
+            assert got[v] == 0
+        for v in range(100, 141):
+            assert got[v] == 100
+        for v in range(200, 205):
+            assert got[v] == 200
+        assert got[300] == 300 and got[301] == 300
+
 
 class TestSampleMixture:
     def test_mixture_rates_enforced(self, spark, sf_dir):

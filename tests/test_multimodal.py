@@ -1,9 +1,16 @@
 """Multimodal plumbing tests: binary payload synthesis, mapInPandas
-batch shapes, byte-feature extraction vs a NumPy reference."""
+batch shapes, pixel/sample-level decode vs an independent reference.
+
+The reference implementations here deliberately do NOT call
+psvm_spark.queries.multimodal.decode_ppm/decode_wav — they re-derive
+the payload from the document text with hashlib/struct/NumPy so a bug
+in the shared decoder cannot self-validate.
+"""
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 
@@ -13,33 +20,68 @@ from psvm_spark.queries.multimodal import media_table
 
 registry.load_all()
 
+PPM_HEADER = b"P6\n8 6\n255\n"
+WAV_HEADER = (
+    b"RIFF" + struct.pack("<I", 36 + 128) + b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    + b"data" + struct.pack("<I", 128)
+)
+
+
+def _ref_payload(doc_id: int, text: str) -> bytes:
+    digest = hashlib.md5(text.encode()).digest()
+    kind = doc_id % 3
+    if kind == 0:  # image: PPM header + 144 pixel bytes
+        return PPM_HEADER + digest * 9
+    if kind == 1:  # audio: WAV header + 128 PCM16 bytes
+        return WAV_HEADER + digest * 8
+    return digest * 12  # video: 12 x 16-byte frames
+
 
 class TestMediaTable:
     def test_payload_sizes_by_kind(self, spark, sf_dir):
         rows = media_table(spark, sf_dir).collect()
-        sizes = {"image": 64, "audio": 128, "video": 192}
+        sizes = {"image": 11 + 144, "audio": 44 + 128, "video": 192}
         for r in rows:
             assert len(r.payload) == sizes[r.kind], (r.media_id, r.kind)
             assert r.meta.width % 64 == 0 and r.meta.duration_ms > 0
 
-    def test_payload_deterministic_from_text(self, spark, sf_dir):
+    def test_payload_matches_reference_bytes(self, spark, sf_dir):
         docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
-        for r in media_table(spark, sf_dir).limit(20).collect():
-            digest = hashlib.md5(docs[r.media_id].encode()).digest()
-            reps = (r.media_id % 3 + 1) * 4
-            assert r.payload == digest * reps
+        for r in media_table(spark, sf_dir).limit(30).collect():
+            assert bytes(r.payload) == _ref_payload(r.media_id, docs[r.media_id])
 
 
 class TestDecodeFeatures:
-    def test_matches_numpy_reference(self, spark, sf_dir):
+    def test_matches_independent_reference(self, spark, sf_dir):
+        """Pixel/sample-level check: features recomputed from the raw
+        document text (not from the query's own decoder)."""
         feats = {
-            r.media_id: (r.byte_mean, r.byte_std)
+            r.media_id: (r.kind, r.f0, r.f1, r.f2, r.f3)
             for r in registry.QUERIES["mm_decode_features"](spark, sf_dir).collect()
         }
-        for r in media_table(spark, sf_dir).limit(25).collect():
-            a = np.frombuffer(r.payload, dtype=np.uint8).astype(np.float64)
-            assert abs(feats[r.media_id][0] - round(float(a.mean()), 6)) < 1e-9
-            assert abs(feats[r.media_id][1] - round(float(a.std()), 6)) < 1e-9
+        docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+        checked = {"image": 0, "audio": 0, "video": 0}
+        for doc_id in sorted(docs)[:30]:
+            payload = _ref_payload(doc_id, docs[doc_id])
+            kind, f0, f1, f2, f3 = feats[doc_id]
+            if kind == "image":
+                px = (
+                    np.frombuffer(payload[len(PPM_HEADER):], dtype=np.uint8)
+                    .astype(np.float64)
+                    .reshape(6, 8, 3)
+                )
+                luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                exp = [px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(), luma.std()]
+            elif kind == "audio":
+                x = np.frombuffer(payload[44:], dtype="<i2").astype(np.float64) / 32768.0
+                exp = [x.mean(), np.sqrt((x * x).mean()), np.abs(x).max(), 8000.0]
+            else:
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                exp = [a.mean(), a.std(), a.min(), a.max()]
+            for got, want in zip((f0, f1, f2, f3), exp):
+                assert abs(got - round(float(want), 6)) < 1e-9, (doc_id, kind)
+            checked[kind] += 1
+        assert all(v > 0 for v in checked.values())
 
     def test_frame_sampling_counts(self, spark, sf_dir):
         rows = registry.QUERIES["mm_frame_sample"](spark, sf_dir).collect()
