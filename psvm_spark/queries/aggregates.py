@@ -478,3 +478,34 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q).cast("double").alias("total_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL sketches (Datasketches, built into Spark 4): per-group
+# user-count estimates whose SKETCHES union across groups — the
+# mechanism that makes 100 TB count-distinct cheap: partial sketches
+# merge associatively across partitions/days/tables instead of
+# re-scanning raw data.  rows-only (estimates are engine-specific);
+# tests assert <5% error vs exact countDistinct.
+
+
+@query("agg_hll_sketch")
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    est = per_type.select(
+        "event_type",
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    overall = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        F.lit(None).cast("long").alias("exact_users"),
+        "approx_users",
+    )
+    return est.unionByName(overall)

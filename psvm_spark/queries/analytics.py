@@ -512,3 +512,60 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_anomalies"),
         F.round(F.max("mad"), 9).alias("mad"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series downsampling to OHLC bars: per (event_type, hour) open /
+# high / low / close / count — the classic rollup that turns raw ticks
+# into chart-resolution data.  open/close use min_by/max_by on a
+# composite sortable string key (microsecond timestamp + zero-padded
+# event_id) because neither engine guarantees stable first/last under
+# ties; the key is exact and identical in both.  One map-side-combined
+# shuffle on (event_type, hour); the value sum is an exact DECIMAL.
+
+
+@query(
+    "ts_downsample_ohlc",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bar_hour,
+         value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events
+)
+SELECT event_type, bar_hour,
+       arg_min(value, k) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, k) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS vol_sum
+FROM keyed
+GROUP BY event_type, bar_hour
+""",
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+            "value",
+            k.alias("k"),
+        )
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("vol_sum"),
+        )
+    )

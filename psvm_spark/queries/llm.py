@@ -1824,3 +1824,42 @@ def text_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _PMI_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: per-language keep rates (downsample the dominant
+# language, keep the tail) via the same deterministic md5-bucket rule
+# as split_stable_hash — no RNG, stable under retries, and the sample
+# is reproducible from the text alone.  One narrow filter + one
+# map-side-combined agg; at 100 TB the filter runs scan-side and only
+# survivors shuffle.
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+WITH s AS (
+  SELECT lang, source, n_chars,
+         ('0x' || substr(md5(text), 1, 4))::INTEGER % 100 AS pct
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM s
+WHERE pct < CASE WHEN lang = 'en' THEN 25 ELSE 60 END
+GROUP BY lang, source
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+    rate = F.when(F.col("lang") == "en", 25).otherwise(60)
+    return (
+        d.filter(pct < rate)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )

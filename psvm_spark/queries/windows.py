@@ -365,3 +365,32 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             price_dec.cast("double") / F.sum(price_dec).over(w).cast("double"), 9
         ).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding count-distinct: distinct event types among each user's last 5
+# events.  Spark has no COUNT(DISTINCT) OVER; the standard rewrite is
+# size(array_distinct(collect_list() over frame)) — exact, and the frame
+# is small (5 rows) so the per-row array work is O(frame), not O(n).
+# The shuffle is one hash partition on user_id, identical to any other
+# user-windowed analytic; ordering is (ts, event_id) for determinism.
+
+
+@query(
+    "window_sliding_distinct",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(len(list_distinct(list(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS INT) AS n_distinct_5
+FROM events
+""",
+)
+def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias("n_distinct_5"),
+    )

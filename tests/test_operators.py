@@ -104,6 +104,20 @@ class TestApproxDistinct:
         row = registry.QUERIES["agg_approx_distinct"](spark, sf_dir).collect()[0]
         assert abs(row.approx_orders - row.exact_orders) <= 0.1 * row.exact_orders
 
+    def test_hll_sketch_estimates_and_union(self, spark, sf_dir):
+        rows = registry.QUERIES["agg_hll_sketch"](spark, sf_dir).collect()
+        per_type = [r for r in rows if r.event_type != "__all__"]
+        assert per_type
+        for r in per_type:
+            assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
+        # the unioned sketch must estimate the GLOBAL distinct count,
+        # not the sum of per-group counts (users appear in many groups)
+        from psvm_spark.catalog import load_table
+
+        exact_all = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+        overall = [r for r in rows if r.event_type == "__all__"][0]
+        assert abs(overall.approx_users - exact_all) <= max(2, 0.05 * exact_all)
+
 
 class TestDeterminism:
     def test_flagship_is_run_stable(self, spark, sf_dir):
