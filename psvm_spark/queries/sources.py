@@ -128,3 +128,47 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Range-clustered sink: repartitionByRange + sortWithinPartitions on the
+# clustering key before writing.  Each output file then covers a
+# disjoint key range, so its parquet footer min/max statistics let any
+# engine skip whole files for range predicates — the layout that makes
+# a 100 TB time-partitioned table cheap to query without an index.
+# tests/test_operators.py asserts the per-file min/max ranges really
+# are pairwise disjoint via pyarrow footer inspection.
+
+
+def write_clustered(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 8) -> None:
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(n_files, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+@query(
+    "sink_sorted_clustered",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="psvm_sink_") + "/orders_clustered"
+    write_clustered(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )

@@ -355,3 +355,57 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("latest_event_id"),
         F.col("value").alias("v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming OHLC bars: tumbling 1-hour open/high/low/close per
+# event_type, with open/close as min_by/max_by over the same composite
+# sortable key as the batch ts_downsample_ohlc — proving stream/batch
+# equivalence for order-sensitive aggregates, not just sums/counts.
+# min_by/max_by are declarative aggregates, so the streaming state per
+# (window, type) is one candidate pair, O(1) per group — the state
+# store never holds raw rows, which is what keeps a 100 TB/day stream's
+# state bounded by window-count x key-cardinality.
+
+
+@query(
+    "stream_ohlc",
+    oracle="""
+WITH keyed AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+         value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events
+)
+SELECT event_type, win_start,
+       arg_min(value, k) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, k) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM keyed
+GROUP BY event_type, win_start
+""",
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    k = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        ev.select("event_type", "ts", "value", k.alias("k"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "k").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "k").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+    return run_to_table(agg, "complete", state_partitions=8).select(
+        "event_type", F.col("w.start").alias("win_start"), "open", "high", "low", "close", "n_ticks"
+    )

@@ -553,3 +553,30 @@ class TestDynamicPartitionPruning:
             .collect()
         }
         assert rows == truth
+
+
+class TestClusteredSink:
+    def test_file_ranges_are_disjoint(self, spark, sf_dir, tmp_path):
+        """Range clustering must produce files whose footer min/max on
+        the clustering key do not overlap (boundary equality allowed) —
+        that disjointness is exactly what enables file skipping."""
+        import pyarrow.parquet as pq
+
+        from psvm_spark.queries.sources import write_clustered
+
+        out = str(tmp_path / "clustered")
+        write_clustered(spark, sf_dir, out)
+        ranges = []
+        for p in sorted((tmp_path / "clustered").glob("*.parquet")):
+            md = pq.ParquetFile(str(p)).metadata
+            col_idx = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "o_orderdate"
+            )
+            lo = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        assert len(ranges) >= 4  # really split into multiple files
+        ranges.sort()
+        for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+            assert hi_a <= lo_b  # disjoint up to boundary equality
