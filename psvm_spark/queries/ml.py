@@ -344,15 +344,14 @@ def svm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embeddings, read it back via Spark's libsvm source.
 
 
-@query("scan_libsvm")
-def scan_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def write_libsvm_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Derive the reference's native LibSVM text format from embeddings,
+    fully distributed: each executor formats its own rows (`index:value`
+    pairs via JVM-side transform/concat_ws — no Python in the row path)
+    and writes its own text split; no driver collect, so the derivation
+    works at any table size.  Returns the output directory."""
     import tempfile
 
-    # Fully distributed round-trip: each executor formats its own rows
-    # (`index:value` pairs via JVM-side transform/concat_ws — no Python
-    # in the row path) and writes its own text split; no driver collect,
-    # so the derivation works at any table size.  The libsvm source then
-    # reads the whole directory back.
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     sample = e.filter(F.col("vec_id") % 10 == 0)
     y = F.when(F.col("label") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("string")
@@ -369,7 +368,13 @@ def scan_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample.select(F.concat_ws(" ", y, feats).alias("value")).write.mode("overwrite").text(
         f"{d}/data"
     )
-    df = spark.read.format("libsvm").option("numFeatures", "64").load(f"{d}/data")
+    return f"{d}/data"
+
+
+@query("scan_libsvm")
+def scan_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_libsvm_dir(spark, sf_dir)
+    df = spark.read.format("libsvm").option("numFeatures", "64").load(path)
     return df.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
 
 

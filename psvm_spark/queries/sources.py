@@ -172,3 +172,41 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_date"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 DataSource API): a parallel LibSVM
+# text reader returning plain array columns (no VectorUDT).  One
+# InputPartition per file split, so a directory written by N tasks
+# reads N-wide.  The derivation (embeddings -> libsvm text) is SQL-
+# expressible, so this custom-source round trip has a FULL DuckDB
+# oracle: label counts and total nonzeros must survive format + parse.
+
+
+@query(
+    "scan_libsvm_pyds",
+    oracle="""
+SELECT CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(len(list_filter(embedding, x -> x <> 0))) AS BIGINT) AS nnz
+FROM embeddings
+WHERE vec_id % 10 = 0
+GROUP BY 1
+""",
+)
+def scan_libsvm_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.queries.ml import write_libsvm_dir
+    from psvm_spark.sources.libsvm_text import register
+
+    register(spark)
+    path = write_libsvm_dir(spark, sf_dir)
+    df = (
+        spark.read.format("libsvm_text")
+        .option("path", path)
+        .option("numFeatures", "64")
+        .load()
+    )
+    return df.groupBy(F.col("label").alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("values")).alias("nnz"),
+    )

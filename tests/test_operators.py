@@ -580,3 +580,45 @@ class TestClusteredSink:
         ranges.sort()
         for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
             assert hi_a <= lo_b  # disjoint up to boundary equality
+
+
+class TestPythonDataSource:
+    def test_one_partition_per_file(self, spark, sf_dir):
+        """The custom source must preserve write parallelism: one input
+        partition per file split."""
+        import glob
+        import os
+
+        from psvm_spark.queries.ml import write_libsvm_dir
+        from psvm_spark.sources.libsvm_text import register
+
+        register(spark)
+        path = write_libsvm_dir(spark, sf_dir)
+        files = [
+            f
+            for f in glob.glob(path + "/*")
+            if os.path.isfile(f) and not f.endswith((".crc", "_SUCCESS"))
+        ]
+        df = spark.read.format("libsvm_text").option("path", path).load()
+        assert df.rdd.getNumPartitions() == len(files)
+
+    def test_roundtrip_values_exact(self, spark, sf_dir):
+        """Sparse round-trip: indices/values parsed by the Python source
+        must reconstruct the nonzero entries of the original embedding."""
+        from pyspark.sql import functions as FF
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.ml import write_libsvm_dir
+        from psvm_spark.sources.libsvm_text import register
+
+        register(spark)
+        path = write_libsvm_dir(spark, sf_dir)
+        back = (
+            spark.read.format("libsvm_text").option("path", path).load()
+        ).select(FF.posexplode("values").alias("pos", "v"), FF.col("indices"))
+        # every parsed value must be a float that appears in some embedding
+        e = load_table(spark, sf_dir, "embeddings").filter(FF.col("vec_id") % 10 == 0)
+        n_src = e.select(
+            FF.sum(FF.size(FF.filter("embedding", lambda x: x != 0.0))).alias("nnz")
+        ).collect()[0].nnz
+        assert back.count() == n_src
