@@ -210,3 +210,54 @@ def scan_libsvm_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size("values")).alias("nnz"),
     )
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource WRITER: the same libsvm_text source used as a
+# sink — each task writes its own shard (write parallelism preserved),
+# commit() writes the _SUCCESS marker only after every task reports in
+# (all-or-nothing, mirroring the Hadoop commit protocol).  Round trip
+# writer -> reader has the same exact oracle as the read path: Python
+# repr() of a double is lossless, so values survive bit-exact.
+
+
+@query(
+    "sink_libsvm_pyds",
+    oracle="""
+SELECT CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(len(list_filter(embedding, x -> x <> 0))) AS BIGINT) AS nnz
+FROM embeddings
+WHERE vec_id % 10 = 0
+GROUP BY 1
+""",
+)
+def sink_libsvm_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from psvm_spark.sources.libsvm_text import register
+
+    register(spark)
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    pairs = F.filter(
+        F.transform(
+            "embedding",
+            lambda x, i: F.struct(
+                (i + 1).cast("int").alias("i"), x.cast("double").alias("v")
+            ),
+        ),
+        lambda s: s.getField("v") != 0.0,
+    )
+    rows = e.select(
+        F.when(F.col("label") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("label"),
+        F.transform(pairs, lambda s: s.getField("i")).alias("indices"),
+        F.transform(pairs, lambda s: s.getField("v")).alias("values"),
+        F.lit(64).cast("int").alias("n_features"),
+    )
+    d = tempfile.mkdtemp(prefix="psvm_pyds_sink_") + "/data"
+    rows.write.format("libsvm_text").option("path", d).mode("overwrite").save()
+    back = spark.read.format("libsvm_text").option("path", d).option("numFeatures", "64").load()
+    return back.groupBy(F.col("label").alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("values")).alias("nnz"),
+    )

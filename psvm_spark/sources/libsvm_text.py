@@ -42,7 +42,13 @@ SCHEMA = StructType(
 
 def make_datasource():
     """Build the DataSource class hierarchy (pickled by value)."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
 
     schema = SCHEMA
 
@@ -94,6 +100,60 @@ def make_datasource():
                     n = self._n_features or (max(idx) if idx else 0)
                     yield (label, idx, vals, n)
 
+    class _Committed(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int):
+            self.path = path
+            self.n_rows = n_rows
+
+    class LibSVMTextWriter(DataSourceWriter):
+        """Executor-side writer: each task writes its own shard
+        (``part-<pid>.libsvm``) — same layout a distributed text sink
+        produces, so the reader's one-partition-per-file rule preserves
+        the write parallelism on the way back in.  Input rows must be
+        (label, indices, values, ...) as produced by the reader."""
+
+        def __init__(self, options, overwrite: bool):
+            import os
+            import shutil
+
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("libsvm_text: 'path' option is required")
+            if overwrite and os.path.isdir(self._path):
+                shutil.rmtree(self._path)
+
+        def write(self, iterator):
+            import os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self._path, exist_ok=True)
+            out = os.path.join(self._path, f"part-{pid:05d}.libsvm")
+            n = 0
+            with open(out, "w") as fh:
+                for row in iterator:
+                    feats = " ".join(
+                        f"{i}:{v}" for i, v in zip(row.indices, row.values)
+                    )
+                    fh.write(f"{row.label} {feats}\n".rstrip() + "\n")
+                    n += 1
+            return _Committed(out, n)
+
+        def commit(self, messages):
+            # all-or-nothing marker, mirroring Hadoop's _SUCCESS protocol
+            import os
+
+            with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
+                fh.write(str(sum(m.n_rows for m in messages)))
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
     class LibSVMTextDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -104,6 +164,9 @@ def make_datasource():
 
         def reader(self, schema):  # noqa: ARG002 - fixed schema source
             return LibSVMTextReader(self.options)
+
+        def writer(self, schema, overwrite):  # noqa: ARG002
+            return LibSVMTextWriter(self.options, overwrite)
 
     return LibSVMTextDataSource
 
