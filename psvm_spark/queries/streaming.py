@@ -409,3 +409,38 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(agg, "complete", state_partitions=8).select(
         "event_type", F.col("w.start").alias("win_start"), "open", "high", "low", "close", "n_ticks"
     )
+
+
+# --------------------------------------------------------------------------
+# Custom Python streaming source (Spark 4 SimpleDataSourceStreamReader):
+# the events table replayed in 5 deterministic micro-batches, aggregated
+# with real multi-batch state updates; the COMPLETE-mode final must
+# equal the batch answer — stream/batch equivalence with an exact
+# oracle, now with OUR OWN source implementing the offset protocol.
+
+
+@query(
+    "stream_pyds_replay",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.sources.replay_stream import register
+
+    register(spark)
+    df = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir.rstrip('/')}/events.parquet")
+        .option("batches", "5")
+        .load()
+    )
+    agg = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+    return run_to_table(agg, "complete", state_partitions=8, drain=True)

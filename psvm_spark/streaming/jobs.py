@@ -44,10 +44,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_table(
-    df: DataFrame, mode: str, state_partitions: int | None = None
+    df: DataFrame, mode: str, state_partitions: int | None = None, drain: bool = False
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
     memory sink; return the final result as a batch DataFrame.
+
+    ``drain=True`` uses processAllAvailable()+stop() instead of the
+    availableNow trigger — required for custom Python streaming sources,
+    whose availableNow snapshot is taken at the FIRST offset fetch (one
+    batch) rather than after the source exhausts.
 
     ``state_partitions`` sizes the state store: a streaming aggregation
     creates one state-store instance per shuffle partition (fixed at the
@@ -66,15 +71,20 @@ def run_to_table(
     try:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        q = (
+        writer = (
             df.writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination()
+        if drain:
+            q = writer.start()
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+        else:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

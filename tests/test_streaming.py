@@ -209,3 +209,34 @@ class TestStreamStreamJoin:
         assert got, "fixture has known click->purchase matches"
         for _, _, _, gap in got:
             assert 0 <= gap <= 2 * 3600 * 1_000_000
+
+
+class TestPythonStreamingSource:
+    def test_replay_is_multi_batch(self, spark, sf_dir):
+        """The custom source must actually deliver multiple micro-batches
+        (multi-batch state updates), not one availableNow snapshot."""
+        import tempfile
+
+        from psvm_spark.sources.replay_stream import register
+
+        register(spark)
+        df = (
+            spark.readStream.format("events_replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batches", "5")
+            .load()
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("replay_mb")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        total = sum(p["numInputRows"] for p in batches)
+        q.stop()
+        from psvm_spark.catalog import load_table
+
+        assert len(batches) == 5
+        assert total == load_table(spark, sf_dir, "events").count()
