@@ -509,3 +509,74 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_users",
     )
     return est.unionByName(overall)
+
+
+# --------------------------------------------------------------------------
+# Theta sketches: DISTINCT-COUNT SET ALGEBRA (Datasketches).  Unlike
+# HLL, theta sketches support union/intersection/difference estimates —
+# audience overlap ("users who clicked AND viewed") over 100 TB without
+# ever materializing the sets: per-segment sketches are tiny, mergeable,
+# and the set operations run on the sketches.  rows-only; tests bound
+# the error vs exact set operations.
+
+
+@query("agg_theta_sketch")
+def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    a = per.filter(F.col("event_type") == "click").select(F.col("sk").alias("sk_a"))
+    b = per.filter(F.col("event_type") == "view").select(F.col("sk").alias("sk_b"))
+    return a.crossJoin(b).select(
+        F.round(F.theta_sketch_estimate(F.col("sk_a"))).cast("long").alias("est_click"),
+        F.round(F.theta_sketch_estimate(F.col("sk_b"))).cast("long").alias("est_view"),
+        F.round(F.theta_sketch_estimate(F.theta_union(F.col("sk_a"), F.col("sk_b"))))
+        .cast("long")
+        .alias("est_union"),
+        F.round(F.theta_sketch_estimate(F.theta_intersection(F.col("sk_a"), F.col("sk_b"))))
+        .cast("long")
+        .alias("est_intersect"),
+        F.round(F.theta_sketch_estimate(F.theta_difference(F.col("sk_a"), F.col("sk_b"))))
+        .cast("long")
+        .alias("est_click_only"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KLL quantile sketches: mergeable quantiles.  Exact percentiles need a
+# global sort; percentile_approx is one-shot.  KLL sketches aggregate
+# per group AND re-merge across groups — the shape that lets a 100 TB
+# pipeline keep per-partition/per-day sketches and answer any quantile
+# later without touching raw data.  rows-only; tests bound the rank
+# error vs exact percentiles.
+
+
+@query("agg_kll_quantiles")
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double(F.col("l_quantity").cast("double")).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    grp = per.select(
+        "l_returnflag",
+        "n",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias("p95"),
+    )
+    # kll_sketch_merge_double is a binary scalar merge; fold the group
+    # sketches with a higher-order aggregate (3 sketches -> 1)
+    merged = per.agg(
+        F.collect_list("sk").alias("sks"), F.sum("n").alias("n")
+    ).select(
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks)), sks[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("sk"),
+        "n",
+    ).select(
+        F.lit("__all__").alias("l_returnflag"),
+        "n",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias("p95"),
+    )
+    return grp.unionByName(merged)

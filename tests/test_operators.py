@@ -622,3 +622,30 @@ class TestPythonDataSource:
             FF.sum(FF.size(FF.filter("embedding", lambda x: x != 0.0))).alias("nnz")
         ).collect()[0].nnz
         assert back.count() == n_src
+
+
+class TestSketchAlgebra:
+    def test_theta_set_operations_near_exact(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        click = {r.user_id for r in ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+        view = {r.user_id for r in ev.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+        row = registry.QUERIES["agg_theta_sketch"](spark, sf_dir).collect()[0]
+        for got, exact in [
+            (row.est_click, len(click)),
+            (row.est_view, len(view)),
+            (row.est_union, len(click | view)),
+            (row.est_intersect, len(click & view)),
+            (row.est_click_only, len(click - view)),
+        ]:
+            assert abs(got - exact) <= max(2, 0.05 * exact), (got, exact)
+
+    def test_kll_quantiles_within_rank_error(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        rows = registry.QUERIES["agg_kll_quantiles"](spark, sf_dir).collect()
+        overall = [r for r in rows if r.l_returnflag == "__all__"][0]
+        qs = sorted(r.l_quantity for r in li.select("l_quantity").collect())
+        for got, frac in [(overall.p50, 0.5), (overall.p95, 0.95)]:
+            # KLL default k guarantees ~1.7% rank error; allow 3%
+            lo = qs[max(0, int((frac - 0.03) * len(qs)) - 1)]
+            hi = qs[min(len(qs) - 1, int((frac + 0.03) * len(qs)))]
+            assert lo <= got <= hi, (got, lo, hi, frac)
