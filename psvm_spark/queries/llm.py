@@ -1149,7 +1149,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("pa.doc_id").alias("ia"), F.col("pb.doc_id").alias("ib"))
         .agg(F.count(F.lit(1)).alias("nshared"))
         .filter(F.col("nshared") >= _CC_MIN_SHARED)
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialize the candidate-pair join ONCE: connected_components
+    # immediately unions pairs with its own column-swap, and without the
+    # checkpoint both union branches re-run the expensive shingle
+    # self-join (measured 2x the pair-join cost at sf0.1)
     cc = connected_components(pairs, src="ia", dst="ib")
     return cc.select(F.col("v").alias("doc_id"), "component")
 

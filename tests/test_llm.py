@@ -310,7 +310,7 @@ class TestDedupComponents:
         import pytest
 
         with pytest.raises(RuntimeError):
-            connected_components(edges, max_iter=0)
+            connected_components(edges, max_iter=0, driver_threshold=0)
 
     def test_star_contraction_on_long_path(self, spark):
         """Diameter guard: a 10k-hop path would need 10k propagation
@@ -320,7 +320,7 @@ class TestDedupComponents:
 
         n = 10_000
         edges = spark.range(n).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
-        got = connected_components(edges, max_iter=25)
+        got = connected_components(edges, max_iter=25, driver_threshold=0)
         assert got.count() == n + 1
         assert got.filter(F.col("component") != 0).count() == 0
 
@@ -389,3 +389,20 @@ class TestIvfKmeans:
             assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
             cosines = [r.cosine for r in rs]
             assert cosines == sorted(cosines, reverse=True)
+
+    def test_driver_path_equals_distributed(self, spark):
+        """The small-graph union-find fallback must agree with the
+        distributed propagation on the same graph."""
+        from psvm_spark.operators.components import connected_components
+
+        edges = (
+            [(i, i + 1) for i in range(0, 30)]
+            + [(100, 101), (101, 102), (200, 201)]
+        )
+        e = spark.createDataFrame(edges, "a long, b long")
+        drv = {r.v: r.component for r in connected_components(e).collect()}
+        dist = {
+            r.v: r.component
+            for r in connected_components(e, driver_threshold=0).collect()
+        }
+        assert drv == dist

@@ -118,7 +118,7 @@ class TestComponentsProperty:
         edf = spark.createDataFrame(edges, "a long, b long")
         got = {
             r.v: r.component
-            for r in connected_components(edf, max_iter=50).collect()
+            for r in connected_components(edf, max_iter=50, driver_threshold=0).collect()
         }
         parent = {}
 
