@@ -426,17 +426,23 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
 FROM events
+WHERE event_id % 3 = 0
 GROUP BY event_type
 """,
 )
 def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The simple reader serves rows from the driver-side planning
+    # process; replay a deterministic 1/3 subset so the driver-side
+    # Python row cost stays bounded while the multi-batch state
+    # semantics (3 batches) are still exercised.
     from psvm_spark.sources.replay_stream import register
 
     register(spark)
     df = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir.rstrip('/')}/events.parquet")
-        .option("batches", "5")
+        .option("batches", "3")
+        .option("modulo", "3")
         .load()
     )
     agg = df.groupBy("event_type").agg(

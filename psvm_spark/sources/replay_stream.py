@@ -43,6 +43,9 @@ def make_replay_source():
             if not self._path:
                 raise ValueError("events_replay: 'path' option is required")
             self._n_batches = int(options.get("batches", "5"))
+            # optional deterministic subset: keep rows with
+            # event_id % modulo == 0 (modulo=1 -> everything)
+            self._modulo = int(options.get("modulo", "1"))
             self._rows = None  # lazy: loaded once in the planning process
 
         def _load(self):
@@ -50,13 +53,16 @@ def make_replay_source():
                 import pyarrow.parquet as pq
 
                 t = pq.read_table(self._path, columns=["event_id", "event_type", "value"])
-                self._rows = list(
-                    zip(
+                m = self._modulo
+                self._rows = [
+                    row
+                    for row in zip(
                         t.column("event_id").to_pylist(),
                         t.column("event_type").to_pylist(),
                         t.column("value").to_pylist(),
                     )
-                )
+                    if m <= 1 or row[0] % m == 0
+                ]
             return self._rows
 
         def initialOffset(self):
