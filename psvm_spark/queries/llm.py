@@ -1867,3 +1867,88 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a NEW batch of documents checked against the
+# historical corpus — the continual-training shape (daily crawl vs
+# everything already ingested).  Exact digests hash-join on the digest
+# key: at 100 TB the history side is a bucketed digest index, the
+# incoming batch shuffles to it, and nothing ever compares all-pairs.
+# The incoming/history split here is deterministic (doc_id % 7).
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+WITH hist AS (
+  SELECT md5(text) AS d FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
+),
+inc AS (
+  SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 7 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(SUM(CASE WHEN h.d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN h.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_history
+FROM inc i LEFT JOIN hist h ON i.d = h.d
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % 7 != 0).select(F.md5("text").alias("d")).distinct()
+    )
+    inc = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", F.md5("text").alias("d"))
+    joined = inc.join(hist.withColumn("hit", F.lit(1)), "d", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_dup_vs_history"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: redact email addresses and long digit runs before
+# training, with per-corpus audit counts.  ASCII-only character-class
+# patterns (no shorthand escapes) evaluate identically in Java regex
+# and DuckDB's RE2, so the scrubbed text itself is oracle-checked via
+# md5 — not just the counts.  One narrow projection; scan-side at scale.
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_DIGITS = "[0-9]{7,}"
+
+
+@query(
+    "scrub_pii",
+    oracle=f"""
+WITH scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PII_DIGITS}')) AS n_digit_runs,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{_PII_DIGITS}', '<NUM>', 'g') AS t
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_digit_runs) AS BIGINT) AS total_digit_runs,
+       CAST(COUNT(DISTINCT md5(t)) AS BIGINT) AS n_distinct_scrubbed
+FROM scrubbed
+""",
+)
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_DIGITS), 0)).alias("n_digit_runs"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_DIGITS, "<NUM>"
+        ).alias("t"),
+    )
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_digit_runs").alias("total_digit_runs"),
+        F.countDistinct(F.md5("t")).alias("n_distinct_scrubbed"),
+    )
