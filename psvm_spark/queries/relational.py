@@ -925,3 +925,425 @@ def agg_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority checking — EXISTS decorrelates to a
+# LEFT SEMI join on the fact table.  The semi join shuffles only the
+# (orderkey) pairs that survive the date filter; no lineitem row is
+# ever materialized into the output, which is the point of semi-join
+# pushup at 100 TB.
+
+
+@query(
+    "join_q4_shape",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def join_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape: forecasting revenue — the pure pushdown query: range
+# + band + threshold predicates all reach the parquet scan, one
+# map-side-combined global aggregate, zero joins.  The canonical
+# "is the scan doing the work" probe.
+
+
+@query(
+    "scan_q6_shape",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def scan_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dmoney("l_extendedprice") * drate("l_discount")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share — nation in two roles again
+# (customer region gates the market, supplier nation is the share
+# numerator), share = decimal-exact national volume / total volume per
+# order year.  CASE-gated decimal sums keep both engines bit-identical
+# before the one double division.
+
+
+@query(
+    "join_q8_shape",
+    oracle="""
+WITH t AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n1.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE)
+            / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM t
+GROUP BY o_year
+""",
+)
+def join_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    t = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    return t.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol"))).cast("double")
+            / F.sum("vol").cast("double")
+        )
+        .cast("double")
+        .alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by nation and year.  The fixture
+# has no partsupp, so supply cost is proxied by p_retailprice (the same
+# join tree and arithmetic shape: revenue minus quantity x unit cost,
+# both as exact decimal sums surfaced as doubles).
+
+
+@query(
+    "join_q9_shape",
+    oracle="""
+WITH t AS (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+         CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) AS cost
+  FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+  WHERE p_size % 5 = 0
+)
+SELECT nation, o_year,
+       CAST(SUM(rev) AS DOUBLE) - CAST(SUM(cost) AS DOUBLE) AS profit_proxy,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM t
+GROUP BY nation, o_year
+""",
+)
+def join_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") % 5 == 0)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    rev = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    cost = F.col("l_quantity").cast("decimal(12,2)") * F.col("p_retailprice").cast(
+        "decimal(12,2)"
+    )
+    t = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            cost.alias("cost"),
+        )
+    )
+    return t.groupBy("nation", "o_year").agg(
+        (F.sum("rev").cast("double") - F.sum("cost").cast("double")).alias("profit_proxy"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting — top 20 customers by lost
+# revenue.  The LIMIT is decided on the exact DECIMAL revenue (not the
+# double projection) with c_custkey as tie-break, so the top-20 SET is
+# deterministic in both engines.
+
+
+@query(
+    "join_q10_shape",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey, c_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec,
+         COUNT(*) AS n_items
+  FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY c_custkey, c_name
+)
+SELECT c_custkey, c_name, CAST(rev_dec AS DOUBLE) AS revenue, CAST(n_items AS BIGINT) AS n_items
+FROM rev
+ORDER BY rev_dec DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def join_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    g = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).alias("rev_dec"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return (
+        g.orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: shipping-priority classification.  The fixture has
+# no l_shipmode, so l_linestatus stands in as the mode dimension; the
+# CASE-bucketed priority counts and the late-shipment predicate
+# (l_shipdate >= o_orderdate) keep the original shape: one fact-fact
+# equi-join + conditional counts.
+
+
+@query(
+    "join_q12_shape",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def join_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate >= o.o_orderdate))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion effect — percentage of revenue from PROMO
+# parts per ship month.  Decimal-exact conditional and total sums, one
+# double division at the end.
+
+
+@query(
+    "join_q14_shape",
+    oracle="""
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END)
+                    AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS DOUBLE) AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+GROUP BY 1
+""",
+)
+def join_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = dmoney("l_extendedprice") * (one() - drate("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-cost supplier per part.  The fixture has no
+# partsupp, so the part-supplier catalog is derived from observed
+# lineitem (l_partkey, l_suppkey) pairs with MIN(l_extendedprice) as
+# the cost proxy (no division — stays decimal-exact).  The correlated
+# MIN decorrelates to a per-part window rank with (cost, s_suppkey)
+# tie-break — the standard rewrite Catalyst also applies to the
+# original Q2.
+
+
+@query(
+    "join_q2_shape",
+    oracle="""
+WITH catalog AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, cost,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY cost ASC, s_suppkey ASC) AS rn
+  FROM catalog
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+  WHERE p_size < 10
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, CAST(cost AS DOUBLE) AS min_cost
+FROM ranked WHERE rn = 1
+""",
+)
+def join_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    s = load_table(spark, sf_dir, "supplier")
+    catalog = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dmoney("l_extendedprice")).alias("cost")
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("cost").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        catalog.join(F.broadcast(p), catalog.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), catalog.l_suppkey == s.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers with excess PROMO-part volume — a
+# semi-join against an aggregated-and-filtered subquery (HAVING).  Only
+# qualifying supplier keys flow into the join; the supplier dimension
+# never touches the fact shuffle.
+
+
+@query(
+    "join_q20_shape",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100
+)
+SELECT s_suppkey, s_name, CAST(qty AS DOUBLE) AS promo_qty
+FROM supplier JOIN sp ON l_suppkey = s_suppkey
+""",
+)
+def join_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    return s.join(sp, s.s_suppkey == sp.l_suppkey).select(
+        "s_suppkey", "s_name", F.col("qty").cast("double").alias("promo_qty")
+    )
