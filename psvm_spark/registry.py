@@ -44,14 +44,18 @@ def load_all() -> None:
 
     Import order is deliberate: the driver's correctness sample is the
     FIRST 50 registered keys, and rounds 1-2 sampled the same
-    aggregates/analytics/joins/llm window, leaving 105 queries with no
+    aggregates/analytics/joins/llm window, leaving most queries with no
     driver-green evidence.  The order rotates per round so every family
-    accumulates driver-sampled rows: round 3 fronts relational (incl.
-    the flagship), scalars, windows, streaming, sources — none of which
-    had ever been sampled.
+    accumulates driver-sampled rows.  Round 3 fronts relational (incl.
+    the flagship and all 22 TPC-H shapes), then joins — so join_range,
+    round 2's one red row, lands inside the sample — then scalars.
+    Windows/streaming/sources/udfs/warehouse/ml/multimodal and the llm
+    tail queue for future rounds (bench still executes ALL queries, so
+    errors anywhere stay visible every round).
     """
     from psvm_spark.queries import (  # noqa: F401
         relational,
+        joins,
         scalars,
         windows,
         streaming,
@@ -62,6 +66,5 @@ def load_all() -> None:
         multimodal,
         aggregates,
         analytics,
-        joins,
         llm,
     )
