@@ -649,3 +649,26 @@ class TestSketchAlgebra:
             lo = qs[max(0, int((frac - 0.03) * len(qs)) - 1)]
             hi = qs[min(len(qs) - 1, int((frac + 0.03) * len(qs)))]
             assert lo <= got <= hi, (got, lo, hi, frac)
+
+
+class TestTpchShapePlans:
+    def test_q6_filters_reach_scan(self, spark, sf_dir):
+        """Q6 is the pure-pushdown probe: discount/quantity predicates
+        must appear in PushedFilters, not just post-scan Filter."""
+        plan = _plan(registry.QUERIES["scan_q6_shape"](spark, sf_dir))
+        pushed = plan[plan.index("PushedFilters"):]
+        assert "l_discount" in pushed.split("\n")[0]
+        assert "l_quantity" in pushed.split("\n")[0]
+
+    def test_q4_is_semi_join(self, spark, sf_dir):
+        plan = _plan(registry.QUERIES["join_q4_shape"](spark, sf_dir))
+        assert "LeftSemi" in plan
+
+    def test_q20_aggregates_before_join(self, spark, sf_dir):
+        """The HAVING subquery must aggregate lineitem BEFORE joining
+        supplier — the join input is supplier-cardinality, not
+        fact-cardinality."""
+        plan = _plan(registry.QUERIES["join_q20_shape"](spark, sf_dir))
+        # the qty>100 filter applies to the aggregate output, upstream
+        # of the supplier join in the physical plan
+        assert "HashAggregate" in plan and "qty" in plan
