@@ -1,0 +1,99 @@
+"""Repo-wide physical-plan audit: no accidental Cartesian products or
+nested-loop joins anywhere in the 177-query surface.
+
+A CartesianProduct or BroadcastNestedLoopJoin is the canonical
+100 TB scale-killer when it appears by accident (a missed equi-key, a
+non-pushable condition).  A few operators use one DELIBERATELY — tiny
+broadcast side or 1x1 combination — and are whitelisted with the
+reason.  Everything else must plan equi-joins.
+
+Usage: python scripts/audit_plans.py [sf_dir]   (exit 1 on violations)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from psvm_spark.registry import QUERIES, load_all
+from psvm_spark.session import get_spark
+
+# query -> why a nested-loop/cartesian shape is the intended plan.
+# Every entry is one of three safe-at-scale patterns:
+#   (a) single-row scalar-subquery broadcast (threshold/average compare)
+#   (b) bounded small relation broadcast (date spine, top-k vocabulary,
+#       support vectors, %-sampled pair matrix)
+#   (c) a deliberate non-equi demo on bounded inputs
+WHITELIST = {
+    "join_cross": "(c) deliberate cross join demo (dim x dim, both tiny)",
+    "join_theta": "(c) deliberate non-equi theta join demo (bounded inputs)",
+    "join_not_in_nulls": "(c) NOT-IN null semantics demo: null-aware anti join IS a BNLJ",
+    "sim_topk_cosine": "(b) probes broadcast against corpus by design (non-equi <> filter)",
+    "sim_ivf": "(b) nprobe cluster-id join; candidate set bounded by IVF blocking",
+    "sim_ivf_kmeans": "(b) same IVF shape with k-means centroids",
+    "agg_theta_sketch": "(b) 1x1 crossJoin of two single-row sketch relations",
+    "svm_predict_score": "(b) support-vector broadcast against test rows (kernel eval)",
+    "kernel_linear": "(b) pair-sample kernel matrix on %-sampled rows (bounded)",
+    "kernel_poly": "(b) pair-sample kernel matrix on %-sampled rows (bounded)",
+    "kernel_rbf": "(b) pair-sample kernel matrix on %-sampled rows (bounded)",
+    "kernel_laplacian": "(b) pair-sample kernel matrix on %-sampled rows (bounded)",
+    "eval_accuracy": "(b) trained weight vector broadcast to score rows",
+    "svm_model_roundtrip": "(b) reloaded weight vectors broadcast to score rows",
+    "dedup_embedding": "(b) LSH-band-blocked candidates; pair filter non-equi by nature",
+    "dedup_ngram_jaccard": "(b) verification of blocked candidate pairs (bounded sample)",
+    "subquery_exists_scalar": "(a) scalar subquery broadcast (single-row relation)",
+    "subquery_q17_shape": "(a) scalar per-part avg broadcast (Q17's correlated scalar)",
+    "join_q22_shape": "(a) Q22's global avg-acctbal scalar broadcast",
+    "agg_q11_shape": "(a) Q11's value-threshold scalar broadcast",
+    "dq_expectations": "(a) expectation thresholds compared against global scalars",
+    "funnel_steps": "(a/b) single-row step-boundary relation",
+    "metric_wau": "(b) 30-row date spine broadcast for the rolling window band",
+    "text_pmi_top": "(b) bounded top-k vocabulary pair generation",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+    )
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    load_all()
+    bad: list[tuple[str, str]] = []
+    errs: list[tuple[str, str]] = []
+    n_checked = 0
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "simple"
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append((name, f"{exc.__class__.__name__}: {str(exc)[:160]}"))
+            continue
+        n_checked += 1
+        hits = [
+            marker
+            for marker in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if marker in plan
+        ]
+        if hits and name not in WHITELIST:
+            bad.append((name, "+".join(hits)))
+    for name, detail in bad:
+        print(f"NONEQUI  {name}  {detail}")
+    for name, detail in errs:
+        print(f"ERR      {name}  {detail}")
+    unused = [k for k in WHITELIST if k not in QUERIES]
+    for k in unused:
+        print(f"STALE-WHITELIST  {k}")
+    print(
+        f"checked {n_checked} query plans: {len(bad)} unexpected nested-loop/cartesian, "
+        f"{len(errs)} build errors, {len(unused)} stale whitelist entries"
+    )
+    return 1 if bad or errs or unused else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
