@@ -125,52 +125,49 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Real decoders: pure-NumPy PPM / WAV parsing.  These run inside the
-# Arrow-batched mapInPandas stage; no image/audio library required for
-# uncompressed containers.
-
-
-def decode_ppm(buf: bytes) -> np.ndarray:
-    """Parse a binary PPM (P6, maxval 255) into an (h, w, 3) uint8 array."""
-    if buf[:2] != b"P6":
-        raise ValueError("not a P6 PPM")
-    # header = magic, width, height, maxval — whitespace-separated
-    parts, idx = [], 2
-    while len(parts) < 3:
-        while buf[idx] in b" \t\r\n":
-            idx += 1
-        start = idx
-        while buf[idx] not in b" \t\r\n":
-            idx += 1
-        parts.append(int(buf[start:idx]))
-    idx += 1  # single whitespace after maxval
-    w, h, maxval = parts
-    if maxval != 255:
-        raise ValueError("only maxval=255 supported")
-    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=idx)
-    return px.reshape(h, w, 3)
-
-
-def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
-    """Parse a RIFF/WAVE PCM16 mono payload into (sample_rate, int16[n])."""
-    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    sr = int.from_bytes(buf[24:28], "little")
-    data_size = int.from_bytes(buf[40:44], "little")
-    return sr, np.frombuffer(buf, dtype="<i2", count=data_size // 2, offset=44)
-
-
 @query("mm_decode_features")
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode every payload and emit modality-appropriate features:
     image -> per-channel means + luma std; audio -> sample mean/RMS/peak
     (normalized) + sample rate; video -> byte stats (no codec: the
     stream is already raw frames).  rows-only; pixel/sample-level NumPy
-    reference check in tests/test_multimodal.py."""
+    reference check in tests/test_multimodal.py.
+
+    The pure-NumPy PPM/WAV decoders are defined INSIDE the closure so
+    cloudpickle ships them by value — Spark Python workers do not have
+    this repo on sys.path when the driver runs from another cwd, and a
+    module-level function would pickle as an unresolvable reference."""
     m = media_table(spark, sf_dir)
 
     def extract(batches):
+        def decode_ppm(buf: bytes):
+            """Binary PPM (P6, maxval 255) -> (h, w, 3) uint8 array."""
+            if buf[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            # header = magic, width, height, maxval — whitespace-separated
+            parts, idx = [], 2
+            while len(parts) < 3:
+                while buf[idx] in b" \t\r\n":
+                    idx += 1
+                start = idx
+                while buf[idx] not in b" \t\r\n":
+                    idx += 1
+                parts.append(int(buf[start:idx]))
+            idx += 1  # single whitespace after maxval
+            w, h, maxval = parts
+            if maxval != 255:
+                raise ValueError("only maxval=255 supported")
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=idx)
+            return px.reshape(h, w, 3)
+
+        def decode_wav(buf: bytes):
+            """RIFF/WAVE PCM16 mono payload -> (sample_rate, int16[n])."""
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            sr = int.from_bytes(buf[24:28], "little")
+            data_size = int.from_bytes(buf[40:44], "little")
+            return sr, np.frombuffer(buf, dtype="<i2", count=data_size // 2, offset=44)
+
         for pdf in batches:
             rows = []
             for mid, kind, buf in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
