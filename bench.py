@@ -62,6 +62,14 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The driver's BENCH_r{N}.json tail-truncates stdout (~74 of 177
+    # per-query timings survive), so also persist the full record in the
+    # repo for round-over-round per-query comparison.
+    try:
+        with open(Path(__file__).resolve().parent / "bench_full.json", "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout must not fail the bench
     print(json.dumps(out))
 
 

@@ -46,25 +46,30 @@ def load_all() -> None:
     FIRST 50 registered keys, and rounds 1-2 sampled the same
     aggregates/analytics/joins/llm window, leaving most queries with no
     driver-green evidence.  The order rotates per round so every family
-    accumulates driver-sampled rows.  Round 3 fronts relational (incl.
-    the flagship and all 22 TPC-H shapes), then joins — so join_range,
-    round 2's one red row, lands inside the sample — then scalars.
-    Windows/streaming/sources/udfs/warehouse/ml/multimodal and the llm
-    tail queue for future rounds (bench still executes ALL queries, so
-    errors anywhere stay visible every round).
+    accumulates driver-sampled rows (bench still executes ALL queries,
+    so errors anywhere stay visible every round).
+
+    Rotation ledger:
+      round 3 (done, 50/50 green): relational(31) + joins(11) +
+        scalars(8 of 9).
+      round 4 (this order): windows(10) + streaming(11) + sources(7) +
+        udfs(7) + ml(15) = exactly 50 keys never sampled in r1-r3.
+      round 5 (next, write it here when rotating): multimodal(3) +
+        warehouse(5) + aggregates(18) + analytics(11) + llm first
+        13 = 50; llm tail (26) + scalars tail (1) front round 6.
     """
     from psvm_spark.queries import (  # noqa: F401
-        relational,
-        joins,
-        scalars,
         windows,
         streaming,
         sources,
         udfs,
-        warehouse,
         ml,
         multimodal,
+        warehouse,
         aggregates,
         analytics,
         llm,
+        relational,
+        joins,
+        scalars,
     )

@@ -97,8 +97,10 @@ def make_datasource():
                         i, v = tok.split(":", 1)
                         idx.append(int(i))
                         vals.append(float(v))
-                    n = self._n_features or (max(idx) if idx else 0)
-                    yield (label, idx, vals, n)
+                    # 0 = "not declared", never a per-row guess: a
+                    # max(idx) fallback would vary row to row and is
+                    # off-by-one ambiguous for 1-based LibSVM indices.
+                    yield (label, idx, vals, self._n_features)
 
     class _Committed(WriterCommitMessage):
         def __init__(self, path: str, n_rows: int):
@@ -172,8 +174,14 @@ def make_datasource():
 
 
 def register(spark) -> None:
-    """Idempotent registration of the source with a session."""
+    """Idempotent registration of the source with a session.
+
+    Only the duplicate-registration error is swallowed; a genuine
+    failure (API mismatch, pickling error) propagates instead of
+    resurfacing later as DATA_SOURCE_NOT_FOUND at read time."""
     try:
         spark.dataSource.register(make_datasource())
-    except Exception:
-        pass  # already registered on this session
+    except Exception as exc:
+        msg = str(exc).upper()
+        if "ALREADY" not in msg and "EXISTS" not in msg:
+            raise

@@ -136,9 +136,17 @@ def main() -> None:
                 j = big.join(dim, "hot_key")
             return _mat(joined_cnt(j))
         finally:
+            # restore EVERY key: a key with no prior value is unset, not
+            # skipped — skipping would leak the tuned value into the next
+            # measurement in the same session
             for k, v in prev.items():
                 if v is not None:
                     spark.conf.set(k, v)
+                else:
+                    try:
+                        spark.conf.unset(k)
+                    except Exception:
+                        pass
 
     res["join_aqe"] = timed_join("true", salted=False)
     res["join_noaqe"] = timed_join("false", salted=False)

@@ -613,15 +613,40 @@ class TestPythonDataSource:
 
         register(spark)
         path = write_libsvm_dir(spark, sf_dir)
+        # multiset of parsed (1-based index, value) pairs from the source
         back = (
-            spark.read.format("libsvm_text").option("path", path).load()
-        ).select(FF.posexplode("values").alias("pos", "v"), FF.col("indices"))
-        # every parsed value must be a float that appears in some embedding
+            spark.read.format("libsvm_text")
+            .option("path", path)
+            .load()
+            .select(FF.explode(FF.arrays_zip("indices", "values")).alias("p"))
+            .select(
+                FF.col("p.indices").alias("idx"),
+                # embeddings are float32; the text file carries the float's
+                # shortest repr, so narrowing the parsed double back to
+                # float recovers the original bits exactly
+                FF.col("p.values").cast("float").alias("v"),
+            )
+            .groupBy("idx", "v")
+            .agg(FF.count(FF.lit(1)).alias("n_back"))
+        )
+        # multiset of nonzero (1-based index, value) pairs in the original
+        # embeddings, compared at float32 precision on both sides
         e = load_table(spark, sf_dir, "embeddings").filter(FF.col("vec_id") % 10 == 0)
-        n_src = e.select(
-            FF.sum(FF.size(FF.filter("embedding", lambda x: x != 0.0))).alias("nnz")
-        ).collect()[0].nnz
-        assert back.count() == n_src
+        src = (
+            e.select(FF.posexplode("embedding").alias("pos", "v"))
+            .filter(FF.col("v") != 0.0)
+            .select((FF.col("pos") + 1).alias("idx"), FF.col("v").cast("float").alias("v"))
+            .groupBy("idx", "v")
+            .agg(FF.count(FF.lit(1)).alias("n_src"))
+        )
+        joined = back.join(src, ["idx", "v"], "full_outer")
+        mismatches = joined.filter(
+            FF.col("n_back").isNull()
+            | FF.col("n_src").isNull()
+            | (FF.col("n_back") != FF.col("n_src"))
+        ).count()
+        assert mismatches == 0
+        assert back.count() > 0
 
 
 class TestSketchAlgebra:
@@ -649,6 +674,53 @@ class TestSketchAlgebra:
             lo = qs[max(0, int((frac - 0.03) * len(qs)) - 1)]
             hi = qs[min(len(qs) - 1, int((frac + 0.03) * len(qs)))]
             assert lo <= got <= hi, (got, lo, hi, frac)
+
+
+class TestLlmTierPlans:
+    """Pin the dedup/ANN tier's scale-critical plan shapes the way the
+    TPC-H shapes are pinned below: re-introducing an all-pairs join or
+    a corpus-side broadcast fails the suite instead of waiting for a
+    per-round plan audit."""
+
+    def test_minhash_candidates_via_band_equi_join(self, spark, sf_dir):
+        """LSH banding exists to avoid the quadratic pair join: the
+        candidate join must be an equi-join on (band, bucket)."""
+        plan = _plan(registry.QUERIES["dedup_minhash"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_simhash_candidates_via_block_equi_join(self, spark, sf_dir):
+        """Pigeonhole blocking: candidates come from a 16-bit-block
+        equi-join, never the brute-force pair scan the oracle runs."""
+        plan = _plan(registry.QUERIES["dedup_simhash"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_incremental_dedup_is_digest_hash_join(self, spark, sf_dir):
+        """History lookup joins on the md5 digest — a hash-partitioned
+        equi-join that scales with the corpus index, not a scan of
+        incoming x history."""
+        plan = _plan(registry.QUERIES["dedup_incremental"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ivf_broadcasts_centroids_not_corpus(self, spark, sf_dir):
+        """Cluster assignment fans the k x d centroid table out to every
+        embedding row — that is the ONE deliberate nested-loop in the
+        query (tiny broadcast side); the candidate join itself must stay
+        an equi-join on the cluster key.  The assignment subtree is
+        planned twice (cluster members + probe routes), so exactly two
+        centroid NL joins may appear — each must build (broadcast) the
+        centroid side, and nothing else may go nested-loop."""
+        plan = _plan(registry.QUERIES["sim_ivf"](spark, sf_dir))
+        assert "BroadcastExchange" in plan
+        # tree-form count ("formatted" repeats each node in the detail
+        # section, so count the tree spelling only)
+        assert plan.count("BroadcastNestedLoopJoin Cross") <= 2
+        assert "BuildLeft" not in plan  # corpus may never be the build side
+        assert "CartesianProduct" not in plan
+        # the candidate join is equi (SMJ or BHJ), present in the plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 class TestTpchShapePlans:
