@@ -1,0 +1,241 @@
+"""Amplified-scale smoke: the 10 most expensive queries on a 20x
+deterministic amplification of the sf0.1 fixtures (~12 M lineitem rows).
+
+Amplification semantics: scale by NEW ENTITIES, not denser keys — every
+copy shifts its entity ids by a fixed offset and decorrelates its
+content, so per-key densities (clicks per user, docs per near-dup
+cluster, vectors per cosine neighborhood) stay what they are at base
+scale.  A copy that merely duplicated rows would measure quadratic
+blow-up of the *fixture*, not the engine:
+
+- lineitem/orders: l_orderkey/o_orderkey += k*OFFSET (FKs stay
+  consistent); dims (customer/supplier/part/nation/region) stay fixed —
+  the realistic 100 TB shape (facts grow, dims don't).
+- events: event_id AND user_id shift, so the band join's per-user
+  click density is copy-invariant.
+- documents: doc_id shifts; text goes through one of 20 distinct
+  letter-rotation transforms (5 vowel x 4 consonant rotations), so
+  4-word shingles almost never collide across copies and the dedup
+  tier sees 20x the corpora, not 20 identical corpora.
+- embeddings: vec_id shifts; each copy applies its own deterministic
+  per-dimension sign-flip pattern.  Sign flips cancel inside a copy
+  (cos(s.x, s.y) == cos(x, y): within-copy geometry is EXACTLY the
+  base corpus) while cross-copy cosines randomize to ~0.
+
+OFFSET is a multiple of 25200 = lcm(2..10) * 50, so every
+``id % m`` probe/subset predicate in the query surface selects the
+same relative rows in every copy.
+
+Three measurement groups:
+- AMP (20x): the bucketed/banded/shuffle-based tier — must scale
+  near-linearly (ratio well under the 20x data factor after fixed
+  overheads).
+- FIXED-PROBE (20x corpus, constant probe set): the similarity-search
+  queries (sim_topk_cosine, sim_ann_lsh, sim_ivf_kmeans).  Their probe
+  set is a serving-workload parameter, not a corpus property, so the
+  realistic scale question is "bigger index, same query rate": the
+  script raises psvm.sim.probe_modulo by the amp factor so the probe
+  COUNT stays at its base value while the corpus grows 20x.  Expected
+  ratio <= 20x (work is probes x corpus-fraction).  Measured context
+  (sf0.001, this machine): random-projection LSH cannot prune uniform
+  unit vectors — pruning to 47% of pairs already drops recall@10 to
+  0.58 (bl=0.15/nt=2) vs 1.0 at no pruning — so sim_ann_lsh's
+  candidate volume is data-dependent by nature and the deterministic
+  bounded-candidates path is IVF (nprobe/k of the corpus per probe).
+- AMP_QUAD (4x): the brute-force all-pairs baseline
+  (dedup_embedding), O(n^2) BY DESIGN — its scale path is
+  dedup_minhash / the LSH banding family, measured above.  Expected
+  ratio ~= factor^2; anything near-linear here would mean the query
+  is no longer the brute-force baseline it claims to be.
+
+Usage: python scripts/measure_scale.py [base_sf_dir] [out_dir]
+Prints one JSON line; best-effort cleanup is skipped so reruns reuse
+the amplified tables (delete out_dir to force a rebuild).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from psvm_spark import registry
+from psvm_spark.session import get_spark
+
+AMP = 20
+AMP_QUAD = 4
+MOD = 25200  # lcm(2..10) * 50 — keeps every `id % m` subset copy-invariant
+
+COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
+AMP_QUERIES = [
+    "dedup_minhash",
+    "dedup_components",
+    "join_q9_shape",
+    "join_q8_shape",
+    "join_q21_shape",
+    "agg_percentile",
+    "join_range",
+]
+FIXED_PROBE_QUERIES = ["sim_topk_cosine", "sim_ann_lsh", "sim_ivf_kmeans"]
+QUAD_QUERIES = ["dedup_embedding"]
+
+VOWELS = "aeiou"
+CONS = "snrt"
+
+
+def _offset(df, key) -> int:
+    mx = df.agg(F.max(key)).collect()[0][0] or 0
+    return ((mx // MOD) + 1) * MOD
+
+
+def _with_copies(spark, df, n):
+    return df.crossJoin(spark.range(n).toDF("cp"))
+
+
+def _rotated_text(col, cp):
+    """One of 20 distinct letter-rotation transforms keyed by cp."""
+    # one WHEN branch per copy: translate's pattern args must be literals
+    out = None
+    for k in range(AMP):
+        ra, rb = k % 5, k // 5
+        va = VOWELS[ra:] + VOWELS[:ra]
+        cb = CONS[rb:] + CONS[:rb]
+        t = F.translate(F.translate(col, VOWELS, va), CONS, cb)
+        out = F.when(cp == k, t) if out is None else out.when(cp == k, t)
+    return out.otherwise(col)
+
+
+def build_amplified(spark, base: str, out: str, n: int) -> None:
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_DONE")):
+        return
+    os.makedirs(out, exist_ok=True)
+
+    def w(df, name):
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    for t in COPY_AS_IS:
+        w(spark.read.parquet(f"{base}/{t}.parquet"), t)
+
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    orders = spark.read.parquet(f"{base}/orders.parquet")
+    okey_off = max(_offset(li, "l_orderkey"), _offset(orders, "o_orderkey"))
+    w(
+        _with_copies(spark, li, n)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("cp") * okey_off)
+        .drop("cp"),
+        "lineitem",
+    )
+    w(
+        _with_copies(spark, orders, n)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("cp") * okey_off)
+        .drop("cp"),
+        "orders",
+    )
+
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    eid_off = _offset(ev, "event_id")
+    uid_off = _offset(ev, "user_id")
+    w(
+        _with_copies(spark, ev, n)
+        .withColumn("event_id", F.col("event_id") + F.col("cp") * eid_off)
+        .withColumn("user_id", F.col("user_id") + F.col("cp") * uid_off)
+        .drop("cp"),
+        "events",
+    )
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    did_off = _offset(docs, "doc_id")
+    amp_docs = (
+        _with_copies(spark, docs, n)
+        .withColumn("doc_id", F.col("doc_id") + F.col("cp") * did_off)
+        .withColumn("text", _rotated_text(F.col("text"), F.col("cp")))
+        .drop("cp")
+    )
+    w(amp_docs, "documents")
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    vid_off = _offset(emb, "vec_id")
+    sign = lambda i: F.when(  # noqa: E731
+        F.pmod(F.xxhash64(F.col("cp") * F.lit(1000003) + i), F.lit(2)) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    amp_emb = (
+        _with_copies(spark, emb, n)
+        .withColumn("vec_id", F.col("vec_id") + F.col("cp") * vid_off)
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x, i: (x * sign(i)).cast("float")),
+        )
+        .drop("cp")
+    )
+    w(amp_emb, "embeddings")
+    Path(out, "_DONE").touch()
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out20 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/psvm_scale20"
+    out4 = out20.rstrip("/") + "_q4"
+    spark = get_spark("psvm_scale_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+
+    t0 = time.perf_counter()
+    build_amplified(spark, base, out20, AMP)
+    build_amplified(spark, base, out4, AMP_QUAD)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm the JVM/codegen/python-worker paths once
+    mat(registry.QUERIES["agg_pricing_summary"](spark, base))
+
+    def timed(name, sf_dir):
+        t = time.perf_counter()
+        mat(registry.QUERIES[name](spark, sf_dir))
+        return round(time.perf_counter() - t, 2)
+
+    res = {"build_sec": build_s, "amp": AMP, "amp_quad": AMP_QUAD, "queries": {}}
+    for name in AMP_QUERIES:
+        b = timed(name, base)
+        a = timed(name, out20)
+        res["queries"][name] = {
+            "base": b, "amp20": a, "ratio": round(a / b, 1), "factor": AMP,
+        }
+        print(f"{name}: base {b}s amp20 {a}s ratio {round(a/b,1)}x", file=sys.stderr)
+    for name in FIXED_PROBE_QUERIES:
+        b = timed(name, base)
+        spark.conf.set("psvm.sim.probe_modulo", str(50 * AMP))
+        try:
+            a = timed(name, out20)
+        finally:
+            spark.conf.unset("psvm.sim.probe_modulo")
+        res["queries"][name] = {
+            "base": b, "amp20_fixed_probes": a, "ratio": round(a / b, 1),
+            "factor": AMP,
+            "note": "corpus 20x, probe count held at base (probe_modulo x20)",
+        }
+        print(
+            f"{name}: base {b}s amp20/fixed-probes {a}s ratio {round(a/b,1)}x",
+            file=sys.stderr,
+        )
+    for name in QUAD_QUERIES:
+        b = timed(name, base)
+        a = timed(name, out4)
+        res["queries"][name] = {
+            "base": b, "amp4": a, "ratio": round(a / b, 1), "factor": AMP_QUAD,
+            "note": "brute-force pair baseline: O(n^2) by design",
+        }
+        print(f"{name}: base {b}s amp4 {a}s ratio {round(a/b,1)}x", file=sys.stderr)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
