@@ -580,3 +580,74 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias("p95"),
     )
     return grp.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# B75 (round 4) — count-min-sketch heavy hitters, cross-engine exact.
+# A CMS is d hash rows x w counters; estimate(x) = min_d counts[h_d(x)].
+# Unlike the JVM `count_min_sketch` aggregate (opaque binary, not
+# readable from SQL), this one is built from first principles with the
+# repo's salted-md5 bucket rule, so DuckDB constructs the IDENTICAL
+# sketch and the driver hash-checks it exactly.  The sketch is
+# mergeable by construction ((d, bucket) partial counts sum), which is
+# the 100 TB story: shard-local sketches at 4*w*8 bytes each, one tiny
+# reduce, point queries without re-scanning the stream.  Output: the
+# top-10 exact-count users with their CMS estimates (est >= exact
+# always; error bounded by eps*N with eps = e/w).
+
+
+_CMS_D, _CMS_W = 4, 512
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+WITH cms AS (
+  SELECT d, (('0x' || substr(md5(d || ':' || user_id), 1, 8))::BIGINT % {_CMS_W}) AS bucket,
+         COUNT(*) AS cnt
+  FROM events CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS d)
+  GROUP BY 1, 2),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_cnt
+  FROM events GROUP BY user_id
+  ORDER BY exact_cnt DESC, user_id LIMIT 10)
+SELECT e.user_id, e.exact_cnt, MIN(c.cnt) AS cms_est
+FROM exact e
+JOIN (SELECT d AS pd, (('0x' || substr(md5(d || ':' || user_id), 1, 8))::BIGINT % {_CMS_W}) AS pbucket,
+             user_id
+      FROM (SELECT DISTINCT user_id FROM events)
+      CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS d)) p
+  ON p.user_id = e.user_id
+JOIN cms c ON c.d = p.pd AND c.bucket = p.pbucket
+GROUP BY e.user_id, e.exact_cnt
+""",
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    bucket = (
+        "pmod(cast(conv(substring(md5(concat(d, ':', user_id)), 1, 8), 16, 10)"
+        f" as bigint), {_CMS_W})"
+    )
+    rows = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
+    )
+    cms = rows.groupBy("d", F.expr(bucket).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+    ).select("user_id", "exact_cnt", "d", F.expr(bucket).alias("bucket"))
+    return (
+        F.broadcast(probes)
+        .join(cms, ["d", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -569,3 +569,108 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("vol_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B76 (round 4) — EWMA smoothing with a truncated kernel.  True EWMA is
+# a sequential recurrence (not parallelizable as a window without a
+# prefix-scan); the standard large-scale form truncates the kernel:
+# with alpha = 0.5 the weight of lag 6+ is < 2%, so
+# ewma_t = sum_{i<=5} w_i x_{t-i} / sum_{i<=5, lag exists} w_i,
+# w_i = 0.5^i.  One window per user — a single shuffle on user_id.
+# Parity: 0.5^i is a FINITE decimal, values are 2-decimal, so numerator
+# and denominator are exact DECIMAL sums in both engines; the final
+# division is one double op on identical operands.
+
+
+_EWMA_K = 6
+
+
+def _ewma_terms(lag_fmt: str, weight_fmt: str) -> tuple[str, str]:
+    num = " + ".join(
+        f"coalesce({lag_fmt.format(i=i)} * {weight_fmt.format(w=0.5 ** i)}, 0)"
+        for i in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_fmt.format(i=i)} IS NOT NULL THEN {weight_fmt.format(w=0.5 ** i)} ELSE 0 END)"
+        for i in range(_EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_NUM_SPARK, _EWMA_DEN_SPARK = _ewma_terms(
+    "lag(cast(value as decimal(12,2)), {i}) over (partition by user_id order by ts, event_id)",
+    "cast({w} as decimal(6,5))",
+)
+_EWMA_NUM_DUCK, _EWMA_DEN_DUCK = _ewma_terms(
+    "lag(CAST(value AS DECIMAL(12,2)), {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)",
+    "CAST({w} AS DECIMAL(6,5))",
+)
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       CAST(({_EWMA_NUM_DUCK}) AS DOUBLE) / CAST(({_EWMA_DEN_DUCK}) AS DOUBLE) AS ewma
+FROM events
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (
+            F.expr(_EWMA_NUM_SPARK).cast("double")
+            / F.expr(_EWMA_DEN_SPARK).cast("double")
+        ).alias("ewma"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B77 (round 4) — event-transition matrix (first-order Markov): for each
+# user's time-ordered stream, count (previous event_type -> event_type)
+# transitions and the per-source transition probability.  One window
+# shuffle on user_id + one skinny aggregation on the (from, to) pair;
+# the probability is a single double division of exact longs.
+
+
+@query(
+    "event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM pairs
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev_type")).cast("double")
+        ).alias("p"),
+    )

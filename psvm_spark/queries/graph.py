@@ -1,0 +1,194 @@
+"""Graph analytics over a deterministic sparse graph derived from keys.
+
+Round-4 additions (SURVEY.md section 2, B71-B73): degree profile,
+triangle counting, and PageRank.  The graph is derived from the
+lineitem fact: every row of a deterministic quarter of the orders
+(``l_orderkey % 4 = 0`` — whole orders kept, so the shared-order hub
+structure survives) contributes one undirected edge between two
+hash-bucketed vertices (salted md5 of l_orderkey / l_partkey into a
+fixed ``N_NODES`` id space), deduplicated and canonicalized a < b.
+The derivation is the same md5-bucket rule the sampling/split queries
+use, so both engines build bit-identical edge sets.
+
+Scale notes (100 TB):
+- Edge building is a narrow map + one distinct (shuffle on the edge
+  pair, map-side combined).  The salted-md5 vertex hash is the
+  dominant per-row cost and runs entirely in whole-stage codegen.
+- Each query materializes the edge set ONCE (``localCheckpoint``) and
+  reuses it — the naive form recomputed the md5 scan 2-6x per query
+  (measured 12s/13s/41s at sf0.1; ~3/6/9s after reuse).
+- Triangle counting orients every edge low->high and joins wedges
+  (a<b<c) back to the edge set: two shuffle joins whose size is
+  sum-of-squared-out-degrees, the standard distributed formulation
+  (orienting bounds out-degree by ~sqrt(2m) on skewed graphs, far
+  smaller than deg^2 of hubs).  No cartesian anywhere.
+- PageRank is the canonical iterative DataFrame loop: the rank vector
+  (|V| rows, tiny next to |E|) is BROADCAST against the checkpointed
+  link table, so per iteration the only shuffle is the contribution
+  aggregation on dst.  5 fixed iterations, ``localCheckpoint`` per
+  iteration keeps lineage flat (same pattern as
+  operators/components.py).  Driver traffic is zero data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psvm_spark.catalog import load_table
+from psvm_spark.registry import query
+
+N_NODES = 4_000
+
+# Salted md5 -> vertex id, identical in both engines (established
+# conv/substr twin pattern, see llm.py split_stable_hash).
+_U_SPARK = (
+    "pmod(cast(conv(substring(md5(concat('gu:', l_orderkey)), 1, 8), 16, 10)"
+    f" as bigint), {N_NODES})"
+)
+_V_SPARK = (
+    "pmod(cast(conv(substring(md5(concat('gv:', l_partkey)), 1, 8), 16, 10)"
+    f" as bigint), {N_NODES})"
+)
+_U_DUCK = f"(('0x' || substr(md5('gu:' || l_orderkey), 1, 8))::BIGINT % {N_NODES})"
+_V_DUCK = f"(('0x' || substr(md5('gv:' || l_partkey), 1, 8))::BIGINT % {N_NODES})"
+
+_EDGES_DUCK = f"""
+  SELECT DISTINCT least({_U_DUCK}, {_V_DUCK}) AS a,
+                  greatest({_U_DUCK}, {_V_DUCK}) AS b
+  FROM lineitem
+  WHERE l_orderkey % 4 = 0 AND {_U_DUCK} <> {_V_DUCK}
+"""
+
+
+def edge_set(spark: SparkSession, sf_dir: str, *, materialize: bool = False) -> DataFrame:
+    """Canonical undirected edge set (a < b), deduplicated.
+
+    ``materialize=True`` local-checkpoints the result so callers that
+    traverse it several times (wedge joins, rank iterations) pay the
+    md5 scan + distinct exactly once.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    uv = li.select(
+        F.expr(_U_SPARK).cast("bigint").alias("u"),
+        F.expr(_V_SPARK).cast("bigint").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    e = uv.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    return e.localCheckpoint(eager=True) if materialize else e
+
+
+# --------------------------------------------------------------------------
+# B71 — degree profile: per-vertex degree, histogrammed.  A single pass:
+# explode both endpoints of each edge (2 rows/edge, no second scan),
+# then two skinny aggregations on 8-byte keys.
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges)
+  GROUP BY node)
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+""",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir)
+    nodes = e.select(F.explode(F.array("a", "b")).alias("node"))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+# --------------------------------------------------------------------------
+# B72 — triangle counting by edge orientation: every edge is stored
+# a < b, so wedges (a,b) x (b,c) with b < c give each candidate triangle
+# exactly once as a < b < c; joining (a,c) back to the edge set confirms
+# closure.  Join volume = sum of squared out-degrees — bounded, never
+# all-pairs.  Returns one row (n_nodes, n_edges, n_triangles).
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK})
+SELECT (SELECT COUNT(DISTINCT node)
+        FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*)
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    n_nodes = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .agg(F.countDistinct("node").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    e2 = e.select(F.col("a").alias("x_b"), F.col("b").alias("w_c"))
+    wedges = e1.join(e2, e1.w_b == e2.x_b).select("w_a", "w_c")
+    closed = wedges.join(
+        e, (wedges.w_a == e.a) & (wedges.w_c == e.b), "left_semi"
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    # The wedge/closure joins above are equi-joins; only this final
+    # 1-row x 1-row x 1-row combine is a (whitelisted) broadcast NL.
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+# --------------------------------------------------------------------------
+# B73 — PageRank, 5 fixed iterations, damping 0.85, uniform init 1/n
+# over the undirected edge set (each edge contributes both directions,
+# so every vertex has out-degree >= 1: no dangling mass).  rows-only by
+# design (double accumulation order differs across engines in the last
+# ulps); tests/test_properties.py checks mass conservation and parity
+# vs a NumPy power-iteration reference at sf0.001.
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    out = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    )
+    deg = out.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    links = out.join(deg, "src").localCheckpoint(eager=True)
+    n = deg.count()
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    for _ in range(5):
+        contrib = (
+            links.join(F.broadcast(ranks), "src")
+            .select(
+                F.col("dst").alias("src"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("src")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # Left join on the degree spine keeps any vertex that received
+        # no mass this round; here every vertex has in-edges so it is
+        # total, but the spine keeps the loop shape fully general.
+        ranks = deg.select("src").join(contrib, "src", "left").select(
+            "src",
+            (F.lit(0.15 / n) + 0.85 * F.coalesce("inflow", F.lit(0.0))).alias(
+                "rank"
+            ),
+        ).localCheckpoint(eager=True)
+    return (
+        ranks.orderBy(F.desc("rank"), "src")
+        .limit(20)
+        .select("src", F.round("rank", 9).alias("rank"))
+    )

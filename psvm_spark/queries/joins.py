@@ -395,3 +395,78 @@ SELECT COUNT(*) AS n_probe,
 FROM nin_probe
 """
     )
+
+
+# --------------------------------------------------------------------------
+# B74 (round 4) — bloom-filter join pruning: the 100 TB semi-join
+# pattern.  When a fact table joins a filtered dimension subset, the
+# win is dropping fact rows BEFORE the shuffle.  Spark's own runtime
+# row-level filtering (spark.sql.optimizer.runtime.bloomFilter.enabled)
+# injects exactly this under AQE when its heuristics fire; the
+# DataFrame-native bloom here shows the mechanics explicitly and works
+# where those heuristics decline (e.g. a pre-computed filter reused
+# across queries).
+#
+# Build (small side, one aggregation): k=3 hash positions per key via
+# seeded xxhash64 into an m=65536-bit space, OR-folded into per-word
+# masks, collected into ONE map<word, mask> row and broadcast.  Probe
+# (fact side, narrow map): a row survives iff all 3 bits are set —
+# false-positive rate ~(1 - e^{-kn/m})^k, well under 1% at the fixture
+# selectivity.  The exact semi-join afterwards removes false positives,
+# so the bloom only changes WHERE rows are dropped, never the result —
+# which is why the oracle is the plain semi-join SQL.
+
+
+@query(
+    "join_bloom_prune",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m_bits = 1 << 16
+    seeds = [1, 2, 3]
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_orderkey")
+    )
+
+    def positions(col: str):
+        return [F.pmod(F.xxhash64(F.lit(s), F.col(col)), F.lit(m_bits)) for s in seeds]
+
+    bloom = (
+        keys.select(F.explode(F.array(*positions("o_orderkey"))).alias("pos"))
+        .groupBy(F.expr("cast(pos div 64 as int)").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("mask"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom"))
+    )
+    probed = li.join(F.broadcast(bloom))
+    hit = None
+    for s in seeds:
+        this = F.expr(
+            f"coalesce(element_at(bloom, cast(pmod(xxhash64({s}, l_orderkey), {m_bits}) div 64 as int)), 0L)"
+            f" & shiftleft(1L, cast(pmod(xxhash64({s}, l_orderkey), {m_bits}) % 64 as int)) != 0"
+        )
+        hit = this if hit is None else (hit & this)
+    pruned = probed.filter(hit).drop("bloom")
+    exact = pruned.join(F.broadcast(keys), pruned.l_orderkey == keys.o_orderkey, "left_semi")
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(dmoney("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1952,3 +1952,104 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_digit_runs").alias("total_digit_runs"),
         F.countDistinct(F.md5("t")).alias("n_distinct_scrubbed"),
     )
+
+
+# --------------------------------------------------------------------------
+# B78 (round 4) — document chunking with overlap: the standard LLM
+# pre-training segmentation (context-window chunks of CHUNK tokens,
+# stride STRIDE, so consecutive chunks share CHUNK-STRIDE tokens).
+# Narrow per-row compute: split -> sequence(starts) -> explode ->
+# slice; no shuffle at all, and at 100 TB it streams through
+# whole-stage codegen.  Chunk text is surfaced as md5 so result rows
+# stay fixed-width (the driver hashes values; the digest pins the full
+# chunk content).
+
+
+_CHUNK, _STRIDE = 30, 20
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(w) - ({_CHUNK} - {_STRIDE}) - 1, 0) // {_STRIDE} + 1)) AS chunk_idx,
+         w
+  FROM toks)
+SELECT doc_id, chunk_idx,
+       len(w[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}]) AS n_tokens,
+       md5(array_to_string(w[chunk_idx * {_STRIDE} + 1 : chunk_idx * {_STRIDE} + {_CHUNK}], ' ')) AS chunk_md5
+FROM chunks
+""",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    # Number of chunks: ceil(max(n - overlap, 1) / stride) expressed with
+    # integer arithmetic identical in both engines; every doc yields >= 1
+    # chunk (the slice clamps at the end of the token list).
+    n_chunks = F.expr(
+        f"cast(greatest(size(w) - ({_CHUNK} - {_STRIDE}) - 1, 0) div {_STRIDE} as int)"
+    )
+    chunks = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_idx"),
+    )
+    piece = F.expr(f"slice(w, chunk_idx * {_STRIDE} + 1, {_CHUNK})")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B79 (round 4) — weighted sampling without replacement, integer-exact.
+# Efraimidis–Spirakis assigns key u^(1/w) and takes the k largest; an
+# equivalent formulation (min of w iid draws ~ the same order
+# distribution: P(item i yields the overall minimum) = w_i / sum w) is
+# key_i = min_{j=1..w_i} hash(id, j), take the k SMALLEST — which needs
+# no ln/pow, so both engines rank on identical 32-bit integers instead
+# of libm doubles.  Weights are integers derived from document length
+# (longer docs up-weighted, capped at 8).  One narrow explode (<= 8
+# rows/doc) + a global top-k: at 100 TB this is the deterministic
+# quality-weighted subsampling pass before training-mix assembly.
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle="""
+WITH weighted AS (
+  SELECT doc_id, least(greatest(n_chars // 64, 1), 8) AS w FROM documents),
+keyed AS (
+  SELECT doc_id, w,
+         (SELECT min(('0x' || substr(md5('res:' || doc_id || ':' || j.j), 1, 8))::BIGINT)
+          FROM (SELECT unnest(range(1, w + 1)) AS j) j) AS draw
+  FROM weighted)
+SELECT doc_id, w, draw FROM keyed
+ORDER BY draw, doc_id LIMIT 200
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id",
+        F.expr("least(greatest(n_chars div 64, 1), 8)").alias("w"),
+    )
+    draws = weighted.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.col("w"))).alias("j"),
+    ).select(
+        "doc_id",
+        "w",
+        F.expr(
+            "cast(conv(substring(md5(concat('res:', doc_id, ':', j)), 1, 8), 16, 10) as bigint)"
+        ).alias("u"),
+    )
+    keyed = draws.groupBy("doc_id", "w").agg(F.min("u").alias("draw"))
+    return keyed.orderBy("draw", "doc_id").limit(200)

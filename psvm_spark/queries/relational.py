@@ -740,10 +740,19 @@ def scan_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q21 shape (adapted: fixtures carry no receipt/commit dates, so
 # "kept waiting" becomes "sole returner"): for finished orders, count
 # per supplier the returned ('R') line items on multi-supplier orders
-# where NO other supplier also returned — a semi-join AND an anti-join
-# against the same fact table with a non-equi residual
-# (different-supplier) on the equi key.  Both self-joins co-partition on
-# l_orderkey, so at 100 TB the three fact legs share one shuffle key;
+# where NO other supplier also returned.  The classic plan is a
+# semi-join AND an anti-join against the same fact table (three
+# fact-sized shuffle legs — measured 12.7x at the 20x amplification,
+# SCALE.md section 9).  Rewritten as ONE pass over lineitem: per
+# (orderkey, suppkey) record R-row count, then per orderkey count
+# distinct suppliers and distinct R-flag suppliers.  For an R-flag row,
+# EXISTS(other supplier)      <=> n_supp   >= 2
+# NOT EXISTS(other R supplier) <=> n_r_supp == 1  (its own supplier is
+# the only R supplier), and the qualifying rows per order are exactly
+# that supplier's R rows — so numwait = SUM(n_r_rows), no join back to
+# the fact.  At 100 TB: lineitem shuffles ONCE (map-side combined to
+# near-distinct (orderkey, suppkey) pairs, 24 B each); everything
+# downstream is pair-sized.  Orders joins the tiny candidate set;
 # supplier is broadcast.
 
 
@@ -767,31 +776,26 @@ GROUP BY s_name
 )
 def join_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    is_r = (F.col("l_returnflag") == "R").cast("long")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(is_r).alias("n_r_rows")
     )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_r_rows") > 0).cast("long")).alias("n_r_supp"),
+    )
+    cand = (
+        per_supp.filter(F.col("n_r_rows") > 0)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
     )
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
-    cand = l1.join(
-        l2,
-        (F.col("l_orderkey") == F.col("l2_orderkey"))
-        & (F.col("l_suppkey") != F.col("l2_suppkey")),
-        "left_semi",
-    ).join(
-        l3,
-        (F.col("l_orderkey") == F.col("l3_orderkey"))
-        & (F.col("l_suppkey") != F.col("l3_suppkey")),
-        "left_anti",
-    )
     return (
         cand.join(o, cand.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r_rows").alias("numwait"))
     )
 
 

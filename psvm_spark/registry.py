@@ -54,9 +54,14 @@ def load_all() -> None:
         scalars(8 of 9).
       round 4 (this order): windows(10) + streaming(11) + sources(7) +
         udfs(7) + ml(15) = exactly 50 keys never sampled in r1-r3.
+        (Round-4 additions — graph(3), agg_cms_heavy_hitters, ts_ewma,
+        event_transitions, doc_chunk_overlap, sample_weighted_reservoir,
+        join_bloom_prune — all register AFTER the ml block, so the
+        planned 50-key sample is unchanged.)
       round 5 (next, write it here when rotating): multimodal(3) +
-        warehouse(5) + aggregates(18) + analytics(11) + llm first
-        13 = 50; llm tail (26) + scalars tail (1) front round 6.
+        warehouse(5) + aggregates(19) + analytics(13) + graph(3) +
+        llm first 7 = 50; round 6 fronts the llm tail (34) +
+        scalar_null_semantics + join_bloom_prune + 14 resamples.
     """
     from psvm_spark.queries import (  # noqa: F401
         windows,
@@ -68,6 +73,7 @@ def load_all() -> None:
         warehouse,
         aggregates,
         analytics,
+        graph,
         llm,
         relational,
         joins,

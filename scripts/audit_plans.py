@@ -28,6 +28,8 @@ from psvm_spark.session import get_spark
 #   (c) a deliberate non-equi demo on bounded inputs
 WHITELIST = {
     "join_cross": "(c) deliberate cross join demo (dim x dim, both tiny)",
+    "graph_triangle_count": "(a) 1-row x 1-row x 1-row stat combine; wedge/closure joins are equi",
+    "join_bloom_prune": "(a) 1-row bloom-bitmap broadcast attach; the data joins are equi/semi",
     "join_theta": "(c) deliberate non-equi theta join demo (bounded inputs)",
     "join_not_in_nulls": "(c) NOT-IN null semantics demo: null-aware anti join IS a BNLJ",
     "sim_topk_cosine": "(b) probes broadcast against corpus by design (non-equi <> filter)",

@@ -367,9 +367,17 @@ class TestTpchShapes:
         plan = _plan(registry.QUERIES["agg_q16_shape"](spark, sf_dir))
         assert "LeftAnti" in plan
 
-    def test_q21_self_joins_share_orderkey_partitioning(self, spark, sf_dir):
+    def test_q21_single_fact_pass_no_self_joins(self, spark, sf_dir):
+        """Round-4 rewrite: the EXISTS/NOT-EXISTS pair is folded into one
+        per-(orderkey, suppkey) aggregation pass — the fact table must be
+        scanned once and never semi/anti-joined against itself (the old
+        3-shuffle-leg shape measured 12.7x at the 20x amplification)."""
         plan = _plan(registry.QUERIES["join_q21_shape"](spark, sf_dir))
-        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "LeftSemi" not in plan and "LeftAnti" not in plan
+        # per_supp feeds both the candidate filter and the per-order
+        # rollup: statically two scan nodes, runtime-deduped by AQE
+        # exchange reuse.  The old shape had three fact join legs.
+        assert plan.count("lineitem.parquet") <= 2
 
 
 class TestAnalytics:
@@ -744,3 +752,48 @@ class TestTpchShapePlans:
         # the qty>100 filter applies to the aggregate output, upstream
         # of the supplier join in the physical plan
         assert "HashAggregate" in plan and "qty" in plan
+
+
+class TestRound4PlanQuality:
+    """Plan pins for the round-4 tier: the shapes that make these
+    operators scale are asserted so a regression fails the suite."""
+
+    def test_doc_chunk_overlap_has_no_shuffle(self, spark, sf_dir):
+        """Chunking is a pure per-row pipeline — a hash/range shuffle
+        would mean an accidental wide dependency in a 100 TB streaming
+        map.  (fan_out's round-robin rebalance of the single-file local
+        fixture is allowed: it is a no-op on a many-split table.)"""
+        plan = _plan(registry.QUERIES["doc_chunk_overlap"](spark, sf_dir))
+        assert "hashpartitioning" not in plan
+        assert "rangepartitioning" not in plan
+
+    def test_bloom_prune_attaches_one_row_broadcast(self, spark, sf_dir):
+        """The bloom bitmap must arrive as a broadcast (1-row map), and
+        the exactness fix-up must be a semi join — the fact table never
+        builds a hash table."""
+        plan = _plan(registry.QUERIES["join_bloom_prune"](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row bloom attach
+        assert "LeftSemi" in plan
+        assert "xxhash64" in plan  # probe bits evaluated fact-side
+
+    def test_cms_probe_side_is_broadcast(self, spark, sf_dir):
+        """The top-10 probe rows broadcast against the (d, bucket)
+        sketch — the sketch (corpus-sized build) must never broadcast."""
+        plan = _plan(registry.QUERIES["agg_cms_heavy_hitters"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+
+    def test_triangle_joins_are_equi(self, spark, sf_dir):
+        plan = _plan(registry.QUERIES["graph_triangle_count"](spark, sf_dir))
+        # wedge + closure joins hash/sort-merge on vertex keys; the only
+        # NL is the whitelisted 1-row stat combine.
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_ewma_is_single_window_shuffle(self, spark, sf_dir):
+        df = registry.QUERIES["ts_ewma"](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        # one hashpartitioning exchange on user_id for the lag window
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "hashpartitioning(user_id" in plan
