@@ -23,6 +23,22 @@ from psvm_spark.ml import kernels as K
 from psvm_spark.queries._util import fan_out
 from psvm_spark.registry import query
 
+
+def _probe_mod(spark: SparkSession) -> int:
+    """Probe-set modulus for the similarity queries (default 50).
+
+    The probe set is a SERVING-WORKLOAD parameter, not a corpus
+    property: the oracles pin ``vec_id % 50 = 0`` and the driver never
+    overrides the conf, so parity is unaffected.  The scale harness
+    (scripts/measure_scale.py) raises ``psvm.sim.probe_modulo`` by the
+    amplification factor to hold probe COUNT constant while the corpus
+    grows — the realistic "bigger index, same query rate" question;
+    growing probes WITH the corpus would measure workload growth
+    (probes x corpus), not engine scaling.
+    """
+    return int(spark.conf.get("psvm.sim.probe_modulo", "50"))
+
+
 # --------------------------------------------------------------------------
 # B45 — exact dedup by content digest (md5 matches DuckDB's md5).
 
@@ -380,7 +396,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlines them — the value is identical, but per-pair recomputation
     # would triple the higher-order-function work on n_probes x n rows).
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+    probes = e.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
         F.col("vec_id").alias("i"),
         F.col("embedding").alias("vp"),
         F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("np"),
@@ -422,15 +438,29 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=8, seed=42
     )
     model = lsh.fit(e)
-    probes = e.filter(F.col("vec_id") % 50 == 0)
+    probes = e.filter(F.col("vec_id") % _probe_mod(spark) == 0)
     joined = model.approxSimilarityJoin(probes, e, threshold=2.5, distCol="dist")
     out = joined.select(
         F.col("datasetA.vec_id").alias("i"),
         F.col("datasetB.vec_id").alias("j"),
         F.round("dist", 9).alias("l2_dist"),
+        F.spark_partition_id().alias("pid"),
     ).filter(F.col("i") != F.col("j"))
+    # Per-(probe, partition) partial top-10 first — the candidate set on
+    # poorly-prunable data approaches probes x corpus, and the final
+    # per-probe window must rank n_partitions x 10 rows, not all of it
+    # (same shape as sim_topk_cosine; identical results because the
+    # local and global orderings agree).
+    w_local = Window.partitionBy("i", "pid").orderBy(
+        F.col("l2_dist").asc(), F.col("j").asc()
+    )
+    cand = (
+        out.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= 10)
+        .drop("lr", "pid")
+    )
     w = Window.partitionBy("i").orderBy(F.col("l2_dist").asc(), F.col("j").asc())
-    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 
 
 # --------------------------------------------------------------------------
@@ -513,10 +543,10 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = assign.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("j"), F.col("embedding").alias("ve"), F.col("clab").alias("cl_j")
     )
-    probe_c = assign.filter((F.col("vec_id") % 50 == 0) & (F.col("rk") <= _IVF_NPROBE)).select(
+    probe_c = assign.filter((F.col("vec_id") % _probe_mod(spark) == 0) & (F.col("rk") <= _IVF_NPROBE)).select(
         F.col("vec_id").alias("i"), F.col("clab").alias("cl_i")
     )
-    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+    probes = e.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
         F.col("vec_id").alias("i"), F.col("embedding").alias("vp")
     )
     cosine = F.round(
@@ -1548,7 +1578,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_IVFK_NPROBE})"
     )
     probes = (
-        scored.filter(F.col("vec_id") % 50 == 0)
+        scored.filter(F.col("vec_id") % _probe_mod(spark) == 0)
         .select(
             F.col("vec_id").alias("i"),
             F.col("emb").alias("vp"),

@@ -283,3 +283,149 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B80 (round 4) — CDC MERGE apply: reconcile a changelog of
+# insert/update/delete operations into a snapshot, latest-op-per-key
+# wins (the MERGE INTO staple: WHEN MATCHED AND op='D' DELETE / AND
+# op='U' UPDATE / WHEN NOT MATCHED AND op='I' INSERT).  The changelog
+# derives deterministically from orders (seq = o_orderkey arbitrates
+# later-wins; 'I' keys are offset past the snapshot key space so the
+# not-matched branch is exercised).  One aggregation collapses the log
+# to latest-per-key, then a single full-outer join on the key applies
+# every branch — at 100 TB both sides shuffle once on the merge key,
+# which is exactly the shape Delta/Iceberg MERGE compiles to.
+
+
+@query(
+    "cdc_merge_apply",
+    oracle="""
+WITH log AS (
+  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_custkey + 1000000 ELSE o_custkey END AS key,
+         o_orderkey AS seq,
+         CASE o_orderkey % 20 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS new_bal
+  FROM orders WHERE o_orderkey % 20 < 3),
+latest AS (
+  SELECT key, arg_max(op, seq) AS op, arg_max(new_bal, seq) AS new_bal
+  FROM log GROUP BY key),
+snap AS (
+  SELECT c_custkey AS key, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer)
+SELECT s.key AS key,
+       CAST(CASE WHEN l.op = 'U' THEN l.new_bal ELSE s.bal END AS DOUBLE) AS bal,
+       'kept' AS src
+FROM snap s LEFT JOIN latest l ON s.key = l.key
+WHERE l.op IS NULL OR l.op <> 'D'
+UNION ALL
+SELECT l.key, CAST(l.new_bal AS DOUBLE), 'inserted'
+FROM latest l LEFT JOIN snap s ON s.key = l.key
+WHERE s.key IS NULL AND l.op = 'I'
+""",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    log = o.filter(F.col("o_orderkey") % 20 < 3).select(
+        F.when(F.col("o_orderkey") % 20 == 2, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 20 == 1, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("new_bal"),
+    )
+    latest = log.groupBy("key").agg(
+        F.max_by("op", "seq").alias("op"), F.max_by("new_bal", "seq").alias("new_bal")
+    )
+    snap = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    merged = snap.join(latest, "key", "full")
+    kept = (
+        merged.filter(F.col("bal").isNotNull())
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "key",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("bal"))
+            .cast("double")
+            .alias("bal"),
+            F.lit("kept").alias("src"),
+        )
+    )
+    inserted = (
+        merged.filter(F.col("bal").isNull() & (F.col("op") == "I"))
+        .select("key", F.col("new_bal").cast("double").alias("bal"), F.lit("inserted").alias("src"))
+    )
+    return kept.unionAll(inserted)
+
+
+# --------------------------------------------------------------------------
+# B81 (round 4) — interval-concurrency peak (sweep line): each event
+# opens an interval [ts, ts + value seconds]; the peak number of
+# concurrently open intervals per event_type and the first instant it
+# is reached.  Classic +1/-1 sweep: explode each interval to two delta
+# points, running-sum over an ORDER BY (pt, delta DESC) RANGE window
+# (simultaneous starts collapse into one jump in BOTH engines — RANGE
+# peers make the result tie-insensitive), then argmax.  Two shuffles
+# total (window + final agg), both on bounded keys.
+
+
+@query(
+    "ts_concurrency_peak",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e_us
+  FROM events),
+pts AS (
+  SELECT event_type, s_us AS pt, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, e_us, -1 FROM iv),
+run AS (
+  SELECT event_type, pt,
+         CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY pt, delta DESC) AS BIGINT) AS conc
+  FROM pts),
+sel AS (
+  SELECT event_type, pt, conc,
+         MAX(conc) OVER (PARTITION BY event_type) AS mx
+  FROM run)
+SELECT event_type, mx AS peak_concurrency, MIN(pt) AS first_peak_us
+FROM sel WHERE conc = mx GROUP BY event_type, mx
+""",
+)
+def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 1_000_000).cast("bigint")
+        ).alias("e_us"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s_us").alias("pt"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", F.col("e_us").alias("pt"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("pt"), F.col("delta").desc())
+    run = pts.select(
+        "event_type", "pt", F.sum("delta").over(w).alias("conc")
+    )
+    mx = Window.partitionBy("event_type")
+    sel = run.select(
+        "event_type", "pt", "conc", F.max("conc").over(mx).alias("mx")
+    )
+    return (
+        sel.filter(F.col("conc") == F.col("mx"))
+        .groupBy("event_type", F.col("mx").alias("peak_concurrency"))
+        .agg(F.min("pt").alias("first_peak_us"))
+        .select("event_type", "peak_concurrency", "first_peak_us")
+    )

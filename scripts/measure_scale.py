@@ -81,6 +81,17 @@ AMP_QUERIES = [
     "join_q21_shape",
     "agg_percentile",
     "join_range",
+    # round-4 tier: all linear narrow/one-shuffle shapes.  The graph
+    # queries are deliberately absent — their vertex space is a fixture
+    # CONSTANT (N_NODES), so 20x more edges densify the same graph and
+    # wedge volume grows super-linearly by construction, which measures
+    # the fixture, not the engine (at real scale vertex ids are real
+    # entities and grow with the data).
+    "join_bloom_prune",
+    "agg_cms_heavy_hitters",
+    "cdc_merge_apply",
+    "ts_concurrency_peak",
+    "doc_chunk_overlap",
 ]
 FIXED_PROBE_QUERIES = ["sim_topk_cosine", "sim_ann_lsh", "sim_ivf_kmeans"]
 QUAD_QUERIES = ["dedup_embedding"]

@@ -797,3 +797,13 @@ class TestRound4PlanQuality:
         # one hashpartitioning exchange on user_id for the lag window
         assert plan.count("Exchange hashpartitioning") == 1
         assert "hashpartitioning(user_id" in plan
+
+    def test_cdc_merge_outer_join_is_narrowed(self, spark, sf_dir):
+        """The MERGE is written as one full-outer join; each branch's
+        null filter lets Catalyst NARROW it (kept -> LeftOuter,
+        inserted -> RightOuter) — assert the narrowing happened and no
+        branch degenerated to a nested loop."""
+        plan = _plan(registry.QUERIES["cdc_merge_apply"](spark, sf_dir))
+        assert "FullOuter" not in plan
+        assert "LeftOuter" in plan and "RightOuter" in plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan

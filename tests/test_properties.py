@@ -287,3 +287,29 @@ class TestSketchSamplingProperties:
             .collect()[0][0]
         )
         assert got > corpus
+
+
+class TestProbeWorkloadConf:
+    def test_probe_modulo_conf_scales_probe_count(self, spark, sf_dir):
+        """Round-3's close-out claimed a psvm.sim.probe_modulo conf that
+        never landed (the 20x smoke silently measured a quadratic
+        probes x corpus workload, 418x).  Pin the conf's existence and
+        effect: doubling the modulus must halve the probe set across
+        the whole similarity tier."""
+        from psvm_spark import registry
+
+        registry.load_all()
+        for name in ("sim_topk_cosine", "sim_ann_lsh", "sim_ivf_kmeans"):
+            base = registry.QUERIES[name](spark, sf_dir)
+            n_base = base.select("i").distinct().count()
+            spark.conf.set("psvm.sim.probe_modulo", "100")
+            try:
+                n_wide = (
+                    registry.QUERIES[name](spark, sf_dir)
+                    .select("i")
+                    .distinct()
+                    .count()
+                )
+            finally:
+                spark.conf.unset("psvm.sim.probe_modulo")
+            assert 0 < n_wide < n_base, name
