@@ -674,3 +674,62 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy("prev_type")).cast("double")
         ).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# B82 (round 4) — hierarchical transitive closure (recursive-CTE
+# equivalent).  Spark has no WITH RECURSIVE; the engine form is the
+# driver-bounded BFS loop: a parent TABLE (child -> parent, derived
+# deterministically as c_custkey div 7 over the contiguous key space)
+# is joined against the frontier each round, unioning (node, ancestor,
+# depth) rows until the frontier empties — exactly how
+# bill-of-materials / org-chart traversals run at warehouse scale.
+# Depth is log_7(n) (~5 at sf0.1), so the loop is short and each
+# iteration is one small equi-join (parent maps are dimension-sized in
+# practice; AQE broadcasts them).  ``localCheckpoint`` per round keeps
+# the lineage flat (components.py pattern).  Oracle: the genuine
+# recursive CTE in DuckDB.
+
+
+@query(
+    "hierarchy_closure",
+    oracle="""
+WITH RECURSIVE up AS (
+  SELECT c_custkey AS node, c_custkey // 7 AS anc, 1 AS depth
+  FROM customer WHERE c_custkey % 11 = 0 AND c_custkey >= 1
+  UNION ALL
+  SELECT u.node, p.parent, u.depth + 1
+  FROM up u JOIN (SELECT c_custkey AS child, c_custkey // 7 AS parent
+                  FROM customer) p ON p.child = u.anc
+  WHERE u.anc >= 1
+)
+SELECT node, anc, depth FROM up
+""",
+)
+def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    parents = c.select(
+        F.col("c_custkey").alias("child"),
+        F.expr("c_custkey div 7").alias("parent"),
+    )
+    frontier = (
+        c.filter((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") >= 1))
+        .select(
+            F.col("c_custkey").alias("node"),
+            F.expr("c_custkey div 7").alias("anc"),
+            F.lit(1).alias("depth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    acc = frontier
+    for _ in range(64):  # bound >> log_7(n); loop exits on empty frontier
+        frontier = (
+            frontier.filter(F.col("anc") >= 1)
+            .join(parents, frontier.anc == parents.child)
+            .select("node", F.col("parent").alias("anc"), (F.col("depth") + 1).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        acc = acc.unionAll(frontier)
+    return acc
