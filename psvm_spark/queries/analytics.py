@@ -733,3 +733,66 @@ def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         acc = acc.unionAll(frontier)
     return acc
+
+
+# --------------------------------------------------------------------------
+# B83 (round 4) — per-group OLS trend (regr_slope/intercept done
+# parity-exact): monthly revenue per brand, then the least-squares line
+# over (month-index, revenue).  slope = (n*Sxy - Sx*Sy) / (n*Sxx -
+# Sx^2) where every S is an EXACT decimal/integer sum — both engines
+# compute bit-identical numerators/denominators and the only float ops
+# are the final divisions on identical operands.  (The built-in
+# regr_slope aggregates stream doubles partition-order-dependently, so
+# they can't be hash-compared across engines; this form can.)  Two
+# map-side-combined aggregations, dims broadcast.
+
+
+@query(
+    "agg_regression_trend",
+    oracle="""
+WITH monthly AS (
+  SELECT p_brand,
+         (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1 AS x,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+sums AS (
+  SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(x * y) AS sxy
+  FROM monthly GROUP BY p_brand)
+SELECT p_brand, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS intercept
+FROM sums
+""",
+)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias("x"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("y"))
+    )
+    sums = monthly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return sums.select(
+        "p_brand",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("intercept"),
+    )

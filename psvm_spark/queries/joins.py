@@ -470,3 +470,80 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# B84 (round 4) — interval-overlap join (Allen-algebra overlap), the
+# second non-equi family after the point-in-band join: error intervals
+# x click intervals per user, overlap iff s1 < e2 AND s2 < e1.  Never a
+# nested loop: with interval length bounded by L (events.value <= ~490 s)
+# and bucket width B = 512 s >= L, every interval covers <= 2 coarse
+# buckets, so exploding both sides to their covered buckets and
+# equi-joining on (user, bucket) yields <= 4 candidates per true pair;
+# the exact predicate filters and DISTINCT dedups the multi-bucket
+# duplicates.  At 100 TB the shuffle key (user, bucket) is
+# high-cardinality and skew-free.  Oracle: the naive non-equi join.
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+WITH iv AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(round(value * 60 * 1000000) AS BIGINT) AS e_us
+  FROM events),
+pairs AS (
+  SELECT a.user_id, a.event_id AS error_id, b.event_id AS click_id
+  FROM iv a JOIN iv b
+    ON a.user_id = b.user_id
+   AND a.s_us < b.e_us AND b.s_us < a.e_us
+  WHERE a.event_type = 'error' AND b.event_type = 'click')
+SELECT user_id, COUNT(*) AS n_overlaps
+FROM pairs GROUP BY user_id
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket_us = 32768 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 60 * 1_000_000).cast("bigint")
+        ).alias("e_us"),
+    )
+
+    def buckets(side):
+        return side.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us div {bucket_us}"), F.expr(f"e_us div {bucket_us}")
+                )
+            ).alias("bk"),
+        )
+
+    a = buckets(iv.filter(F.col("event_type") == "error")).select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"),
+        "bk",
+    )
+    b = buckets(iv.filter(F.col("event_type") == "click")).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+        "bk",
+    )
+    pairs = (
+        a.join(b, (a.a_user == b.b_user) & (a.bk == b.bk))
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select(F.col("a_user").alias("user_id"), "error_id", "click_id")
+        .distinct()
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))

@@ -313,3 +313,42 @@ class TestProbeWorkloadConf:
             finally:
                 spark.conf.unset("psvm.sim.probe_modulo")
             assert 0 < n_wide < n_base, name
+
+
+class TestRegressionTrend:
+    def test_slope_matches_numpy_lstsq(self, spark, sf_dir):
+        """The decimal-power-sum OLS must agree with NumPy least squares
+        to float precision for every brand."""
+        import numpy as np
+
+        from psvm_spark import registry
+        from psvm_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        registry.load_all()
+        got = {
+            r.p_brand: (r.slope, r.intercept)
+            for r in registry.QUERIES["agg_regression_trend"](spark, sf_dir).collect()
+        }
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part")
+        monthly = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy(
+                "p_brand",
+                ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias("x"),
+            )
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("y"))
+            .collect()
+        )
+        by_brand = {}
+        for r in monthly:
+            by_brand.setdefault(r.p_brand, []).append((r.x, float(r.y)))
+        assert set(by_brand) == set(got)
+        for brand, pts in by_brand.items():
+            xs = np.array([t[0] for t in pts], dtype=float)
+            ys = np.array([t[1] for t in pts], dtype=float)
+            slope, intercept = np.polyfit(xs, ys, 1)
+            gs, gi = got[brand]
+            assert abs(gs - slope) < 1e-6 * max(1.0, abs(slope)), brand
+            assert abs(gi - intercept) < 1e-6 * max(1.0, abs(intercept)), brand
