@@ -796,3 +796,105 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# B85 (round 4) — grid-blocked nearest neighbor (spatial NN): each probe
+# customer finds its nearest supplier site in a synthetic coordinate
+# space (salted md5 -> lat in [-80, 80), lon in [-180, 180)).  The
+# scale shape is GRID BLOCKING: both sides land in 30-degree cells,
+# each probe joins only its 3x3 cell neighborhood (explode of 9 cell
+# keys — an equi-join, never all-pairs), and a per-probe argmin picks
+# the winner.  Distance is squared-Euclidean in coordinate degrees:
+# products and sums of identical doubles are correctly rounded in both
+# engines, so results hash-match bitwise (haversine's sin/cos are NOT
+# correctly rounded cross-engine; swapping it in would need rounded
+# outputs).  Probes with an empty neighborhood drop out — the
+# radius-bounded-NN contract.
+
+
+def _coord(prefix: str, key: str, span: int, offset: int) -> tuple[str, str]:
+    spark_e = (
+        f"(cast(pmod(cast(conv(substring(md5(concat('{prefix}', {key})), 1, 8), 16, 10)"
+        f" as bigint), {span * 100}) as double) / 100.0 - {offset})"
+    )
+    duck_e = (
+        f"((('0x' || substr(md5('{prefix}' || {key}), 1, 8))::BIGINT % {span * 100})"
+        f" / 100.0 - {offset})"
+    )
+    return spark_e, duck_e
+
+
+_CLAT_S, _CLAT_D = _coord("glat:", "c_custkey", 160, 80)
+_CLON_S, _CLON_D = _coord("glon:", "c_custkey", 360, 180)
+_SLAT_S, _SLAT_D = _coord("glat:", "s_suppkey", 160, 80)
+_SLON_S, _SLON_D = _coord("glon:", "s_suppkey", 360, 180)
+_CELL = 30
+
+
+@query(
+    "geo_nearest_site",
+    oracle=f"""
+WITH probes AS (
+  SELECT c_custkey, {_CLAT_D} AS plat, {_CLON_D} AS plon
+  FROM customer WHERE c_custkey % 37 = 0),
+sites AS (
+  SELECT s_suppkey, {_SLAT_D} AS slat, {_SLON_D} AS slon FROM supplier),
+cand AS (
+  SELECT p.c_custkey, s.s_suppkey,
+         (p.plat - s.slat) * (p.plat - s.slat)
+         + (p.plon - s.slon) * (p.plon - s.slon) AS dist2
+  FROM probes p JOIN sites s
+    ON floor(s.slat / {_CELL}) BETWEEN floor(p.plat / {_CELL}) - 1 AND floor(p.plat / {_CELL}) + 1
+   AND floor(s.slon / {_CELL}) BETWEEN floor(p.plon / {_CELL}) - 1 AND floor(p.plon / {_CELL}) + 1),
+ranked AS (
+  SELECT c_custkey, s_suppkey, dist2,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dist2, s_suppkey) AS rk
+  FROM cand)
+SELECT c_custkey, s_suppkey AS nearest_site, dist2 FROM ranked WHERE rk = 1
+""",
+)
+def geo_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    probes = c.filter(F.col("c_custkey") % 37 == 0).select(
+        "c_custkey",
+        F.expr(_CLAT_S).alias("plat"),
+        F.expr(_CLON_S).alias("plon"),
+    )
+    # each probe explodes to its 9 neighbor cells; sites key on their own
+    # cell — the join is a pure equi-join on the (cell_lat, cell_lon) pair
+    probe_cells = probes.select(
+        "*",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), di -> "
+                f"transform(sequence(-1, 1), dj -> "
+                f"struct(cast(floor(plat / {_CELL}) + di as bigint) as ci, "
+                f"cast(floor(plon / {_CELL}) + dj as bigint) as cj))))"
+            )
+        ).alias("cell"),
+    ).select("c_custkey", "plat", "plon", "cell.ci", "cell.cj")
+    sites = s.select(
+        "s_suppkey",
+        F.expr(_SLAT_S).alias("slat"),
+        F.expr(_SLON_S).alias("slon"),
+    ).select(
+        "*",
+        F.expr(f"cast(floor(slat / {_CELL}) as bigint)").alias("ci"),
+        F.expr(f"cast(floor(slon / {_CELL}) as bigint)").alias("cj"),
+    )
+    cand = probe_cells.join(sites, ["ci", "cj"]).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("plat") - F.col("slat")) * (F.col("plat") - F.col("slat"))
+            + (F.col("plon") - F.col("slon")) * (F.col("plon") - F.col("slon"))
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", F.col("s_suppkey").alias("nearest_site"), "dist2")
+    )

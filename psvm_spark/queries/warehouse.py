@@ -429,3 +429,50 @@ def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("pt").alias("first_peak_us"))
         .select("event_type", "peak_concurrency", "first_peak_us")
     )
+
+
+# --------------------------------------------------------------------------
+# B86 (round 4) — schema-evolution scan: a table whose early files lack
+# a column that later files carry (the normal life of a 100 TB parquet
+# table).  Two physically different batches are written under one root
+# and read back with mergeSchema=true; rows from pre-evolution files
+# surface NULL for the new column, which the rollup makes visible as
+# its own group.  At scale mergeSchema costs one footer read per file
+# (schema union is metadata-only); the data path is unchanged.
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)), o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1)
+SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS prio,
+       COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+FROM unioned GROUP BY 1
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="psvm_evolve_") + "/orders_evolving"
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+    ).write.mode("overwrite").parquet(root + "/epoch=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(root + "/epoch=2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        root + "/epoch=1", root + "/epoch=2"
+    )
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("prio")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("total"),
+    )
