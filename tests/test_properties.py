@@ -352,3 +352,69 @@ class TestRegressionTrend:
             gs, gi = got[brand]
             assert abs(gs - slope) < 1e-6 * max(1.0, abs(slope)), brand
             assert abs(gi - intercept) < 1e-6 * max(1.0, abs(intercept)), brand
+
+
+class TestClosureAndOverlap:
+    def test_hierarchy_closure_matches_python_bfs(self, spark, sf_dir):
+        """The driver-bounded BFS join loop must produce exactly the
+        ancestor set a plain Python walk produces."""
+        from psvm_spark import registry
+        from psvm_spark.catalog import load_table
+
+        registry.load_all()
+        got = {
+            (r.node, r.anc, r.depth)
+            for r in registry.QUERIES["hierarchy_closure"](spark, sf_dir).collect()
+        }
+        keys = [r.c_custkey for r in load_table(spark, sf_dir, "customer").collect()]
+        expected = set()
+        for k in keys:
+            if k % 11 != 0 or k < 1:
+                continue
+            node, anc, depth = k, k // 7, 1
+            expected.add((node, anc, depth))
+            while anc >= 1:
+                anc, depth = anc // 7, depth + 1
+                expected.add((node, anc, depth))
+        assert got == expected
+
+    def test_interval_overlap_matches_naive_nonequi(self, spark, sf_dir):
+        """Bucketed Allen-overlap join == the naive non-equi join."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark import registry
+        from psvm_spark.catalog import load_table
+
+        registry.load_all()
+        got = {
+            (r.user_id, r.n_overlaps)
+            for r in registry.QUERIES["join_interval_overlap"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        iv = ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("s_us"),
+            (
+                F.unix_micros("ts")
+                + F.round(F.col("value") * 60 * 1_000_000).cast("bigint")
+            ).alias("e_us"),
+        )
+        a = iv.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("u"), F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e")
+        )
+        b = iv.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("bu"), F.col("s_us").alias("b_s"), F.col("e_us").alias("b_e")
+        )
+        naive = {
+            (r.u, r.n)
+            for r in a.join(
+                b,
+                (a.u == b.bu) & (a.a_s < b.b_e) & (b.b_s < a.a_e),
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == naive
