@@ -898,3 +898,117 @@ def geo_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("c_custkey", F.col("s_suppkey").alias("nearest_site"), "dist2")
     )
+
+
+# --------------------------------------------------------------------------
+# B87 (round 4) — ordered sequence-pattern match (MATCH_RECOGNIZE-lite):
+# per user, reduce the time-ordered event stream to an initials string
+# and count/flag regex pattern hits — here "view then click then
+# purchase, consecutively".  The reduction is sort_array(collect_list)
+# over structs (deterministic total order), the match a single
+# regexp_count on a short string: one shuffle on user_id, O(events)
+# state, and the pattern language is full regex for free in both
+# engines.
+
+
+@query(
+    "seq_pattern_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id)
+SELECT user_id, length(s) AS n_events,
+       CAST(len(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_funnels
+FROM seq
+WHERE len(regexp_extract_all(s, 'vcp')) > 0
+""",
+)
+def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts, event_id, "
+                    "substring(event_type, 1, 1) as c))), x -> x.c)"
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").alias("n_events"),
+            F.expr("regexp_count(s, 'vcp')").cast("bigint").alias("n_funnels"),
+        )
+        .filter(F.col("n_funnels") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# B88 (round 4) — 2D skyline (Pareto frontier) via running-max
+# windows, not the naive O(n^2) dominance anti-join.  TWO-PHASE for
+# scale: phase 1 computes a LOCAL skyline inside each bal-range bucket
+# (partitioned window — fully parallel; anything dominated within its
+# bucket is dominated globally, so pruning is safe); phase 2 runs the
+# global running-max pass over the few survivors.  A single global
+# ordered window would funnel all rows through one reducer at 100 TB;
+# here the global pass sees only per-bucket frontier candidates.
+# Dimension 2 is a deterministic md5-derived "rating" so the frontier
+# is non-trivial; acctbal ties are broken by suppkey in the running
+# max so both engines agree exactly (the oracle uses the equivalent
+# one-pass form — the result is identical by the pruning argument).
+
+
+@query(
+    "agg_skyline_2d",
+    oracle=f"""
+WITH pts AS (
+  SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(12,2)) AS bal,
+         (('0x' || substr(md5('rate:' || s_suppkey), 1, 8))::BIGINT % 1000) AS rating
+  FROM supplier),
+scanned AS (
+  SELECT s_suppkey, bal, rating,
+         max(rating) OVER (ORDER BY bal DESC, s_suppkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+  FROM pts)
+SELECT s_suppkey, CAST(bal AS DOUBLE) AS bal, rating
+FROM scanned WHERE best_above IS NULL OR rating > best_above
+""",
+)
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    pts = s.select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("decimal(12,2)").alias("bal"),
+        F.expr(
+            "pmod(cast(conv(substring(md5(concat('rate:', s_suppkey)), 1, 8), 16, 10)"
+            " as bigint), 1000)"
+        ).alias("rating"),
+    )
+    # phase 1: local skylines per bal-range bucket (parallel)
+    bucket = F.expr("cast(bal div 1000 as bigint)")
+    w_local = (
+        Window.partitionBy(bucket.alias("bk"))
+        .orderBy(F.col("bal").desc(), "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    survivors = (
+        pts.withColumn("bk", bucket)
+        .select("*", F.max("rating").over(w_local).alias("local_best"))
+        .filter(F.col("local_best").isNull() | (F.col("rating") > F.col("local_best")))
+        .drop("bk", "local_best")
+    )
+    # phase 2: global pass over the small survivor set
+    w_global = (
+        Window.orderBy(F.col("bal").desc(), "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        survivors.select("*", F.max("rating").over(w_global).alias("best_above"))
+        .filter(F.col("best_above").isNull() | (F.col("rating") > F.col("best_above")))
+        .select("s_suppkey", F.col("bal").cast("double").alias("bal"), "rating")
+    )

@@ -59,10 +59,10 @@ def load_all() -> None:
         join_bloom_prune — all register AFTER the ml block, so the
         planned 50-key sample is unchanged.)
       round 5 (next, write it here when rotating): multimodal(3) +
-        warehouse(8) + aggregates(19) + analytics(16) + graph(3) +
-        llm first 1 = 50; round 6 fronts the llm tail (40) +
+        warehouse(8) + aggregates(19) + analytics(18) + graph first
+        2 = 50; round 6 fronts graph_pagerank + llm(41) +
         scalar_null_semantics + join_bloom_prune + join_interval_overlap
-        + 7 resamples.
+        + 5 resamples.
     """
     from psvm_spark.queries import (  # noqa: F401
         windows,
