@@ -2083,3 +2083,58 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = draws.groupBy("doc_id", "w").agg(F.min("u").alias("draw"))
     return keyed.orderBy("draw", "doc_id").limit(200)
+
+# --------------------------------------------------------------------------
+# B89 (round 4) — score calibration bins (reliability diagram), the
+# standard post-training eval companion to A14/A15: bucket the
+# deterministic kernel scores of svm_predict_score's fixed synthetic
+# model into fixed-width bins and compare mean score against the
+# empirical positive rate per bin.  Everything derives from the
+# 6-dp-rounded score (deterministic in both engines), bin ids are
+# integer arithmetic, and the only fresh float ops are two divisions
+# per bin.  Same broadcast-SV scoring shape as svm_predict_score plus
+# one skinny aggregation.  Defined HERE (llm module) rather than in
+# queries/ml.py because the ml module registers inside the round-4
+# driver-sample window (registry.load_all ledger) and appending there
+# would displace the planned first-50 sample — the rotation invariant
+# test pins that.
+
+from psvm_spark.queries.ml import (  # noqa: E402
+    GAMMA as _CAL_GAMMA,
+    SVM_B as _CAL_B,
+    _SCORE_SQL as _CAL_SCORE_SQL,
+    _sv_test as _cal_sv_test,
+)
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=_CAL_SCORE_SQL
+    + """
+SELECT CAST(least(greatest(floor((score + 1.0) / 0.25), -1), 8) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pos_rate,
+       CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_score
+FROM scored GROUP BY 1
+""",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    binned = scored.select(
+        F.expr(
+            "cast(least(greatest(floor((score + 1.0) / 0.25), -1), 8) as bigint)"
+        ).alias("bin"),
+        (F.col("label") < 5).cast("int").alias("pos"),
+        F.col("score").cast("decimal(18,6)").alias("dscore"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        (F.sum("dscore").cast("double") / F.count(F.lit(1))).alias("mean_score"),
+    )

@@ -60,9 +60,9 @@ def load_all() -> None:
         planned 50-key sample is unchanged.)
       round 5 (next, write it here when rotating): multimodal(3) +
         warehouse(8) + aggregates(19) + analytics(18) + graph first
-        2 = 50; round 6 fronts graph_pagerank + llm(41) +
+        2 = 50; round 6 fronts graph_pagerank + llm(42) +
         scalar_null_semantics + join_bloom_prune + join_interval_overlap
-        + 5 resamples.
+        + 4 resamples.
     """
     from psvm_spark.queries import (  # noqa: F401
         windows,

@@ -37,3 +37,28 @@ class TestHostileSessionConfs:
             for k, v in saved.items():
                 spark.conf.set(k, v)
             ensure_session_invariants(spark)
+
+
+class TestRegistrationRotation:
+    def test_first_50_keys_are_the_planned_sample_families(self):
+        """The driver's correctness sample is the FIRST 50 registered
+        keys; registry.load_all's import order deliberately fronts the
+        families with no prior driver evidence (rotation ledger in the
+        docstring).  Pin the invariant so an innocent import reorder or
+        a query added to an early module can't silently displace the
+        planned sample."""
+        from psvm_spark import registry
+
+        registry.load_all()
+        first50 = list(registry.QUERIES)[:50]
+        mods = {
+            registry.QUERIES[k].__module__.rsplit(".", 1)[-1] for k in first50
+        }
+        assert mods == {"windows", "streaming", "sources", "udfs", "ml"}
+        # and those five modules contribute EXACTLY 50 keys in total
+        all_in_family = [
+            k
+            for k, fn in registry.QUERIES.items()
+            if fn.__module__.rsplit(".", 1)[-1] in mods
+        ]
+        assert len(all_in_family) == 50
