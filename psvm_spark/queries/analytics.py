@@ -1012,3 +1012,150 @@ def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("best_above").isNull() | (F.col("rating") > F.col("best_above")))
         .select("s_suppkey", F.col("bal").cast("double").alias("bal"), "rating")
     )
+
+
+# --------------------------------------------------------------------------
+# B90 (round 4) — CUSUM drift detection WITHOUT recursion.  The textbook
+# one-sided CUSUM S_t = max(0, S_{t-1} + (x_t - k)) looks inherently
+# sequential, but the closed form S_t = P_t - min(0, min_{j<=t} P_j)
+# (P = running sum of deviations) turns it into two stacked running
+# windows over the SAME (user_id, ts) partitioning — one shuffle total,
+# fully parallel across users, and decimal-exact in both engines since
+# every term is a sum/min/difference of DECIMAL(12,2) values.  At 100 TB
+# the per-user state is a window frame, never driver state.
+
+
+@query(
+    "ts_cusum_drift",
+    oracle="""
+WITH dev AS (
+  SELECT user_id, ts, event_id,
+         CAST(value AS DECIMAL(12,2)) - CAST(5.00 AS DECIMAL(12,2)) AS y
+  FROM events),
+pre AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(18,2)) AS p
+  FROM dev),
+mins AS (
+  SELECT user_id, p,
+         MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM pre),
+cus AS (
+  SELECT user_id,
+         p - CASE WHEN m < CAST(0 AS DECIMAL(18,2)) THEN m
+                  ELSE CAST(0 AS DECIMAL(18,2)) END AS s
+  FROM mins)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(s) AS DOUBLE) AS peak_cusum,
+       CAST(SUM(CASE WHEN s > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+FROM cus GROUP BY user_id
+""",
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dev = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.col("value").cast("decimal(12,2)")
+            - F.lit("5.00").cast("decimal(12,2)")
+        ).alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = dev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("y").over(w).cast("decimal(18,2)").alias("p"),
+    )
+    cus = pre.select(
+        "user_id",
+        (
+            F.col("p")
+            - F.when(
+                F.min("p").over(w) < F.lit(0).cast("decimal(18,2)"),
+                F.min("p").over(w),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("s"),
+    )
+    return cus.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("s").cast("double").alias("peak_cusum"),
+        F.sum(F.when(F.col("s") > 20, 1).otherwise(0)).cast("bigint").alias("n_alarms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B91 (round 4) — gaps-and-islands: longest consecutive-day activity
+# streak per user.  The island key is the classic epoch_day - row_number
+# difference (constant within a run of consecutive dates); everything
+# after the initial distinct shuffles on user_id only, so the distinct,
+# the island build, and the per-user ranking share one partitioning
+# family.  All outputs are ints/strings — no float hazard at all.
+
+
+@query(
+    "window_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '1970-01-01', d)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days),
+streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len, MIN(d) AS start_d
+  FROM isl GROUP BY user_id, grp),
+ranked AS (
+  SELECT user_id, len, start_d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start_d) AS rk,
+         SUM(len) OVER (PARTITION BY user_id) AS n_days,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_runs
+  FROM streaks)
+SELECT user_id,
+       CAST(n_days AS BIGINT) AS n_active_days,
+       CAST(n_runs AS BIGINT) AS n_streaks,
+       CAST(len AS BIGINT) AS longest_streak,
+       CAST(start_d AS VARCHAR) AS longest_start
+FROM ranked WHERE rk = 1
+""",
+)
+def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    isl = days.select(
+        "user_id",
+        "d",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) - rn).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("start_d")
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(F.col("len").desc(), "start_d")
+    w_all = Window.partitionBy("user_id")
+    ranked = streaks.select(
+        "user_id",
+        "len",
+        "start_d",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("len").over(w_all).alias("n_days"),
+        F.count(F.lit(1)).over(w_all).alias("n_runs"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.col("n_days").cast("bigint").alias("n_active_days"),
+        F.col("n_runs").cast("bigint").alias("n_streaks"),
+        F.col("len").cast("bigint").alias("longest_streak"),
+        F.col("start_d").cast("string").alias("longest_start"),
+    )

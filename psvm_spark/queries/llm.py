@@ -2138,3 +2138,152 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
         (F.sum("dscore").cast("double") / F.count(F.lit(1))).alias("mean_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# B92 (round 4) — corpus-level chunk dedup (the C4/CCNet "repeated
+# paragraph removal" pass).  Documents are segmented into fixed 4-token
+# chunks; a chunk survives only at its FIRST corpus occurrence
+# (min (doc_id, pos) — deterministic, engine-independent), and each doc
+# is reassembled from its surviving chunks in original order.  Two
+# shuffles total at any scale: one on the chunk string (first-occurrence
+# window), one on doc_id (reassembly) — the same plan C4 runs at
+# petabyte scale with line-level granularity.  Output is scalar-only:
+# counts + md5 of the cleaned text, so the cross-engine hash stays flat.
+
+
+@query(
+    "dedup_chunk_corpus",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+cl AS (
+  SELECT doc_id,
+         [array_to_string(list_slice(tk, (i-1)*4 + 1, (i-1)*4 + 4), ' ')
+          FOR i IN generate_series(1, CAST(ceil(len(tk) / 4.0) AS BIGINT))] AS cs
+  FROM toks),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(cs))) AS pos,
+         unnest(cs) AS chunk
+  FROM cl),
+ranked AS (
+  SELECT doc_id, pos, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
+  FROM chunks),
+kept AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean,
+         COUNT(*) AS n_kept
+  FROM ranked WHERE rk = 1 GROUP BY doc_id),
+tot AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(k.clean, '')) AS clean_md5
+FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+""",
+)
+def dedup_chunk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    cl = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, cast(ceil(size(tk) / 4.0) as int)), "
+            "i -> array_join(slice(tk, (i-1)*4 + 1, 4), ' '))"
+        ).alias("cs"),
+    )
+    chunks = cl.select(
+        "doc_id", F.posexplode("cs").alias("pos0", "chunk")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "chunk")
+    rk = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    )
+    ranked = chunks.select("doc_id", "pos", "chunk", rk.alias("rk"))
+    kept = (
+        ranked.filter(F.col("rk") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, chunk))), "
+                    "x -> x.chunk)"
+                ),
+                " ",
+            ).alias("clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B93 (round 4) — inverted-index build: term -> document frequency,
+# total term frequency, and a BOUNDED posting sample (top-8 docs by tf,
+# doc_id tie-break) serialized as a comma string so the output stays
+# scalar.  The per-(term, doc) rollup and the per-term ranking are the
+# two shuffles every search-index bulk build pays; the posting CAP is
+# the part that matters at 100 TB — an uncapped collect_list on a stop
+# word would OOM one reducer, the rank-then-filter keeps every group
+# bounded before any list materializes.
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+WITH tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY term, doc_id),
+ranked AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+  FROM tf),
+per_term AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY term),
+top AS (
+  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk) AS top_docs
+  FROM ranked WHERE rk <= 8 GROUP BY term)
+SELECT p.term, p.df, p.total_tf, t.top_docs
+FROM per_term p JOIN top t ON p.term = t.term
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    )
+    ranked = tf.select("term", "doc_id", "tf", rk.alias("rk"))
+    per_term = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    top = (
+        ranked.filter(F.col("rk") <= 8)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(rk, doc_id))), "
+                    "x -> cast(x.doc_id as string))"
+                ),
+                ",",
+            ).alias("top_docs")
+        )
+    )
+    return per_term.join(top, "term")
