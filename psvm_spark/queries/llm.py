@@ -2287,3 +2287,87 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_term.join(top, "term")
+
+
+# --------------------------------------------------------------------------
+# B95 (round 4) — BM25 ranking for a fixed query term set.  Everything
+# upstream of the score is exact integers (tf, df, dl, N); the float
+# work is per-row arithmetic on identical operands — correctly rounded
+# IEEE in both engines — and each per-term score is rounded to 9 dp and
+# summed in DECIMAL so the per-doc total is order-independent (the
+# text_entropy pattern).  Plan shape: explode -> (doc,term) rollup
+# filtered to the broadcast query terms, tiny df/avgdl scalars
+# broadcast back, one final doc_id rollup + global top-20.
+
+
+_BM25_TERMS = ("table", "scan", "fast")
+
+
+@query(
+    "text_bm25_rank",
+    oracle="""
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM dl),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN ('table', 'scan', 'fast')
+  GROUP BY doc_id, w),
+dfc AS (
+  SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+terms AS (
+  SELECT t.doc_id,
+         CAST(round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                    * (t.tf * 2.2)
+                    / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))), 9)
+              AS DECIMAL(18,9)) AS sc
+  FROM tf t
+  JOIN dfc d USING (w)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       CAST(SUM(sc) AS DOUBLE) AS bm25
+FROM terms GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        tf.join(F.broadcast(dfc), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    sc = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        joined.select("doc_id", sc.alias("sc"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum("sc").cast("double").alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -53,6 +53,8 @@ WHITELIST = {
     "funnel_steps": "(a/b) single-row step-boundary relation",
     "metric_wau": "(b) 30-row date spine broadcast for the rolling window band",
     "text_pmi_top": "(b) bounded top-k vocabulary pair generation",
+    "ml_calibration_bins": "(a) 1-row score-bounds scalar broadcast for bin edges",
+    "text_bm25_rank": "(a) 1-row avgdl/N stats scalar broadcast",
 }
 
 
