@@ -1159,3 +1159,57 @@ def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len").cast("bigint").alias("longest_streak"),
         F.col("start_d").cast("string").alias("longest_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# B97 (round 4) — per-window rate limiting (event-stream throttle):
+# keep only the first 3 events per (user, hour), a standard ingest
+# guard against hot producers.  One shuffle on (user_id, hour) for the
+# rank; the per-user rollup reuses the user_id prefix of the same
+# partitioning.  The kept set is order-deterministic ((ts, event_id)),
+# so the md5 over the kept event-id sequence is cross-engine exact —
+# content identity, not just counts.
+
+
+@query(
+    "sample_rate_limit",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         date_trunc('hour', ts) AS hr,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rk
+  FROM events),
+kept AS (
+  SELECT user_id, event_id, hr FROM ranked WHERE rk <= 3)
+SELECT r.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE r.rk <= 3) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN r.rk <= 3 THEN CAST(r.event_id AS VARCHAR) END,
+                      ',' ORDER BY r.hr, r.rk)) AS kept_md5
+FROM ranked r GROUP BY r.user_id
+""",
+)
+def sample_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", "ts")
+    rk = F.row_number().over(
+        Window.partitionBy("user_id", hr).orderBy("ts", "event_id")
+    )
+    ranked = ev.select(
+        "user_id", "event_id", hr.alias("hr"), rk.alias("rk")
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("rk") <= 3, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN rk <= 3 THEN "
+                    "struct(hr, rk, cast(event_id as string)) END)), "
+                    "x -> x.col3)"
+                ),
+                ",",
+            )
+        ).alias("kept_md5"),
+    )

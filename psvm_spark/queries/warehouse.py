@@ -476,3 +476,82 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("price").cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# B96 (round 4) — Z-order clustered sink (the Delta/Iceberg OPTIMIZE
+# ZORDER layout, done with plain Spark).  Two dimensions are quantized
+# to 16 bits, bit-interleaved into a 32-bit Morton code, and the table
+# is written partitioned by the code's high bits with files sorted by
+# the full code — so parquet footer min/max on BOTH source columns
+# shrink per file and a range predicate on EITHER dimension skips most
+# files.  Completes the layout trio (compaction, range-clustering,
+# multi-dim clustering).  The interleave is pure integer bit math, so
+# the round-trip aggregate has an exact DuckDB twin on the base table.
+
+
+_Z_X = "cast(floor((c_acctbal + 1000.0) * 3) as int)"
+_Z_Y = "cast(pmod(c_custkey, 65536) as int)"
+
+
+def write_zorder(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.expr(_Z_X).alias("x"),
+        F.expr(_Z_Y).alias("y"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    coded = pts.withColumn(
+        "z",
+        F.expr(
+            "aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) -> acc"
+            " + shiftleft(cast(shiftright(x, i) as bigint) & 1, 2 * i)"
+            " + shiftleft(cast(shiftright(y, i) as bigint) & 1, 2 * i + 1))"
+        ),
+    ).withColumn("zb", F.expr("cast(z >> 26 as bigint)"))
+    (
+        coded.repartition("zb")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(out_dir)
+    )
+
+
+@query(
+    "sink_zorder_cluster",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(floor((c_acctbal + 1000.0) * 3) AS INT) AS x,
+         CAST(c_custkey % 65536 AS INT) AS y,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer),
+coded AS (
+  SELECT *,
+         CAST(list_sum([(CAST((x >> i) & 1 AS BIGINT) << (2 * i))
+                        + (CAST((y >> i) & 1 AS BIGINT) << (2 * i + 1))
+                        FOR i IN generate_series(0, 15)]) AS BIGINT) AS z
+  FROM pts)
+SELECT CAST(z >> 26 AS BIGINT) AS zb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(x) AS INT) AS min_x, CAST(MAX(x) AS INT) AS max_x,
+       CAST(MIN(y) AS INT) AS min_y, CAST(MAX(y) AS INT) AS max_y,
+       CAST(SUM(bal) AS DOUBLE) AS total_bal
+FROM coded GROUP BY 1
+""",
+)
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="psvm_sink_z_") + "/customer_zorder"
+    write_zorder(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("zb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("x").cast("int").alias("min_x"),
+        F.max("x").cast("int").alias("max_x"),
+        F.min("y").cast("int").alias("min_y"),
+        F.max("y").cast("int").alias("max_y"),
+        F.sum("bal").cast("double").alias("total_bal"),
+    ).select(F.col("zb").cast("bigint").alias("zb"), "n", "min_x", "max_x",
+             "min_y", "max_y", "total_bal")

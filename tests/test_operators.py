@@ -807,3 +807,42 @@ class TestRound4PlanQuality:
         assert "FullOuter" not in plan
         assert "LeftOuter" in plan and "RightOuter" in plan
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+class TestZOrderSink:
+    def test_both_dims_localized_per_file(self, spark, sf_dir, tmp_path):
+        """Z-order clustering must shrink footer min/max spans on BOTH
+        quantized dimensions per file: zb fixes the top 3 bits of each
+        16-bit dim, so any file's x- and y-span is <= 2^13, far under
+        the global spans (~33k and 65k).  That multi-dim locality is
+        what lets a range predicate on either column skip files."""
+        from pathlib import Path
+
+        import pyarrow.parquet as pq
+
+        from psvm_spark.queries.warehouse import write_zorder
+
+        out = str(tmp_path / "zorder")
+        write_zorder(spark, sf_dir, out)
+        files = sorted(Path(out).glob("zb=*/*.parquet"))
+        assert len(files) >= 3
+
+        def span(md, col):
+            i = next(
+                j for j in range(md.num_columns)
+                if md.schema.column(j).name == col
+            )
+            lo = min(
+                md.row_group(g).column(i).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(i).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            return hi - lo
+
+        for p in files:
+            md = pq.ParquetFile(str(p)).metadata
+            assert span(md, "x") <= 8192
+            assert span(md, "y") <= 8192
