@@ -651,3 +651,66 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------
+# B98 (round 4) — bitmap-index distinct counting (the roaring-bitmap
+# pattern scaled down to a fixed 1024-bit bitmap).  Each user hashes to
+# a bucket; buckets pack into 32-bit-wide words via bit_or (shift <= 31 keeps
+# DuckDB's signed left-shift in range), and cardinality
+# is the popcount sum.  Everything about the real operator survives:
+# the bitmap is MERGEABLE (bit_or is associative/commutative, so
+# map-side partial aggregation applies), the shuffle carries at most
+# 32 words per group instead of the distinct set, and the final count
+# never rehashes raw keys.  The exact distinct count rides along so the
+# result exposes the collision undercount explicitly — and both columns
+# are deterministic ints, so the oracle is exact.
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+WITH b AS (
+  SELECT event_type, user_id,
+         (('0x' || substr(md5('u:' || user_id), 1, 8))::BIGINT % 1024) AS bucket
+  FROM events),
+words AS (
+  SELECT event_type, bucket // 32 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(bucket % 32 AS INT)) AS word
+  FROM b GROUP BY event_type, bucket // 32),
+card AS (
+  SELECT event_type, SUM(bit_count(word)) AS bitmap_card
+  FROM words GROUP BY event_type),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_card
+  FROM events GROUP BY event_type)
+SELECT c.event_type,
+       CAST(c.bitmap_card AS BIGINT) AS bitmap_card,
+       CAST(e.exact_card AS BIGINT) AS exact_card
+FROM card c JOIN exact e ON c.event_type = e.event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "pmod(cast(conv(substring(md5(concat('u:', user_id)), 1, 8), 16, 10)"
+            " as bigint), 1024)"
+        ).alias("bucket"),
+    )
+    words = b.groupBy(
+        "event_type", F.expr("bucket div 32").alias("w")
+    ).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(bucket % 32 as int)))").alias(
+            "word"
+        )
+    )
+    card = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("bitmap_card")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_card")
+    )
+    return card.join(exact, "event_type")

@@ -1213,3 +1213,59 @@ def sample_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# B99 (round 4) — seasonal-baseline anomaly ranking: the ops-analytics
+# staple of "value vs what's normal for this hour".  The baseline is a
+# decimal-exact mean per (event_type, hour-of-day) — a 5x24-cell
+# aggregate that broadcasts back to the stream — and the residual is
+# one IEEE subtraction on identical operands, so the global top-20 by
+# |residual| ranks identically in both engines (event_id tie-break).
+# At 100 TB: one map-side-combined rollup over <=120 cells, a broadcast
+# join, and a TakeOrdered — no full shuffle of the fact stream at all.
+
+
+@query(
+    "ts_seasonal_baseline",
+    oracle="""
+WITH base AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mu
+  FROM events GROUP BY event_type, EXTRACT(hour FROM ts)),
+resid AS (
+  SELECT e.event_id, e.event_type, CAST(b.hod AS INT) AS hod, e.value,
+         e.value - b.mu AS residual
+  FROM events e
+  JOIN base b ON e.event_type = b.event_type
+             AND EXTRACT(hour FROM e.ts) = b.hod)
+SELECT event_id, event_type, hod, value, residual
+FROM resid ORDER BY abs(residual) DESC, event_id LIMIT 20
+""",
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts")
+    base = ev.groupBy("event_type", hod.alias("hod")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    e = ev.select(
+        "event_id",
+        F.col("event_type").alias("et"),
+        F.hour("ts").alias("ehod"),
+        "value",
+    )
+    resid = e.join(
+        F.broadcast(base),
+        (F.col("et") == F.col("event_type")) & (F.col("ehod") == F.col("hod")),
+    ).select(
+        "event_id",
+        F.col("et").alias("event_type"),
+        F.col("hod").cast("int").alias("hod"),
+        "value",
+        (F.col("value") - F.col("mu")).alias("residual"),
+    )
+    return resid.orderBy(F.abs("residual").desc(), "event_id").limit(20)
