@@ -2371,3 +2371,196 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# B100 (round 4) — product quantization (PQ) encoding, the compression
+# half of an IVF-PQ index: each 64-dim embedding splits into 8
+# subvectors of 8 dims, and each subvector is assigned to its nearest
+# of 4 per-subspace centroids — 2 bits per subspace, a 64x compression
+# of the vector.  The codebook here is DETERMINISTIC (centroid (s, c)
+# is the subspace-s slice of the embedding with vec_id = (s*4+c)*7) so
+# the whole encode has an exact DuckDB twin: distances are IEEE sums of
+# 8 squared differences on identical operands, the argmin tie-breaks
+# on centroid id, and the per-vector quantization error is a decimal
+# sum of 9-dp-rounded subspace distances (order-independent).  Scale
+# shape: the 32-row codebook broadcasts; the vector side stays
+# partitioned and narrow — exactly how a 100 TB corpus is PQ-encoded.
+
+
+@query(
+    "sim_pq_encode",
+    oracle=f"""
+WITH subs AS (
+  SELECT vec_id, g.s, list_slice(embedding, g.s * 8 + 1, g.s * 8 + 8) AS sv
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g),
+cents AS (
+  SELECT CAST((vec_id // 7) // 4 AS BIGINT) AS s,
+         CAST((vec_id // 7) % 4 AS BIGINT) AS c,
+         list_slice(embedding,
+                    CAST((vec_id // 7) // 4 AS BIGINT) * 8 + 1,
+                    CAST((vec_id // 7) // 4 AS BIGINT) * 8 + 8) AS cv
+  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id <= 217),
+dist AS (
+  SELECT u.vec_id, u.s, c.c,
+         {K.sql_sq_l2('u.sv', 'c.cv')} AS d
+  FROM subs u JOIN cents c ON u.s = c.s),
+best AS (
+  SELECT vec_id, s, c, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rk
+  FROM dist)
+SELECT vec_id,
+       CAST(SUM(c << CAST(2 * s AS INT)) AS BIGINT) AS pq_code,
+       CAST(SUM(CAST(round(d, 9) AS DECIMAL(18,9))) AS DOUBLE) AS qerr
+FROM best WHERE rk = 1 GROUP BY vec_id
+""",
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), s -> "
+                "struct(cast(s as bigint) as s, slice(embedding, s * 8 + 1, 8) as sv))"
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    cents = (
+        e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") <= 217))
+        .select(
+            F.expr("cast((vec_id div 7) div 4 as bigint)").alias("s"),
+            F.expr("cast((vec_id div 7) % 4 as bigint)").alias("c"),
+            F.expr(
+                "slice(embedding, cast((vec_id div 7) div 4 as int) * 8 + 1, 8)"
+            ).alias("cv"),
+        )
+    )
+    from psvm_spark.ml.kernels import sq_l2
+
+    dist = subs.join(F.broadcast(cents), "s").select(
+        "vec_id", "s", "c", sq_l2(F.col("sv"), F.col("cv")).alias("d")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id", "s").orderBy("d", "c")
+    )
+    best = dist.select("vec_id", "s", "c", "d", rk.alias("rk")).filter(
+        F.col("rk") == 1
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(c, cast(2 * s as int))")).cast("bigint").alias("pq_code"),
+        F.sum(F.round("d", 9).cast("decimal(18,9)")).cast("double").alias("qerr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B101 (round 4) — asymmetric distance computation (ADC) over the PQ
+# codes: the query half of IVF-PQ.  Each probe precomputes a 8x4
+# lookup table (probe-subvector -> centroid distance); a corpus vector
+# is then scored WITHOUT touching its floats — just 8 table lookups
+# summed, here joined on the (s, code) key.  Per-term LUT entries are
+# rounded to 9 dp and decimal-summed, so the approximate distances and
+# the (dist, vec_id) top-10 ranking are cross-engine exact.  Scale
+# shape: LUTs are probe-side tiny and broadcast; the corpus side
+# carries 16-bit codes instead of 256-byte vectors — the whole point
+# of PQ at 100 TB.
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST((vec_id // 7) // 4 AS BIGINT) AS s,
+         CAST((vec_id // 7) % 4 AS BIGINT) AS c,
+         list_slice(embedding,
+                    CAST((vec_id // 7) // 4 AS BIGINT) * 8 + 1,
+                    CAST((vec_id // 7) // 4 AS BIGINT) * 8 + 8) AS cv
+  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id <= 217),
+subs AS (
+  SELECT vec_id, g.s, list_slice(embedding, g.s * 8 + 1, g.s * 8 + 8) AS sv
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT u.vec_id, u.s, c.c,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.s
+                              ORDER BY {K.sql_sq_l2('u.sv', 'c.cv')}, c.c) AS rk
+    FROM subs u JOIN cents c ON u.s = c.s)
+  WHERE rk = 1),
+lut AS (
+  SELECT p.vec_id AS i, c.s, c.c,
+         CAST(round({K.sql_sq_l2('p.sv', 'c.cv')}, 9) AS DECIMAL(18,9)) AS dt
+  FROM subs p JOIN cents c ON p.s = c.s
+  WHERE p.vec_id % 50 = 0),
+scored AS (
+  SELECT l.i, k.vec_id AS j, SUM(l.dt) AS adc
+  FROM codes k JOIN lut l ON k.s = l.s AND k.c = l.c
+  WHERE k.vec_id <> l.i
+  GROUP BY l.i, k.vec_id)
+SELECT i, j, CAST(adc AS DOUBLE) AS adc,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT i, j, adc,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY adc, j) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+""",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.ml.kernels import sq_l2
+
+    e = load_table(spark, sf_dir, "embeddings")
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), s -> "
+                "struct(cast(s as bigint) as s, slice(embedding, s * 8 + 1, 8) as sv))"
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    cents = (
+        e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") <= 217))
+        .select(
+            F.expr("cast((vec_id div 7) div 4 as bigint)").alias("s"),
+            F.expr("cast((vec_id div 7) % 4 as bigint)").alias("c"),
+            F.expr(
+                "slice(embedding, cast((vec_id div 7) div 4 as int) * 8 + 1, 8)"
+            ).alias("cv"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id", "s").orderBy("d", "c")
+    )
+    codes = (
+        subs.join(F.broadcast(cents), "s")
+        .select("vec_id", "s", "c", sq_l2(F.col("sv"), F.col("cv")).alias("d"))
+        .select("vec_id", "s", "c", rk.alias("rk"))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    lut = (
+        subs.filter(F.col("vec_id") % _probe_mod(spark) == 0)
+        .join(F.broadcast(cents), "s")
+        .select(
+            F.col("vec_id").alias("i"),
+            "s",
+            "c",
+            F.round(sq_l2(F.col("sv"), F.col("cv")), 9)
+            .cast("decimal(18,9)")
+            .alias("dt"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .filter(F.col("vec_id") != F.col("i"))
+        .groupBy("i", F.col("vec_id").alias("j"))
+        .agg(F.sum("dt").alias("adc"))
+    )
+    w = Window.partitionBy("i").orderBy("adc", "j")
+    return (
+        scored.select("i", "j", "adc", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("i", "j", F.col("adc").cast("double").alias("adc"),
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
