@@ -2465,6 +2465,15 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape: LUTs are probe-side tiny and broadcast; the corpus side
 # carries 16-bit codes instead of 256-byte vectors — the whole point
 # of PQ at 100 TB.
+# Honest quality note (measured at sf0.01): recall@10 vs exact L2 is
+# 0.08 — the synthetic embeddings are near-uniform unit vectors, the
+# same property that defeats LSH pruning (scripts/measure_scale.py
+# docstring), and 2-bit-per-subspace codes cannot preserve
+# neighborhoods without cluster structure.  On real clustered
+# embeddings the codebook trains on the data (k-means per subspace,
+# as sim_ivf_kmeans does for the coarse quantizer) and recall rises
+# with bits/subspace; the deterministic codebook here exists to make
+# the OPERATOR exactly oracle-checkable, not to claim fixture recall.
 
 
 @query(

@@ -237,3 +237,130 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames_sampled"),
         F.countDistinct("frame_digest").alias("n_distinct_frames"),
     )
+
+
+# --------------------------------------------------------------------------
+# B102 (round 4) — perceptual-hash near-dup detection over DECODED
+# image content: the multimodal-to-dedup bridge.  The Spark side runs
+# the real pipeline a 100 TB media lake would: Arrow-batched NumPy PPM
+# decode -> 48-bit average-hash (integer gray vs integer mean — no
+# float anywhere) -> 4x12-bit banded self-join (pigeonhole: any pair
+# with hamming <= 3 shares at least one exact band, so recall is
+# guaranteed) -> exact popcount verify on candidates only.  Because
+# the payload bytes are SQL-expressible md5 byte math, DuckDB can
+# recompute the same aHash from hex characters alone — a FULL oracle
+# across a binary decode boundary.  At scale the hash relation (8
+# bytes/image) would be persisted before the band join; everything
+# downstream shuffles 20-byte rows, never pixels.
+
+
+@query(
+    "mm_phash_dedup",
+    oracle="""
+WITH img AS (
+  SELECT doc_id AS media_id, md5(text) AS h
+  FROM documents WHERE doc_id % 3 = 0),
+gr AS (
+  SELECT media_id,
+         [('0x' || substr(h, 2*((3*p+0)%16)+1, 2))::BIGINT
+          + ('0x' || substr(h, 2*((3*p+1)%16)+1, 2))::BIGINT
+          + ('0x' || substr(h, 2*((3*p+2)%16)+1, 2))::BIGINT
+          FOR p IN generate_series(0, 47)] AS grays
+  FROM img),
+st AS (SELECT media_id, grays, list_sum(grays) AS tot FROM gr),
+ah AS (
+  SELECT media_id,
+         CAST(list_sum([CASE WHEN grays[p+1]*48 > tot
+                             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
+                        FOR p IN generate_series(0, 47)]) AS BIGINT) AS ahash
+  FROM st),
+bands AS (
+  SELECT media_id, ahash, g.b,
+         (ahash >> CAST(12 * g.b AS INT)) & 4095 AS bk
+  FROM ah CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
+cand AS (
+  SELECT DISTINCT x.media_id AS ia, x.ahash AS ha,
+                  y.media_id AS ib, y.ahash AS hb
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bk = y.bk AND x.media_id < y.media_id),
+ham AS (SELECT ia, ib, bit_count(xor(ha, hb)) AS hd FROM cand),
+pair_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+         CAST(COALESCE(SUM(CASE WHEN hd <= 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_dup_pairs,
+         CAST(COALESCE(MIN(hd), -1) AS INT) AS min_hamming
+  FROM ham)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ah) AS n_images,
+       n_candidate_pairs, n_dup_pairs, min_hamming
+FROM pair_stats
+""",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    )
+
+    def ahash(batches):
+        def decode_ppm(buf: bytes):
+            if buf[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            parts, idx = [], 2
+            while len(parts) < 3:
+                while buf[idx] in b" \t\r\n":
+                    idx += 1
+                start = idx
+                while buf[idx] not in b" \t\r\n":
+                    idx += 1
+                parts.append(int(buf[start:idx]))
+            idx += 1
+            w, h, maxval = parts
+            if maxval != 255:
+                raise ValueError("only maxval=255 supported")
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=idx)
+            return px.reshape(h, w, 3)
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(bytes(buf)).astype(np.int64)
+                gray = px.sum(axis=2).ravel()  # r+g+b per pixel, exact int
+                tot = int(gray.sum())
+                bits = 0
+                for p, g in enumerate(gray.tolist()):
+                    if g * 48 > tot:
+                        bits |= 1 << p
+                ids.append(int(mid))
+                hashes.append(bits)
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    h = m.mapInPandas(ahash, "media_id long, ahash long")
+    bands = h.select(
+        "media_id", "ahash", F.explode(F.expr("sequence(0, 3)")).alias("b")
+    ).withColumn("bk", F.expr("(ahash >> cast(12 * b as int)) & 4095"))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("ia"),
+            F.col("x.ahash").alias("ha"),
+            F.col("y.media_id").alias("ib"),
+            F.col("y.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = cand.select("ia", "ib", F.bit_count(F.expr("ha ^ hb")).alias("hd"))
+    pair_stats = ham.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("hd") <= 3, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("n_dup_pairs"),
+        F.coalesce(F.min("hd"), F.lit(-1)).cast("int").alias("min_hamming"),
+    )
+    n_img = h.agg(F.count(F.lit(1)).cast("bigint").alias("n_images"))
+    return n_img.crossJoin(pair_stats)

@@ -55,6 +55,7 @@ WHITELIST = {
     "text_pmi_top": "(b) bounded top-k vocabulary pair generation",
     "ml_calibration_bins": "(a) 1-row score-bounds scalar broadcast for bin edges",
     "text_bm25_rank": "(a) 1-row avgdl/N stats scalar broadcast",
+    "mm_phash_dedup": "(a) 1x1 crossJoin of image-count and pair-stat rows; band join is equi",
 }
 
 

@@ -92,8 +92,24 @@ AMP_QUERIES = [
     "cdc_merge_apply",
     "ts_concurrency_peak",
     "doc_chunk_overlap",
+    # session-4 additions: the explode-heavy text tier (chunk-dedup
+    # window on the chunk string, inverted-index rank-then-filter) and
+    # the PQ encode (corpus x 32-row broadcast codebook) are the new
+    # shapes worth a scaling measurement; the CUSUM windows stand in
+    # for the stacked-running-window family.
+    "dedup_chunk_corpus",
+    "text_inverted_index",
+    "sim_pq_encode",
+    "ts_cusum_drift",
 ]
-FIXED_PROBE_QUERIES = ["sim_topk_cosine", "sim_ann_lsh", "sim_ivf_kmeans"]
+FIXED_PROBE_QUERIES = [
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "sim_ivf_kmeans",
+    # PQ ADC: LUT count follows the probe set (serving parameter), the
+    # code side grows with the corpus — same fixed-probe semantics.
+    "sim_pq_adc_topk",
+]
 QUAD_QUERIES = ["dedup_embedding"]
 
 VOWELS = "aeiou"
