@@ -601,3 +601,118 @@ def join_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").cast("int").alias("dist"),
         F.col("pair_weight").cast("bigint").alias("pair_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# B103 (round 4) — NEAREST-in-time as-of join (sensor-fusion flavor:
+# match each purchase to its closest view in either direction, ties to
+# the earlier side).  Same union+single-window trick as the backward
+# as-of (operators/asof.py): both streams interleave on one
+# (user_id, ts, kind) ordering, the backward candidate is
+# last(ignorenulls) over the preceding frame, the forward candidate is
+# first(ignorenulls) over the strictly-following frame (same-ts views
+# sort before the purchase, so "following" is strictly later), and the
+# winner is one integer-microsecond comparison.  One shuffle on
+# user_id, no join at all — the 100 TB shape for temporal alignment.
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, 0 AS kind, event_id, ts AS view_ts,
+         CAST(NULL AS BIGINT) AS purchase_id
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1 AS kind, event_id, CAST(NULL AS TIMESTAMP) AS view_ts,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'),
+w AS (
+  SELECT *,
+         last_value(view_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+         first_value(view_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_ts
+  FROM u)
+SELECT purchase_id, user_id, ts AS purchase_ts,
+       CASE
+         WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+         WHEN fwd_ts IS NULL THEN back_ts
+         WHEN back_ts IS NULL THEN fwd_ts
+         WHEN epoch_us(ts) - epoch_us(back_ts)
+              <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+         ELSE fwd_ts
+       END AS nearest_view_ts,
+       CASE
+         WHEN back_ts IS NULL AND fwd_ts IS NULL THEN 'none'
+         WHEN fwd_ts IS NULL THEN 'back'
+         WHEN back_ts IS NULL THEN 'fwd'
+         WHEN epoch_us(ts) - epoch_us(back_ts)
+              <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'back'
+         ELSE 'fwd'
+       END AS direction
+FROM w WHERE kind = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    u = views.unionByName(purchases)
+    order = [F.col("ts"), F.col("kind"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "*",
+        F.last("view_ts", ignorenulls=True).over(w_back).alias("back_ts"),
+        F.first("view_ts", ignorenulls=True).over(w_fwd).alias("fwd_ts"),
+    )
+    back_closer = (
+        F.unix_micros("ts") - F.unix_micros("back_ts")
+        <= F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    )
+    nearest = (
+        F.when(F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit(None).cast("timestamp"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(back_closer, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    direction = (
+        F.when(F.col("back_ts").isNull() & F.col("fwd_ts").isNull(), F.lit("none"))
+        .when(F.col("fwd_ts").isNull(), F.lit("back"))
+        .when(F.col("back_ts").isNull(), F.lit("fwd"))
+        .when(back_closer, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+    )
+    return w.filter(F.col("kind") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        nearest.alias("nearest_view_ts"),
+        direction.alias("direction"),
+    )

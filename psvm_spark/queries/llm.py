@@ -2573,3 +2573,55 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", F.col("adc").cast("double").alias("adc"),
                 F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# B104 (round 4) — leave-one-out target encoding, the standard
+# high-cardinality categorical feature for tabular ML: each row's
+# category is replaced by the mean target of OTHER rows in the same
+# category ((sum - y) / (n - 1)), which avoids the self-leak of naive
+# mean encoding.  Sums are exact decimals, so (sum - y) is exact; the
+# single division runs on identical operands in both engines.  One
+# shuffle on the category key; the per-row encode is a window over the
+# same partitioning, not a join.
+
+
+@query(
+    "feat_target_encode_loo",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS y,
+         SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+           OVER (PARTITION BY c_nationkey) AS s,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer)
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(n AS BIGINT) AS n_in_cat,
+       CASE WHEN n > 1
+            THEN CAST(s - y AS DOUBLE) / (n - 1)
+            ELSE NULL END AS loo_mean
+FROM base
+""",
+)
+def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("y"),
+    ).select(
+        "*",
+        F.sum("y").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return base.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("n").cast("bigint").alias("n_in_cat"),
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1),
+        ).alias("loo_mean"),
+    )
