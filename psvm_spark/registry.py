@@ -58,11 +58,12 @@ def load_all() -> None:
         event_transitions, doc_chunk_overlap, sample_weighted_reservoir,
         join_bloom_prune — all register AFTER the ml block, so the
         planned 50-key sample is unchanged.)
-      round 5 (next, write it here when rotating): multimodal(3) +
-        warehouse(8) + aggregates(19) + analytics(18) + graph first
-        2 = 50; round 6 fronts graph_pagerank + llm(42) +
-        scalar_null_semantics + join_bloom_prune + join_interval_overlap
-        + 4 resamples.
+      round 5 (next, write it here when rotating): front
+        multimodal + warehouse + aggregates + analytics.  After the
+        session-4 additions those families hold 4 + 9 + 20 + 22 = 55
+        keys, so the first 50 is that order's prefix (the last 5
+        analytics keys spill to round 6).  Round 6 fronts the spill +
+        graph(3) + the llm tail + joins/scalars resamples.
     """
     from psvm_spark.queries import (  # noqa: F401
         windows,
