@@ -1269,3 +1269,53 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.col("mu")).alias("residual"),
     )
     return resid.orderBy(F.abs("residual").desc(), "event_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# B106 (round 4) — period-over-period deltas, the BI staple: daily
+# revenue per event_type with previous-period value and percent
+# change.  Daily sums are exact decimals; the percent change is one
+# IEEE division of two identical decimal-cast doubles, so the floats
+# hash-match bitwise.  One shuffle on event_type for both the rollup
+# and the lag window (the day rollup pre-aggregates map-side).
+
+
+@query(
+    "window_period_over_period",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+lagged AS (
+  SELECT event_type, day, revenue,
+         lag(revenue) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM daily)
+SELECT event_type, day, revenue, prev,
+       CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+            ELSE (revenue - prev) / prev END AS pct_change
+FROM lagged
+""",
+)
+def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "revenue", F.lag("revenue").over(w).alias("prev")
+    )
+    return lagged.select(
+        "event_type",
+        "day",
+        "revenue",
+        "prev",
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") == 0), F.lit(None).cast("double")
+        )
+        .otherwise((F.col("revenue") - F.col("prev")) / F.col("prev"))
+        .alias("pct_change"),
+    )

@@ -2625,3 +2625,59 @@ def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1),
         ).alias("loo_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# B105 (round 4) — shingle CONTAINMENT scoring (the asymmetric cousin
+# of Jaccard): |eval ∩ train| / |eval|, the quantity contamination
+# audits actually need — a short eval document fully quoted inside a
+# long training document has low Jaccard but containment 1.0.
+# Candidates come from the same shared-shingle posting-list equi-join
+# as dedup_ngram_jaccard (a pair with containment > 0 shares a
+# shingle), so no all-pairs work; the exact set math runs on
+# candidates only.  One IEEE division of identical int operands.
+
+
+@query(
+    "decontaminate_containment",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles
+  FROM documents),
+ev AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+post_e AS (SELECT doc_id, unnest(shingles) AS s FROM ev),
+post_t AS (SELECT doc_id, unnest(shingles) AS s FROM tr),
+cand AS (
+  SELECT DISTINCT e.doc_id AS id_eval, t.doc_id AS id_train
+  FROM post_e e JOIN post_t t ON e.s = t.s),
+scored AS (
+  SELECT c.id_eval, c.id_train,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(a.shingles) AS containment
+  FROM cand c
+  JOIN ev a ON c.id_eval = a.doc_id
+  JOIN tr b ON c.id_train = b.doc_id)
+SELECT id_eval, id_train, containment
+FROM scored WHERE containment >= 0.5
+""",
+)
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sh = d.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles")
+    )
+    ev = sh.filter(F.col("doc_id") % 7 == 0)
+    tr = sh.filter(F.col("doc_id") % 7 != 0)
+    post_e = ev.select(F.col("doc_id").alias("id_eval"), F.explode("shingles").alias("s"))
+    post_t = tr.select(F.col("doc_id").alias("id_train"), F.explode("shingles").alias("s"))
+    cand = post_e.join(post_t, "s").select("id_eval", "id_train").distinct()
+    a = ev.select(F.col("doc_id").alias("id_eval"), F.col("shingles").alias("sa"))
+    b = tr.select(F.col("doc_id").alias("id_train"), F.col("shingles").alias("sb"))
+    containment = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size("sa")
+    return (
+        cand.join(a, "id_eval")
+        .join(b, "id_train")
+        .select("id_eval", "id_train", containment.alias("containment"))
+        .filter(F.col("containment") >= 0.5)
+    )
