@@ -2681,3 +2681,126 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_eval", "id_train", containment.alias("containment"))
         .filter(F.col("containment") >= 0.5)
     )
+
+
+# --------------------------------------------------------------------------
+# B107 (round 4) — confusion matrix + exact precision/recall/F1 from
+# the deterministic kernel scores (same scoring relation as
+# ml_calibration_bins).  Counts are ints; the three metrics are single
+# IEEE divisions of identical int operands — cross-engine exact with
+# no tolerance anywhere.
+
+
+@query(
+    "ml_confusion_matrix",
+    oracle=_CAL_SCORE_SQL
+    + """,
+cm AS (
+  SELECT CAST(SUM(CASE WHEN score >= 0 AND label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN score >= 0 AND label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN score < 0 AND label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN score < 0 AND label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scored)
+SELECT tp, fp, tn, fn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision_,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall_,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+FROM cm
+""",
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    pred_pos = F.col("score") >= 0
+    actual_pos = F.col("label") < 5
+    cm = scored.agg(
+        F.sum((pred_pos & actual_pos).cast("int")).cast("bigint").alias("tp"),
+        F.sum((pred_pos & ~actual_pos).cast("int")).cast("bigint").alias("fp"),
+        F.sum((~pred_pos & ~actual_pos).cast("int")).cast("bigint").alias("tn"),
+        F.sum((~pred_pos & actual_pos).cast("int")).cast("bigint").alias("fn"),
+    )
+    return cm.select(
+        "tp", "fp", "tn", "fn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision_"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall_"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               (2 * F.col("tp")).cast("double")
+               / (2 * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B108 (round 4) — EXACT ROC-AUC via the Mann-Whitney rank statistic,
+# with ties handled in doubled-integer units so no float enters until
+# the final division: AUC = (sum_over_positives(2*rank_min + tie - 1)
+# - n_pos*(n_pos+1)) / (2*n_pos*n_neg).  The scale-correct plan is the
+# one implemented: pre-aggregate (score -> pos/total counts) first —
+# map-side combined, one shuffle — so the global rank window runs over
+# DISTINCT scores only (bounded by 6-dp rounding), never over the raw
+# test rows.  A naive global row rank would funnel every row through
+# one reducer at 100 TB.
+
+
+@query(
+    "ml_roc_auc",
+    oracle=_CAL_SCORE_SQL
+    + """,
+cnts AS (
+  SELECT score,
+         SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS np_s,
+         COUNT(*) AS n_s
+  FROM scored GROUP BY score),
+cum AS (
+  SELECT score, np_s, n_s,
+         COALESCE(SUM(n_s) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM cnts),
+agg AS (
+  SELECT CAST(SUM(np_s * (2 * below + n_s + 1)) AS BIGINT) AS sum2,
+         CAST(SUM(np_s) AS BIGINT) AS np,
+         CAST(SUM(n_s - np_s) AS BIGINT) AS nn
+  FROM cum)
+SELECT np AS n_pos, nn AS n_neg,
+       CAST(sum2 - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc
+FROM agg
+""",
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    cnts = scored.groupBy("score").agg(
+        F.sum((F.col("label") < 5).cast("int")).alias("np_s"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cnts.select(
+        "np_s", "n_s", F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("below")
+    )
+    agg = cum.agg(
+        F.sum(F.col("np_s") * (2 * F.col("below") + F.col("n_s") + 1))
+        .cast("bigint")
+        .alias("sum2"),
+        F.sum("np_s").cast("bigint").alias("np"),
+        F.sum(F.col("n_s") - F.col("np_s")).cast("bigint").alias("nn"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (
+            (F.col("sum2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2 * F.col("np") * F.col("nn"))
+        ).alias("auc"),
+    )

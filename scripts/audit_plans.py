@@ -56,6 +56,8 @@ WHITELIST = {
     "ml_calibration_bins": "(a) 1-row score-bounds scalar broadcast for bin edges",
     "text_bm25_rank": "(a) 1-row avgdl/N stats scalar broadcast",
     "mm_phash_dedup": "(a) 1x1 crossJoin of image-count and pair-stat rows; band join is equi",
+    "ml_confusion_matrix": "(b) support-vector broadcast scoring (svm_predict_score shape)",
+    "ml_roc_auc": "(b) support-vector broadcast scoring (svm_predict_score shape)",
 }
 
 
