@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_events_range, load_table
@@ -555,3 +555,119 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal").cast("double").alias("total_bal"),
     ).select(F.col("zb").cast("bigint").alias("zb"), "n", "min_x", "max_x",
              "min_y", "max_y", "total_bal")
+
+
+# --------------------------------------------------------------------------
+# B109 (round 4) — parquet bloom-filter sink for secondary-key point
+# lookups.  Range clustering (sink_sorted_clustered) and Z-order
+# (sink_zorder_cluster) make footer min/max selective on the SORT
+# dimensions; a bloom filter is the layout lever for every OTHER
+# high-cardinality key — point lookups on o_custkey against a table
+# laid out by o_orderdate can skip row groups the min/max can't.
+# parquet-mr writes a split-block bloom per row group
+# (parquet.bloom.filter.enabled#col); tests assert the bloom bytes are
+# really in the file via the with/without size delta (this pyarrow
+# build does not expose bloom offsets).  The round-trip point-lookup
+# aggregate has an exact oracle on the base table.
+
+
+def write_bloom(spark: SparkSession, sf_dir: str, out_dir: str,
+                enabled: bool = True) -> None:
+    # parquet-mr SKIPS the bloom when the column chunk stays fully
+    # dictionary-encoded (the dictionary already answers membership
+    # exactly), so the bloom option silently does nothing on a
+    # low-cardinality-per-row-group key unless dictionary encoding is
+    # disabled for that column.  Both branches disable it so the
+    # with/without size delta isolates the bloom bytes.
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        o.repartitionByRange(4, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+    )
+    if enabled:
+        w = (
+            w.option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        )
+    w.parquet(out_dir)
+
+
+@query(
+    "sink_bloom_point_lookup",
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_custkey % 997 = 3
+GROUP BY o_custkey
+""",
+)
+def sink_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="psvm_sink_bloom_") + "/orders_bloom"
+    write_bloom(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_custkey") % 997 == 3)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B110 (round 4) — coordination-free time-ordered ids (the snowflake
+# scheme): 41 bits of epoch-millisecond, 10 bits of shard (md5 hash
+# bucket — on a real cluster, the worker id), 12 bits of within-
+# (shard, ms) sequence.  Everything is a pure function of existing
+# columns plus ONE window over (shard, ms) — no global sort, no
+# driver counter, no coordination: exactly how distributed id
+# assignment has to work at 100 TB.  Uniqueness is checked in the
+# result itself (n_ids == n_distinct) and the whole mapping has an
+# exact oracle.
+
+
+@query(
+    "ids_snowflake",
+    oracle="""
+WITH sharded AS (
+  SELECT event_id, ts,
+         (('0x' || substr(md5('sh:' || user_id), 1, 8))::BIGINT % 1024) AS shard
+  FROM events),
+seq AS (
+  SELECT event_id, ts, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard, epoch_ms(ts)
+                            ORDER BY ts, event_id) - 1 AS sq
+  FROM sharded)
+SELECT event_id,
+       CAST((epoch_ms(ts) << 22) | (shard << 12) | sq AS BIGINT) AS snow_id
+FROM seq WHERE sq < 4096
+""",
+)
+def ids_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sharded = ev.select(
+        "event_id",
+        "ts",
+        F.expr(
+            "pmod(cast(conv(substring(md5(concat('sh:', user_id)), 1, 8), 16, 10)"
+            " as bigint), 1024)"
+        ).alias("shard"),
+    )
+    sq = F.row_number().over(
+        Window.partitionBy("shard", F.unix_millis("ts")).orderBy("ts", "event_id")
+    ) - 1
+    seq = sharded.select("event_id", "ts", "shard", sq.alias("sq"))
+    return seq.filter(F.col("sq") < 4096).select(
+        "event_id",
+        F.expr(
+            "cast(shiftleft(unix_millis(ts), 22) | shiftleft(shard, 12) | sq"
+            " as bigint)"
+        ).alias("snow_id"),
+    )
