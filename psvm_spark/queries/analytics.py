@@ -1319,3 +1319,70 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("revenue") - F.col("prev")) / F.col("prev"))
         .alias("pct_change"),
     )
+
+
+# --------------------------------------------------------------------------
+# B112 (round 4) — STREAMING CUSUM: the drift detector as an
+# applyInPandasWithState job, so alarms fire while data arrives
+# instead of in a nightly batch.  State per user is three integers in
+# CENTS (prefix sum, running min, peak) plus counts — integer
+# arithmetic is exact, so the final result is bit-identical to the
+# batch ts_cusum_drift (the decimal(12,2) cents are the same numbers),
+# which the test suite asserts stream-vs-batch.  Events are folded in
+# (ts, event_id) order within each micro-batch; state carries across
+# batches.  Registered rows-only (streaming).  Lives here rather than
+# queries/streaming.py because that module registers inside the pinned
+# first-50 driver-sample window.
+
+
+@query("stream_cusum")
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from psvm_spark.streaming.jobs import run_to_table, stream_events
+
+    ev = stream_events(spark, sf_dir)
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        # state: prefix p, running min m, peak s (all cents), n, alarms
+        p, m, peak, n, alarms = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                p += int(round(float(v) * 100)) - 500
+                if p < m:
+                    m = p
+                s = p - (m if m < 0 else 0)
+                if s > peak:
+                    peak = s
+                if s > 2000:
+                    alarms += 1
+                n += 1
+        state.update((p, m, peak, n, alarms))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "peak_cusum": [peak / 100.0],
+                "n_alarms": [alarms],
+            }
+        )
+
+    out = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=(
+                "user_id bigint, n_events bigint, peak_cusum double, n_alarms bigint"
+            ),
+            stateStructType="p bigint, m bigint, peak bigint, n bigint, alarms bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_table(out, "update")

@@ -2804,3 +2804,67 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("np") * F.col("nn"))
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# B111 (round 4) — precision/recall curve points at every distinct
+# score threshold, from the same per-score pre-aggregation as
+# ml_roc_auc: cumulative-from-the-top positives give TP at threshold
+# t, and every metric is a division of exact ints.  The global
+# cumulative window again runs over DISTINCT scores only — the curve
+# is as cheap as the AUC at any scale.
+
+
+@query(
+    "ml_pr_curve",
+    oracle=_CAL_SCORE_SQL
+    + """,
+cnts AS (
+  SELECT score,
+         SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS np_s,
+         COUNT(*) AS n_s
+  FROM scored GROUP BY score),
+tot AS (SELECT SUM(np_s) AS total_pos FROM cnts),
+cum AS (
+  SELECT score,
+         SUM(np_s) OVER (ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(n_s) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS npred
+  FROM cnts)
+SELECT c.score AS threshold,
+       CAST(c.tp AS BIGINT) AS tp,
+       CAST(c.npred AS BIGINT) AS n_predicted,
+       CAST(c.tp AS DOUBLE) / c.npred AS precision_,
+       CAST(c.tp AS DOUBLE) / t.total_pos AS recall_
+FROM cum c CROSS JOIN tot t
+""",
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    cnts = scored.groupBy("score").agg(
+        F.sum((F.col("label") < 5).cast("int")).alias("np_s"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cnts.select(
+        F.col("score").alias("threshold"),
+        F.sum("np_s").over(w).alias("tp"),
+        F.sum("n_s").over(w).alias("npred"),
+    )
+    tot = cnts.agg(F.sum("np_s").alias("total_pos"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("npred").cast("bigint").alias("n_predicted"),
+        (F.col("tp").cast("double") / F.col("npred")).alias("precision_"),
+        (F.col("tp").cast("double") / F.col("total_pos")).alias("recall_"),
+    )

@@ -58,6 +58,7 @@ WHITELIST = {
     "mm_phash_dedup": "(a) 1x1 crossJoin of image-count and pair-stat rows; band join is equi",
     "ml_confusion_matrix": "(b) support-vector broadcast scoring (svm_predict_score shape)",
     "ml_roc_auc": "(b) support-vector broadcast scoring (svm_predict_score shape)",
+    "ml_pr_curve": "(b) SV broadcast scoring + 1-row total-positives broadcast",
 }
 
 

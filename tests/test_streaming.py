@@ -295,3 +295,20 @@ class TestPythonStreamingSource:
         src_n = load_table(spark, sf_dir, "events").count()
         assert got.count() == src_n  # no loss, no replay
         assert got.select("event_id").distinct().count() == src_n  # no dups
+
+
+class TestStreamCusum:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        """The streaming CUSUM's integer-cents state must reproduce the
+        batch ts_cusum_drift bit-exactly (same cents, same rounding)."""
+        from psvm_spark.registry import QUERIES
+
+        got = {
+            r.user_id: (r.n_events, r.peak_cusum, r.n_alarms)
+            for r in QUERIES["stream_cusum"](spark, sf_dir).collect()
+        }
+        want = {
+            r.user_id: (r.n_events, r.peak_cusum, r.n_alarms)
+            for r in QUERIES["ts_cusum_drift"](spark, sf_dir).collect()
+        }
+        assert got == want
