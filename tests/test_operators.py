@@ -918,3 +918,56 @@ class TestSnowflakeIds:
             .count()
         )
         assert bad == 0
+
+
+class TestPartitionPruning:
+    def test_zorder_partition_filter_prunes_files(self, spark, sf_dir, tmp_path):
+        """Reading the zb-partitioned layout with a zb predicate must
+        prune at the PARTITION level: the plan carries a
+        PartitionFilters entry and the scan touches strictly fewer
+        files than the full table."""
+        from pathlib import Path
+
+        from psvm_spark.queries.warehouse import write_zorder
+
+        out = str(tmp_path / "zorder")
+        write_zorder(spark, sf_dir, out)
+        back = spark.read.parquet(out)
+        lo = back.selectExpr("min(zb)").collect()[0][0]
+        pruned = back.filter(F.col("zb") == lo)
+        plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+            pruned._jdf.queryExecution(), "simple"
+        )
+        # the zb predicate must land in PartitionFilters (directory
+        # pruning), NOT as a post-scan data filter
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "zb" in m.group(1), plan
+        # and the pruned partition really holds a strict subset of rows
+        assert 0 < pruned.count() < back.count()
+
+
+class TestProductQuantization:
+    def test_codes_bounded_and_qerr_nonnegative(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        df = QUERIES["sim_pq_encode"](spark, sf_dir)
+        n = df.count()
+        bad = df.filter(
+            (F.col("pq_code") < 0)
+            | (F.col("pq_code") > 65535)
+            | (F.col("qerr") < 0)
+        ).count()
+        assert n > 0 and bad == 0
+
+    def test_adc_self_distance_is_minimal_for_codebook_vectors(self, spark, sf_dir):
+        """A vector that IS a codebook centroid source must quantize to
+        itself in its own subspace: its qerr contribution there is 0,
+        so total qerr of vec_id 0 (centroid (0,0)) is strictly below
+        the corpus mean."""
+        from psvm_spark.registry import QUERIES
+
+        pdf = QUERIES["sim_pq_encode"](spark, sf_dir).toPandas()
+        v0 = float(pdf.loc[pdf.vec_id == 0, "qerr"].iloc[0])
+        assert v0 < float(pdf["qerr"].mean())
