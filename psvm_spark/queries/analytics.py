@@ -1386,3 +1386,144 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(out, "update")
+
+
+# --------------------------------------------------------------------------
+# B113 (round 4) — multi-touch attribution: each purchase's value is
+# credited equally across the same user's clicks in the preceding two
+# hours (linear attribution), the step beyond last-touch as-of.  Scale
+# shape: the time predicate becomes a (user, 2h-bucket) EQUI-join —
+# purchases probe their own bucket and the previous one (each click
+# lives in exactly one bucket, so no dedup pass is needed) — and the
+# exact window filter runs on blocked candidates only, the join_range
+# pattern.  Per-credit amounts are rounded to 6 dp and summed as
+# DECIMAL so per-user totals are order-independent.
+
+
+@query(
+    "attribution_multi_touch",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.event_id AS pid, p.user_id, p.v, c.event_id AS cid
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR),
+credits AS (
+  SELECT pid, user_id,
+         CAST(round(CAST(v AS DOUBLE) / COUNT(*) OVER (PARTITION BY pid), 6)
+              AS DECIMAL(18,6)) AS credit
+  FROM pairs)
+SELECT user_id,
+       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases_attributed,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(credit) AS DOUBLE) AS credited_total
+FROM credits GROUP BY user_id
+""",
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = 7200  # seconds
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+        F.floor(F.unix_timestamp("ts") / win).alias("cb"),
+    )
+    # probe own bucket and the previous one
+    probes = p.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("off")
+    ).withColumn("cb", F.floor(F.unix_timestamp("pts") / win) - F.col("off"))
+    pairs = probes.join(
+        c, (F.col("user_id") == F.col("c_user")) & (probes.cb == c.cb)
+    ).filter(
+        (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 2 HOURS"))
+    ).select("pid", "user_id", "v", "cid")
+    wp = Window.partitionBy("pid")
+    credits = pairs.select(
+        "pid",
+        "user_id",
+        F.round(F.col("v").cast("double") / F.count(F.lit(1)).over(wp), 6)
+        .cast("decimal(18,6)")
+        .alias("credit"),
+    )
+    return credits.groupBy("user_id").agg(
+        F.count_distinct("pid").cast("bigint").alias("n_purchases_attributed"),
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum("credit").cast("double").alias("credited_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B114 (round 4) — TIME-BOUNDED funnel: view -> click within 30 min ->
+# purchase within 30 min of the click.  Same three user_id-partitioned
+# min-aggregates as the unbounded funnel, with an upper bound on each
+# step — the form product analytics actually ships ("conversion within
+# N minutes").  Step counts combine as 1-row relations.
+
+
+@query(
+    "funnel_time_bounded",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 30 MINUTE
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL 30 MINUTE
+  GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_30m,
+       (SELECT COUNT(*) FROM p) AS n_purchase_30m
+""",
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(c.agg(F.count(F.lit(1)).alias("n_click_30m")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_purchase_30m")))
+    )

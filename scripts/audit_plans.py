@@ -51,6 +51,7 @@ WHITELIST = {
     "agg_q11_shape": "(a) Q11's value-threshold scalar broadcast",
     "dq_expectations": "(a) expectation thresholds compared against global scalars",
     "funnel_steps": "(a/b) single-row step-boundary relation",
+    "funnel_time_bounded": "(a/b) single-row step-boundary relation (bounded-window funnel)",
     "metric_wau": "(b) 30-row date spine broadcast for the rolling window band",
     "text_pmi_top": "(b) bounded top-k vocabulary pair generation",
     "ml_calibration_bins": "(a) 1-row score-bounds scalar broadcast for bin edges",
