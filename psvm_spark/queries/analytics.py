@@ -1527,3 +1527,109 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c.agg(F.count(F.lit(1)).alias("n_click_30m")))
         .join(p.agg(F.count(F.lit(1)).alias("n_purchase_30m")))
     )
+
+
+# --------------------------------------------------------------------------
+# B115 (round 4) — incremental SCD2 MERGE: apply a CDC delta to an
+# EXISTING type-2 dimension without rescanning history — close each
+# touched user's open interval at that user's first delta change, and
+# chain the delta's own intervals on top.  History rows already closed
+# are untouched (the O(|delta|) property that makes nightly dimension
+# maintenance feasible at 100 TB).  The oracle is the FULL REBUILD
+# over all events: incremental merge == rebuild, the same equivalence
+# the incremental-rollup query pins.
+
+
+_SCD2_CUTOFF = "2024-01-21 00:00:00"
+
+
+@query(
+    "scd2_merge_update",
+    oracle="""
+SELECT user_id, value AS v,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM events WHERE event_type = 'error'
+""",
+)
+def scd2_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    err = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the "stored" dimension: SCD2 built from pre-cutoff history only
+    hist = (
+        err.filter(F.col("ts") < cutoff)
+        .select(
+            "user_id",
+            F.col("value").alias("v"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    delta = err.filter(F.col("ts") >= cutoff)
+    first_delta = delta.groupBy("user_id").agg(
+        F.min("ts").alias("first_delta_ts")
+    )
+    closed = hist.filter(F.col("valid_to").isNotNull())
+    reopened = (
+        hist.filter(F.col("valid_to").isNull())
+        .join(first_delta, "user_id", "left")
+        .select(
+            "user_id", "v", "valid_from",
+            F.col("first_delta_ts").alias("valid_to"),
+        )
+    )
+    delta_iv = delta.select(
+        "user_id",
+        F.col("value").alias("v"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return closed.unionByName(reopened).unionByName(delta_iv)
+
+
+# --------------------------------------------------------------------------
+# B116 (round 4) — market-basket co-purchase projection: the bipartite
+# (order, part) relation projected to part-part co-occurrence counts,
+# the input every association-rule / collaborative-filter pipeline
+# starts from.  Pair generation is a SELF-JOIN ON THE ORDER KEY, so
+# work is sum over orders of basket_size^2 (baskets are short: avg 4,
+# max 13 in this schema — at 100 TB the guard is a basket-size cap,
+# which real retail data also needs); the pair rollup is one shuffle
+# on the (a, b) key.  support >= 2 prunes the singleton tail.
+
+
+@query(
+    "graph_copurchase_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+""",
+)
+def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
