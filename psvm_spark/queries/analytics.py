@@ -1633,3 +1633,86 @@ def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# B117 (round 4) — association rules over the co-purchase pairs:
+# directional confidence and lift, the metrics that turn raw support
+# counts into recommendations.  Everything upstream of the two final
+# divisions is an exact integer (pair support, item support, basket
+# count), and the divisions run on identical operands — cross-engine
+# exact with no epsilon.  Supports join back via broadcast (the item
+# catalog is dimension-sized); the rule table is both directions of
+# each supported pair.
+
+
+@query(
+    "agg_association_rules",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+supp AS (
+  SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY l_partkey),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, n_ab FROM pair
+  UNION ALL
+  SELECT pb, pa, n_ab FROM pair)
+SELECT r.antecedent, r.consequent,
+       CAST(r.n_ab AS BIGINT) AS n_ab,
+       CAST(r.n_ab AS DOUBLE) / sa.s AS confidence,
+       CAST(r.n_ab * nb.n_orders AS DOUBLE) / (sa.s * sb.s) AS lift
+FROM rules r
+JOIN supp sa ON r.antecedent = sa.l_partkey
+JOIN supp sb ON r.consequent = sb.l_partkey
+CROSS JOIN nb
+""",
+)
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    nb = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab"
+        )
+    )
+    sa = supp.select(F.col("l_partkey").alias("antecedent"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("l_partkey").alias("consequent"), F.col("s").alias("s_b"))
+    return (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            (F.col("n_ab").cast("double") / F.col("s_a")).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("s_a") * F.col("s_b"))
+            ).alias("lift"),
+        )
+    )

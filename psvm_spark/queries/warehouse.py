@@ -671,3 +671,49 @@ def ids_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("snow_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# B118 (round 4) — nested-struct schema pruning: write orders with a
+# nested info struct, read back ONLY one subfield and aggregate.
+# Catalyst must prune the scan to the single leaf
+# (ReadSchema: info.price — asserted in tests via the plan), which at
+# 100 TB is the difference between reading one column chunk and
+# deserializing the whole struct.  The aggregate has an exact oracle
+# on the flat base table.
+
+
+def write_nested(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.struct(
+                F.col("o_orderdate").alias("odate"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("info"),
+        )
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+@query(
+    "scan_struct_pruning",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def scan_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="psvm_nested_") + "/orders_nested"
+    write_nested(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("info.price")).cast("double").alias("total"),
+    )

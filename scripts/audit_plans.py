@@ -60,6 +60,7 @@ WHITELIST = {
     "ml_confusion_matrix": "(b) support-vector broadcast scoring (svm_predict_score shape)",
     "ml_roc_auc": "(b) support-vector broadcast scoring (svm_predict_score shape)",
     "ml_pr_curve": "(b) SV broadcast scoring + 1-row total-positives broadcast",
+    "agg_association_rules": "(a) 1-row basket-count scalar broadcast for lift",
 }
 
 

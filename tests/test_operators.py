@@ -971,3 +971,22 @@ class TestProductQuantization:
         pdf = QUERIES["sim_pq_encode"](spark, sf_dir).toPandas()
         v0 = float(pdf.loc[pdf.vec_id == 0, "qerr"].iloc[0])
         assert v0 < float(pdf["qerr"].mean())
+
+
+class TestStructPruning:
+    def test_read_schema_prunes_to_single_leaf(self, spark, sf_dir, tmp_path):
+        """Aggregating info.price alone must scan only that struct leaf:
+        the FileScan's ReadSchema carries info.price but neither
+        info.odate nor info.priority."""
+        from psvm_spark.queries.warehouse import write_nested
+
+        out = str(tmp_path / "nested")
+        write_nested(spark, sf_dir, out)
+        back = spark.read.parquet(out)
+        agg = back.groupBy("o_orderstatus").agg(F.sum(F.col("info.price")))
+        plan = agg._sc._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "simple"
+        )
+        scan = plan[plan.index("ReadSchema"):]
+        assert "price" in scan
+        assert "odate" not in scan and "priority" not in scan
