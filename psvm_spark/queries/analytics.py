@@ -1716,3 +1716,86 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B119 (round 4) — autocorrelation function (ACF) at lags 1..3 over
+# the hourly series per event type: the diagnostic behind seasonality
+# detection and forecasting-model selection.  Hourly values are exact
+# decimal sums; lagged pairs form by an (event_type, hour+k) EQUI-join
+# on integer epoch-hours; all five Pearson power sums stay DECIMAL
+# until the final r computation, which runs in double on identical
+# operands (one sqrt per lag).  Work: one hourly rollup + three skinny
+# self-joins over ~720 hours per type — trivially parallel, and at
+# 100 TB the rollup is the only pass over raw data.
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+  FROM events GROUP BY 1, 2),
+lags AS (SELECT unnest(generate_series(1, 3)) AS k),
+pairs AS (
+  SELECT a.event_type, l.k, a.v AS vx, b.v AS vy
+  FROM hourly a
+  JOIN lags l ON true
+  JOIN hourly b ON a.event_type = b.event_type AND b.h = a.h + l.k),
+sums AS (
+  SELECT event_type, k,
+         COUNT(*) AS n,
+         CAST(SUM(vx) AS DOUBLE) AS sx,
+         CAST(SUM(vy) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(vx * vy AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(vx * vx AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(vy * vy AS DECIMAL(30,4))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2)
+SELECT event_type, CAST(k AS INT) AS lag_hours, CAST(n AS BIGINT) AS n_pairs,
+       (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf
+FROM sums
+""",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("bigint")
+        .alias("h"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    lags = F.explode(F.expr("sequence(1, 3)")).alias("k")
+    a = hourly.select("event_type", "h", F.col("v").alias("vx"), lags)
+    b = hourly.select(
+        F.col("event_type").alias("bt"), F.col("h").alias("bh"), F.col("v").alias("vy")
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("bt")) & (F.col("bh") == F.col("h") + F.col("k")),
+    )
+    sums = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vx").cast("double").alias("sx"),
+        F.sum("vy").cast("double").alias("sy"),
+        F.sum((F.col("vx") * F.col("vy")).cast("decimal(30,4)")).cast("double").alias("sxy"),
+        F.sum((F.col("vx") * F.col("vx")).cast("decimal(30,4)")).cast("double").alias("sxx"),
+        F.sum((F.col("vy") * F.col("vy")).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    acf = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "event_type",
+        F.col("k").cast("int").alias("lag_hours"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        acf.alias("acf"),
+    )

@@ -2868,3 +2868,84 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double") / F.col("npred")).alias("precision_"),
         (F.col("tp").cast("double") / F.col("total_pos")).alias("recall_"),
     )
+
+
+# --------------------------------------------------------------------------
+# B120 (round 4) — split-leakage preflight: the check a training-data
+# platform runs before every export.  (1) split assignment is a pure
+# function of content (split_stable_hash's md5 buckets), so the same
+# text always lands in the same split — asserted by counting texts
+# whose md5 maps to more than one split (must be 0); (2) NEAR-dup
+# leakage: eval/val documents whose winnowing fingerprint
+# (doc_fingerprint's min-shingle-md5) collides with any train
+# document's — a fingerprint equi-join, never a pairwise scan.  One
+# summary row, all exact ints.
+
+
+@query(
+    "dq_split_leakage",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(text), 1, 4))::INTEGER % 100 AS pct,
+         list_aggregate(list_transform({_SHINGLE_DUCK}, s -> md5(s)), 'min')
+           AS fp
+  FROM documents),
+labeled AS (
+  SELECT doc_id, fp,
+         CASE WHEN pct < 80 THEN 'train'
+              WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+  FROM assigned),
+consistency AS (
+  SELECT COUNT(*) AS n_inconsistent FROM (
+    SELECT md5(text) FROM assigned
+    GROUP BY md5(text) HAVING COUNT(DISTINCT CASE WHEN pct < 80 THEN 'train'
+                 WHEN pct < 90 THEN 'val' ELSE 'test' END) > 1)),
+train_fp AS (SELECT DISTINCT fp FROM labeled WHERE split = 'train'),
+leaky AS (
+  SELECT COUNT(DISTINCT e.doc_id) AS n_leaky
+  FROM labeled e JOIN train_fp t ON e.fp = t.fp
+  WHERE e.split <> 'train'),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM labeled)
+SELECT c.n_train, c.n_val, c.n_test,
+       CAST(x.n_inconsistent AS BIGINT) AS n_inconsistent,
+       CAST(l.n_leaky AS BIGINT) AS n_leaky_eval_docs
+FROM counts c CROSS JOIN consistency x CROSS JOIN leaky l
+""",
+)
+def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+    split = F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    fp = F.array_min(F.expr(f"transform({_SHINGLE_SPARK}, s -> md5(s))"))
+    labeled = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        split.alias("split"),
+        fp.alias("fp"),
+    )
+    consistency = (
+        labeled.groupBy("h")
+        .agg(F.count_distinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inconsistent")
+        )
+    )
+    train_fp = labeled.filter(F.col("split") == "train").select("fp").distinct()
+    leaky = (
+        labeled.filter(F.col("split") != "train")
+        .join(train_fp, "fp")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("n_leaky_eval_docs"))
+    )
+    counts = labeled.agg(
+        F.sum((F.col("split") == "train").cast("int")).cast("bigint").alias("n_train"),
+        F.sum((F.col("split") == "val").cast("int")).cast("bigint").alias("n_val"),
+        F.sum((F.col("split") == "test").cast("int")).cast("bigint").alias("n_test"),
+    )
+    return counts.crossJoin(consistency).crossJoin(leaky)
