@@ -1799,3 +1799,73 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         acf.alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# B122 (round 4) — conversion-delay distribution: how long after the
+# last view does a purchase happen?  The backward as-of pass (union +
+# one window, no join) attaches the preceding view; integer minute
+# deltas bucket into the standard product bands.  One shuffle on
+# user_id, one skinny rollup — and the bands are exact ints, so the
+# histogram hashes flat.
+
+
+@query(
+    "agg_conversion_delay",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, 0 AS kind, event_id, ts AS view_ts FROM events
+  WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1 AS kind, event_id, CAST(NULL AS TIMESTAMP) FROM events
+  WHERE event_type = 'purchase'),
+w AS (
+  SELECT *,
+         last_value(view_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts
+  FROM u),
+delays AS (
+  SELECT (epoch_us(ts) - epoch_us(back_ts)) // 60000000 AS mins
+  FROM w WHERE kind = 1 AND back_ts IS NOT NULL)
+SELECT CASE WHEN mins < 1 THEN '0-1m' WHEN mins < 5 THEN '1-5m'
+            WHEN mins < 15 THEN '5-15m' WHEN mins < 60 THEN '15-60m'
+            ELSE '60m+' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM delays GROUP BY 1
+""",
+)
+def agg_conversion_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    u = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    back = u.select(
+        "*", F.last("view_ts", ignorenulls=True).over(w).alias("back_ts")
+    )
+    mins = F.floor(
+        (F.unix_micros("ts") - F.unix_micros("back_ts")) / 60000000
+    )
+    band = (
+        F.when(mins < 1, "0-1m")
+        .when(mins < 5, "1-5m")
+        .when(mins < 15, "5-15m")
+        .when(mins < 60, "15-60m")
+        .otherwise("60m+")
+    )
+    return (
+        back.filter((F.col("kind") == 1) & F.col("back_ts").isNotNull())
+        .groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

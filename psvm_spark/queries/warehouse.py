@@ -717,3 +717,62 @@ def scan_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("info.price")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# B121 (round 4) — hostile-CSV round-trip: fields containing embedded
+# newlines, double quotes, commas, and backslashes — the cases that
+# silently corrupt naive CSV pipelines.  The payload is synthesized
+# deterministically from documents (so DuckDB can rebuild it), written
+# through Spark's CSV sink (quoting + escaping on), and read back with
+# multiLine=true (without it, the reader would split records at the
+# embedded newlines and the md5s would scatter).  Content identity is
+# md5 per row, aggregated order-insensitively; the oracle computes the
+# same md5s from the base table without any CSV in the loop — so any
+# quoting/escaping asymmetry in the sink/scan pair breaks the hash.
+
+
+@query(
+    "scan_csv_multiline_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       md5(string_agg(md5(
+         'q="' || substr(text, 1, 20) || '", nl:' || chr(10)
+         || lang || ',' || chr(10) || CAST(doc_id AS VARCHAR)
+       ), '' ORDER BY doc_id)) AS content_md5
+FROM documents
+""",
+)
+def scan_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hostile = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('q="'),
+            F.substring("text", 1, 20),
+            F.lit('", nl:\n'),
+            F.col("lang"),
+            F.lit(",\n"),
+            F.col("doc_id").cast("string"),
+        ).alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="psvm_csv_") + "/hostile_csv"
+    hostile.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("doc_id long, payload string")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(doc_id, "
+                    "md5(payload) as h))), x -> x.h)"
+                ),
+                "",
+            )
+        ).alias("content_md5"),
+    )
