@@ -2918,7 +2918,9 @@ FROM counts c CROSS JOIN consistency x CROSS JOIN leaky l
 """,
 )
 def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: three aggregate branches re-run the md5/shingle HOF work,
+    # and the fixture table is a single input split — spread it first.
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     pct = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
     split = F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
     fp = F.array_min(F.expr(f"transform({_SHINGLE_SPARK}, s -> md5(s))"))

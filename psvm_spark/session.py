@@ -68,6 +68,16 @@ def get_spark(app_name: str = "psvm_spark", cpus: int | None = None) -> SparkSes
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A multi-hundred-query session generates one codegen class set
+        # per plan; the JDK default 240 MB reserved code cache fills and
+        # the JIT silently stops compiling, after which HOF/hash-heavy
+        # expressions run interpreted (measured here: 10-25x on the
+        # dedup tier late in a 229-query bench, while plain scans stay
+        # 1x).  Reserve more and keep flushing enabled.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/psvm_spark_warehouse")
     )
