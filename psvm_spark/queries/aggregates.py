@@ -714,3 +714,141 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("exact_card")
     )
     return card.join(exact, "event_type")
+
+
+# --------------------------------------------------------------------------
+# B123 (round 4) — exact weighted percentile: the order statistic that
+# inventory/price analytics need (median price weighted by quantity,
+# not by row count).  Running weight sums stay DECIMAL over a
+# (group, price-ordered) window; the answer is the first value whose
+# cumulative weight reaches half the exact total.  One shuffle on the
+# group key; the window and rollup share it.
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         CAST(l_quantity AS DECIMAL(12,2)) AS wt
+  FROM lineitem),
+cum AS (
+  SELECT l_returnflag, price, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w),
+hit AS (
+  SELECT l_returnflag, price, cw, tw,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price) AS rk
+  FROM cum WHERE cw * 2 >= tw)
+SELECT l_returnflag,
+       CAST(price AS DOUBLE) AS weighted_median_price,
+       CAST(tw AS DOUBLE) AS total_weight
+FROM hit WHERE rk = 1
+""",
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("wt"),
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(w_run).alias("cw"),
+        F.sum("wt").over(w_all).alias("tw"),
+    )
+    hit = cum.filter(F.col("cw") * 2 >= F.col("tw")).select(
+        "l_returnflag",
+        "price",
+        "tw",
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy("price"))
+        .alias("rk"),
+    )
+    return hit.filter(F.col("rk") == 1).select(
+        "l_returnflag",
+        F.col("price").cast("double").alias("weighted_median_price"),
+        F.col("tw").cast("double").alias("total_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B124 (round 4) — skewness and excess kurtosis from exact decimal
+# power sums (S1..S4), extending agg_stats' second-moment treatment to
+# the higher moments: the built-in skewness/kurtosis stream doubles
+# order-dependently and can never hash-match, while decimal power sums
+# are order-independent in both engines and the float math happens
+# once, at the end, on identical aggregate values.  Quantity values
+# are 2-dp, so S4 fits comfortably in DECIMAL(38,8).
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,4)))
+              AS DOUBLE) AS s2,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,6)))
+              AS DOUBLE) AS s3,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,8)))
+              AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       s1 / n AS mean_qty,
+       (s2 - s1 * s1 / n) / n AS pvar,
+       ((s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n)
+         / (((s2 - s1 * s1 / n) / n) * sqrt((s2 - s1 * s1 / n) / n)) AS skewness,
+       ((s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+         - 3 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / n)
+         / (((s2 - s1 * s1 / n) / n) * ((s2 - s1 * s1 / n) / n)) - 3.0
+         AS excess_kurtosis
+FROM s
+""",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(38,4)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(38,8)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    s1, s2, s3, s4 = F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
+    m = s1 / n
+    pvar = (s2 - s1 * s1 / n) / n
+    # x*sqrt(x), not pow(x,1.5): pow is ~1-ulp and disagrees cross-engine
+    skew = ((s3 - 3 * m * s2 + 2 * n * m * m * m) / n) / (pvar * F.sqrt(pvar))
+    kurt = (
+        (s4 - 4 * m * s3 + 6 * m * m * s2 - 3 * n * m * m * m * m) / n
+    ) / (pvar * pvar) - 3.0
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        m.alias("mean_qty"),
+        pvar.alias("pvar"),
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )
