@@ -716,3 +716,55 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest.alias("nearest_view_ts"),
         direction.alias("direction"),
     )
+
+
+# --------------------------------------------------------------------------
+# B125 (round 4) — NULL-safe equi-join (<=>): Spark turns the
+# null-safe equality into a genuine HASH join key (knownfloatingpointnormalized
+# coalesce trick internally), so NULL==NULL pairs match WITHOUT the
+# BroadcastNestedLoopJoin a naive `a = b OR (a IS NULL AND b IS NULL)`
+# predicate would plan — the difference between a scalable join and a
+# scale-killer when the key is sparsely populated.  The plan audit
+# keeps this query OFF the whitelist, pinning the hash-join shape.
+# Keys: customers and suppliers joined on nation-phone-prefix, nulled
+# out for a deterministic subset on each side.
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE CAST(c_nationkey AS BIGINT) END AS k
+  FROM customer),
+s AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 5 = 0 THEN NULL
+              ELSE CAST(s_nationkey AS BIGINT) END AS k
+  FROM supplier)
+SELECT COALESCE(CAST(c.k AS VARCHAR), 'NULL') AS key_group,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+GROUP BY 1
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .cast("bigint")
+        .alias("ck"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .cast("bigint")
+        .alias("sk"),
+    )
+    joined = c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+    return joined.groupBy(
+        F.coalesce(F.col("ck").cast("string"), F.lit("NULL")).alias("key_group")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

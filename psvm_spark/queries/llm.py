@@ -2951,3 +2951,83 @@ def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("split") == "test").cast("int")).cast("bigint").alias("n_test"),
     )
     return counts.crossJoin(consistency).crossJoin(leaky)
+
+
+# --------------------------------------------------------------------------
+# B126 (round 4) — decile lift/gains table: rank the scored population
+# into 10 equal-count buckets from the top and report per-decile
+# positive capture — the campaign-targeting view of model quality.
+# Deciles derive from the SAME per-score pre-aggregation as the AUC
+# (cumulative counts over DISTINCT scores), so no global row rank ever
+# runs; ties stay in one decile boundary deterministically (a tied
+# score group is assigned by its cumulative START, exact ints all the
+# way).  Lift = capture_rate / base_rate, one division at the end.
+
+
+@query(
+    "ml_lift_deciles",
+    oracle=_CAL_SCORE_SQL
+    + """,
+cnts AS (
+  SELECT score,
+         SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS np_s,
+         COUNT(*) AS n_s
+  FROM scored GROUP BY score),
+tot AS (SELECT SUM(n_s) AS n, SUM(np_s) AS npos FROM cnts),
+cum AS (
+  SELECT score, np_s, n_s,
+         COALESCE(SUM(n_s) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+  FROM cnts),
+dec AS (
+  SELECT CAST(above * 10 // t.n AS BIGINT) AS decile, np_s, n_s
+  FROM cum CROSS JOIN tot t)
+SELECT d.decile,
+       CAST(SUM(d.n_s) AS BIGINT) AS n,
+       CAST(SUM(d.np_s) AS BIGINT) AS n_pos,
+       (CAST(SUM(d.np_s) AS DOUBLE) / SUM(d.n_s))
+         / (CAST(t.npos AS DOUBLE) / t.n) AS lift
+FROM dec d CROSS JOIN tot t
+GROUP BY d.decile, t.npos, t.n
+""",
+)
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    cnts = scored.groupBy("score").agg(
+        F.sum((F.col("label") < 5).cast("int")).alias("np_s"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    tot = cnts.agg(
+        F.sum("n_s").alias("n"), F.sum("np_s").alias("npos")
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cnts.select(
+        "np_s", "n_s", F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("above")
+    )
+    dec = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr("(above * 10) div n").cast("bigint").alias("decile"),
+        "np_s",
+        "n_s",
+        "n",
+        "npos",
+    )
+    return dec.groupBy("decile", "npos", "n").agg(
+        F.sum("n_s").cast("bigint").alias("n_rows"),
+        F.sum("np_s").cast("bigint").alias("n_pos"),
+    ).select(
+        "decile",
+        F.col("n_rows").alias("n"),
+        "n_pos",
+        (
+            (F.col("n_pos").cast("double") / F.col("n_rows"))
+            / (F.col("npos").cast("double") / F.col("n"))
+        ).alias("lift"),
+    )

@@ -62,6 +62,7 @@ WHITELIST = {
     "ml_pr_curve": "(b) SV broadcast scoring + 1-row total-positives broadcast",
     "agg_association_rules": "(a) 1-row basket-count scalar broadcast for lift",
     "dq_split_leakage": "(a) 1x1x1 crossJoin of summary-stat rows; the fp join is equi",
+    "ml_lift_deciles": "(b) SV broadcast scoring + 1-row totals broadcast",
 }
 
 
