@@ -852,3 +852,81 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+# --------------------------------------------------------------------------
+# B125b/B128 (round 4) — chi-square test of independence over a
+# contingency table (customer nation x order priority): observed
+# counts are exact ints, expected counts are single divisions of exact
+# ints, and the per-cell (o-e)^2/e terms are rounded to 9 dp and
+# summed in DECIMAL so the statistic is order-independent — the same
+# float discipline as text_entropy.  Plan: one count rollup, two
+# marginal rollups broadcast back, a 25-cell combine.
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+WITH joined AS (
+  SELECT c.c_nationkey AS nation, o.o_orderpriority AS prio
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+obs AS (
+  SELECT nation, prio, COUNT(*) AS o FROM joined GROUP BY nation, prio),
+rowm AS (SELECT nation, SUM(o) AS rn FROM obs GROUP BY nation),
+colm AS (SELECT prio, SUM(o) AS cn FROM obs GROUP BY prio),
+tot AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT obs.nation, obs.prio, obs.o,
+         CAST(rowm.rn * colm.cn AS DOUBLE) / tot.n AS e
+  FROM obs JOIN rowm USING (nation) JOIN colm USING (prio) CROSS JOIN tot),
+terms AS (
+  SELECT CAST(round((o - e) * (o - e) / e, 9) AS DECIMAL(18,9)) AS t,
+         nation, prio
+  FROM cells)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((SELECT COUNT(*) FROM rowm) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM colm) - 1 AS BIGINT) AS dof,
+       CAST(SUM(t) AS DOUBLE) AS chi2
+FROM terms
+""",
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_nationkey").alias("nation"), F.col("o_orderpriority").alias("prio"))
+    obs = joined.groupBy("nation", "prio").agg(F.count(F.lit(1)).alias("o"))
+    rowm = obs.groupBy("nation").agg(F.sum("o").alias("rn"))
+    colm = obs.groupBy("prio").agg(F.sum("o").alias("cn"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rowm), "nation")
+        .join(F.broadcast(colm), "prio")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation", "prio", "o",
+            ((F.col("rn") * F.col("cn")).cast("double") / F.col("n")).alias("e"),
+        )
+    )
+    terms = cells.select(
+        F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 9)
+        .cast("decimal(18,9)")
+        .alias("t")
+    )
+    nr = rowm.agg(F.count(F.lit(1)).alias("nr"))
+    nc = colm.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        terms.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("t").cast("double").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            "chi2",
+        )
+    )

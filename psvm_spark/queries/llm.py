@@ -3031,3 +3031,66 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("npos").cast("double") / F.col("n"))
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# B127 (round 4) — binary (1-bit) embedding quantization + Hamming
+# top-k: the 64-dim vector collapses to ONE 64-bit word (sign bit per
+# dimension, 256x compression) and similarity search becomes
+# xor+popcount — the cheapest retrieval primitive there is, and the
+# first-stage filter in binary-rerank pipelines.  The quantization is
+# a pure integer fold with an exact DuckDB twin, so unlike LSH this
+# ANN variant is fully oracle-checkable end to end.  Probes follow
+# psvm.sim.probe_modulo; ranking ties break on (hamming, corpus id).
+
+
+@query(
+    "sim_binary_hamming_topk",
+    oracle="""
+WITH words AS (
+  SELECT vec_id,
+         CAST(list_sum([CASE WHEN embedding[p + 1] > 0
+                             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
+                        FOR p IN generate_series(0, 62)]) AS BIGINT) AS w
+  FROM embeddings),
+probes AS (SELECT vec_id AS i, w AS pw FROM words WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT p.i, c.vec_id AS j, bit_count(xor(p.pw, c.w)) AS hamming
+  FROM probes p CROSS JOIN words c WHERE c.vec_id <> p.i),
+ranked AS (
+  SELECT i, j, CAST(hamming AS INT) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY hamming, j) AS rnk
+  FROM scored)
+SELECT i, j, hamming, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 10
+""",
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # dims 0..62 only: bit 63 would be the BIGINT sign bit and DuckDB's
+    # signed left shift raises on it (same gate as agg_bitmap_distinct)
+    words = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 62), cast(0 as bigint), (acc, p) -> acc"
+            " + CASE WHEN element_at(embedding, p + 1) > 0"
+            " THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"
+        ).alias("w"),
+    )
+    probes = words.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
+        F.col("vec_id").alias("i"), F.col("w").alias("pw")
+    )
+    corpus = fan_out(words, spark).select(
+        F.col("vec_id").alias("j"), F.col("w").alias("cw")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("j") != F.col("i"))
+        .select("i", "j", F.bit_count(F.expr("pw ^ cw")).alias("hamming"))
+    )
+    rk = F.row_number().over(Window.partitionBy("i").orderBy("hamming", "j"))
+    return (
+        scored.select("i", "j", F.col("hamming").cast("int").alias("hamming"))
+        .select("*", rk.alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("i", "j", "hamming", F.col("rnk").cast("bigint").alias("rnk"))
+    )

@@ -63,6 +63,8 @@ WHITELIST = {
     "agg_association_rules": "(a) 1-row basket-count scalar broadcast for lift",
     "dq_split_leakage": "(a) 1x1x1 crossJoin of summary-stat rows; the fp join is equi",
     "ml_lift_deciles": "(b) SV broadcast scoring + 1-row totals broadcast",
+    "sim_binary_hamming_topk": "(b) probes broadcast against binary-word corpus (sim_topk shape)",
+    "agg_chi2_independence": "(a) 1-row total/marginal-count broadcasts for the 25-cell combine",
 }
 
 
