@@ -930,3 +930,63 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B129 (round 4) — Gini coefficient of customer spend per nation (the
+# inequality measure behind whale-concentration dashboards), via the
+# rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n on spend sorted
+# ascending within each nation.  Ranks are per-nation window
+# row_numbers (no global sort), i*x_i products stay DECIMAL, and the
+# two final divisions run on identical exact operands.  Orders roll up
+# per customer first, so the rank window sees customers, not orders.
+
+
+@query(
+    "agg_gini_spend",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_nationkey AS nation, c.c_custkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS x
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT nation, x,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY x, c_custkey) AS i
+  FROM spend),
+agg AS (
+  SELECT nation, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(i * x AS DECIMAL(30,2))) AS DOUBLE) AS six
+  FROM ranked GROUP BY nation)
+SELECT nation, CAST(n AS BIGINT) AS n_customers,
+       2.0 * six / (n * sx) - CAST(n + 1 AS DOUBLE) / n AS gini
+FROM agg
+""",
+)
+def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("x"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("nation").orderBy("x", "c_custkey")
+    )
+    ranked = spend.select("nation", "x", rk.alias("i"))
+    agg = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(30,2)"))
+        .cast("double")
+        .alias("six"),
+    )
+    n = F.col("n")
+    return agg.select(
+        "nation",
+        n.cast("bigint").alias("n_customers"),
+        (2.0 * F.col("six") / (n * F.col("sx")) - (n + 1).cast("double") / n).alias("gini"),
+    )

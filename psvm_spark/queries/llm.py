@@ -3094,3 +3094,80 @@ def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("i", "j", "hamming", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# B130 (round 4) — Kolmogorov-Smirnov statistic between the positive
+# and negative score distributions (the credit-scoring companion to
+# AUC): KS = max over thresholds of |CDF_pos - CDF_neg|.  Thresholds
+# are the DISTINCT scores (same pre-aggregation as the AUC/deciles),
+# each CDF value is one division of exact ints, and the argmax
+# tie-breaks on the threshold — no global row rank, no epsilon.
+
+
+@query(
+    "ml_ks_statistic",
+    oracle=_CAL_SCORE_SQL
+    + """,
+cnts AS (
+  SELECT score,
+         SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS np_s,
+         SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS nn_s
+  FROM scored GROUP BY score),
+tot AS (SELECT SUM(np_s) AS np, SUM(nn_s) AS nn FROM cnts),
+cum AS (
+  SELECT score,
+         SUM(np_s) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         SUM(nn_s) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+  FROM cnts),
+gaps AS (
+  SELECT score,
+         abs(CAST(cp AS DOUBLE) / t.np - CAST(cn AS DOUBLE) / t.nn) AS gap
+  FROM cum CROSS JOIN tot t)
+SELECT CAST((SELECT np FROM tot) AS BIGINT) AS n_pos,
+       CAST((SELECT nn FROM tot) AS BIGINT) AS n_neg,
+       g.gap AS ks, g.score AS ks_threshold
+FROM gaps g
+ORDER BY g.gap DESC, g.score LIMIT 1
+""",
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    cnts = scored.groupBy("score").agg(
+        F.sum((F.col("label") < 5).cast("int")).alias("np_s"),
+        F.sum((F.col("label") >= 5).cast("int")).alias("nn_s"),
+    )
+    tot = cnts.agg(F.sum("np_s").alias("np"), F.sum("nn_s").alias("nn"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnts.select(
+        "score",
+        F.sum("np_s").over(w).alias("cp"),
+        F.sum("nn_s").over(w).alias("cn"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "np",
+        "nn",
+        F.abs(
+            F.col("cp").cast("double") / F.col("np")
+            - F.col("cn").cast("double") / F.col("nn")
+        ).alias("gap"),
+    )
+    return (
+        gaps.orderBy(F.col("gap").desc(), "score")
+        .limit(1)
+        .select(
+            F.col("np").cast("bigint").alias("n_pos"),
+            F.col("nn").cast("bigint").alias("n_neg"),
+            F.col("gap").alias("ks"),
+            F.col("score").alias("ks_threshold"),
+        )
+    )
