@@ -776,3 +776,109 @@ def scan_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# B131 (round 4) — Benford first-digit audit (the classic fraud/DQ
+# screen): the leading digit of each order total, observed vs the
+# Benford expectation log10(1 + 1/d).  The digit comes from the
+# DECIMAL's string form (totals are >= 1, so no leading-zero cases),
+# never from float log10 — cross-engine exact by construction; the
+# divergence statistic sums 9-dp-rounded decimal terms.
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+              AS INT) AS d
+  FROM orders),
+obs AS (SELECT d, COUNT(*) AS o FROM digits GROUP BY d),
+tot AS (SELECT SUM(o) AS n FROM obs)
+SELECT obs.d AS digit,
+       CAST(obs.o AS BIGINT) AS observed,
+       CAST(round(log10(1.0 + 1.0 / obs.d), 9) AS DOUBLE) AS benford_p,
+       CAST(obs.o AS DOUBLE) / tot.n AS observed_p
+FROM obs CROSS JOIN tot
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        F.col("o").cast("bigint").alias("observed"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 9).alias("benford_p"),
+        (F.col("o").cast("double") / F.col("n")).alias("observed_p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B132 (round 4) — corrupt-record recovery on a JSONL scan: every 17th
+# line is deterministically truncated mid-record before writing; the
+# PERMISSIVE reader must surface exactly those lines in
+# _corrupt_record and parse everything else intact.  The oracle
+# derives both populations from the same construction rule without
+# any JSON in the loop — miscounted corruption (silently dropped or
+# misparsed rows) breaks either count or the value sum.
+
+
+@query(
+    "scan_jsonl_corrupt_recovery",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS good_chars
+FROM documents
+""",
+)
+def scan_jsonl_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "n_chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('"}'),
+    )
+    # truncate every 17th record mid-object -> structurally invalid JSON
+    payload = F.when(
+        F.col("doc_id") % 17 == 0, F.substring(line, 1, 14)
+    ).otherwise(line)
+    out = tempfile.mkdtemp(prefix="psvm_jsonl_") + "/docs_jsonl"
+    d.select(payload.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "doc_id long, n_chars long, lang string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return back.agg(
+        F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.col("_corrupt_record").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("good_chars"),
+    )
