@@ -1869,3 +1869,177 @@ def agg_conversion_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(band.alias("band"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# B133 (round 4) — LINEAR interpolation onto the hourly grid (the
+# numeric upgrade of ts_gapfill's forward fill): each missing hour
+# takes prev + (next - prev) * (t - pt) / (nt - pt) between its
+# surrounding observations.  Surrounding points come from two
+# last/first(ignorenulls) window passes over the same user_id
+# partitioning as the grid join; hours are exact epoch ints, values
+# 2-dp doubles, and the interpolation arithmetic runs on identical
+# operands in both engines.  Edges (before first / after last
+# observation) stay NULL rather than extrapolating.
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+WITH day AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-02 00:00:00'),
+hourly AS (
+  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+         MAX(value) AS hv
+  FROM day GROUP BY 1, 2),
+grid AS (
+  SELECT u.user_id, g.h
+  FROM (SELECT DISTINCT user_id FROM day) u
+  CROSS JOIN (SELECT unnest(generate_series(473352, 473375)) AS h) g),
+joined AS (
+  SELECT grid.user_id, grid.h, hourly.hv
+  FROM grid LEFT JOIN hourly USING (user_id, h)),
+ctx AS (
+  SELECT user_id, h, hv,
+         last_value(hv IGNORE NULLS) OVER w_back AS pv,
+         last_value(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS) OVER w_back AS ph,
+         first_value(hv IGNORE NULLS) OVER w_fwd AS nv,
+         first_value(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS) OVER w_fwd AS nh
+  FROM joined
+  WINDOW w_back AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_fwd AS (PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT user_id, h,
+       CASE WHEN hv IS NOT NULL THEN hv
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * CAST(h - ph AS DOUBLE) / (nh - ph)
+            ELSE NULL END AS v_interp
+FROM ctx
+""",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = load_events_range(spark, sf_dir, "2024-01-01", "2024-01-02")
+    hourly = day.groupBy(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("bigint")
+        .alias("h"),
+    ).agg(F.max("value").alias("hv"))
+    grid = (
+        day.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(473352, 473375)")).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("hv").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "user_id",
+        "h",
+        "hv",
+        F.last("hv", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(w_back).alias("ph"),
+        F.first("hv", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(w_fwd).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("hv").isNotNull(), F.col("hv"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("h") - F.col("ph")).cast("double")
+            / (F.col("nh") - F.col("ph")),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return ctx.select("user_id", "h", interp.alias("v_interp"))
+
+
+# --------------------------------------------------------------------------
+# B134 (round 4) — Wald-Wolfowitz runs test for randomness of each
+# user's above/below-median event sequence: runs are counted by
+# lag-compare (exact ints) over the (ts, event_id) order; the
+# z-statistic's mean/variance come from the exact n_plus/n_minus
+# counts, with x*sqrt(x)-style care so the only float ops are on
+# identical operands.  Output: per user, run count and z — the
+# randomness screen for sensor/telemetry streams.
+
+
+@query(
+    "ts_runs_test",
+    oracle="""
+WITH med AS (
+  SELECT CAST(5.00 AS DECIMAL(12,2)) AS m),
+signs AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(value AS DECIMAL(12,2)) >= (SELECT m FROM med)
+              THEN 1 ELSE 0 END AS s
+  FROM events),
+flips AS (
+  SELECT user_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM s THEN 1 ELSE 0 END AS flip
+  FROM signs),
+agg AS (
+  SELECT user_id,
+         SUM(flip) AS runs,
+         SUM(s) AS np,
+         SUM(1 - s) AS nn
+  FROM flips GROUP BY user_id)
+SELECT user_id,
+       CAST(runs AS BIGINT) AS n_runs,
+       CAST(np AS BIGINT) AS n_above,
+       CAST(nn AS BIGINT) AS n_below,
+       CASE WHEN np > 0 AND nn > 0 AND np + nn > 1 THEN
+         (runs - (2.0 * np * nn / (np + nn) + 1))
+         / sqrt(2.0 * np * nn * (2.0 * np * nn - np - nn)
+                / ((np + nn) * (np + nn) * (np + nn - 1)))
+       END AS z
+FROM agg
+""",
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.when(F.col("value").cast("decimal(12,2)") >= F.lit("5.00").cast("decimal(12,2)"), 1).otherwise(0)
+    signs = ev.select("user_id", "ts", "event_id", s.alias("s"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flips = signs.select(
+        "user_id",
+        "s",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("flip"),
+    )
+    agg = flips.groupBy("user_id").agg(
+        F.sum("flip").alias("runs"),
+        F.sum("s").alias("np"),
+        F.sum(1 - F.col("s")).alias("nn"),
+    )
+    np_, nn_, runs = F.col("np"), F.col("nn"), F.col("runs")
+    tot = np_ + nn_
+    z = (runs - (2.0 * np_ * nn_ / tot + 1)) / F.sqrt(
+        2.0 * np_ * nn_ * (2.0 * np_ * nn_ - np_ - nn_)
+        / (tot * tot * (tot - 1))
+    )
+    return agg.select(
+        "user_id",
+        runs.cast("bigint").alias("n_runs"),
+        np_.cast("bigint").alias("n_above"),
+        nn_.cast("bigint").alias("n_below"),
+        F.when((np_ > 0) & (nn_ > 0) & (tot > 1), z).alias("z"),
+    )
