@@ -3171,3 +3171,82 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").alias("ks_threshold"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B135 (round 4) — INCREMENTAL curation pipeline: the O(delta)
+# property proven at the whole-pipeline level, not just for one
+# operator.  The nightly state is (a) per-(lang, split) partial
+# aggregates and (b) the historical dedup index of (lang, text-digest)
+# keys; a new document batch is filtered, deduped against the index
+# (anti equi-join) and within itself, split-assigned, and its partial
+# aggregates MERGE with the stored ones — history is never rescanned.
+# The dedup key includes lang so any survivor of a digest group yields
+# identical (lang, split) stats, making incremental == full recompute
+# exactly, which is what the oracle checks (the scd2_merge /
+# incremental_rollup equivalence, now over filter+dedup+split+stats).
+
+
+@query(
+    "pipeline_incremental_curation",
+    oracle="""
+WITH ok AS (
+  SELECT doc_id, lang, n_chars, text, md5(text) AS dg,
+         ('0x' || substr(md5(text), 1, 4))::INTEGER % 100 AS pct
+  FROM documents WHERE n_chars BETWEEN 50 AND 5000),
+uniq AS (
+  SELECT lang, dg,
+         MIN(n_chars) AS n_chars,
+         MIN(pct) AS pct
+  FROM ok GROUP BY lang, dg)
+SELECT lang,
+       CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+FROM uniq GROUP BY 1, 2
+""",
+)
+def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ok = d.filter(F.col("n_chars").between(50, 5000)).select(
+        "doc_id", "lang", "n_chars",
+        F.md5("text").alias("dg"),
+        (F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100).alias("pct"),
+    )
+    split = (
+        F.when(F.col("pct") < 80, "train")
+        .when(F.col("pct") < 90, "val")
+        .otherwise("test")
+    )
+    # ---- the "stored" nightly state, built from the historical 90% ----
+    hist = ok.filter(F.col("doc_id") % 10 != 0)
+    hist_uniq = hist.groupBy("lang", "dg").agg(
+        F.min("n_chars").alias("n_chars"), F.min("pct").alias("pct")
+    )
+    hist_index = hist_uniq.select("lang", "dg")  # dedup index
+    hist_stats = hist_uniq.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("total_chars"),
+    )
+    # ---- tonight's delta: only the new batch is scanned ----
+    delta = ok.filter(F.col("doc_id") % 10 == 0)
+    delta_new = (
+        delta.join(hist_index, ["lang", "dg"], "left_anti")
+        .groupBy("lang", "dg")
+        .agg(F.min("n_chars").alias("n_chars"), F.min("pct").alias("pct"))
+    )
+    delta_stats = delta_new.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("total_chars"),
+    )
+    # ---- merge partials: pure aggregate algebra, no history rescan ----
+    merged = (
+        hist_stats.unionByName(delta_stats)
+        .groupBy("lang", "split")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    return merged
