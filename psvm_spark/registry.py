@@ -60,10 +60,11 @@ def load_all() -> None:
         planned 50-key sample is unchanged.)
       round 5 (next, write it here when rotating): front
         multimodal + warehouse + aggregates + analytics.  After the
-        session-4 additions those families hold 4 + 9 + 20 + 22 = 55
-        keys, so the first 50 is that order's prefix (the last 5
-        analytics keys spill to round 6).  Round 6 fronts the spill +
-        graph(3) + the llm tail + joins/scalars resamples.
+        session-4 additions those families hold 4 + 15 + 24 + 33 = 76
+        keys (multimodal + warehouse + aggregates + analytics), so the
+        first 50 is that order's prefix (the analytics tail spills to
+        round 6).  Round 6 fronts the spill + graph + the llm tail +
+        joins/scalars resamples.
     """
     from psvm_spark.queries import (  # noqa: F401
         windows,

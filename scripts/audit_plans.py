@@ -66,6 +66,7 @@ WHITELIST = {
     "sim_binary_hamming_topk": "(b) probes broadcast against binary-word corpus (sim_topk shape)",
     "agg_chi2_independence": "(a) 1-row total/marginal-count broadcasts for the 25-cell combine",
     "ml_ks_statistic": "(b) SV broadcast scoring + 1-row totals broadcast",
+    "dq_benford_first_digit": "(a) 1-row total-count scalar broadcast for the 9-digit combine",
 }
 
 

@@ -101,6 +101,11 @@ AMP_QUERIES = [
     "text_inverted_index",
     "sim_pq_encode",
     "ts_cusum_drift",
+    # late session-4 tier: the bucketed attribution time join and the
+    # basket self-join projection are the two new shapes whose cost is
+    # join-volume-driven rather than narrow-map-driven.
+    "attribution_multi_touch",
+    "graph_copurchase_pairs",
 ]
 FIXED_PROBE_QUERIES = [
     "sim_topk_cosine",
