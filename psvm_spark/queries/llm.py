@@ -3250,3 +3250,77 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return merged
+
+
+# --------------------------------------------------------------------------
+# B137 (round 4) — Population Stability Index between the two serving
+# halves of the scored population (t_id parity stands in for
+# train-vs-production): PSI = sum over bins of (p - q) * ln(p / q),
+# THE drift alarm monitoring teams page on.  Bin populations are
+# exact ints from the calibration-bin edges; each term computes on
+# identical operands, rounds to 9 dp, and sums in DECIMAL.  Empty
+# bins are excluded on both sides identically (the standard
+# continuity convention is a smoothing constant; exact parity
+# matters more here than smoothing an empty fixture bin).
+
+
+@query(
+    "ml_psi_drift",
+    oracle=_CAL_SCORE_SQL
+    + """,
+binned AS (
+  SELECT CAST(least(greatest(floor((score + 1.0) / 0.25), -1), 8) AS BIGINT) AS bin,
+         CAST(t_id % 2 AS INT) AS half
+  FROM scored),
+cnts AS (
+  SELECT bin,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+  FROM binned GROUP BY bin),
+tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM cnts),
+terms AS (
+  SELECT CAST(round((CAST(c.a AS DOUBLE) / t.ta - CAST(c.b AS DOUBLE) / t.tb)
+                    * ln((CAST(c.a AS DOUBLE) / t.ta)
+                         / (CAST(c.b AS DOUBLE) / t.tb)), 9)
+              AS DECIMAL(18,9)) AS term
+  FROM cnts c CROSS JOIN tot t
+  WHERE c.a > 0 AND c.b > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(term) AS DOUBLE) AS psi
+FROM terms
+""",
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    binned = scored.select(
+        F.expr(
+            "cast(least(greatest(floor((score + 1.0) / 0.25), -1), 8) as bigint)"
+        ).alias("bin"),
+        (F.col("t_id") % 2).cast("int").alias("half"),
+    )
+    cnts = binned.groupBy("bin").agg(
+        F.sum((F.col("half") == 0).cast("int")).alias("a"),
+        F.sum((F.col("half") == 1).cast("int")).alias("b"),
+    )
+    tot = cnts.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    pa = F.col("a").cast("double") / F.col("ta")
+    pb = F.col("b").cast("double") / F.col("tb")
+    terms = (
+        cnts.crossJoin(F.broadcast(tot))
+        .filter((F.col("a") > 0) & (F.col("b") > 0))
+        .select(
+            F.round((pa - pb) * F.log(pa / pb), 9)
+            .cast("decimal(18,9)")
+            .alias("term")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("term").cast("double").alias("psi"),
+    )

@@ -882,3 +882,57 @@ def scan_jsonl_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("good_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# B136 (round 4) — dynamic partition overwrite: the nightly-restate
+# semantic every partitioned warehouse depends on.  Under
+# partitionOverwriteMode=dynamic, an INSERT OVERWRITE replaces ONLY
+# the partitions present in the incoming frame; static mode would
+# truncate the whole table first.  Here January restates with a
+# +10.00 price adjustment while February..December must survive
+# untouched — the final aggregate has an exact relational oracle, so
+# a mode regression (full truncate, or append instead of replace)
+# breaks counts or sums immediately.
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+WITH base AS (
+  SELECT CAST(substr(CAST(o_orderdate AS VARCHAR), 6, 2) AS INT) AS mth,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+  FROM orders),
+final AS (
+  SELECT mth,
+         CASE WHEN mth = 1 THEN p + CAST(10.00 AS DECIMAL(12,2)) ELSE p END AS p
+  FROM base)
+SELECT mth, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(p) AS DOUBLE) AS total
+FROM final GROUP BY mth
+""",
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_orderdate").cast("string"), 6, 2)
+        .cast("int")
+        .alias("mth"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    out = tempfile.mkdtemp(prefix="psvm_dynow_") + "/orders_by_month"
+    o.write.mode("overwrite").partitionBy("mth").parquet(out)
+    # restate January only, under DYNAMIC overwrite
+    jan = o.filter(F.col("mth") == 1).withColumn(
+        "p", F.col("p") + F.lit("10.00").cast("decimal(12,2)")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        jan.write.mode("overwrite").partitionBy("mth").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("mth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p").cast("double").alias("total"),
+    ).select(F.col("mth").cast("int").alias("mth"), "n", "total")

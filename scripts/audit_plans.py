@@ -67,6 +67,7 @@ WHITELIST = {
     "agg_chi2_independence": "(a) 1-row total/marginal-count broadcasts for the 25-cell combine",
     "ml_ks_statistic": "(b) SV broadcast scoring + 1-row totals broadcast",
     "dq_benford_first_digit": "(a) 1-row total-count scalar broadcast for the 9-digit combine",
+    "ml_psi_drift": "(b) SV broadcast scoring + 1-row totals broadcast",
 }
 
 
