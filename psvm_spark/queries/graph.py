@@ -192,3 +192,68 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("src", F.round("rank", 9).alias("rank"))
     )
+
+
+# --------------------------------------------------------------------------
+# B139 (round 4) — item-neighbor Jaccard similarity: the item-item
+# similarity collaborative filters are built on, computed over the
+# (order, part) bipartite relation.  |orders(a) AND orders(b)| comes
+# from the same order-key self-join as the co-purchase projection
+# (candidates only where the intersection is nonzero — never
+# all-pairs); the union size is s_a + s_b - n_ab from broadcast item
+# supports, so jaccard is one division of exact ints.
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+supp AS (
+  SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT p.pa AS part_a, p.pb AS part_b,
+       CAST(p.n_ab AS BIGINT) AS n_shared,
+       CAST(p.n_ab AS DOUBLE) / (sa.s + sb.s - p.n_ab) AS jaccard
+FROM pair p
+JOIN supp sa ON p.pa = sa.l_partkey
+JOIN supp sb ON p.pb = sb.l_partkey
+""",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("pa"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("l_partkey").alias("pb"), F.col("s").alias("s_b"))
+    return (
+        pair.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_ab").cast("bigint").alias("n_shared"),
+            (
+                F.col("n_ab").cast("double")
+                / (F.col("s_a") + F.col("s_b") - F.col("n_ab"))
+            ).alias("jaccard"),
+        )
+    )

@@ -936,3 +936,55 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("p").cast("double").alias("total"),
     ).select(F.col("mth").cast("int").alias("mth"), "n", "total")
+
+
+# --------------------------------------------------------------------------
+# B138 (round 4) — GDPR erasure with proof of absence: delete every
+# event of the users on a deletion list (one broadcast anti-join — the
+# only scalable shape for right-to-be-forgotten sweeps over a 100 TB
+# event store) and emit the audit row compliance needs: how many
+# listed users existed, how many events were removed, and — the part
+# auditors actually check — a recount of surviving events that still
+# reference a listed user, which must be zero by construction and is
+# verified against the data, not assumed.
+
+
+@query(
+    "dq_gdpr_erasure",
+    oracle="""
+WITH del AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+removed AS (
+  SELECT COUNT(*) AS n_removed FROM events e
+  JOIN del ON e.user_id = del.user_id),
+kept AS (
+  SELECT COUNT(*) AS n_kept,
+         SUM(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END) AS n_leak
+  FROM events WHERE user_id NOT IN (SELECT user_id FROM del))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM del) AS n_users_deleted,
+       CAST((SELECT n_removed FROM removed) AS BIGINT) AS n_events_removed,
+       CAST(k.n_kept AS BIGINT) AS n_events_remaining,
+       CAST(COALESCE(k.n_leak, 0) AS BIGINT) AS n_leaked_remaining
+FROM kept k
+""",
+)
+def dq_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    del_list = (
+        ev.filter(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    )
+    survivors = ev.join(F.broadcast(del_list), "user_id", "left_anti")
+    removed = ev.join(F.broadcast(del_list), "user_id", "left_semi")
+    audit_kept = survivors.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_remaining"),
+        F.coalesce(
+            F.sum((F.col("user_id") % 37 == 0).cast("int")), F.lit(0)
+        ).cast("bigint").alias("n_leaked_remaining"),
+    )
+    n_users = del_list.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_deleted")
+    )
+    n_removed = removed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_removed")
+    )
+    return n_users.crossJoin(n_removed).crossJoin(audit_kept)
