@@ -2043,3 +2043,86 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         nn_.cast("bigint").alias("n_below"),
         F.when((np_ > 0) & (nn_ > 0) & (tot > 1), z).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# B140 (round 4) — exact rolling median over the last 5 events per
+# user: the robust-smoothing primitive (rolling MEAN is one line; the
+# exact rolling MEDIAN needs the frame's values materialized).  The
+# frame collects at most 5 values — constant state per row — sorts
+# them, and indexes the middle; values are 2-dp doubles so the sort
+# and pick are deterministic in both engines.  Lives in the analytics
+# module because queries/windows.py sits inside the pinned first-50
+# driver-sample window.
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+WITH w AS (
+  SELECT user_id, ts, event_id, value,
+         list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS vals
+  FROM events)
+SELECT user_id, event_id,
+       vals[(len(vals) + 1) // 2] AS rolling_median,
+       CAST(len(vals) AS INT) AS frame_n
+FROM w
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.element_at(vals, ((F.size(vals) + 1) / 2).cast("int")).alias(
+            "rolling_median"
+        ),
+        F.size(vals).cast("int").alias("frame_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B141 (round 4) — per-group top-k WITH ties (dense_rank): the
+# semantic difference from row_number top-k that analysts actually ask
+# about — "top 3 order totals per priority, keeping every order tied
+# at those totals".  Result cardinality is data-dependent, which is
+# exactly what the oracle verifies.
+
+
+@query(
+    "topk_per_group_ties",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC) AS dr
+  FROM orders)
+SELECT o_orderpriority, o_orderkey, CAST(p AS DOUBLE) AS total,
+       CAST(dr AS INT) AS price_rank
+FROM r WHERE dr <= 3
+""",
+)
+def topk_per_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(12,2)")
+    dr = F.dense_rank().over(
+        Window.partitionBy("o_orderpriority").orderBy(p.desc())
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", p.alias("p"), dr.alias("dr"))
+        .filter(F.col("dr") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("p").cast("double").alias("total"),
+            F.col("dr").cast("int").alias("price_rank"),
+        )
+    )
