@@ -3324,3 +3324,139 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
         F.sum("term").cast("double").alias("psi"),
     )
+
+
+# --------------------------------------------------------------------------
+# B142 (round 4) — class-balanced downsampling: every label class cut
+# to the minority class's size, the standard prep for imbalanced
+# training.  Selection is deterministic (md5 order within class, the
+# mixture/caps convention), the minority size is a 1-row broadcast,
+# and the audit output carries an md5 over each class's kept ids so
+# the oracle checks WHICH rows survived, not just how many.
+
+
+@query(
+    "sample_class_balance",
+    oracle="""
+WITH ranked AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY md5('bal:' || vec_id), vec_id) AS rk
+  FROM embeddings),
+mincnt AS (
+  SELECT MIN(n) AS m FROM (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)),
+kept AS (
+  SELECT label, vec_id, rk FROM ranked CROSS JOIN mincnt WHERE rk <= m)
+SELECT k.label,
+       CAST((SELECT COUNT(*) FROM embeddings e WHERE e.label = k.label) AS BIGINT)
+         AS n_before,
+       CAST(COUNT(*) AS BIGINT) AS n_after,
+       md5(string_agg(CAST(k.vec_id AS VARCHAR), ',' ORDER BY k.vec_id)) AS kept_md5
+FROM kept k GROUP BY k.label
+""",
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+    )
+    ranked = e.select("label", "vec_id", rk.alias("rk"))
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    mincnt = counts.agg(F.min("n_before").alias("m"))
+    kept = ranked.crossJoin(F.broadcast(mincnt)).filter(F.col("rk") <= F.col("m"))
+    agg = kept.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(vec_id)), "
+                    "x -> cast(x as string))"
+                ),
+                ",",
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        agg.join(F.broadcast(counts), "label")
+        .select("label", F.col("n_before").cast("bigint").alias("n_before"),
+                "n_after", "kept_md5")
+    )
+
+
+# --------------------------------------------------------------------------
+# B143 (round 4) — F1-optimal threshold selection: sweep every
+# distinct score as a candidate threshold (the AUC/PR pre-aggregation
+# again — never a per-row scan per candidate), compute F1 from exact
+# cumulative ints, and keep the argmax with a threshold tie-break.
+# This is the "pick the operating point" step that closes the eval
+# loop: confusion matrix -> curves -> chosen threshold.
+
+
+@query(
+    "ml_threshold_f1max",
+    oracle=_CAL_SCORE_SQL
+    + """,
+cnts AS (
+  SELECT score,
+         SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS np_s,
+         COUNT(*) AS n_s
+  FROM scored GROUP BY score),
+tot AS (SELECT SUM(np_s) AS npos FROM cnts),
+cum AS (
+  SELECT score,
+         SUM(np_s) OVER (ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(n_s) OVER (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS npred
+  FROM cnts),
+f1s AS (
+  SELECT score, tp, npred,
+         CAST(2 * tp AS DOUBLE) / (npred + t.npos) AS f1
+  FROM cum CROSS JOIN tot t)
+SELECT score AS best_threshold,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(npred AS BIGINT) AS n_predicted,
+       f1 AS best_f1
+FROM f1s ORDER BY f1 DESC, score LIMIT 1
+""",
+)
+def ml_threshold_f1max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    cnts = scored.groupBy("score").agg(
+        F.sum((F.col("label") < 5).cast("int")).alias("np_s"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    tot = cnts.agg(F.sum("np_s").alias("npos"))
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cnts.select(
+        "score",
+        F.sum("np_s").over(w).alias("tp"),
+        F.sum("n_s").over(w).alias("npred"),
+    )
+    f1s = cum.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "tp",
+        "npred",
+        ((2 * F.col("tp")).cast("double") / (F.col("npred") + F.col("npos"))).alias("f1"),
+    )
+    return (
+        f1s.orderBy(F.col("f1").desc(), "score")
+        .limit(1)
+        .select(
+            F.col("score").alias("best_threshold"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("npred").cast("bigint").alias("n_predicted"),
+            F.col("f1").alias("best_f1"),
+        )
+    )

@@ -69,6 +69,8 @@ WHITELIST = {
     "dq_benford_first_digit": "(a) 1-row total-count scalar broadcast for the 9-digit combine",
     "ml_psi_drift": "(b) SV broadcast scoring + 1-row totals broadcast",
     "dq_gdpr_erasure": "(a) 1x1x1 crossJoin of audit-stat rows; the erasure joins are semi/anti equi",
+    "sample_class_balance": "(a) 1-row minority-count scalar broadcast",
+    "ml_threshold_f1max": "(b) SV broadcast scoring + 1-row totals broadcast",
 }
 
 
