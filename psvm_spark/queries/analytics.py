@@ -2126,3 +2126,81 @@ def topk_per_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dr").cast("int").alias("price_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B145 (round 4) — Pareto (80/20) coverage: per nation, how many of
+# the biggest customers cover 80% of revenue?  Spend ranks and
+# cumulative sums stay DECIMAL inside per-nation windows (no global
+# sort); the crossing row is the first whose running total reaches
+# 80% of the exact nation total — an integer-and-decimal-only
+# computation until the final share division.
+
+
+@query(
+    "agg_pareto_coverage",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_nationkey AS nation, c.c_custkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS x
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT nation, c_custkey, x,
+         SUM(x) OVER (PARTITION BY nation ORDER BY x DESC, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+         SUM(x) OVER (PARTITION BY nation) AS tx,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY x DESC, c_custkey) AS rk,
+         COUNT(*) OVER (PARTITION BY nation) AS n
+  FROM spend),
+hit AS (
+  SELECT nation, rk, n, cx, tx,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY rk) AS h
+  FROM ranked WHERE cx * 5 >= tx * 4)
+SELECT nation,
+       CAST(rk AS BIGINT) AS n_top_customers,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST(rk AS DOUBLE) / n AS top_share_of_customers,
+       CAST(cx AS DOUBLE) / CAST(tx AS DOUBLE) AS revenue_covered
+FROM hit WHERE h = 1
+""",
+)
+def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("x"))
+    )
+    w_run = (
+        Window.partitionBy("nation")
+        .orderBy(F.col("x").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("nation")
+    ranked = spend.select(
+        "nation",
+        "c_custkey",
+        "x",
+        F.sum("x").over(w_run).alias("cx"),
+        F.sum("x").over(w_all).alias("tx"),
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy(F.col("x").desc(), "c_custkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    hit = ranked.filter(F.col("cx") * 5 >= F.col("tx") * 4).select(
+        "nation", "rk", "n", "cx", "tx",
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy("rk"))
+        .alias("h"),
+    )
+    return hit.filter(F.col("h") == 1).select(
+        "nation",
+        F.col("rk").cast("bigint").alias("n_top_customers"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        (F.col("rk").cast("double") / F.col("n")).alias("top_share_of_customers"),
+        (F.col("cx").cast("double") / F.col("tx").cast("double")).alias("revenue_covered"),
+    )

@@ -3460,3 +3460,48 @@ def ml_threshold_f1max(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f1").alias("best_f1"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B144 (round 4) — n-gram novelty scoring: what fraction of each
+# document's shingles has never appeared in any EARLIER document
+# (doc_id order = ingestion order)?  The curation signal behind
+# dedup-aware sampling — low novelty means the doc mostly restates
+# the corpus.  First corpus occurrence is one window over the shingle
+# (the chunk-dedup shuffle); the per-doc ratio is exact ints.
+
+
+@query(
+    "text_novelty_ratio",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLE_DUCK})) AS s
+  FROM documents),
+first_seen AS (
+  SELECT doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id) AS rk
+  FROM sh)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS novelty
+FROM first_seen GROUP BY doc_id
+""",
+)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s"),
+    )
+    rk = F.row_number().over(Window.partitionBy("s").orderBy("doc_id"))
+    first_seen = sh.select("doc_id", rk.alias("rk"))
+    return first_seen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum((F.col("rk") == 1).cast("int")).cast("bigint").alias("n_novel"),
+        (
+            F.sum((F.col("rk") == 1).cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("novelty"),
+    )
