@@ -3505,3 +3505,44 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("novelty"),
     )
+
+
+# --------------------------------------------------------------------------
+# B147 (round 4) — compression-ratio quality signal (the Gopher/C4
+# filter: highly compressible text is repetitive boilerplate, nearly
+# incompressible text is noise).  zlib runs in an Arrow-batched
+# pandas_udf — the vectorized Python boundary, never row-at-a-time —
+# and the output is bucketed counts plus the corpus mean ratio.
+# rows-only by design (DuckDB has no zlib); tests pin the invariants:
+# ratio bounds, determinism, and that a synthetic repetitive document
+# compresses far below the corpus floor.
+
+
+@query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(texts):  # pd.Series -> pd.Series (hints omitted: the
+        # lazy 'pd' annotation can't be resolved by the UDF type inferrer)
+        import zlib
+
+        def ratio(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(ratio)
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    scored = d.select(
+        "doc_id", comp_ratio(F.col("text")).alias("ratio")
+    )
+    bucket = F.least(F.floor(F.col("ratio") * 10), F.lit(9)).cast("int")
+    return scored.groupBy(bucket.alias("ratio_decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum(F.col("ratio").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mean_ratio"),
+    )

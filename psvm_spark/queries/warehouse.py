@@ -988,3 +988,55 @@ def dq_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events_removed")
     )
     return n_users.crossJoin(n_removed).crossJoin(audit_kept)
+
+
+# --------------------------------------------------------------------------
+# B146 (round 4) — accumulating-snapshot fact build (the Kimball
+# pattern for lifecycle tables): one row per order carrying its
+# milestone timestamps (order date, first ship, last ship) and the
+# derived cycle times.  One rollup on the fact's natural key, one
+# broadcast-dim join; day arithmetic is exact ints.  At 100 TB this
+# is the incremental-refresh target — the milestones are MIN/MAX
+# partials, so new lineitems merge without rescanning the order's
+# history (the incremental_rollup property).
+
+
+@query(
+    "warehouse_accumulating_snapshot",
+    oracle="""
+WITH ship AS (
+  SELECT l_orderkey,
+         MIN(l_shipdate) AS first_ship,
+         MAX(l_shipdate) AS last_ship,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(s.n_lines AS BIGINT) AS n_lines,
+       CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(s.first_ship AS DATE)) AS BIGINT)
+         AS days_to_first_ship,
+       CAST(date_diff('day', CAST(s.first_ship AS DATE),
+                      CAST(s.last_ship AS DATE)) AS BIGINT)
+         AS ship_window_days
+FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+""",
+)
+def warehouse_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return o.join(ship, o.o_orderkey == ship.l_orderkey).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.datediff(F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_first_ship"),
+        F.datediff(F.col("last_ship").cast("date"), F.col("first_ship").cast("date"))
+        .cast("bigint")
+        .alias("ship_window_days"),
+    )

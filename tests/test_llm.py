@@ -406,3 +406,25 @@ class TestIvfKmeans:
             for r in connected_components(e, driver_threshold=0).collect()
         }
         assert drv == dist
+
+
+class TestCompressionRatio:
+    def test_bounds_determinism_and_repetition_signal(self, spark, sf_dir):
+        """Ratios live in (0, ~1.2]; the query is deterministic; and a
+        pathologically repetitive text compresses far below the corpus
+        documents (which are word salad over a small vocabulary)."""
+        from psvm_spark.registry import QUERIES
+
+        a = {r.ratio_decile: (r.n_docs, r.mean_ratio)
+             for r in QUERIES["text_compression_ratio"](spark, sf_dir).collect()}
+        b = {r.ratio_decile: (r.n_docs, r.mean_ratio)
+             for r in QUERIES["text_compression_ratio"](spark, sf_dir).collect()}
+        assert a == b and a
+        assert all(0 <= k <= 9 for k in a)
+        import zlib
+
+        rep = ("spam " * 400).encode()
+        corpus_like = " ".join(f"w{i % 37}" for i in range(400)).encode()
+        assert len(zlib.compress(rep, 6)) / len(rep) < 0.05
+        assert len(zlib.compress(rep, 6)) / len(rep) < \
+            len(zlib.compress(corpus_like, 6)) / len(corpus_like)
