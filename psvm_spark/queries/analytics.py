@@ -2204,3 +2204,122 @@ def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rk").cast("double") / F.col("n")).alias("top_share_of_customers"),
         (F.col("cx").cast("double") / F.col("tx").cast("double")).alias("revenue_covered"),
     )
+
+
+# --------------------------------------------------------------------------
+# B148 (round 4) — A/B test two-proportion z-test: users split into
+# arms by id parity, conversion = did the user ever purchase; the
+# z-statistic comes from exact integer conversion counts (pooled
+# variance form), so the only float ops are the final divisions and
+# one sqrt on identical operands.  The product-analytics staple for
+# "is B actually better".
+
+
+@query(
+    "ab_test_proportions",
+    oracle="""
+WITH arms AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(value AS DECIMAL(12,2)) > CAST(9.00 AS DECIMAL(12,2))
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS ca,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+         SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS cb
+  FROM arms)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       CAST(ca AS DOUBLE) / na AS rate_a,
+       CAST(cb AS DOUBLE) / nb AS rate_b,
+       CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN
+         (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+         / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 / na + 1.0 / nb)) END AS z
+FROM agg
+""",
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    conv = (
+        (F.col("event_type") == "purchase")
+        & (F.col("value").cast("decimal(12,2)") > F.lit("9.00").cast("decimal(12,2)"))
+    )
+    arms = ev.groupBy("user_id").agg(
+        F.max(conv.cast("int")).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "converted"
+    )
+    agg = arms.agg(
+        F.sum((F.col("arm") == 0).cast("int")).alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("ca"),
+        F.sum((F.col("arm") == 1).cast("int")).alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("cb"),
+    )
+    na, ca, nb, cb = F.col("na"), F.col("ca"), F.col("nb"), F.col("cb")
+    ra = ca.cast("double") / na
+    rb = cb.cast("double") / nb
+    pool = (ca + cb).cast("double") / (na + nb)
+    z = F.when(
+        ((ca + cb) > 0) & ((ca + cb) < (na + nb)),
+        (ra - rb) / F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)),
+    )
+    return agg.select(
+        na.cast("bigint").alias("n_a"), ca.cast("bigint").alias("conv_a"),
+        nb.cast("bigint").alias("n_b"), cb.cast("bigint").alias("conv_b"),
+        ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B149 (round 4) — local-peak detection over each user's event series:
+# a peak is a value strictly above BOTH neighbors in (ts, event_id)
+# order — the lag/lead compare that underlies heartbeat/telemetry
+# spike counting.  Values are exact decimals for the comparison, so
+# the peak set is engine-independent; one shuffle on user_id.
+
+
+@query(
+    "ts_peak_detection",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         lag(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+         lead(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
+  FROM events),
+peaks AS (
+  SELECT user_id, v FROM ordered
+  WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_peaks,
+       CAST(MAX(v) AS DOUBLE) AS max_peak
+FROM peaks GROUP BY user_id
+""",
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("decimal(12,2)")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.lag(v).over(w).alias("pv"),
+        F.lead(v).over(w).alias("nv"),
+    )
+    peaks = ordered.filter(
+        F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+        & (F.col("v") > F.col("pv"))
+        & (F.col("v") > F.col("nv"))
+    )
+    return peaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_peaks"),
+        F.max("v").cast("double").alias("max_peak"),
+    )
