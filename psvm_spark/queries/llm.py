@@ -3546,3 +3546,37 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("ratio").cast("decimal(18,9)")).cast("double")
                 / F.count(F.lit(1)), 6).alias("mean_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# B151 (round 4) — embedding-norm histogram, the vector-QC pass every
+# ingest pipeline runs (zero or exploding norms signal upstream model
+# bugs).  The L2 norm is a left-to-right HOF fold — deterministic
+# order, identical operands — rounded to 6 dp before bucketing, so
+# the distribution is cross-engine exact despite the float content.
+
+
+@query(
+    "vec_norm_histogram",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id,
+         round(sqrt({K.sql_dot('embedding', 'embedding')}), 6) AS nrm
+  FROM embeddings)
+SELECT CAST(least(floor(nrm * 4), 7) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+       CAST(MAX(nrm) AS DOUBLE) AS max_norm
+FROM norms GROUP BY 1
+""",
+)
+def vec_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))), 6)
+    norms = e.select("vec_id", nrm.alias("nrm"))
+    bucket = F.least(F.floor(F.col("nrm") * 4), F.lit(7)).cast("bigint")
+    return norms.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("nrm").cast("double").alias("min_norm"),
+        F.max("nrm").cast("double").alias("max_norm"),
+    )

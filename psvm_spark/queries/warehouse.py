@@ -1040,3 +1040,50 @@ def warehouse_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("ship_window_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# B150 (round 4) — late-arriving dimension handling: facts load before
+# every dimension row exists, join what's there, bucket the misses
+# under a placeholder, and RESTATE only the placeholder rows once the
+# stragglers arrive — never re-joining the whole fact table.  The
+# oracle is the direct full join: early+restate must equal
+# had-everything-been-on-time exactly (the incremental == full
+# equivalence, applied to dimension lateness).
+
+
+@query(
+    "warehouse_late_arriving_dim",
+    oracle="""
+SELECT c.c_nationkey AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+)
+def warehouse_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(12,2)").alias("p")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    early_dim = c.filter(F.col("c_custkey") % 11 != 0)
+    late_dim = c.filter(F.col("c_custkey") % 11 == 0)
+    # load-time join: misses land in the placeholder bucket (-1)
+    first_pass = o.join(
+        F.broadcast(early_dim), o.o_custkey == early_dim.c_custkey, "left"
+    ).select(
+        "o_custkey", "p",
+        F.coalesce("c_nationkey", F.lit(-1)).alias("nation"),
+    )
+    resolved = first_pass.filter(F.col("nation") != -1)
+    pending = first_pass.filter(F.col("nation") == -1).drop("nation")
+    # restatement: ONLY the pending rows meet the late dimension rows
+    restated = pending.join(
+        F.broadcast(late_dim), pending.o_custkey == late_dim.c_custkey
+    ).select("o_custkey", "p", F.col("c_nationkey").alias("nation"))
+    final = resolved.unionByName(restated)
+    return final.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("p").cast("double").alias("total"),
+    )
