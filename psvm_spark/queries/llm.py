@@ -3580,3 +3580,124 @@ def vec_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nrm").cast("double").alias("min_norm"),
         F.max("nrm").cast("double").alias("max_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# B152 (round 4) — language-ID confusion matrix: the per-cell
+# (declared x predicted) view of the n-gram heuristic that
+# text_lang_id only summarizes per predicted class — the artifact you
+# actually read when deciding whether a classifier's errors are
+# systematic (one language absorbing another) or noise.  Same marker
+# scoring, exact counts, plus per-cell row share.
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w IN ('{"', '".join(_MARKERS["en"])}'))) AS s_en,
+         len(list_filter(string_split(text, ' '), w -> w IN ('{"', '".join(_MARKERS["de"])}'))) AS s_de,
+         len(list_filter(string_split(text, ' '), w -> w IN ('{"', '".join(_MARKERS["es"])}'))) AS s_es
+  FROM documents),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+              WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+              WHEN s_es > 0 THEN 'es'
+              ELSE 'unknown' END AS pred_lang
+  FROM scored),
+cells AS (
+  SELECT lang AS declared, pred_lang AS predicted, COUNT(*) AS n
+  FROM pred GROUP BY 1, 2),
+rows_ AS (SELECT declared, SUM(n) AS rn FROM cells GROUP BY declared)
+SELECT c.declared, c.predicted, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / r.rn AS row_share
+FROM cells c JOIN rows_ r ON c.declared = r.declared
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = F.split("text", " ")
+
+    def score(lang: str):
+        return F.size(F.filter(words, lambda w: w.isin(*_MARKERS[lang])))
+
+    s_en, s_de, s_es = score("en"), score("de"), score("es")
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_es) & (s_en > 0), "en")
+        .when((s_de >= s_es) & (s_de > 0), "de")
+        .when(s_es > 0, "es")
+        .otherwise("unknown")
+    )
+    cells = (
+        d.select(F.col("lang").alias("declared"), pred.alias("predicted"))
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_ = cells.groupBy("declared").agg(F.sum("n").alias("rn"))
+    return cells.join(F.broadcast(rows_), "declared").select(
+        "declared",
+        "predicted",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("rn")).alias("row_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B153 (round 4) — duplicate-rate by source: the DQ cut that tells a
+# crawl operator WHICH feed is flooding the corpus with copies.  One
+# (source, digest) rollup, exact counts, one division — and because
+# the digest is content-keyed, a source that re-serves another feed's
+# pages still shows up via the cross-source duplicate count.
+
+
+@query(
+    "dq_duplicate_rate_by_source",
+    oracle="""
+WITH d AS (
+  SELECT source, md5(text) AS dg FROM documents),
+per_source AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT dg) AS n_distinct
+  FROM d GROUP BY source),
+global_dups AS (
+  SELECT dg FROM d GROUP BY dg HAVING COUNT(DISTINCT source) > 1),
+cross_src AS (
+  SELECT d.source, COUNT(*) AS n_cross
+  FROM d JOIN global_dups g ON d.dg = g.dg
+  GROUP BY d.source)
+SELECT p.source,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.n_distinct AS BIGINT) AS n_distinct,
+       CAST(p.n_docs - p.n_distinct AS DOUBLE) / p.n_docs AS dup_rate,
+       CAST(COALESCE(c.n_cross, 0) AS BIGINT) AS n_cross_source_dups
+FROM per_source p LEFT JOIN cross_src c ON p.source = c.source
+""",
+)
+def dq_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("dg")
+    )
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("dg").alias("n_distinct"),
+    )
+    global_dups = (
+        d.groupBy("dg")
+        .agg(F.count_distinct("source").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("dg")
+    )
+    cross_src = d.join(F.broadcast(global_dups), "dg").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_cross")
+    )
+    return per_source.join(cross_src, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (
+            (F.col("n_docs") - F.col("n_distinct")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_rate"),
+        F.coalesce("n_cross", F.lit(0)).cast("bigint").alias("n_cross_source_dups"),
+    )
