@@ -2323,3 +2323,110 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_peaks"),
         F.max("v").cast("double").alias("max_peak"),
     )
+
+
+# --------------------------------------------------------------------------
+# B154 (round 4) — M4 downsampling (the VLDB'14 visualization
+# algorithm): per pixel-column time bucket keep exactly the first,
+# last, min, and max points — the four values that make the rendered
+# line pixel-identical to the full series at a fraction of the data.
+# first/last resolve by (ts, event_id) min/max via struct ordering
+# (min_by/max_by twins), min/max over exact decimals; one shuffle on
+# the (series, bucket) key.
+
+
+@query(
+    "ts_m4_downsample",
+    oracle="""
+WITH pts AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS bucket,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':'
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(v) AS DOUBLE) AS v_min,
+       CAST(MAX(v) AS DOUBLE) AS v_max,
+       CAST(min_by(v, ok) AS DOUBLE) AS v_first,
+       CAST(max_by(v, ok) AS DOUBLE) AS v_last
+FROM pts GROUP BY event_type, bucket
+""",
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # composite order key as a zero-padded sortable string: DuckDB 1.0's
+    # min_by/max_by can't take a struct key, and lexicographic equals
+    # numeric order under fixed-width padding in both engines
+    pts = ev.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 21600000000).cast("bigint").alias("bucket"),
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lit(":"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ok"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    key = F.col("ok")
+    return pts.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("v").cast("double").alias("v_min"),
+        F.max("v").cast("double").alias("v_max"),
+        F.min_by("v", key).cast("double").alias("v_first"),
+        F.max_by("v", key).cast("double").alias("v_last"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B155 (round 4) — Herfindahl-Hirschman concentration index per
+# nation (the antitrust-style companion to Gini): HHI = sum of
+# squared revenue shares.  Shares are divisions of exact decimals on
+# identical operands; each squared share rounds to 9 dp and sums in
+# DECIMAL so the index is order-independent.
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_nationkey AS nation, c.c_custkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS x
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT nation, SUM(x) AS tx, COUNT(*) AS n FROM spend GROUP BY nation),
+terms AS (
+  SELECT s.nation, t.n,
+         CAST(round((CAST(s.x AS DOUBLE) / CAST(t.tx AS DOUBLE))
+                    * (CAST(s.x AS DOUBLE) / CAST(t.tx AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS sq
+  FROM spend s JOIN tot t ON s.nation = t.nation)
+SELECT nation, CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(sq) AS DOUBLE) AS hhi
+FROM terms GROUP BY nation
+""",
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("x"))
+    )
+    tot = spend.groupBy("nation").agg(
+        F.sum("x").alias("tx"), F.count(F.lit(1)).alias("n")
+    )
+    share = F.col("x").cast("double") / F.col("tx").cast("double")
+    terms = spend.join(F.broadcast(tot), "nation").select(
+        "nation",
+        "n",
+        F.round(share * share, 9).cast("decimal(18,9)").alias("sq"),
+    )
+    return terms.groupBy("nation").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum("sq").cast("double").alias("hhi"),
+    )
