@@ -2430,3 +2430,56 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_customers"),
         F.sum("sq").cast("double").alias("hhi"),
     )
+
+
+# --------------------------------------------------------------------------
+# B156 (round 4) — stationary distribution of the user-event Markov
+# chain: where does a user's session settle in the long run?  The
+# distributed work is the transition-count matrix (one (src, dst)
+# rollup over lag pairs — the event_transitions shuffle); the
+# stationary vector is 30 power-iteration steps on the collected
+# 5x5 row-normalized matrix — a bounded driver reduction, the same
+# k x d pattern as the ML trainers (psvm's AllReduce analogue).
+# rows-only: the fixed-point is iterative by nature; tests pin
+# sum(pi) == 1, pi P == pi to 1e-9, and agreement with NumPy's
+# eigenvector on the same matrix.
+
+
+@query("agg_markov_stationary")
+def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = pairs.collect()  # <= n_types^2 rows: bounded driver reduction
+    types = sorted({r.src for r in cells} | {r.dst for r in cells})
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    mat = [[0.0] * k for _ in range(k)]
+    for r in cells:
+        mat[idx[r.src]][idx[r.dst]] = float(r.n)
+    for i in range(k):
+        tot = sum(mat[i])
+        if tot:
+            mat[i] = [v / tot for v in mat[i]]
+    pi = [1.0 / k] * k
+    for _ in range(30):
+        pi = [sum(pi[i] * mat[i][j] for i in range(k)) for j in range(k)]
+        s = sum(pi)
+        pi = [v / s for v in pi]
+    obs = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(obs.values())
+    rows = [
+        (t, round(pi[idx[t]], 9), obs.get(t, 0), obs.get(t, 0) / total)
+        for t in types
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, stationary_prob double, n_observed long, observed_freq double"
+    )

@@ -990,3 +990,42 @@ class TestStructPruning:
         scan = plan[plan.index("ReadSchema"):]
         assert "price" in scan
         assert "odate" not in scan and "priority" not in scan
+
+
+class TestMarkovStationary:
+    def test_fixed_point_and_numpy_agreement(self, spark, sf_dir):
+        """pi must sum to 1, satisfy pi P = pi to 1e-9, and agree with
+        the NumPy left-eigenvector of the same transition matrix."""
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+        from pyspark.sql import Window as W
+
+        out = {r.event_type: r.stationary_prob
+               for r in QUERIES["agg_markov_stationary"](spark, sf_dir).collect()}
+        assert abs(sum(out.values()) - 1.0) < 1e-6
+
+        ev = load_table(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            ev.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("event_type", "nxt")
+            .count()
+            .collect()
+        )
+        types = sorted(out)
+        idx = {t: i for i, t in enumerate(types)}
+        k = len(types)
+        P = np.zeros((k, k))
+        for r in pairs:
+            P[idx[r.event_type], idx[r.nxt]] = r["count"]
+        P = P / P.sum(axis=1, keepdims=True)
+        pi = np.array([out[t] for t in types])
+        assert np.abs(pi @ P - pi).max() < 1e-6
+        evals, evecs = np.linalg.eig(P.T)
+        lead = np.argmin(np.abs(evals - 1.0))
+        ref = np.real(evecs[:, lead])
+        ref = ref / ref.sum()
+        assert np.abs(ref - pi).max() < 1e-6
