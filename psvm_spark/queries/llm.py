@@ -3701,3 +3701,78 @@ def dq_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate"),
         F.coalesce("n_cross", F.lit(0)).cast("bigint").alias("n_cross_source_dups"),
     )
+
+
+# --------------------------------------------------------------------------
+# B157 (round 4) — expected calibration error (ECE): the one-number
+# summary of the reliability diagram — bin-weighted |pos_rate -
+# mean_score_mapped| with scores mapped to [0,1] by the logistic-free
+# affine (score+1)/2 over the same fixed bins as ml_calibration_bins.
+# Per-bin terms are exact-int/decimal ratios rounded to 9 dp and
+# DECIMAL-summed; the weighting is exact bin counts over the exact
+# total.
+
+
+@query(
+    "ml_ece_calibration",
+    oracle=_CAL_SCORE_SQL
+    + """,
+binned AS (
+  SELECT CAST(least(greatest(floor((score + 1.0) / 0.25), -1), 8) AS BIGINT) AS bin,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+         CAST(score AS DECIMAL(18,6)) AS dscore
+  FROM scored),
+cells AS (
+  SELECT bin, COUNT(*) AS n, SUM(pos) AS np,
+         SUM(dscore) AS ssum
+  FROM binned GROUP BY bin),
+tot AS (SELECT SUM(n) AS total FROM cells),
+terms AS (
+  SELECT c.n,
+         CAST(round(abs(CAST(c.np AS DOUBLE) / c.n
+                        - (CAST(c.ssum AS DOUBLE) / c.n + 1.0) / 2.0)
+                    * c.n / t.total, 9) AS DECIMAL(18,9)) AS term
+  FROM cells c CROSS JOIN tot t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(term) AS DOUBLE) AS ece
+FROM terms
+""",
+)
+def ml_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    binned = scored.select(
+        F.expr(
+            "cast(least(greatest(floor((score + 1.0) / 0.25), -1), 8) as bigint)"
+        ).alias("bin"),
+        (F.col("label") < 5).cast("int").alias("pos"),
+        F.col("score").cast("decimal(18,6)").alias("dscore"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("np"),
+        F.sum("dscore").alias("ssum"),
+    )
+    tot = cells.agg(F.sum("n").alias("total"))
+    term = F.round(
+        F.abs(
+            F.col("np").cast("double") / F.col("n")
+            - (F.col("ssum").cast("double") / F.col("n") + 1.0) / 2.0
+        )
+        * F.col("n")
+        / F.col("total"),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(term.alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("term").cast("double").alias("ece"),
+        )
+    )

@@ -71,6 +71,7 @@ WHITELIST = {
     "dq_gdpr_erasure": "(a) 1x1x1 crossJoin of audit-stat rows; the erasure joins are semi/anti equi",
     "sample_class_balance": "(a) 1-row minority-count scalar broadcast",
     "ml_threshold_f1max": "(b) SV broadcast scoring + 1-row totals broadcast",
+    "ml_ece_calibration": "(b) SV broadcast scoring + 1-row totals broadcast",
 }
 
 
