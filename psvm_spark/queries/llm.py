@@ -3776,3 +3776,183 @@ def ml_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").cast("double").alias("ece"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B158 (round 4) — two-stage retrieval: the production shape that
+# neither stage alone gives you — a cheap binary-Hamming prefilter
+# cuts each probe's candidate set to 50, then exact cosine reranks
+# only those survivors to a top-10.  Composes B127's sign-bit words
+# with B47's cosine math, and because both stages are deterministic
+# the ENTIRE pipeline has an exact oracle — including the recall
+# consequences of the lossy first stage (what you actually need to
+# reason about when tuning the prefilter width).  Corpus words stay
+# partitioned; the rerank join touches 50 rows per probe.
+
+
+@query(
+    "sim_two_stage_rerank",
+    oracle=f"""
+WITH words AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum([CASE WHEN embedding[p + 1] > 0
+                             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
+                        FOR p IN generate_series(0, 62)]) AS BIGINT) AS w
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS i, embedding AS pe, w AS pw FROM words WHERE vec_id % 50 = 0),
+stage1 AS (
+  SELECT i, j, pe, ce FROM (
+    SELECT p.i, c.vec_id AS j, p.pe, c.embedding AS ce,
+           ROW_NUMBER() OVER (PARTITION BY p.i
+                              ORDER BY bit_count(xor(p.pw, c.w)), c.vec_id) AS rk
+    FROM probes p CROSS JOIN words c WHERE c.vec_id <> p.i)
+  WHERE rk <= 50),
+stage2 AS (
+  SELECT i, j,
+         round({K.sql_dot('pe', 'ce')}
+               / (sqrt({K.sql_dot('pe', 'pe')}) * sqrt({K.sql_dot('ce', 'ce')})), 9)
+           AS cosine
+  FROM stage1)
+SELECT i, j, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT i, j, cosine,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rnk
+      FROM stage2)
+WHERE rnk <= 10
+""",
+)
+def sim_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    words = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "aggregate(sequence(0, 62), cast(0 as bigint), (acc, p) -> acc"
+            " + CASE WHEN element_at(embedding, p + 1) > 0"
+            " THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"
+        ).alias("w"),
+    )
+    probes = words.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("pe"),
+        F.col("w").alias("pw"),
+    )
+    corpus = fan_out(words, spark).select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("ce"),
+        F.col("w").alias("cw"),
+    )
+    rk1 = F.row_number().over(
+        Window.partitionBy("i").orderBy(
+            F.bit_count(F.expr("pw ^ cw")), "j"
+        )
+    )
+    stage1 = (
+        corpus.join(F.broadcast(probes), F.col("j") != F.col("i"))
+        .select("i", "j", "pe", "ce", rk1.alias("rk"))
+        .filter(F.col("rk") <= 50)
+    )
+    cosine = F.round(
+        K.dot(F.col("pe"), F.col("ce"))
+        / (
+            F.sqrt(K.dot(F.col("pe"), F.col("pe")))
+            * F.sqrt(K.dot(F.col("ce"), F.col("ce")))
+        ),
+        9,
+    )
+    rk2 = F.row_number().over(
+        Window.partitionBy("i").orderBy(F.col("cosine").desc(), "j")
+    )
+    return (
+        stage1.select("i", "j", cosine.alias("cosine"))
+        .select("i", "j", "cosine", rk2.alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("i", "j", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B159 (round 4) — distributed ridge regression by sufficient
+# statistics: the d x d normal-equations reduction (X'X, X'y) is the
+# one pass over the data — computed here as a posexplode pair rollup,
+# map-side combined, never a driver loop over rows — and the solve is
+# a 65x65 NumPy system on the driver (the k x d bounded-reduction
+# pattern shared with the trainers).  Defined in this module because
+# queries/ml.py registers inside the pinned first-50 sample window.
+# rows-only (float sums are order-dependent); tests check the
+# coefficients against NumPy's closed form on the same data to 1e-6
+# and that train R^2 is sane.
+
+
+_RIDGE_LAMBDA = 1.0
+
+
+@query("ml_ridge_closed_form")
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("double").alias("y")
+    )
+    # sufficient statistics via pair explode: one shuffle of d*(d+3)/2
+    # cells per partition after map-side combine
+    xi = e.select(
+        "y",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi"),
+    )
+    xty = xi.groupBy("i").agg(
+        F.sum(F.col("xi") * F.col("y")).alias("v"),
+        F.sum("xi").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pairs = (
+        e.select(
+            "y",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        .select("i", "xi", F.posexplode("emb").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("v"))
+    )
+    d = 64
+    xtx = np.zeros((d, d))
+    for r in pairs.collect():  # d*(d+1)/2 rows: bounded driver reduction
+        xtx[r.i, r.j] = r.v
+        xtx[r.j, r.i] = r.v
+    xy = np.zeros(d)
+    n = 0
+    sy = sx = None
+    rows = xty.collect()
+    sx = np.zeros(d)
+    for r in rows:
+        xy[r.i] = r.v
+        sx[r.i] = r.sx
+        n = r.n
+    stats = e.agg(
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).collect()[0]
+    sy, syy = float(stats.sy), float(stats.syy)
+    # center via augmented intercept column instead of explicit mean math
+    A = np.zeros((d + 1, d + 1))
+    A[:d, :d] = xtx
+    A[:d, d] = sx
+    A[d, :d] = sx
+    A[d, d] = n
+    b = np.append(xy, sy)
+    reg = np.eye(d + 1) * _RIDGE_LAMBDA
+    reg[d, d] = 0.0  # intercept unpenalized
+    beta = np.linalg.solve(A + reg, b)
+    # train R^2 from the same sufficient statistics
+    # SSE = y'y - 2 b'beta + beta'(A)beta  (exact normal-equation algebra)
+    yty = syy
+    sse = yty - 2 * float(b @ beta) + float(beta @ A @ beta)
+    sst = yty - sy * sy / n
+    r2 = 1.0 - sse / sst
+    out = [(int(i), round(float(beta[i]), 9)) for i in range(d + 1)]
+    df = spark.createDataFrame(out, "coef_idx int, coef double")
+    return df.crossJoin(
+        spark.createDataFrame([(round(r2, 9), n)], "train_r2 double, n_rows long")
+    )

@@ -64,6 +64,7 @@ WHITELIST = {
     "dq_split_leakage": "(a) 1x1x1 crossJoin of summary-stat rows; the fp join is equi",
     "ml_lift_deciles": "(b) SV broadcast scoring + 1-row totals broadcast",
     "sim_binary_hamming_topk": "(b) probes broadcast against binary-word corpus (sim_topk shape)",
+    "sim_two_stage_rerank": "(b) probes broadcast for the Hamming prefilter; rerank touches 50 rows/probe",
     "agg_chi2_independence": "(a) 1-row total/marginal-count broadcasts for the 25-cell combine",
     "ml_ks_statistic": "(b) SV broadcast scoring + 1-row totals broadcast",
     "dq_benford_first_digit": "(a) 1-row total-count scalar broadcast for the 9-digit combine",

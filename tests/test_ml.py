@@ -290,3 +290,32 @@ class TestKMeans:
                 # own-cluster distance within one Lloyd step of optimal:
                 # assignment used the PREVIOUS centroids, so allow slack
                 assert d_own <= float(np.sum((emb[r.vec_id] - cv) ** 2)) + 25.0
+
+
+class TestRidgeClosedForm:
+    def test_matches_numpy_direct_solution(self, spark, sf_dir):
+        """The sufficient-statistics solve must agree with NumPy's
+        direct ridge solution computed from the raw local matrix."""
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _RIDGE_LAMBDA
+        from psvm_spark.registry import QUERIES
+
+        pdf = QUERIES["ml_ridge_closed_form"](spark, sf_dir).toPandas()
+        beta = np.array(
+            pdf.sort_values("coef_idx")["coef"].tolist()
+        )
+        raw = load_table(spark, sf_dir, "embeddings").toPandas()
+        X = np.array(raw["embedding"].tolist(), dtype=np.float64)
+        y = raw["label"].to_numpy(dtype=np.float64)
+        Xa = np.hstack([X, np.ones((len(X), 1))])
+        d1 = Xa.shape[1]
+        reg = np.eye(d1) * _RIDGE_LAMBDA
+        reg[-1, -1] = 0.0
+        ref = np.linalg.solve(Xa.T @ Xa + reg, Xa.T @ y)
+        assert np.abs(ref - beta).max() < 1e-6
+        r2 = float(pdf["train_r2"].iloc[0])
+        pred = Xa @ ref
+        ref_r2 = 1.0 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert abs(r2 - ref_r2) < 1e-6
