@@ -990,3 +990,103 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_customers"),
         (2.0 * F.col("six") / (n * F.col("sx")) - (n + 1).cast("double") / n).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# B160 (round 4) — grouping_id over ROLLUP: the metadata function that
+# disambiguates a NULL group VALUE from a NULL meaning ALL — without
+# it, a rollup over a nullable key is unreadable.  Both engines emit
+# the same bitmask (Spark grouping_id == DuckDB GROUPING(a, b)), which
+# the oracle pins; the nullable key here is a derived bucket that is
+# genuinely NULL for a deterministic slice of rows.
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle="""
+WITH src AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_custkey % 5 = 0 THEN NULL
+              ELSE CAST(o_custkey % 3 AS VARCHAR) END AS seg,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+  FROM orders)
+SELECT o_orderstatus, seg,
+       CAST(GROUPING(o_orderstatus, seg) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(p) AS DOUBLE) AS total
+FROM src GROUP BY ROLLUP (o_orderstatus, seg)
+""",
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderstatus",
+        F.when(F.col("o_custkey") % 5 == 0, F.lit(None))
+        .otherwise((F.col("o_custkey") % 3).cast("string"))
+        .alias("seg"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    return src.rollup("o_orderstatus", "seg").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p").cast("double").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B161 (round 4) — Poisson bootstrap with DETERMINISTIC replicate
+# weights: the big-data bootstrap that needs no resampling pass — each
+# row gets a hash-derived Poisson(1)-shaped count per replicate
+# (thresholds = the exact Poisson pmf prefix sums to 4 dp, identical
+# literals in both engines), and every replicate's weighted mean
+# computes from one decimal rollup.  8 replicates in one scan via a
+# replicate explode; the spread of the replicate means IS the
+# standard-error estimate, with zero RNG state anywhere.
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle="""
+WITH reps AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p, g.r,
+         ('0x' || substr(md5('boot' || CAST(g.r AS VARCHAR) || ':'
+                             || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % 10000 AS h
+  FROM orders
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) g),
+weighted AS (
+  SELECT r, p,
+         CASE WHEN h < 3679 THEN 0
+              WHEN h < 7358 THEN 1
+              WHEN h < 9197 THEN 2 ELSE 3 END AS k
+  FROM reps)
+SELECT CAST(r AS INT) AS replicate,
+       CAST(SUM(k) AS BIGINT) AS n_eff,
+       CAST(SUM(p * k) AS DOUBLE) / SUM(k) AS boot_mean
+FROM weighted GROUP BY r
+""",
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        F.explode(F.expr("sequence(0, 7)")).alias("r"),
+    ).withColumn(
+        "h",
+        F.expr(
+            "pmod(cast(conv(substring(md5(concat('boot', cast(r as string), ':',"
+            " cast(o_orderkey as string))), 1, 8), 16, 10) as bigint), 10000)"
+        ),
+    )
+    k = (
+        F.when(F.col("h") < 3679, 0)
+        .when(F.col("h") < 7358, 1)
+        .when(F.col("h") < 9197, 2)
+        .otherwise(3)
+    )
+    weighted = reps.select("r", "p", k.alias("k"))
+    return weighted.groupBy("r").agg(
+        F.sum("k").cast("bigint").alias("n_eff"),
+        (F.sum(F.col("p") * F.col("k")).cast("double") / F.sum("k")).alias("boot_mean"),
+    ).select(F.col("r").cast("int").alias("replicate"), "n_eff", "boot_mean")
