@@ -1090,3 +1090,52 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("n_eff"),
         (F.sum(F.col("p") * F.col("k")).cast("double") / F.sum("k")).alias("boot_mean"),
     ).select(F.col("r").cast("int").alias("replicate"), "n_eff", "boot_mean")
+
+
+# --------------------------------------------------------------------------
+# B163 (round 4) — boolean aggregate family: bool_and / bool_or /
+# count_if — the assertion-style aggregates DQ rules compile to
+# ("EVERY order has a positive total", "ANY order this big?").
+# Three-valued logic matters: the nullable flag exercises NULL
+# handling inside each aggregate identically in both engines.
+
+
+@query(
+    "agg_boolean_aggregates",
+    oracle="""
+WITH src AS (
+  SELECT o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+         CASE WHEN o_custkey % 7 = 0 THEN NULL
+              ELSE o_custkey % 2 = 0 END AS flag
+  FROM orders)
+SELECT o_orderstatus,
+       bool_and(p > 0) AS all_positive,
+       bool_or(p > CAST(400000.00 AS DECIMAL(12,2))) AS any_huge,
+       CAST(COUNT(*) FILTER (WHERE p < CAST(1000.00 AS DECIMAL(12,2))) AS BIGINT)
+         AS n_small,
+       bool_and(flag) AS all_flag,
+       bool_or(flag) AS any_flag,
+       CAST(COUNT(flag) AS BIGINT) AS n_flag_known
+FROM src GROUP BY o_orderstatus
+""",
+)
+def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey") % 2 == 0
+        ).alias("flag"),
+    )
+    return src.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("p") > 0).alias("all_positive"),
+        F.bool_or(F.col("p") > F.lit("400000.00").cast("decimal(12,2)")).alias("any_huge"),
+        F.count_if(F.col("p") < F.lit("1000.00").cast("decimal(12,2)"))
+        .cast("bigint")
+        .alias("n_small"),
+        F.bool_and("flag").alias("all_flag"),
+        F.bool_or("flag").alias("any_flag"),
+        F.count("flag").cast("bigint").alias("n_flag_known"),
+    )

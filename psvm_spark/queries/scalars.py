@@ -353,3 +353,34 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("a", "b", F.lit(-1.0)).alias("first_non_null"),
         (F.col("a").isNull() & F.col("b").isNull()).alias("both_null"),
     )
+
+
+# --------------------------------------------------------------------------
+# B162 (round 4) — calendar interval math: add_months / last_day /
+# quarter / ISO weekday on order dates — the month-end billing-cycle
+# family where naive day arithmetic goes wrong (adding a month to
+# Jan 31 must clamp to Feb 29, which both engines do).  All outputs
+# are exact date strings and ints.
+
+
+@query(
+    "scalar_interval_math",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+       CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+)
+def scalar_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 1).cast("string").alias("next_month"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.expr("weekday(cast(o_orderdate as date)) + 1").cast("int").alias("iso_dow"),
+    )
