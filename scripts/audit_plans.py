@@ -73,6 +73,7 @@ WHITELIST = {
     "sample_class_balance": "(a) 1-row minority-count scalar broadcast",
     "ml_threshold_f1max": "(b) SV broadcast scoring + 1-row totals broadcast",
     "ml_ece_calibration": "(b) SV broadcast scoring + 1-row totals broadcast",
+    "ml_ridge_closed_form": "(a) 65-row coef x 1-row R2 local-relation combine",
 }
 
 
