@@ -2483,3 +2483,43 @@ def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, stationary_prob double, n_observed long, observed_freq double"
     )
+
+
+# --------------------------------------------------------------------------
+# B164 (round 4) — adoption curve: cumulative distinct users by day,
+# the growth chart every product review starts with.  Computing a
+# running COUNT(DISTINCT) directly would rescan history per day; the
+# scalable identity is first-event-per-user -> daily new-user counts
+# -> one running sum over days — three shuffles, none of them larger
+# than the user dimension.
+
+
+@query(
+    "metric_adoption_curve",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+daily AS (
+  SELECT d0 AS day, COUNT(*) AS new_users FROM firsts GROUP BY d0)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+""",
+)
+def metric_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    daily = firsts.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

@@ -3956,3 +3956,50 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.crossJoin(
         spark.createDataFrame([(round(r2, 9), n)], "train_r2 double, n_rows long")
     )
+
+
+# --------------------------------------------------------------------------
+# B165 (round 4) — document-boundary overlap detection: when a crawler
+# splits pages badly, the END of one stored document equals the START
+# of another.  Hash each doc's first and last 6 tokens; candidates
+# come from a tail-hash = head-hash equi-join (never all-pairs), and
+# the exact token-sequence check runs on candidates only.  Catches the
+# segmentation artifact ordinary whole-doc dedup can't see.
+
+
+@query(
+    "dedup_boundary_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+edges AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tk, 1, 6), ' ') AS head,
+         array_to_string(list_slice(tk, len(tk) - 5, len(tk)), ' ') AS tail
+  FROM toks WHERE len(tk) >= 12)
+SELECT a.doc_id AS id_tail, b.doc_id AS id_head, a.tail AS shared_run
+FROM edges a JOIN edges b
+  ON a.tail = b.head AND a.doc_id <> b.doc_id
+""",
+)
+def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= 12
+    )
+    edges = toks.select(
+        "doc_id",
+        F.array_join(F.slice("tk", 1, 6), " ").alias("head"),
+        F.array_join(F.expr("slice(tk, size(tk) - 5, 6)"), " ").alias("tail"),
+    )
+    a = edges.alias("a")
+    b = edges.alias("b")
+    return a.join(
+        b,
+        (F.col("a.tail") == F.col("b.head"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_tail"),
+        F.col("b.doc_id").alias("id_head"),
+        F.col("a.tail").alias("shared_run"),
+    )

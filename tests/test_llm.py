@@ -428,3 +428,28 @@ class TestCompressionRatio:
         assert len(zlib.compress(rep, 6)) / len(rep) < 0.05
         assert len(zlib.compress(rep, 6)) / len(rep) < \
             len(zlib.compress(corpus_like, 6)) / len(corpus_like)
+
+
+class TestBoundaryOverlap:
+    def test_planted_overlap_is_found(self, spark, tmp_path):
+        """The fixture corpus has no boundary overlaps (0 rows is the
+        correct answer there), so plant one: doc 2's first 6 tokens
+        equal doc 1's last 6.  The detector must return exactly that
+        pair and nothing else."""
+        from psvm_spark.registry import QUERIES
+
+        run = "alpha beta gamma delta epsilon zeta"
+        docs = [
+            (1, "one two three four five six " + run, "en", "web", 60),
+            (2, run + " seven eight nine ten eleven twelve", "en", "web", 60),
+            (3, "unrelated words that share nothing at all here today", "en", "web", 50),
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        sf = str(tmp_path)
+        df.write.mode("overwrite").parquet(sf + "/documents.parquet")
+        rows = QUERIES["dedup_boundary_overlap"](spark, sf).collect()
+        assert len(rows) == 1
+        assert (rows[0].id_tail, rows[0].id_head) == (1, 2)
+        assert rows[0].shared_run == run
