@@ -1139,3 +1139,51 @@ def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or("flag").alias("any_flag"),
         F.count("flag").cast("bigint").alias("n_flag_known"),
     )
+
+
+# --------------------------------------------------------------------------
+# B166 (round 4) — generalized means: geometric (exp of mean log) and
+# harmonic (n over sum of reciprocals) alongside the arithmetic mean —
+# the aggregate family behind rate averaging (harmonic) and
+# growth-factor averaging (geometric), where the arithmetic mean is
+# simply wrong.  Per-row log/reciprocal terms round to 9 dp and sum
+# in DECIMAL (the text_entropy discipline), so both engines agree
+# bitwise; the final exp/divisions run on identical aggregates.
+
+
+@query(
+    "agg_generalized_means",
+    oracle="""
+WITH src AS (
+  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS q
+  FROM lineitem WHERE CAST(l_quantity AS DECIMAL(12,2)) > 0),
+terms AS (
+  SELECT l_returnflag, q,
+         CAST(round(ln(CAST(q AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lq,
+         CAST(round(1.0 / CAST(q AS DOUBLE), 9) AS DECIMAL(18,9)) AS rq
+  FROM src)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) AS arithmetic_mean,
+       exp(CAST(SUM(lq) AS DOUBLE) / COUNT(*)) AS geometric_mean,
+       COUNT(*) / CAST(SUM(rq) AS DOUBLE) AS harmonic_mean
+FROM terms GROUP BY l_returnflag
+""",
+)
+def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    src = li.filter(q > 0).select("l_returnflag", q.alias("q"))
+    terms = src.select(
+        "l_returnflag",
+        "q",
+        F.round(F.log(F.col("q").cast("double")), 9).cast("decimal(18,9)").alias("lq"),
+        F.round(1.0 / F.col("q").cast("double"), 9).cast("decimal(18,9)").alias("rq"),
+    )
+    n = F.count(F.lit(1))
+    return terms.groupBy("l_returnflag").agg(
+        n.cast("bigint").alias("n"),
+        (F.sum("q").cast("double") / n).alias("arithmetic_mean"),
+        F.exp(F.sum("lq").cast("double") / n).alias("geometric_mean"),
+        (n / F.sum("rq").cast("double")).alias("harmonic_mean"),
+    )
