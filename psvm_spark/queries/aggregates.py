@@ -1165,7 +1165,7 @@ terms AS (
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(q) AS DOUBLE) / COUNT(*) AS arithmetic_mean,
-       exp(CAST(SUM(lq) AS DOUBLE) / COUNT(*)) AS geometric_mean,
+       round(exp(CAST(SUM(lq) AS DOUBLE) / COUNT(*)), 9) AS geometric_mean,
        COUNT(*) / CAST(SUM(rq) AS DOUBLE) AS harmonic_mean
 FROM terms GROUP BY l_returnflag
 """,
@@ -1184,6 +1184,7 @@ def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("l_returnflag").agg(
         n.cast("bigint").alias("n"),
         (F.sum("q").cast("double") / n).alias("arithmetic_mean"),
-        F.exp(F.sum("lq").cast("double") / n).alias("geometric_mean"),
+        # round: exp() is ~1-ulp and its last bit disagrees cross-engine
+        F.round(F.exp(F.sum("lq").cast("double") / n), 9).alias("geometric_mean"),
         (n / F.sum("rq").cast("double")).alias("harmonic_mean"),
     )
