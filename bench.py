@@ -94,15 +94,30 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # The driver's BENCH_r{N}.json tail-truncates stdout (~74 of 177
-    # per-query timings survive), so also persist the full record in the
-    # repo for round-over-round per-query comparison.
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # final JSON line; the full ~10 KB record never survived (r1-r4 all
+    # show "parsed": null).  So: persist the complete record in the repo
+    # for round-over-round comparison, and print a compact (<2 KB)
+    # summary line LAST — totals plus the slowest queries — so the driver
+    # records non-null parsed totals.
     try:
         with open(Path(__file__).resolve().parent / "bench_full.json", "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout must not fail the bench
-    print(json.dumps(out))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+    compact = {
+        "metric": "total_query_wall_clock",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: slowest[k] for k in sorted(slowest)},
+        "n_ok": len(timings),
+        "n_err": len(errors),
+        "n_queries_total": len(timings) + len(errors),
+        "queries_truncated_to_slowest": len(slowest),
+        "sf": sf,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

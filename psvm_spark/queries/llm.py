@@ -3872,13 +3872,18 @@ def sim_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B159 (round 4) — distributed ridge regression by sufficient
-# statistics: the d x d normal-equations reduction (X'X, X'y) is the
-# one pass over the data — computed here as a posexplode pair rollup,
-# map-side combined, never a driver loop over rows — and the solve is
-# a 65x65 NumPy system on the driver (the k x d bounded-reduction
-# pattern shared with the trainers).  Defined in this module because
-# queries/ml.py registers inside the pinned first-50 sample window.
+# B159 (round 4, rewritten round 5) — distributed ridge regression by
+# sufficient statistics.  The (d+1)x(d+1) normal-equations reduction
+# (Xa'Xa, Xa'y with Xa = [X | 1]) is ONE Arrow-batched pass: every
+# partition computes its partials with two NumPy GEMMs and emits a
+# single (d+1)^2-double row; the driver sums them in sorted-partition
+# order (deterministic float order) and solves the 65x65 system — the
+# same per-rank partial + bounded AllReduce shape as ml/multiclass.py.
+# The round-4 version built X'X via a double posexplode (d^2 = 4096
+# cells per input row, a ~20M-row shuffle from a 5k-row table) and was
+# the slowest query in bench_full.json at 15.5 s; this form is one scan
+# whose shuffle is 34 KB per partition regardless of row count, so it
+# holds at 100 TB (partials stay (d+1)^2 no matter how many rows).
 # rows-only (float sums are order-dependent); tests check the
 # coefficients against NumPy's closed form on the same data to 1e-6
 # and that train R^2 is sane.
@@ -3887,74 +3892,78 @@ def sim_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RIDGE_LAMBDA = 1.0
 
 
+def _ridge_suffstats(e: DataFrame, d: int):
+    """One distributed pass -> (A, b, syy, n): A = Xa'Xa, b = Xa'y for
+    the intercept-augmented design Xa = [X | 1], summed driver-side in
+    fixed partition order."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        import numpy as _np
+        from pyspark import TaskContext
+
+        A = _np.zeros((d + 1, d + 1))
+        b = _np.zeros(d + 1)
+        syy = 0.0
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf["x"].to_numpy()).astype(_np.float64)
+            Xa = _np.hstack([X, _np.ones((len(X), 1))])
+            y = pdf["y"].to_numpy().astype(_np.float64)
+            A += Xa.T @ Xa
+            b += Xa.T @ y
+            syy += float(y @ y)
+            n += len(X)
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {"pid": [pid], "n": [n], "syy": [syy], "a": [list(A.ravel())], "b": [list(b)]}
+        )
+
+    rows = e.mapInPandas(
+        part, "pid int, n long, syy double, a array<double>, b array<double>"
+    ).collect()
+    A = np.zeros((d + 1, d + 1))
+    b = np.zeros(d + 1)
+    syy = 0.0
+    n = 0
+    for r in sorted(rows, key=lambda r: r.pid):  # deterministic reduce order
+        A += np.array(r.a).reshape(d + 1, d + 1)
+        b += np.array(r.b)
+        syy += r.syy
+        n += r.n
+    return A, b, syy, n
+
+
 @query("ml_ridge_closed_form")
 def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.col("label").cast("double").alias("y")
-    )
-    # sufficient statistics via pair explode: one shuffle of d*(d+3)/2
-    # cells per partition after map-side combine
-    xi = e.select(
-        "y",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi"),
-    )
-    xty = xi.groupBy("i").agg(
-        F.sum(F.col("xi") * F.col("y")).alias("v"),
-        F.sum("xi").alias("sx"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    pairs = (
-        e.select(
-            "y",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi"),
-            F.col("embedding").cast("array<double>").alias("emb"),
-        )
-        .select("i", "xi", F.posexplode("emb").alias("j", "xj"))
-        .filter(F.col("j") >= F.col("i"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("v"))
-    )
     d = 64
-    xtx = np.zeros((d, d))
-    for r in pairs.collect():  # d*(d+1)/2 rows: bounded driver reduction
-        xtx[r.i, r.j] = r.v
-        xtx[r.j, r.i] = r.v
-    xy = np.zeros(d)
-    n = 0
-    sy = sx = None
-    rows = xty.collect()
-    sx = np.zeros(d)
-    for r in rows:
-        xy[r.i] = r.v
-        sx[r.i] = r.sx
-        n = r.n
-    stats = e.agg(
-        F.sum("y").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    ).collect()[0]
-    sy, syy = float(stats.sy), float(stats.syy)
-    # center via augmented intercept column instead of explicit mean math
-    A = np.zeros((d + 1, d + 1))
-    A[:d, :d] = xtx
-    A[:d, d] = sx
-    A[d, :d] = sx
-    A[d, d] = n
-    b = np.append(xy, sy)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("x"),
+        F.col("label").cast("double").alias("y"),
+    )
+    A, b, syy, n = _ridge_suffstats(e, d)
     reg = np.eye(d + 1) * _RIDGE_LAMBDA
     reg[d, d] = 0.0  # intercept unpenalized
     beta = np.linalg.solve(A + reg, b)
     # train R^2 from the same sufficient statistics
     # SSE = y'y - 2 b'beta + beta'(A)beta  (exact normal-equation algebra)
-    yty = syy
-    sse = yty - 2 * float(b @ beta) + float(beta @ A @ beta)
-    sst = yty - sy * sy / n
+    sy = float(b[d])  # last component of Xa'y is sum(y)
+    sse = syy - 2 * float(b @ beta) + float(beta @ A @ beta)
+    sst = syy - sy * sy / n
     r2 = 1.0 - sse / sst
-    out = [(int(i), round(float(beta[i]), 9)) for i in range(d + 1)]
-    df = spark.createDataFrame(out, "coef_idx int, coef double")
-    return df.crossJoin(
-        spark.createDataFrame([(round(r2, 9), n)], "train_r2 double, n_rows long")
+    # scalars inlined per row rather than crossJoin'd: a cross join of two
+    # 32-slice local frames is a 1024-task CartesianProduct stage (32x32),
+    # ~10 s of pure scheduling for 65 output rows.
+    out = [
+        (int(i), round(float(beta[i]), 9), round(r2, 9), n) for i in range(d + 1)
+    ]
+    return spark.createDataFrame(
+        out, "coef_idx int, coef double, train_r2 double, n_rows long"
     )
 
 

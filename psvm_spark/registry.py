@@ -58,26 +58,26 @@ def load_all() -> None:
         event_transitions, doc_chunk_overlap, sample_weighted_reservoir,
         join_bloom_prune — all register AFTER the ml block, so the
         planned 50-key sample is unchanged.)
-      round 5 (next, write it here when rotating): front
-        multimodal + warehouse + aggregates + analytics.  After the
-        session-4 additions those families hold 4 + 15 + 24 + 33 = 76
-        keys (multimodal + warehouse + aggregates + analytics), so the
-        first 50 is that order's prefix (the analytics tail spills to
-        round 6).  Round 6 fronts the spill + graph + the llm tail +
-        joins/scalars resamples.
+      round 5 (this order): front multimodal + warehouse + aggregates
+        + analytics.  After the session-4 additions those families hold
+        4 + 15 + 24 + 33 = 76 keys, so the driver's 50-key prefix is
+        multimodal(4) + warehouse(15) + aggregates(24) + the first 7
+        analytics keys (the analytics tail spills to round 6).
+      round 6 (next, write it here when rotating): front the analytics
+        spill + graph + the llm tail, then joins/scalars resamples.
     """
     from psvm_spark.queries import (  # noqa: F401
-        windows,
-        streaming,
-        sources,
-        udfs,
-        ml,
         multimodal,
         warehouse,
         aggregates,
         analytics,
         graph,
         llm,
+        windows,
+        streaming,
+        sources,
+        udfs,
+        ml,
         relational,
         joins,
         scalars,

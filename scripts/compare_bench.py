@@ -19,14 +19,42 @@ import json
 import sys
 
 
+def load_queries(path: str) -> dict[str, float]:
+    """Return {query: seconds} from any bench record shape.
+
+    Accepts (a) bench_full.json / bench.py stdout ({"queries": {...}}),
+    (b) a bare {query: sec} map, and (c) the driver's BENCH_r{N}.json
+    wrapper ({"tail": "...", "parsed": ...}) — using "parsed" when the
+    driver managed to parse, else salvaging complete `"name": 1.23`
+    pairs out of the truncated tail string.  Non-numeric values are
+    dropped so a wrapper's metadata keys never reach the ratio math.
+    """
+    d = json.load(open(path))
+    if isinstance(d, dict) and "tail" in d and "queries" not in d:
+        parsed = d.get("parsed")
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            d = parsed
+        else:
+            import re as _re
+
+            tail = d.get("tail") or ""
+            d = {
+                m.group(1): float(m.group(2))
+                for m in _re.finditer(r'"([A-Za-z0-9_]+)":\s*([0-9.]+)[,}]', tail)
+            }
+    if isinstance(d, dict) and isinstance(d.get("queries"), dict):
+        d = d["queries"]
+    return {k: float(v) for k, v in d.items() if isinstance(v, (int, float))}
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
+    old = load_queries(sys.argv[1])
+    new = load_queries(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-    qo, qn = old.get("queries", old), new.get("queries", new)
+    qo, qn = old, new
     flagged, missing = [], []
     for name, t_new in sorted(qn.items()):
         t_old = qo.get(name)
