@@ -169,8 +169,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = deg.count()
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
     for _ in range(5):
+        # Plain shuffle join on src: ranks is O(V) — one row per vertex —
+        # so broadcasting it each iteration would ship the whole rank
+        # vector to every executor (a driver/executor-memory killer at
+        # billions of vertices).  A hash join co-partitions both sides on
+        # src; links is localCheckpoint'd so only ranks (the small side
+        # by bytes) re-shuffles per iteration.
         contrib = (
-            links.join(F.broadcast(ranks), "src")
+            links.join(ranks, "src")
             .select(
                 F.col("dst").alias("src"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),

@@ -133,6 +133,35 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shingle document-frequency cap, shared by every posting-list candidate
+# generator below.  A posting-list self-join does sum-over-shingles df^2
+# work: ONE viral boilerplate shingle (df ~ 10^6 at corpus scale) alone
+# generates ~10^12 candidate pairs and sinks the job.  Shingles above
+# the cap are non-discriminative for any near-dup decision (a pair that
+# shares ONLY >cap-frequency shingles is boilerplate overlap, not a
+# duplicate), so they are dropped from candidate generation — the exact
+# similarity score is still computed on the FULL shingle sets of the
+# surviving candidates.  The hot set itself is tiny (only shingles with
+# df > cap), so the drop is a broadcast anti-join; computing it is one
+# map-side-combined groupBy of the postings.  Every oracle mirrors the
+# cap so parity is exact by construction.
+
+_SHINGLE_DF_CAP = 1000
+
+
+def df_capped_postings(post: DataFrame, s_col: str = "s", cap: int = _SHINGLE_DF_CAP) -> DataFrame:
+    """Drop postings whose shingle occurs in more than ``cap`` postings;
+    bounds self-join work at sum df^2 <= cap * |postings|."""
+    hot = (
+        post.groupBy(s_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select(s_col)
+    )
+    return post.join(F.broadcast(hot), s_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # N-gram Jaccard similarity on a deterministic candidate sample — the
 # exact verifier used after LSH pruning, exposed standalone (B46 family).
 
@@ -143,23 +172,32 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sh AS (
   SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles
   FROM documents WHERE doc_id % 5 = 0
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+),
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hot AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+postc AS (SELECT * FROM post WHERE s NOT IN (SELECT s FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM postc a JOIN postc b ON a.s = b.s AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
          / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+FROM cand c
+JOIN sh a ON c.id_a = a.doc_id
+JOIN sh b ON c.id_b = b.doc_id
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Inverted-index candidate generation, NOT an all-pairs cross join:
-    # pairs with jaccard > 0 must share >= 1 shingle, so explode to a
-    # (shingle -> doc) posting list and equi-join on the shingle (measured
-    # at sf0.1: 55k candidate pairs vs 1M brute-force — and at 100 TB the
-    # cross join is simply not runnable).  Output is identical.
+    # near-dup pairs must share >= 1 discriminative (df <= cap) shingle,
+    # so explode to a (shingle -> doc) posting list, drop hot shingles
+    # (df_capped_postings — the 100 TB safety bound), and equi-join on
+    # the shingle (measured at sf0.1: 55k candidate pairs vs 1M
+    # brute-force — and at 100 TB the cross join is simply not runnable).
+    # Jaccard itself is exact over the full shingle sets.
     d = fan_out(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0), spark)
     sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
-    post = sh.select("doc_id", F.explode("shingles").alias("s"))
+    post = df_capped_postings(sh.select("doc_id", F.explode("shingles").alias("s")))
     cand = (
         post.alias("pa")
         .join(post.alias("pb"), "s")
@@ -1145,9 +1183,11 @@ _CC_MIN_SHARED = 2
 WITH RECURSIVE post AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLE_DUCK})) AS s FROM documents
 ),
+hot AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+postc AS (SELECT * FROM post WHERE s NOT IN (SELECT s FROM hot)),
 pair AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib
-  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM postc a JOIN postc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING COUNT(*) >= {_CC_MIN_SHARED}
 ),
@@ -1169,8 +1209,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psvm_spark.operators.components import connected_components
 
     d = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    post = d.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s")
+    post = df_capped_postings(
+        d.select(
+            "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s")
+        )
     )
     pairs = (
         post.alias("pa")
@@ -2648,9 +2690,11 @@ ev AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
 tr AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
 post_e AS (SELECT doc_id, unnest(shingles) AS s FROM ev),
 post_t AS (SELECT doc_id, unnest(shingles) AS s FROM tr),
+hot AS (SELECT s FROM post_t GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+post_tc AS (SELECT * FROM post_t WHERE s NOT IN (SELECT s FROM hot)),
 cand AS (
   SELECT DISTINCT e.doc_id AS id_eval, t.doc_id AS id_train
-  FROM post_e e JOIN post_t t ON e.s = t.s),
+  FROM post_e e JOIN post_tc t ON e.s = t.s),
 scored AS (
   SELECT c.id_eval, c.id_train,
          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -2670,7 +2714,12 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sh.filter(F.col("doc_id") % 7 == 0)
     tr = sh.filter(F.col("doc_id") % 7 != 0)
     post_e = ev.select(F.col("doc_id").alias("id_eval"), F.explode("shingles").alias("s"))
-    post_t = tr.select(F.col("doc_id").alias("id_train"), F.explode("shingles").alias("s"))
+    # Cap df on the TRAIN side — the 100 TB side of the join: work is
+    # sum df_e * df_t per shingle, so bounding df_t bounds candidates at
+    # cap * |eval postings| no matter how big the corpus grows.
+    post_t = df_capped_postings(
+        tr.select(F.col("doc_id").alias("id_train"), F.explode("shingles").alias("s"))
+    )
     cand = post_e.join(post_t, "s").select("id_eval", "id_train").distinct()
     a = ev.select(F.col("doc_id").alias("id_eval"), F.col("shingles").alias("sa"))
     b = tr.select(F.col("doc_id").alias("id_train"), F.col("shingles").alias("sb"))

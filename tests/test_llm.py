@@ -453,3 +453,45 @@ class TestBoundaryOverlap:
         assert len(rows) == 1
         assert (rows[0].id_tail, rows[0].id_head) == (1, 2)
         assert rows[0].shared_run == run
+
+
+class TestShingleDfCap:
+    def test_hot_shingle_candidates_bounded(self, spark):
+        """Plant one viral boilerplate shingle shared by EVERY doc plus a
+        rare shingle shared by exactly one pair.  Uncapped, the posting
+        self-join yields all n*(n-1)/2 pairs (df^2 blowup); with the df
+        cap the candidate set must contain only the rare-shingle pair —
+        proving candidate count is bounded by cap * |postings|, not by
+        the hot shingle's df^2."""
+        from psvm_spark.queries.llm import df_capped_postings
+
+        n = 40
+        rows = [(i, "viral-boilerplate") for i in range(n)]
+        rows += [(7, "rare-shingle"), (23, "rare-shingle")]
+        post = spark.createDataFrame(rows, "doc_id long, s string")
+
+        def pairs(p):
+            return (
+                p.alias("a")
+                .join(p.alias("b"), "s")
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+                .distinct()
+            )
+
+        uncapped = pairs(post).count()
+        capped = pairs(df_capped_postings(post, cap=10)).collect()
+        # (7,23) shares both shingles, so distinct() folds it into the
+        # n*(n-1)/2 hot-pair blowup
+        assert uncapped == n * (n - 1) // 2
+        assert [(r.ia, r.ib) for r in capped] == [(7, 23)]
+
+    def test_cap_no_op_below_threshold(self, spark):
+        """df <= cap leaves the posting list untouched (fixture parity
+        relies on this: at sf0.01 no shingle approaches the cap)."""
+        from psvm_spark.queries.llm import df_capped_postings
+
+        post = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "doc_id long, s string"
+        )
+        assert df_capped_postings(post, cap=2).count() == 3
