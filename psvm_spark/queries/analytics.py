@@ -2440,12 +2440,55 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stationary vector is 30 power-iteration steps on the collected
 # 5x5 row-normalized matrix — a bounded driver reduction, the same
 # k x d pattern as the ML trainers (psvm's AllReduce analogue).
-# rows-only: the fixed-point is iterative by nature; tests pin
-# sum(pi) == 1, pi P == pi to 1e-9, and agreement with NumPy's
-# eigenvector on the same matrix.
+# Oracle-EXACT despite the iteration (round 5): DuckDB runs the same
+# 30 power-iteration steps as a recursive CTE over the (src, dst, p)
+# relation.  Both engines apply a row-stochastic matrix 30 times from
+# the uniform start (no per-step renormalization on either side — P is
+# row-stochastic, so sum(pi) drifts only ~1e-15 over 30 steps), and the
+# iterates agree to ~1e-13; round-9 absorbs the cross-engine float
+# noise.  Tests additionally pin sum(pi) == 1, pi P == pi to 1e-9, and
+# agreement with NumPy's eigenvector on the same matrix.
 
 
-@query("agg_markov_stationary")
+@query(
+    "agg_markov_stationary",
+    oracle="""
+WITH RECURSIVE
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+tm AS (
+  SELECT src, dst, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+  FROM pairs),
+types AS (
+  -- DISTINCT over UNION ALL, not UNION: inside WITH RECURSIVE DuckDB
+  -- gives a UNION-bodied CTE recursive-union semantics and does NOT
+  -- dedupe across the two branches
+  SELECT DISTINCT t FROM (
+    SELECT src AS t FROM pairs UNION ALL SELECT dst AS t FROM pairs)),
+iter AS (
+  SELECT 0 AS step, t, 1.0 / (SELECT COUNT(*) FROM types) AS pi FROM types
+  UNION ALL
+  SELECT i.step + 1, m.dst AS t, SUM(i.pi * m.p) AS pi
+  FROM iter i JOIN tm m ON m.src = i.t
+  WHERE i.step < 30
+  GROUP BY i.step + 1, m.dst),
+obs AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+tot AS (SELECT SUM(n) AS tn FROM obs)
+SELECT ty.t AS event_type,
+       ROUND(COALESCE(it.pi, 0.0), 9) AS stationary_prob,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_observed,
+       CAST(COALESCE(o.n, 0) AS DOUBLE) / (SELECT tn FROM tot) AS observed_freq
+FROM types ty
+LEFT JOIN (SELECT t, pi FROM iter WHERE step = 30) it ON it.t = ty.t
+LEFT JOIN obs o ON o.event_type = ty.t
+""",
+)
 def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2468,9 +2511,10 @@ def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat[i] = [v / tot for v in mat[i]]
     pi = [1.0 / k] * k
     for _ in range(30):
+        # no per-step renormalization: P is row-stochastic so sum(pi)
+        # drifts only in the last ulps, and the oracle's recursive CTE
+        # applies the identical un-normalized step
         pi = [sum(pi[i] * mat[i][j] for i in range(k)) for j in range(k)]
-        s = sum(pi)
-        pi = [v / s for v in pi]
     obs = {
         r.event_type: r.n
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -371,7 +371,19 @@ def write_libsvm_dir(spark: SparkSession, sf_dir: str) -> str:
     return f"{d}/data"
 
 
-@query("scan_libsvm")
+@query(
+    "scan_libsvm",
+    # Exact oracle across the text round-trip: write_libsvm_dir derives
+    # y = +-1 from label parity over the vec_id%10 sample, and Spark's
+    # libsvm reader must hand back exactly those rows.
+    oracle="""
+SELECT CASE WHEN label % 2 = 0 THEN 1.0 ELSE -1.0 END AS label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings
+WHERE vec_id % 10 = 0
+GROUP BY 1
+""",
+)
 def scan_libsvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = write_libsvm_dir(spark, sf_dir)
     df = spark.read.format("libsvm").option("numFeatures", "64").load(path)
@@ -442,4 +454,50 @@ def ml_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label").alias("n_labels"),
         )
         .orderBy("cluster")
+    )
+
+
+# The deterministic FIRST Lloyd assignment pass, split out with an exact
+# oracle (round 5): init centroids are the k lowest vec_ids' vectors (no
+# RNG), the per-row argmin fold is bitwise cross-engine (see ml/kernels
+# sq_l2 — sequential left fold, plain multiply), ties break toward the
+# lowest cluster id on both sides, and inertia sums ROUND(d2, 9) in
+# DECIMAL so the rollup is order-independent.  ml_kmeans_cluster above
+# stays rows-only for the full iterative run; this key pins the
+# distributed geometry the iteration is made of.
+
+
+@query(
+    "ml_kmeans_assign_first",
+    oracle=f"""
+WITH init AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4),
+initc AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         embedding AS c
+  FROM init),
+d AS (
+  SELECT e.vec_id, e.label, i.cluster,
+         {K.sql_sq_l2('e.embedding', 'i.c')} AS d2
+  FROM embeddings e CROSS JOIN initc i),
+best AS (
+  SELECT vec_id, label, cluster, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rk
+  FROM d)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(27,9))) AS DOUBLE) AS inertia,
+       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+FROM best WHERE rk = 1
+GROUP BY cluster
+""",
+)
+def ml_kmeans_assign_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.ml.kmeans import lloyd
+
+    assigned, _, _ = lloyd(spark, sf_dir, k=4, n_iter=1)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("dist2", 9).cast("decimal(27,9)")).cast("double").alias("inertia"),
+        F.countDistinct("label").alias("n_labels"),
     )
