@@ -69,9 +69,12 @@ def main() -> None:
     materialize(registry.QUERIES["agg_pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    housekeep_s: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, (name, fn) in enumerate(registry.QUERIES.items()):
+        h0 = time.perf_counter()
         housekeep(spark, i)
+        housekeep_s[name] = round(time.perf_counter() - h0, 4)
         t0 = time.perf_counter()
         try:
             materialize(fn(spark, sf_dir))
@@ -91,6 +94,12 @@ def main() -> None:
         "queries": timings,
         "n_ok": len(timings),
         "sf": sf,
+        # Per-query session hygiene (cache clears + System.gc) runs
+        # OUTSIDE the timed windows; its wall time is recorded here so
+        # cross-round comparisons against pre-hygiene rounds (r1-r3)
+        # can account for it instead of comparing apples to oranges.
+        "housekeep_total_sec": round(sum(housekeep_s.values()), 4),
+        "housekeep_sec": housekeep_s,
     }
     if errors:
         out["errors"] = errors
@@ -115,6 +124,7 @@ def main() -> None:
         "n_err": len(errors),
         "n_queries_total": len(timings) + len(errors),
         "queries_truncated_to_slowest": len(slowest),
+        "housekeep_total_sec": out["housekeep_total_sec"],
         "sf": sf,
     }
     print(json.dumps(compact))

@@ -42,14 +42,35 @@ N_NODES = 4_000
 
 # Salted md5 -> vertex id, identical in both engines (established
 # conv/substr twin pattern, see llm.py split_stable_hash).
-_U_SPARK = (
-    "pmod(cast(conv(substring(md5(concat('gu:', l_orderkey)), 1, 8), 16, 10)"
-    f" as bigint), {N_NODES})"
-)
-_V_SPARK = (
-    "pmod(cast(conv(substring(md5(concat('gv:', l_partkey)), 1, 8), 16, 10)"
-    f" as bigint), {N_NODES})"
-)
+def _n_nodes(spark: SparkSession) -> int:
+    """Vertex-space size (default 4000).
+
+    At real scale vertex ids are real entities and GROW with the data;
+    on the fixture they are hash-derived into a fixed id space.  The
+    scale harness (scripts/measure_scale.py) raises
+    ``psvm.graph.n_nodes`` by the amplification factor so the amplified
+    graph keeps base density (20x edges over 20x vertices) instead of
+    densifying a constant-size graph.  The oracles pin 4000 and the
+    driver never overrides the conf, so parity is unaffected.
+    """
+    try:
+        return int(spark.conf.get("psvm.graph.n_nodes", str(N_NODES)))
+    except Exception:  # noqa: BLE001 — absent conf API quirk: use default
+        return N_NODES
+
+
+def _u_spark(n: int) -> str:
+    return (
+        "pmod(cast(conv(substring(md5(concat('gu:', l_orderkey)), 1, 8), 16, 10)"
+        f" as bigint), {n})"
+    )
+
+
+def _v_spark(n: int) -> str:
+    return (
+        "pmod(cast(conv(substring(md5(concat('gv:', l_partkey)), 1, 8), 16, 10)"
+        f" as bigint), {n})"
+    )
 _U_DUCK = f"(('0x' || substr(md5('gu:' || l_orderkey), 1, 8))::BIGINT % {N_NODES})"
 _V_DUCK = f"(('0x' || substr(md5('gv:' || l_partkey), 1, 8))::BIGINT % {N_NODES})"
 
@@ -69,9 +90,10 @@ def edge_set(spark: SparkSession, sf_dir: str, *, materialize: bool = False) -> 
     md5 scan + distinct exactly once.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    n = _n_nodes(spark)
     uv = li.select(
-        F.expr(_U_SPARK).cast("bigint").alias("u"),
-        F.expr(_V_SPARK).cast("bigint").alias("v"),
+        F.expr(_u_spark(n)).cast("bigint").alias("u"),
+        F.expr(_v_spark(n)).cast("bigint").alias("v"),
     ).filter(F.col("u") != F.col("v"))
     e = uv.select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")

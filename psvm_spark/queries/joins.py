@@ -554,7 +554,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entity-resolution workhorse.  Scale shape: (1) roll names up to
 # DISTINCT values with multiplicity first — at 100 TB the distinct-name
 # set is orders of magnitude smaller than the table; (2) candidates
-# form only inside a block (shared head noun = last token), a pure
+# form only inside a block (shared SECOND token of the 5-token TPC-H
+# p_name — both engines block on split(name)[2], 1-indexed), a pure
 # equi-join, never all-pairs; (3) the exact Levenshtein verify runs on
 # the blocked candidates only.  Both engines implement classic
 # Wagner-Fischer, so the distances are identical ints.

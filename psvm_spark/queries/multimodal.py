@@ -322,7 +322,15 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, hashes = [], []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_ppm(bytes(buf)).astype(np.int64)
+                try:
+                    px = decode_ppm(bytes(buf)).astype(np.int64)
+                except (ValueError, IndexError):
+                    # Undecodable payload: SKIP the row rather than fail
+                    # the whole job — a fixture drift (non-P6 header,
+                    # maxval != 255, truncated pixels) then surfaces as
+                    # an n_images count discrepancy against the oracle,
+                    # a counted diagnosis instead of a job-level crash.
+                    continue
                 gray = px.sum(axis=2).ravel()  # r+g+b per pixel, exact int
                 tot = int(gray.sum())
                 bits = 0

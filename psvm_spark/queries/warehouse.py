@@ -921,9 +921,15 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     )
     out = tempfile.mkdtemp(prefix="psvm_dynow_") + "/orders_by_month"
     o.write.mode("overwrite").partitionBy("mth").parquet(out)
-    # restate January only, under DYNAMIC overwrite
+    # restate January only, under DYNAMIC overwrite.  Cast the adjusted
+    # column BACK to decimal(12,2): decimal + decimal widens to
+    # decimal(13,2), and writing that would leave January's parquet
+    # footers with a different schema than every other partition —
+    # readable only via version-specific decimal widening (or
+    # mergeSchema), i.e. a latent cross-version break.
     jan = o.filter(F.col("mth") == 1).withColumn(
-        "p", F.col("p") + F.lit("10.00").cast("decimal(12,2)")
+        "p",
+        (F.col("p") + F.lit("10.00").cast("decimal(12,2)")).cast("decimal(12,2)"),
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     try:
