@@ -2567,3 +2567,62 @@ def metric_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# B169 (round 5) — time-weighted average (TWAP): the correct mean of a
+# step function sampled at irregular event times — a plain AVG
+# over-weights bursts of rapid updates, so billing meters, position
+# marks, and sensor rollups all weight each value by how long it was
+# in force.  One window pass (lead per user) then one rollup; the
+# shuffle is keyed on user_id, linear at any scale.  Cross-engine
+# exactness: value is 2-dp clean, so value -> cents is an exact
+# decimal->bigint hop, durations are exact integer seconds, and the
+# final TWAP is ONE double division of identical bigints on both
+# sides — no float accumulation anywhere.
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, value, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+seg AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dur_s
+  FROM iv WHERE nxt IS NOT NULL)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+       CAST(SUM(cents * dur_s) AS DOUBLE) / CAST(SUM(dur_s) * 100 AS DOUBLE)
+         AS twap
+FROM seg GROUP BY user_id
+HAVING SUM(dur_s) > 0
+""",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id", "value", "ts", F.lead("ts").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    seg = iv.select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        F.expr("(unix_micros(nxt) - unix_micros(ts)) div 1000000").alias("dur_s"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur_s").cast("bigint").alias("total_dur_s"),
+            (
+                F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+                / (F.sum("dur_s") * 100).cast("double")
+            ).alias("twap"),
+        )
+        .filter(F.col("total_dur_s") > 0)
+    )

@@ -23,11 +23,12 @@ Scale notes (100 TB):
   (orienting bounds out-degree by ~sqrt(2m) on skewed graphs, far
   smaller than deg^2 of hubs).  No cartesian anywhere.
 - PageRank is the canonical iterative DataFrame loop: the rank vector
-  (|V| rows, tiny next to |E|) is BROADCAST against the checkpointed
-  link table, so per iteration the only shuffle is the contribution
-  aggregation on dst.  5 fixed iterations, ``localCheckpoint`` per
-  iteration keeps lineage flat (same pattern as
-  operators/components.py).  Driver traffic is zero data rows.
+  (|V| rows — O(V), NOT broadcastable at billions of vertices) is
+  SHUFFLE-joined against the checkpointed link table on src each
+  iteration, then the contributions aggregate on dst.  5 fixed
+  iterations, ``localCheckpoint`` per iteration keeps lineage flat
+  (same pattern as operators/components.py).  Driver traffic is zero
+  data rows.
 """
 
 from __future__ import annotations
@@ -285,3 +286,70 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B168 (round 5) — BFS hop distance from a source set: multi-source
+# breadth-first search over the undirected edge set, the "reachability
+# within k hops" primitive behind influence radius, fraud-ring blast
+# zones, and graph-feature generation.  Engine form is the frontier
+# loop (the same driver-bounded iteration shape as hierarchy_closure):
+# each round expands the CURRENT frontier by one equi-join against the
+# edge list and anti-joins out already-settled vertices, so every
+# vertex is settled exactly once at its minimum distance — per-round
+# work is |frontier-adjacent edges|, never |V|x|V|.  At 100 TB the
+# edge list is the big side and each round is one shuffle join; the
+# frontier/settled sets carry (vertex, dist) only.  Oracled against a
+# DuckDB recursive CTE (UNION set semantics bound the state space to
+# |V| x max_hops) taking MIN(dist) per vertex.
+
+_BFS_MAX_HOPS = 8
+_BFS_SRC_MOD = 997  # sources = vertices with id % 997 == 0 (~4 of 4000)
+
+
+@query(
+    "graph_bfs_distance",
+    oracle=f"""
+WITH RECURSIVE edges AS ({_EDGES_DUCK}),
+und AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL
+  SELECT b AS src, a AS dst FROM edges),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges)),
+bfs AS (
+  SELECT node, 0 AS dist FROM nodes WHERE node % {_BFS_SRC_MOD} = 0
+  UNION
+  SELECT u.dst AS node, b.dist + 1 AS dist
+  FROM bfs b JOIN und u ON u.src = b.node
+  WHERE b.dist < {_BFS_MAX_HOPS})
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM bfs GROUP BY node
+""",
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = e.select(F.explode(F.array("a", "b")).alias("node")).distinct()
+    settled = nodes.filter(F.col("node") % _BFS_SRC_MOD == 0).select(
+        "node", F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = settled.select("node")
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionAll(
+            nxt.select("node", F.lit(hop).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled.select("node", F.col("dist").cast("int").alias("dist"))

@@ -4061,3 +4061,90 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("id_head"),
         F.col("a.tail").alias("shared_run"),
     )
+
+
+# --------------------------------------------------------------------------
+# B171 (round 5) — per-group winsorization: clamp each nation's customer
+# balances at that nation's empirical p05/p95 before feature use — the
+# standard outlier guard ahead of scaling/regression, done with EXPLICIT
+# order statistics (value at rank ceil(q*n), ties broken by custkey)
+# rather than an engine-specific percentile function, so both engines
+# pick the identical element and parity is bitwise.  Ranks are pure
+# integer arithmetic ((n*5 + 99) div 100); the winsorized mean sums
+# 2-dp-clean decimals exactly.  Shape at 100 TB: one window pass per
+# group key + a broadcast of the per-group thresholds (group count is
+# dimension-sized) — no second full sort.
+
+
+@query(
+    "feat_winsorize",
+    oracle="""
+WITH ranked AS (
+  SELECT c_nationkey AS nation,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS r,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer),
+th AS (
+  SELECT nation,
+         MAX(CASE WHEN r = (n * 5 + 99) // 100 THEN bal END) AS lo,
+         MAX(CASE WHEN r = (n * 95 + 99) // 100 THEN bal END) AS hi
+  FROM ranked GROUP BY nation),
+clipped AS (
+  SELECT rk.nation, rk.n, th.lo, th.hi,
+         CASE WHEN rk.bal < th.lo THEN th.lo
+              WHEN rk.bal > th.hi THEN th.hi
+              ELSE rk.bal END AS wbal,
+         CASE WHEN rk.bal < th.lo THEN 1 ELSE 0 END AS cl,
+         CASE WHEN rk.bal > th.hi THEN 1 ELSE 0 END AS ch
+  FROM ranked rk JOIN th ON rk.nation = th.nation)
+SELECT nation,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(lo) AS DOUBLE) AS p05,
+       CAST(MAX(hi) AS DOUBLE) AS p95,
+       CAST(SUM(cl) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(ch) AS BIGINT) AS n_clipped_high,
+       CAST(SUM(wbal) AS DOUBLE) / MAX(n) AS winsorized_mean
+FROM clipped GROUP BY nation
+""",
+)
+def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        "c_custkey",
+    )
+    wp = Window.partitionBy("nation")
+    ranked = c.select(
+        "nation",
+        "bal",
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy(F.asc("bal"), F.asc("c_custkey")))
+        .alias("r"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    th = ranked.groupBy("nation").agg(
+        F.max(F.when(F.col("r") == F.expr("(n * 5 + 99) div 100"), F.col("bal"))).alias("lo"),
+        F.max(F.when(F.col("r") == F.expr("(n * 95 + 99) div 100"), F.col("bal"))).alias("hi"),
+    )
+    clipped = ranked.join(F.broadcast(th), "nation").select(
+        "nation",
+        "n",
+        "lo",
+        "hi",
+        F.when(F.col("bal") < F.col("lo"), F.col("lo"))
+        .when(F.col("bal") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("bal"))
+        .alias("wbal"),
+        F.when(F.col("bal") < F.col("lo"), 1).otherwise(0).alias("cl"),
+        F.when(F.col("bal") > F.col("hi"), 1).otherwise(0).alias("ch"),
+    )
+    return clipped.groupBy("nation").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("lo").cast("double").alias("p05"),
+        F.max("hi").cast("double").alias("p95"),
+        F.sum("cl").cast("bigint").alias("n_clipped_low"),
+        F.sum("ch").cast("bigint").alias("n_clipped_high"),
+        (F.sum("wbal").cast("double") / F.max("n")).alias("winsorized_mean"),
+    )

@@ -1093,3 +1093,119 @@ def warehouse_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("p").cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# B170 (round 5) — exact proration (largest-remainder allocation): split
+# an order-level amount across its line items proportional to each
+# line's extended price, in INTEGER CENTS, with the leftover cents from
+# floor-division assigned one each to the largest remainders
+# (l_linenumber breaks ties).  This is the cost-allocation /
+# revenue-recognition workhorse, and the invariant that matters — the
+# per-order allocations sum EXACTLY to the order total, no float dust —
+# is carried as an audit column computed from the data.  All arithmetic
+# is int64 (products bounded: total_cents <= ~6e7, ep_cents <= ~1e7,
+# so total*ep <= 6e14 << 2^63); the only doubles are final /100
+# displays of identical ints, so parity is bitwise.  Shape at 100 TB:
+# one broadcast-join of the order slice + two windows over l_orderkey —
+# a single shuffle key, no skew (order sizes are bounded).
+
+
+@query(
+    "warehouse_proration",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS total_cents
+  FROM orders WHERE o_orderkey % 10 = 0),
+li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS ep_cents
+  FROM lineitem WHERE l_orderkey % 10 = 0),
+j AS (
+  SELECT li.l_orderkey, li.l_linenumber, li.ep_cents, o.total_cents,
+         SUM(li.ep_cents) OVER (PARTITION BY li.l_orderkey) AS s
+  FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+d AS (
+  SELECT l_orderkey, l_linenumber, total_cents,
+         (total_cents * ep_cents) // s AS base_cents,
+         (total_cents * ep_cents) % s AS rem
+  FROM j),
+r AS (
+  SELECT l_orderkey, l_linenumber, total_cents, base_cents,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem DESC, l_linenumber ASC) AS rk,
+         total_cents - SUM(base_cents) OVER (PARTITION BY l_orderkey)
+           AS leftover
+  FROM d),
+a AS (
+  SELECT l_orderkey, l_linenumber, total_cents,
+         base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_cents
+  FROM r)
+SELECT l_orderkey, l_linenumber,
+       CAST(alloc_cents AS DOUBLE) / 100.0 AS alloc,
+       (SUM(alloc_cents) OVER (PARTITION BY l_orderkey) = total_cents)
+         AS balanced
+FROM a
+""",
+)
+def warehouse_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("ep_cents"),
+        )
+    )
+    worder = Window.partitionBy("l_orderkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "ep_cents", "total_cents"
+    )
+    d = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        F.expr("(total_cents * ep_cents) div sum(ep_cents) over "
+               "(partition by l_orderkey)").alias("base_cents"),
+        F.expr("(total_cents * ep_cents) % sum(ep_cents) over "
+               "(partition by l_orderkey)").alias("rem"),
+    )
+    r = d.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        "base_cents",
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy(F.desc("rem"), F.asc("l_linenumber")))
+        .alias("rk"),
+        (F.col("total_cents") - F.sum("base_cents").over(worder)).alias("leftover"),
+    )
+    a = r.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    )
+    return a.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("alloc_cents").cast("double") / 100.0).alias("alloc"),
+        (F.sum("alloc_cents").over(worder) == F.col("total_cents")).alias("balanced"),
+    )

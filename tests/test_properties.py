@@ -418,3 +418,66 @@ class TestClosureAndOverlap:
             .collect()
         }
         assert got == naive
+
+
+class TestRound5Operators:
+    def test_bfs_sources_at_zero_and_monotone_reach(self, spark, sf_dir):
+        """Sources sit at dist 0; every settled vertex at dist d>0 has a
+        neighbor settled at d-1 (BFS invariant)."""
+        from psvm_spark import registry
+        from psvm_spark.queries.graph import _BFS_SRC_MOD, edge_set
+
+        registry.load_all()
+
+        got = registry.QUERIES["graph_bfs_distance"](spark, sf_dir)
+        rows = {r.node: r.dist for r in got.collect()}
+        assert rows, "graph should reach someone"
+        for node, dist in rows.items():
+            assert (dist == 0) == (node % _BFS_SRC_MOD == 0)
+        adj = {}
+        for r in edge_set(spark, sf_dir).collect():
+            adj.setdefault(r.a, set()).add(r.b)
+            adj.setdefault(r.b, set()).add(r.a)
+        for node, dist in rows.items():
+            if dist > 0:
+                assert any(rows.get(nb) == dist - 1 for nb in adj[node])
+
+    def test_proration_balances_exactly(self, spark, sf_dir):
+        from psvm_spark import registry
+
+        registry.load_all()
+        got = registry.QUERIES["warehouse_proration"](spark, sf_dir).collect()
+        assert got and all(r.balanced for r in got)
+        # allocations are cent-quantized (1e-6: alloc*100 re-multiplies a
+        # /100 double, which is not exact in binary floating point)
+        for r in got[:200]:
+            assert abs(r.alloc * 100 - round(r.alloc * 100)) < 1e-6
+
+    def test_twap_within_value_range(self, spark, sf_dir):
+        from psvm_spark import registry
+        from psvm_spark.catalog import load_table
+
+        registry.load_all()
+        ev = load_table(spark, sf_dir, "events")
+        rng = {
+            r.user_id: (r.lo, r.hi)
+            for r in ev.groupBy("user_id")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect()
+        }
+        got = registry.QUERIES["ts_time_weighted_avg"](spark, sf_dir).collect()
+        assert got
+        for r in got:
+            lo, hi = rng[r.user_id]
+            assert lo - 1e-9 <= r.twap <= hi + 1e-9
+
+    def test_winsorize_clamps_and_bounds(self, spark, sf_dir):
+        from psvm_spark import registry
+
+        registry.load_all()
+        got = registry.QUERIES["feat_winsorize"](spark, sf_dir).collect()
+        assert got
+        for r in got:
+            assert r.p05 <= r.p95
+            assert r.p05 - 1e-9 <= r.winsorized_mean <= r.p95 + 1e-9
+            assert r.n_clipped_low + r.n_clipped_high < r.n
