@@ -4148,3 +4148,75 @@ def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ch").cast("bigint").alias("n_clipped_high"),
         (F.sum("wbal").cast("double") / F.max("n")).alias("winsorized_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# B172 (round 5) — prefix-filtering set-similarity join (PPJoin-style):
+# the canonical scale-out candidate generator for Jaccard >= t.  Order
+# every document's shingles by GLOBAL document frequency ascending
+# (rarest first, token string breaks ties), keep only the first
+# s - ceil(t*s) + 1 = s div 2 + 1 (t = 0.5) as the join prefix: two
+# sets with Jaccard >= t MUST share a prefix token (pigeonhole on the
+# overlap bound), so the prefix equi-join is a LOSSLESS candidate set
+# while joining mostly on rare tokens — candidate volume collapses vs
+# the full posting-list join (hot boilerplate shingles land at the END
+# of the df-sorted order and rarely enter prefixes at all).  The
+# ORACLE is the brute-force ground truth (all pairs, exact Jaccard),
+# so driver parity PROVES losslessness rather than mirroring the
+# optimization.  Shape at 100 TB: df rollup + one window per doc +
+# prefix self-join whose work is sum of prefix-df^2 — dominated by
+# rare tokens by construction.
+
+_PREFIX_JACCARD_T = 0.5
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles)))
+      >= {_PREFIX_JACCARD_T}
+""",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    post = sh.select("doc_id", F.explode("shingles").alias("s"))
+    df_tok = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        post.join(df_tok, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "s"))
+            .alias("rk"),
+            F.count(F.lit(1)).over(wdoc).alias("sz"),
+        )
+    )
+    prefix = ranked.filter(F.col("rk") <= F.expr("sz div 2 + 1")).select("doc_id", "s")
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "s")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= _PREFIX_JACCARD_T)
+    )

@@ -1209,3 +1209,77 @@ def warehouse_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("alloc_cents").cast("double") / 100.0).alias("alloc"),
         (F.sum("alloc_cents").over(worder) == F.col("total_cents")).alias("balanced"),
     )
+
+
+# --------------------------------------------------------------------------
+# B173 (round 5) — anti-entropy range checksums (Merkle-style
+# reconciliation): compare two table snapshots WITHOUT moving rows by
+# reducing each key range to (row count, XOR of per-row content
+# digests) and diffing the fingerprints — the Dynamo/Cassandra repair
+# primitive, and the only sane way to find which slices of a 100 TB
+# replica diverged before shipping any data.  XOR is order- and
+# partition-independent, so the rollup is one map-side-combined
+# shuffle per snapshot at any scale; out-of-sync ranges (and only
+# those) would then be re-read row-level.  Digests are the established
+# md5->conv bigint twin (15 hex digits = 60 bits, sign-safe in both
+# engines).
+
+
+@query(
+    "dq_merkle_ranges",
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st FROM orders WHERE o_orderkey % 11 <> 0),
+snap_b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS st
+  FROM orders WHERE o_orderkey % 13 <> 0),
+fa AS (
+  SELECT k // 500 AS rng, COUNT(*) AS n_a,
+         bit_xor(('0x' || substr(md5(k || '|' || st), 1, 15))::BIGINT) AS h_a
+  FROM snap_a GROUP BY 1),
+fb AS (
+  SELECT k // 500 AS rng, COUNT(*) AS n_b,
+         bit_xor(('0x' || substr(md5(k || '|' || st), 1, 15))::BIGINT) AS h_b
+  FROM snap_b GROUP BY 1)
+SELECT COALESCE(fa.rng, fb.rng) AS rng,
+       CAST(COALESCE(fa.n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(fb.n_b, 0) AS BIGINT) AS n_b,
+       (fa.n_a IS NOT NULL AND fb.n_b IS NOT NULL
+        AND fa.n_a = fb.n_b AND fa.h_a = fb.h_b) AS in_sync
+FROM fa FULL OUTER JOIN fb ON fa.rng = fb.rng
+""",
+)
+def dq_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("st"),
+    )
+    digest = "cast(conv(substring(md5(concat(k, '|', st)), 1, 15), 16, 10) as bigint)"
+
+    def fingerprint(snap, n_name, h_name):
+        return snap.groupBy(F.expr("k div 500").alias("rng")).agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.expr(f"bit_xor({digest})").alias(h_name),
+        )
+
+    fa = fingerprint(snap_a, "n_a", "h_a")
+    fb = fingerprint(snap_b, "n_b", "h_b")
+    j = fa.join(fb, fa.rng == fb.rng, "full_outer")
+    return j.select(
+        F.coalesce(fa.rng, fb.rng).alias("rng"),
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        (
+            F.col("n_a").isNotNull()
+            & F.col("n_b").isNotNull()
+            & (F.col("n_a") == F.col("n_b"))
+            & (F.col("h_a") == F.col("h_b"))
+        ).alias("in_sync"),
+    )

