@@ -2626,3 +2626,72 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_dur_s") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# B175 (round 5) — sequence pattern with NEGATION: "view then purchase
+# with NO error in between" — the CEP shape plain funnels cannot
+# express (a funnel only asserts presence/order, not absence).  One
+# window pass per user: running row index, then the last-view and
+# last-error indexes over the strictly-preceding frame; a purchase is a
+# clean conversion iff a prior view exists and no error landed after
+# it.  Comparisons are on ROW indexes (ints from one shared ordering),
+# so equal-timestamp ties resolve identically in both engines.  Single
+# user_id-keyed shuffle, linear at any scale.
+
+
+@query(
+    "seq_pattern_negation",
+    oracle="""
+WITH idx AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+seq AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN rn END) OVER w2 AS last_view,
+         MAX(CASE WHEN event_type = 'error' THEN rn END) OVER w2 AS last_error
+  FROM idx
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_purchases,
+       CAST(COUNT(*) FILTER (
+         WHERE event_type = 'purchase' AND last_view IS NOT NULL
+           AND (last_error IS NULL OR last_error < last_view)) AS BIGINT)
+         AS n_clean_conversions
+FROM seq GROUP BY user_id
+HAVING COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+""",
+)
+def seq_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "user_id",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "view", F.col("rn"))).over(wprev).alias("last_view"),
+        F.max(F.when(F.col("event_type") == "error", F.col("rn"))).over(wprev).alias("last_error"),
+    )
+    is_p = F.col("event_type") == "purchase"
+    clean = (
+        is_p
+        & F.col("last_view").isNotNull()
+        & (F.col("last_error").isNull() | (F.col("last_error") < F.col("last_view")))
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(is_p.cast("long")).alias("n_purchases"),
+            F.sum(clean.cast("long")).alias("n_clean_conversions"),
+        )
+        .filter(F.col("n_purchases") > 0)
+    )

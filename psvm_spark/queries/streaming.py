@@ -450,3 +450,56 @@ def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
     )
     return run_to_table(agg, "complete", state_partitions=8, drain=True)
+
+
+# --------------------------------------------------------------------------
+# B174 (round 5) — exactly-once file sink: the delivery guarantee the
+# whole Structured Streaming design exists for, proven from the data.
+# Run 1: availableNow over the events file source -> parquet sink with
+# a checkpoint; the sink's commit log records which files each batch
+# wrote.  Run 2: SAME checkpoint, source unchanged -> the offset log
+# says everything is processed, so the run commits NOTHING.  The query
+# re-reads the sink THROUGH the commit log (the same way any reader
+# would) and returns counts after each run plus the invariant flags.
+# rows-only: the oracle side has no streaming engine to replay; the
+# equality of sink contents to the batch table is asserted in-result
+# (n_sink_after_rerun == n_batch_rows) and in tests.
+
+
+@query("stream_file_sink_exactly_once")
+def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from psvm_spark.streaming.jobs import stream_events
+
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    ckpt = tempfile.mkdtemp(prefix="psvm_eo_ckpt_")
+    sink = tempfile.mkdtemp(prefix="psvm_eo_sink_") + "/out"
+
+    def run_once():
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).count()
+
+    n_first = run_once()
+    n_second = run_once()  # same checkpoint, nothing new -> no-op commit
+    n_batch = load_table(spark, sf_dir, "events").count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_first),
+                int(n_second),
+                int(n_batch),
+                bool(n_first == n_second),
+                bool(n_second == n_batch),
+            )
+        ],
+        "n_sink_first long, n_sink_after_rerun long, n_batch_rows long, "
+        "no_duplicates boolean, complete boolean",
+    )

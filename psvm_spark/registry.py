@@ -59,12 +59,13 @@ def load_all() -> None:
         join_bloom_prune — all register AFTER the ml block, so the
         planned 50-key sample is unchanged.)
       round 5 (this order): front multimodal + warehouse + aggregates
-        + analytics.  After the session-4 additions those families hold
-        4 + 15 + 24 + 33 = 76 keys, so the driver's 50-key prefix is
-        multimodal(4) + warehouse(15) + aggregates(24) + the first 7
-        analytics keys (the analytics tail spills to round 6).
-      round 6 (next, write it here when rotating): front the analytics
-        spill + graph + the llm tail, then joins/scalars resamples.
+        + analytics.  With the round-5 additions those families hold
+        4 + 21 + 28 + 44 keys, so the driver's 50-key prefix is
+        multimodal(4) + warehouse(21) + the first 25 aggregates keys
+        (the aggregates tail + analytics spill to round 6).
+      round 6 (next, write it here when rotating): front the aggregates
+        tail + analytics + graph + the llm tail, then joins/scalars
+        resamples.
     """
     from psvm_spark.queries import (  # noqa: F401
         multimodal,

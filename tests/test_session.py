@@ -51,14 +51,20 @@ class TestRegistrationRotation:
 
         registry.load_all()
         first50 = list(registry.QUERIES)[:50]
-        mods = {
+        mods = [
             registry.QUERIES[k].__module__.rsplit(".", 1)[-1] for k in first50
-        }
-        assert mods == {"windows", "streaming", "sources", "udfs", "ml"}
-        # and those five modules contribute EXACTLY 50 keys in total
-        all_in_family = [
-            k
-            for k, fn in registry.QUERIES.items()
-            if fn.__module__.rsplit(".", 1)[-1] in mods
         ]
-        assert len(all_in_family) == 50
+        # round 5: multimodal + warehouse fully inside the window, the
+        # rest of the 50 from the aggregates prefix (family sizes grew
+        # past the original ledger estimate, so aggregates spills)
+        assert set(mods) == {"multimodal", "warehouse", "aggregates"}
+        for fam in ("multimodal", "warehouse"):
+            fam_all = [
+                k
+                for k, fn in registry.QUERIES.items()
+                if fn.__module__.rsplit(".", 1)[-1] == fam
+            ]
+            assert set(fam_all) <= set(first50), fam
+        # families appear as contiguous blocks in the planned order
+        order = ["multimodal", "warehouse", "aggregates"]
+        assert mods == sorted(mods, key=order.index)

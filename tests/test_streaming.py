@@ -312,3 +312,13 @@ class TestStreamCusum:
             for r in QUERIES["ts_cusum_drift"](spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestExactlyOnceFileSink:
+    def test_rerun_commits_nothing(self, spark, sf_dir):
+        from psvm_spark import registry
+
+        registry.load_all()
+        row = registry.QUERIES["stream_file_sink_exactly_once"](spark, sf_dir).collect()[0]
+        assert row.no_duplicates and row.complete
+        assert row.n_sink_first == row.n_batch_rows
