@@ -161,7 +161,18 @@ def udtf_explode_taxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hatch): running per-partition token count over documents.
 
 
-@query("map_in_pandas_tokens")
+@query(
+    "map_in_pandas_tokens",
+    # Exact oracle across the Arrow/pandas boundary (round 5): pandas
+    # str.split(" ") and DuckDB string_split keep empty fields
+    # identically, so the token counts match int-for-int.
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+""",
+)
 def map_in_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     def count_tokens(batches):
         for pdf in batches:
