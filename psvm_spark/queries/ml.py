@@ -312,7 +312,19 @@ def svm_nystrom_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # psvm's per-rank model files).
 
 
-@query("svm_model_roundtrip")
+@query(
+    "svm_model_roundtrip",
+    # Exact oracle (round 5): the invariant this query exists to check —
+    # every test row scored, every score bit-equal after the parquet
+    # round-trip — is itself SQL: both counts must equal the test-shard
+    # cardinality.  A lossy model save/load would drop n_equal below
+    # n_scored and the driver would flag the hash mismatch.
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(COUNT(*) AS BIGINT) AS n_equal
+FROM embeddings WHERE vec_id % {_TS_MOD} = {_TS_RES}
+""",
+)
 def svm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
