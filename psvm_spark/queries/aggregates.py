@@ -1188,3 +1188,54 @@ def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.sum("lq").cast("double") / n), 9).alias("geometric_mean"),
         (n / F.sum("rq").cast("double")).alias("harmonic_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# B177 (round 5) — per-group mode (most frequent value), the
+# categorical summary SQL somehow never standardized: each user's most
+# frequent event type, with the count, the share of the user's events,
+# and a DETERMINISTIC tie-break (lowest value lexicographically) —
+# engines' native mode()/histogram pick arbitrary ties, so both sides
+# here rank (n DESC, value ASC) explicitly.  Two skinny shuffles
+# (value rollup, then per-user window); share is one double division
+# of exact ints.
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT user_id, event_type, n,
+         SUM(n) OVER (PARTITION BY user_id) AS user_n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rk
+  FROM counts)
+SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n_mode,
+       CAST(user_n AS BIGINT) AS n_user,
+       CAST(n AS DOUBLE) / user_n AS mode_share
+FROM ranked WHERE rk = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    wu = Window.partitionBy("user_id")
+    ranked = counts.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.sum("n").over(wu).alias("user_n"),
+        F.row_number()
+        .over(wu.orderBy(F.col("n").desc(), F.col("event_type").asc()))
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.col("event_type").alias("mode_event"),
+        F.col("n").cast("bigint").alias("n_mode"),
+        F.col("user_n").cast("bigint").alias("n_user"),
+        (F.col("n").cast("double") / F.col("user_n")).alias("mode_share"),
+    )

@@ -4220,3 +4220,97 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= _PREFIX_JACCARD_T)
     )
+
+
+# --------------------------------------------------------------------------
+# B176 (round 5) — deterministic contrastive negative sampling: for
+# every probe, k=5 negatives drawn "at random" (salted-md5 order — the
+# repo's standard RNG-free randomness) from the corpus EXCLUDING the
+# probe itself and its exact top-10 cosine neighbors (the positives a
+# contrastive loss must not treat as negatives).  Scale shape is the
+# sim_topk_cosine pattern twice: probes broadcast against the
+# partitioned corpus, per-(probe, partition) partial top-k for BOTH
+# orderings — top-10 by cosine for the exclusion set, top-15 by hash
+# for negative candidates (15 because up to 10 hash-winners may be
+# excluded as positives, leaving >= 5 guaranteed) — so no window ever
+# sees the full corpus.  The oracle ranks directly over all pairs;
+# results are identical because partial top-k under the same total
+# order preserves every global winner.
+
+
+_NEG_K = 5
+_NEG_POOL = _NEG_K + 10  # hash-partial depth: k + max exclusions
+
+
+@query(
+    "sample_negatives",
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS i, embedding AS vp FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT p.i, e.vec_id AS j,
+         round({K.sql_dot('p.vp', 'e.embedding')}
+               / (sqrt({K.sql_dot('p.vp', 'p.vp')}) * sqrt({K.sql_dot('e.embedding', 'e.embedding')})), 9)
+           AS cosine,
+         md5(p.i || ':' || e.vec_id) AS h
+  FROM probes p CROSS JOIN embeddings e
+  WHERE e.vec_id <> p.i),
+ranked AS (
+  SELECT i, j, cosine, h,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j ASC) AS rc
+  FROM scored),
+negs AS (
+  SELECT i, j, h,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY h ASC, j ASC) AS rh
+  FROM ranked WHERE rc > 10)
+SELECT i, j AS neg_j, CAST(rh AS INT) AS neg_rank
+FROM negs WHERE rh <= {_NEG_K}
+""",
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("vp"),
+        F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("np"),
+    )
+    corpus = fan_out(e, spark).select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("ve"),
+        F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("ne"),
+    )
+    cosine = F.round(K.dot(F.col("vp"), F.col("ve")) / (F.col("np") * F.col("ne")), 9)
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("j") != F.col("i"))
+        .select(
+            "i",
+            "j",
+            cosine.alias("cosine"),
+            F.md5(F.concat_ws(":", "i", "j")).alias("h"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # ^ one probes x corpus pass feeds BOTH rankings; checkpoint so the
+    # exclusion branch and the candidate branch don't re-score
+    w_cos_part = Window.partitionBy("i", "pid").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    w_cos = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    pos = (
+        scored.withColumn("lr", F.row_number().over(w_cos_part))
+        .filter(F.col("lr") <= 10)
+        .withColumn("rc", F.row_number().over(w_cos))
+        .filter(F.col("rc") <= 10)
+        .select("i", "j")
+    )
+    w_h_part = Window.partitionBy("i", "pid").orderBy(F.col("h").asc(), F.col("j").asc())
+    w_h = Window.partitionBy("i").orderBy(F.col("h").asc(), F.col("j").asc())
+    negcand = (
+        scored.withColumn("lr", F.row_number().over(w_h_part))
+        .filter(F.col("lr") <= _NEG_POOL)
+        .join(pos, ["i", "j"], "left_anti")
+    )
+    return (
+        negcand.withColumn("rh", F.row_number().over(w_h))
+        .filter(F.col("rh") <= _NEG_K)
+        .select("i", F.col("j").alias("neg_j"), F.col("rh").cast("int").alias("neg_rank"))
+    )
