@@ -4314,3 +4314,80 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rh") <= _NEG_K)
         .select("i", F.col("j").alias("neg_j"), F.col("rh").cast("int").alias("neg_rank"))
     )
+
+
+# --------------------------------------------------------------------------
+# B178 (round 5) — AUC by segment (fairness / cohort audit): the exact
+# tie-corrected rank-sum AUC of ml_roc_auc, computed PER SEGMENT
+# (t_id % 3, the deterministic "device cohort") — the question model
+# governance actually asks is not "what is the AUC" but "for whom does
+# the model rank worse".  Same exact-integer Mann-Whitney identity
+# (doubled average ranks: 2*below + n_s + 1), all windows partitioned
+# by segment, one double division per segment at the end.
+
+
+@query(
+    "ml_auc_by_group",
+    oracle=_CAL_SCORE_SQL
+    + """,
+seg AS (
+  SELECT t_id % 3 AS segment, label, score FROM scored),
+cnts AS (
+  SELECT segment, score,
+         SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS np_s,
+         COUNT(*) AS n_s
+  FROM seg GROUP BY segment, score),
+cum AS (
+  SELECT segment, score, np_s, n_s,
+         COALESCE(SUM(n_s) OVER (PARTITION BY segment ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM cnts),
+agg AS (
+  SELECT segment,
+         CAST(SUM(np_s * (2 * below + n_s + 1)) AS BIGINT) AS sum2,
+         CAST(SUM(np_s) AS BIGINT) AS np,
+         CAST(SUM(n_s - np_s) AS BIGINT) AS nn
+  FROM cum GROUP BY segment)
+SELECT CAST(segment AS BIGINT) AS segment, np AS n_pos, nn AS n_neg,
+       CAST(sum2 - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc
+FROM agg
+""",
+)
+def ml_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+        .select((F.col("t_id") % 3).alias("segment"), "label", "score")
+    )
+    cnts = scored.groupBy("segment", "score").agg(
+        F.sum((F.col("label") < 5).cast("int")).alias("np_s"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cnts.select(
+        "segment", "np_s", "n_s",
+        F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("below"),
+    )
+    agg = cum.groupBy("segment").agg(
+        F.sum(F.col("np_s") * (2 * F.col("below") + F.col("n_s") + 1))
+        .cast("bigint")
+        .alias("sum2"),
+        F.sum("np_s").cast("bigint").alias("np"),
+        F.sum(F.col("n_s") - F.col("np_s")).cast("bigint").alias("nn"),
+    )
+    return agg.select(
+        F.col("segment").cast("bigint").alias("segment"),
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (
+            (F.col("sum2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2 * F.col("np") * F.col("nn"))
+        ).alias("auc"),
+    )

@@ -1283,3 +1283,65 @@ def dq_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("h_a") == F.col("h_b"))
         ).alias("in_sync"),
     )
+
+
+# --------------------------------------------------------------------------
+# B179 (round 5) — column-profile drift between two periods: the
+# monitoring table every ingestion pipeline publishes — per event type,
+# how did volume, audience, and value mass move from the first half of
+# the month to the second?  Complements ml_psi_drift (score
+# distributions) with the upstream COLUMN-level view that catches
+# schema/source regressions before they reach a model.  Two single-scan
+# profile rollups diffed on the type key; counts exact ints, value
+# sums exact decimals, the drift ratios one double division each.
+
+
+@query(
+    "dq_profile_drift",
+    oracle="""
+WITH a AS (
+  SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+         SUM(CAST(value AS DECIMAL(12,2))) AS val
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+b AS (
+  SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+         SUM(CAST(value AS DECIMAL(12,2))) AS val
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1)
+SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_first,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_second,
+       CAST(COALESCE(a.users, 0) AS BIGINT) AS users_first,
+       CAST(COALESCE(b.users, 0) AS BIGINT) AS users_second,
+       CAST(COALESCE(a.val, 0) AS DOUBLE) AS value_first,
+       CAST(COALESCE(b.val, 0) AS DOUBLE) AS value_second,
+       CAST(COALESCE(b.n, 0) AS DOUBLE) / COALESCE(a.n, 0) AS volume_ratio
+FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+""",
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+
+    def profile(df, suffix):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+            F.countDistinct("user_id").alias(f"users_{suffix}"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias(f"val_{suffix}"),
+        )
+
+    a = profile(ev.filter(F.col("ts") < cut), "a")
+    b = profile(ev.filter(F.col("ts") >= cut), "b")
+    j = a.join(b, "event_type", "full_outer")
+    return j.select(
+        "event_type",
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_first"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_second"),
+        F.coalesce("users_a", F.lit(0)).cast("bigint").alias("users_first"),
+        F.coalesce("users_b", F.lit(0)).cast("bigint").alias("users_second"),
+        F.coalesce("val_a", F.lit(0).cast("decimal(12,2)")).cast("double").alias("value_first"),
+        F.coalesce("val_b", F.lit(0).cast("decimal(12,2)")).cast("double").alias("value_second"),
+        (
+            F.coalesce("n_b", F.lit(0)).cast("double")
+            / F.coalesce("n_a", F.lit(0))
+        ).alias("volume_ratio"),
+    )

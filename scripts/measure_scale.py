@@ -123,6 +123,9 @@ GRAPH_QUERIES = [
 ]
 FIXED_PROBE_QUERIES = [
     "sim_topk_cosine",
+    # round-5 addition: negatives per probe — probe-count-governed like
+    # the rest of this group
+    "sample_negatives",
     "sim_ann_lsh",
     "sim_ivf_kmeans",
     # PQ ADC: LUT count follows the probe set (serving parameter), the
