@@ -320,3 +320,63 @@ def map_in_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(
         quantize, "vec_id bigint, q_sum bigint, q_l1 bigint, n_clipped bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# B180 (round 5) — POLYMORPHIC Python UDTF (Spark 4 `analyze`): output
+# schema computed at plan time from the call's literal arguments — the
+# "dynamic projection" shape that lets one table function serve any
+# JSON layout without per-schema registration.  Here `json_cols(props,
+# 'device', 'plan')` inspects its literal key list in analyze() and
+# emits one string column per requested key; the driver's oracle twin
+# is plain DuckDB json_extract_string, so the dynamic-schema machinery
+# is differentially tested end to end.  Per-row Python, but over a
+# pre-filtered slice (the %97 sample) — the pattern's cost note mirrors
+# udtf_explode_taxes above.
+
+
+@query(
+    "udtf_polymorphic_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.device') AS device,
+       json_extract_string(props, '$.plan') AS plan
+FROM events WHERE event_id % 97 = 0
+""",
+)
+def udtf_polymorphic_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class JsonCols:
+        @staticmethod
+        def analyze(payload: AnalyzeArgument, *keys: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for k in keys:
+                schema = schema.add(str(k.value), StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, payload: str, *keys: str):
+            import json as _json
+
+            try:
+                obj = _json.loads(payload) if payload else {}
+            except ValueError:
+                obj = {}
+            vals = tuple(
+                v if isinstance(v, str) else (None if v is None else _json.dumps(v))
+                for v in (obj.get(k) for k in keys)
+            )
+            yield vals
+
+    spark.udtf.register("json_cols", JsonCols)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 97 == 0
+    ).createOrReplaceTempView("ev_udtf_v")
+    return spark.sql(
+        "SELECT e.event_id, t.device, t.plan FROM ev_udtf_v e, "
+        "LATERAL json_cols(props, 'device', 'plan') t"
+    )

@@ -1345,3 +1345,79 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.coalesce("n_a", F.lit(0))
         ).alias("volume_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# B181 (round 5) — join-cardinality estimation from bucket histograms:
+# predict |A join B| from per-bucket (row count, distinct-key count)
+# statistics WITHOUT running the join — what an optimizer's stats
+# pipeline does, surfaced as a query so the estimate can be audited
+# against the true size.  Estimator per bucket: na*nb / max(da, db)
+# (uniform-within-bucket, the textbook containment assumption).  The
+# true size is the exact SUM over keys of cnt_a*cnt_b — computed as a
+# distinct-key rollup join, never by materializing the join.  Both the
+# estimate and the truth are integer arithmetic until the final
+# divisions, so parity is exact.
+
+
+@query(
+    "dq_join_cardinality_estimate",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+b AS (
+  SELECT l_orderkey AS k FROM lineitem),
+ha AS (
+  SELECT k % 64 AS bkt, COUNT(*) AS na, COUNT(DISTINCT k) AS da
+  FROM a GROUP BY 1),
+hb AS (
+  SELECT k % 64 AS bkt, COUNT(*) AS nb, COUNT(DISTINCT k) AS db
+  FROM b GROUP BY 1),
+est AS (
+  SELECT SUM(CAST(ha.na * hb.nb AS DOUBLE)
+             / CASE WHEN ha.da > hb.db THEN ha.da ELSE hb.db END) AS est
+  FROM ha JOIN hb ON ha.bkt = hb.bkt),
+truth AS (
+  SELECT SUM(ca.n * cb.n) AS actual
+  FROM (SELECT k, COUNT(*) AS n FROM a GROUP BY k) ca
+  JOIN (SELECT k, COUNT(*) AS n FROM b GROUP BY k) cb ON ca.k = cb.k)
+SELECT round(est.est, 4) AS estimated_rows,
+       CAST(truth.actual AS BIGINT) AS actual_rows,
+       round(est.est / truth.actual, 6) AS est_over_actual
+FROM est CROSS JOIN truth
+""",
+)
+def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+
+    def hist(df, n, d):
+        return df.groupBy((F.col("k") % 64).alias("bkt")).agg(
+            F.count(F.lit(1)).alias(n), F.countDistinct("k").alias(d)
+        )
+
+    est = (
+        hist(a, "na", "da")
+        .join(hist(b, "nb", "db"), "bkt")
+        .agg(
+            F.sum(
+                (F.col("na") * F.col("nb")).cast("double")
+                / F.greatest("da", "db")
+            ).alias("est")
+        )
+    )
+    truth = (
+        a.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .join(b.groupBy("k").agg(F.count(F.lit(1)).alias("n_b")), "k")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("actual"))
+    )
+    return est.crossJoin(truth).select(
+        F.round("est", 4).alias("estimated_rows"),
+        F.col("actual").cast("bigint").alias("actual_rows"),
+        F.round(F.col("est") / F.col("actual"), 6).alias("est_over_actual"),
+    )

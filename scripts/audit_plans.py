@@ -59,7 +59,9 @@ WHITELIST = {
     "mm_phash_dedup": "(a) 1x1 crossJoin of image-count and pair-stat rows; band join is equi",
     "ml_confusion_matrix": "(b) support-vector broadcast scoring (svm_predict_score shape)",
     "ml_roc_auc": "(b) support-vector broadcast scoring (svm_predict_score shape)",
+    "ml_auc_by_group": "(b) SV broadcast scoring (ml_roc_auc shape, windows per segment)",
     "ml_pr_curve": "(b) SV broadcast scoring + 1-row total-positives broadcast",
+    "dq_join_cardinality_estimate": "(a) 1-row estimate x 1-row truth combine; histogram/rollup joins are equi",
     "agg_association_rules": "(a) 1-row basket-count scalar broadcast for lift",
     "dq_split_leakage": "(a) 1x1x1 crossJoin of summary-stat rows; the fp join is equi",
     "ml_lift_deciles": "(b) SV broadcast scoring + 1-row totals broadcast",
