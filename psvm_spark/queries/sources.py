@@ -261,3 +261,43 @@ def sink_libsvm_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size("values")).alias("nnz"),
     )
+
+
+# --------------------------------------------------------------------------
+# B182 (round 5) — in-flight query observation (`df.observe`): attach
+# named aggregate metrics to a scan so pipeline telemetry (row counts,
+# value mass, null tallies) is collected DURING the query — zero extra
+# passes, the way a 100 TB ingestion job self-reports without a second
+# scan.  The observed metrics are returned AS the result row and the
+# oracle recomputes them independently, so the Observation API itself
+# is differentially tested.
+
+
+@query(
+    "scan_observed_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_mass,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM events
+""",
+)
+def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_telemetry")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_mass"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("n_errors"),
+    )
+    # one real pass (noop materialization) populates the observation
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["value_mass"]), int(m["n_errors"]))],
+        "n_rows long, value_mass double, n_errors long",
+    )
