@@ -523,3 +523,90 @@ class TestRound5Operators:
         # EXCEPT possibly sparse tail ranges — so just require both
         # n-mismatch and hash-only divergence kinds to exist
         assert any(r.n_a != r.n_b for r in rows)
+
+
+class TestRound5EdgeCases:
+    def _write(self, spark, tmp_path, name, rows, schema):
+        df = spark.createDataFrame(rows, schema)
+        df.write.mode("overwrite").parquet(f"{tmp_path}/{name}.parquet")
+
+    def test_proration_single_line_and_remainders(self, spark, tmp_path):
+        """A 1-line order takes the whole total; a 3-way even split of a
+        total that doesn't divide into thirds hands the leftover cents
+        to the largest remainders — and still balances exactly."""
+        from psvm_spark import registry
+        from psvm_spark.catalog import clear_cache
+
+        registry.load_all()
+        self._write(
+            spark, tmp_path, "orders",
+            [(10, 100.00), (20, 100.01)],
+            "o_orderkey long, o_totalprice double",
+        )
+        self._write(
+            spark, tmp_path, "lineitem",
+            [(10, 1, 55.55)]
+            + [(20, i, 10.00) for i in (1, 2, 3)],
+            "l_orderkey long, l_linenumber int, l_extendedprice double",
+        )
+        clear_cache()
+        try:
+            rows = registry.QUERIES["warehouse_proration"](spark, str(tmp_path)).collect()
+        finally:
+            clear_cache()
+        by = {(r.l_orderkey, r.l_linenumber): r for r in rows}
+        assert by[(10, 1)].alloc == 100.00  # single line takes all
+        # 10001 cents over three equal lines: 3333/3334/3334 by
+        # remainder rank (all remainders tie -> lowest linenumbers win
+        # the extra cents)
+        allocs = sorted(by[(20, i)].alloc for i in (1, 2, 3))
+        assert allocs == [33.33, 33.34, 33.34]
+        assert all(r.balanced for r in rows)
+
+    def test_twap_excludes_degenerate_users(self, spark, tmp_path):
+        """Single-event users have no interval; all-same-second users
+        have zero total duration — both must be absent, not NaN."""
+        from psvm_spark import registry
+        from psvm_spark.catalog import clear_cache
+        from datetime import datetime
+
+        t0 = datetime(2024, 1, 1, 0, 0, 0)
+        t1 = datetime(2024, 1, 1, 1, 0, 0)
+        rows = [
+            (1, t0, 1, "view", 10.00, "{}"),       # single event -> out
+            (2, t0, 2, "view", 10.00, "{}"),       # same-second pair -> out
+            (3, t0, 2, "view", 20.00, "{}"),
+            (4, t0, 3, "view", 10.00, "{}"),       # real interval -> in
+            (5, t1, 3, "view", 30.00, "{}"),
+        ]
+        self._write(
+            spark, tmp_path, "events", rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        clear_cache()
+        try:
+            got = {r.user_id: r for r in registry.QUERIES["ts_time_weighted_avg"](spark, str(tmp_path)).collect()}
+        finally:
+            clear_cache()
+        assert set(got) == {3}
+        # one interval of value 10.00 held 3600s -> twap exactly 10.00
+        assert got[3].twap == 10.00 and got[3].total_dur_s == 3600
+
+    def test_winsorize_single_member_group(self, spark, tmp_path):
+        from psvm_spark import registry
+        from psvm_spark.catalog import clear_cache
+
+        self._write(
+            spark, tmp_path, "customer",
+            [(1, 0, 500.00)] + [(i, 1, float(i)) for i in range(2, 42)],
+            "c_custkey long, c_nationkey int, c_acctbal double",
+        )
+        clear_cache()
+        try:
+            got = {r.nation: r for r in registry.QUERIES["feat_winsorize"](spark, str(tmp_path)).collect()}
+        finally:
+            clear_cache()
+        solo = got[0]
+        assert solo.n == 1 and solo.p05 == solo.p95 == 500.00
+        assert solo.n_clipped_low == solo.n_clipped_high == 0
+        assert solo.winsorized_mean == 500.00
