@@ -503,3 +503,61 @@ def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_sink_first long, n_sink_after_rerun long, n_batch_rows long, "
         "no_duplicates boolean, complete boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# B183 (round 5) — state-store recovery across query restarts: the
+# OTHER half of exactly-once (B174 proved sink idempotence; this
+# proves AGGREGATION STATE survives a restart).  The events table is
+# staged as two files; run 1 processes file 1 under a checkpoint and
+# stops; run 2 starts from the SAME checkpoint, sees only file 2 as
+# new input, and must emit complete-mode counts equal to a batch
+# aggregation over BOTH halves — possible only if run 1's state was
+# recovered from the state store.  The oracle is the plain batch
+# rollup, so state recovery is differentially tested end to end.
+
+
+@query(
+    "stream_state_recovery",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+)
+def stream_state_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from psvm_spark.session import ensure_session_invariants
+
+    ensure_session_invariants(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    stage = tempfile.mkdtemp(prefix="psvm_recov_stage_")
+    ckpt = tempfile.mkdtemp(prefix="psvm_recov_ckpt_")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h1")
+    sink = f"psvm_recov_{uuid.uuid4().hex[:8]}"
+
+    def run_once():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # processes half 1, commits state, stops
+    half2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h2")
+    run_once()  # restart: new input is ONLY half 2; state must recover
+    return spark.table(sink).select("event_type", F.col("n").cast("bigint").alias("n"))

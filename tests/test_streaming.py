@@ -322,3 +322,24 @@ class TestExactlyOnceFileSink:
         row = registry.QUERIES["stream_file_sink_exactly_once"](spark, sf_dir).collect()[0]
         assert row.no_duplicates and row.complete
         assert row.n_sink_first == row.n_batch_rows
+
+
+class TestStateRecovery:
+    def test_restart_recovers_aggregation_state(self, spark, sf_dir):
+        from psvm_spark import registry
+        from psvm_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        registry.load_all()
+        got = {
+            r.event_type: r.n
+            for r in registry.QUERIES["stream_state_recovery"](spark, sf_dir).collect()
+        }
+        want = {
+            r.event_type: r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
