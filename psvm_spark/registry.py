@@ -60,8 +60,8 @@ def load_all() -> None:
         planned 50-key sample is unchanged.)
       round 5 (this order): front multimodal + warehouse + aggregates
         + analytics.  With the round-5 additions those families hold
-        4 + 21 + 28 + 44 keys, so the driver's 50-key prefix is
-        multimodal(4) + warehouse(21) + the first 25 aggregates keys
+        4 + 23 + 29 + 44 keys, so the driver's 50-key prefix is
+        multimodal(4) + warehouse(23) + the first 23 aggregates keys
         (the aggregates tail + analytics spill to round 6).
       round 6 (next, write it here when rotating): front the aggregates
         tail + analytics + graph + the llm tail, then joins/scalars
