@@ -4391,3 +4391,134 @@ def ml_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("np") * F.col("nn"))
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# B184 (round 5) — INCREMENTAL connected-components maintenance: merge a
+# new batch of near-dup edges into yesterday's components without
+# re-clustering history — the O(delta) daily shape a 100 TB dedup graph
+# needs (full CC re-runs would rescan the whole pair corpus every day).
+# Algorithm: (1) base CC over history-only pairs; (2) delta pairs = any
+# pair touching a new doc (posting join of the NEW docs' postings
+# against the full index — O(delta x index), the dedup_incremental
+# shape); (3) contract delta endpoints through base labels (an old doc
+# stands in for its whole component root) and run CC on that tiny
+# contracted graph; (4) relabel: base components whose root merged take
+# the contracted result, untouched components keep their labels.
+# Labels are component minima at every step, so the merged minimum is
+# exact.  The ORACLE is the FULL recompute (the dedup_components
+# recursive-CTE closure over all pairs), so driver parity proves
+# incremental == full — the same guarantee the incremental curation
+# pipeline carries.
+
+
+@query(
+    "dedup_components_incremental",
+    oracle=f"""
+WITH RECURSIVE post AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLE_DUCK})) AS s FROM documents
+),
+hot AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+postc AS (SELECT * FROM post WHERE s NOT IN (SELECT s FROM hot)),
+pair AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM postc a JOIN postc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_CC_MIN_SHARED}
+),
+edges AS (
+  SELECT ia AS ea, ib AS eb FROM pair
+  UNION ALL
+  SELECT ib AS ea, ia AS eb FROM pair
+),
+reach AS (
+  SELECT DISTINCT ea AS src, ea AS dst FROM edges
+  UNION
+  SELECT r.src, e.eb AS dst FROM reach r JOIN edges e ON r.dst = e.ea
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+FROM reach GROUP BY src
+""",
+)
+def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.operators.components import connected_components
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    post = df_capped_postings(
+        d.select(
+            "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s")
+        )
+    ).localCheckpoint(eager=True)
+    is_new = F.col("doc_id") % 4 == 0
+    post_old = post.filter(~is_new)
+    post_new = post.filter(is_new)
+
+    def to_pairs(j):
+        return (
+            j.groupBy(
+                F.least(F.col("pa"), F.col("pb")).alias("ia"),
+                F.greatest(F.col("pa"), F.col("pb")).alias("ib"),
+            )
+            .agg(F.count(F.lit(1)).alias("nshared"))
+            .filter(F.col("nshared") >= _CC_MIN_SHARED)
+            .select("ia", "ib")
+        )
+
+    base_pairs = to_pairs(
+        post_old.alias("a")
+        .join(post_old.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb"))
+    ).localCheckpoint(eager=True)
+    # delta: any pair with >= 1 new endpoint — new x full-index join,
+    # each unordered pair generated exactly once
+    delta_pairs = to_pairs(
+        post_new.alias("a")
+        .join(post.alias("b"), "s")
+        .filter(
+            (F.col("b.doc_id") % 4 != 0)
+            | (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .select(F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb"))
+    ).localCheckpoint(eager=True)
+
+    base_cc = connected_components(base_pairs, src="ia", dst="ib").localCheckpoint(
+        eager=True
+    )  # [v, component] over history docs
+    lbl = base_cc.select(F.col("v").alias("k"), F.col("component").alias("lbl"))
+    contracted = (
+        delta_pairs.join(lbl.withColumnRenamed("k", "ia"), "ia", "left")
+        .withColumnRenamed("lbl", "la")
+        .join(
+            lbl.withColumnRenamed("k", "ib").withColumnRenamed("lbl", "lb"),
+            "ib",
+            "left",
+        )
+        .select(
+            F.coalesce("la", "ia").alias("ca"),
+            F.coalesce("lb", "ib").alias("cb"),
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .distinct()
+    )
+    cc2 = connected_components(contracted, src="ca", dst="cb").localCheckpoint(
+        eager=True
+    )  # [v = root-or-doc, component = merged min]
+    remap = cc2.select(F.col("v").alias("old_root"), F.col("component").alias("newc"))
+    # history docs: relabel through the merged roots (untouched keep lbl)
+    relabeled_old = (
+        base_cc.join(remap, base_cc.component == remap.old_root, "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.coalesce("newc", "component").alias("component"),
+        )
+    )
+    # vertices first seen in the delta (new docs + old docs with no
+    # history pairs): take cc2's labels for ids not already covered
+    fresh = (
+        cc2.join(base_cc.select(F.col("v").alias("seen")), cc2.v == F.col("seen"), "left_anti")
+        .select(F.col("v").alias("doc_id"), "component")
+    )
+    return relabeled_old.unionByName(fresh).select(
+        "doc_id", F.col("component").cast("bigint").alias("component")
+    )
