@@ -4522,3 +4522,105 @@ def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relabeled_old.unionByName(fresh).select(
         "doc_id", F.col("component").cast("bigint").alias("component")
     )
+
+
+# --------------------------------------------------------------------------
+# B185 (round 5) — ORACLE-EXACT MinHash + LSH banding.  `dedup_minhash`
+# (B46) is rows-only because its xxhash64 signature family has no DuckDB
+# twin; this variant derives the k-th hash as the first 16 hex chars of
+# md5(k ':' shingle) — a string both engines produce byte-identically —
+# so the ENTIRE lossy pipeline (signatures -> band buckets -> candidate
+# join -> exact-Jaccard verify) is differentially tested end-to-end, the
+# same standard the PQ/rerank queries meet.  Same 16-hash / 8-band / 2-row
+# geometry as B46; hex-string min == numeric min of the 64-bit prefix
+# because md5 output is fixed-width lowercase hex.  Scale shape is
+# unchanged from B46: the banding join carries (doc_id, band, bucket)
+# only, shingle arrays join back after the distinct pair set is known.
+
+_MHX_HASHES = 16
+_MHX_BANDS = 8  # rows per band = 2
+
+
+def _mhx_oracle() -> str:
+    rows = _MHX_HASHES // _MHX_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(shingles,"
+        f" s -> substr(md5('{k}:' || s), 1, 16)), 'min') AS h{k}"
+        for k in range(_MHX_HASHES)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for b in range(_MHX_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles FROM documents
+),
+sig AS (
+  SELECT doc_id, shingles,
+         {sig_cols}
+  FROM sh
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh a ON c.id_a = a.doc_id
+  JOIN sh b ON c.id_b = b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@query("dedup_minhash_exact", oracle=_mhx_oracle())
+def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    rows = _MHX_HASHES // _MHX_BANDS
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(shingles, s -> substring(md5(concat('{k}:', s)), 1, 16))")
+        ).alias(f"h{k}")
+        for k in range(_MHX_HASHES)
+    ]
+    band_structs = ", ".join(
+        f"struct({b} AS band, md5(concat("
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ")) AS bucket)"
+        for b in range(_MHX_BANDS)
+    )
+    banded = (
+        sh.select("doc_id", *sig_cols)
+        .select("doc_id", F.expr(f"explode(array({band_structs}))").alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    cand = (
+        banded.alias("ba")
+        .join(banded.alias("bb"), ["band", "bucket"])
+        .filter(F.col("ba.doc_id") < F.col("bb.doc_id"))
+        .select(F.col("ba.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
