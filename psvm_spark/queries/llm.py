@@ -352,15 +352,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Embedding-cosine near-dedup (B46 family): all pairs with cosine >= t.
-# Norms are computed once per side before the join.  The fixture
-# embeddings are near-random (max pairwise cosine ~0.51), so t = 0.4
-# exercises a small non-empty pair set.  Scale path: random-hyperplane
-# LSH banding (sim_ann_lsh's primitive) prunes candidates before the
-# exact cosine verify; the brute-force form here is the correctness
-# baseline the pruned variant is tested against.
+# Embedding-cosine near-dedup (B46 family): all pairs with cosine >= t,
+# DELIBERATE brute force over a DETERMINISTICALLY BOUNDED sample.  Norms
+# are computed once per side before the join.  The fixture embeddings are
+# near-random (max pairwise cosine ~0.51), so t = 0.4 exercises a small
+# non-empty pair set — and at such a weak threshold random-hyperplane LSH
+# has almost no gap (P[bit match] = 1 - acos(c)/pi is 0.50 for random
+# pairs vs 0.63 at c = 0.4), so banding here would prune nothing while
+# losing recall.  This query therefore stays O(n^2) ON PURPOSE as the
+# recall ground-truth for the ANN tier (sim_ann_lsh / sim_ivf_kmeans /
+# dedup_minhash are the scale paths), and its input is capped at
+# _COS_DEDUP_CAP ids so the pair count is bounded at any data scale
+# (sf0.01's 500 rows are unaffected; a 100 TB table contributes at most
+# the same fixed sample).
 
 _COS_DEDUP_T = 0.4
+_COS_DEDUP_CAP = 4000
 
 
 @query(
@@ -370,6 +377,7 @@ WITH n AS (
   SELECT vec_id, embedding,
          sqrt({K.sql_dot('embedding', 'embedding')}) AS nrm
   FROM embeddings
+  WHERE vec_id < {_COS_DEDUP_CAP}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({K.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) AS cosine
@@ -378,7 +386,12 @@ WHERE round({K.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) >= {
 """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _COS_DEDUP_CAP
+        ),
+        spark,
+    )
     n = e.select(
         "vec_id",
         "embedding",

@@ -43,7 +43,7 @@ WHITELIST = {
     "kernel_laplacian": "(b) pair-sample kernel matrix on %-sampled rows (bounded)",
     "eval_accuracy": "(b) trained weight vector broadcast to score rows",
     "svm_model_roundtrip": "(b) reloaded weight vectors broadcast to score rows",
-    "dedup_embedding": "(b) LSH-band-blocked candidates; pair filter non-equi by nature",
+    "dedup_embedding": "(c) deliberate brute-force recall baseline on a deterministically bounded sample (vec_id < _COS_DEDUP_CAP); scale path = dedup_minhash / sim_ann_lsh",
     "dedup_ngram_jaccard": "(b) verification of blocked candidate pairs (bounded sample)",
     "subquery_exists_scalar": "(a) scalar subquery broadcast (single-row relation)",
     "subquery_q17_shape": "(a) scalar per-part avg broadcast (Q17's correlated scalar)",

@@ -44,9 +44,11 @@ Three measurement groups:
   bounded-candidates path is IVF (nprobe/k of the corpus per probe).
 - AMP_QUAD (4x): the brute-force all-pairs baseline
   (dedup_embedding), O(n^2) BY DESIGN — its scale path is
-  dedup_minhash / the LSH banding family, measured above.  Expected
-  ratio ~= factor^2; anything near-linear here would mean the query
-  is no longer the brute-force baseline it claims to be.
+  dedup_minhash / the LSH banding family, measured above.  Since
+  round 6 its input is capped at vec_id < _COS_DEDUP_CAP (4000), so
+  at sf0.1-amp4 (20k rows) the measured ratio should be ~FLAT (the
+  cap truncates amplification); on uncapped inputs the expected
+  ratio is ~factor^2.
 
 Usage: python scripts/measure_scale.py [base_sf_dir] [out_dir]
 Prints one JSON line; best-effort cleanup is skipped so reruns reuse
