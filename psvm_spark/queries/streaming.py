@@ -158,12 +158,26 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B41 — watermark + late-data semantics (rows-only: emission depends on
-# batch slicing; correctness asserted in tests/test_streaming.py with an
-# explicit two-batch late-arrival scenario).
+# B41 — watermark + late-data semantics.  Oracle-EXACT (round 6): the
+# replay is one file -> one micro-batch (stream_events pathGlobFilter
+# selects exactly events.parquet), so the watermark never advances past
+# any row before it is processed — update mode emits every window key
+# exactly once with its full count, and the memory-sink final equals the
+# batch tumbling count.  Multi-batch late-arrival DROP semantics (where
+# emission depends on slicing and no batch SQL twin exists) stay covered
+# by the explicit two-batch scenario in tests/test_streaming.py.
 
 
-@query("stream_watermark")
+@query(
+    "stream_watermark",
+    oracle="""
+SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
+       event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     agg = (
@@ -177,10 +191,23 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B42 — stateful streaming dedup within watermark.
+# B42 — stateful streaming dedup within watermark.  Oracle-EXACT
+# (round 6): which physical row survives per (user_id, event_type) key
+# is batch-order-dependent, but the KEPT-COUNT per event_type is not —
+# in the single-batch replay (see B41) the watermark drops nothing, so
+# n_kept = COUNT(DISTINCT user_id) per event_type regardless of row
+# order.  The query aggregates to exactly that slicing-independent
+# statistic; per-row survival semantics stay rows-only in the tests.
 
 
-@query("stream_dedup")
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_kept
+FROM events
+GROUP BY event_type
+""",
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     deduped = ev.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(

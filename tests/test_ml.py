@@ -294,12 +294,14 @@ class TestKMeans:
 
 class TestRidgeClosedForm:
     def test_matches_numpy_direct_solution(self, spark, sf_dir):
-        """The sufficient-statistics solve must agree with NumPy's
-        direct ridge solution computed from the raw local matrix."""
+        """The sufficient-statistics CG solve must agree with NumPy's
+        direct ridge solution computed on the same quantized design
+        (quantization to 1/_RIDGE_QSCALE is part of the operator — it is
+        what makes the sufficient statistics exactly reproducible)."""
         import numpy as np
 
         from psvm_spark.catalog import load_table
-        from psvm_spark.queries.llm import _RIDGE_LAMBDA
+        from psvm_spark.queries.llm import _RIDGE_LAMBDA, _RIDGE_QSCALE
         from psvm_spark.registry import QUERIES
 
         pdf = QUERIES["ml_ridge_closed_form"](spark, sf_dir).toPandas()
@@ -307,7 +309,11 @@ class TestRidgeClosedForm:
             pdf.sort_values("coef_idx")["coef"].tolist()
         )
         raw = load_table(spark, sf_dir, "embeddings").toPandas()
-        X = np.array(raw["embedding"].tolist(), dtype=np.float64)
+        S = float(_RIDGE_QSCALE)
+        Xq = np.floor(
+            np.array(raw["embedding"].tolist(), dtype=np.float64) * S + 0.5
+        )
+        X = Xq / S  # quantized features back in original units
         y = raw["label"].to_numpy(dtype=np.float64)
         Xa = np.hstack([X, np.ones((len(X), 1))])
         d1 = Xa.shape[1]
