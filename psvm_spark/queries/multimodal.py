@@ -125,13 +125,84 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_features")
+def _by(expr: str) -> str:
+    """DuckDB: payload byte at data-offset ``expr`` — the synthesized
+    payloads repeat the 16-byte md5(text) digest, so byte j is the hex
+    pair at position j % 16 of the digest string ``h``."""
+    return f"('0x' || substr(h, 2*(({expr})%16)+1, 2))::BIGINT"
+
+
+def _decode_features_oracle() -> str:
+    # Exactness ledger (why round-6 holds cross-engine):
+    # - integer byte/channel sums and dyadic PCM16 sums (x = s/2^15,
+    #   x*x = s^2/2^30) are EXACT in float64 on both engines, in any
+    #   summation order;
+    # - only the two std computations (image luma, video bytes) mix
+    #   rounded products with order-dependent sums — drift is ~1e-12 on
+    #   O(100) values, absorbed by round-6 on pseudo-random digest bytes.
+    b3p0, b3p1, b3p2 = _by("3*p+0"), _by("3*p+1"), _by("3*p+2")
+    samp = f"{_by('2*i')} + 256*{_by('2*i+1')}"
+    n_px = _PPM_W * _PPM_H  # 48
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS h, CAST(doc_id % 3 AS INT) AS k FROM documents),
+imgL AS (
+  SELECT doc_id AS media_id,
+         [{b3p0} FOR p IN generate_series(0, {n_px - 1})] AS c0,
+         [{b3p1} FOR p IN generate_series(0, {n_px - 1})] AS c1,
+         [{b3p2} FOR p IN generate_series(0, {n_px - 1})] AS c2,
+         [2.99e-1*{b3p0} + 5.87e-1*{b3p1} + 1.14e-1*{b3p2}
+          FOR p IN generate_series(0, {n_px - 1})] AS luma
+  FROM d WHERE k = 0),
+imgS AS (
+  SELECT media_id, luma,
+         CAST(list_sum(c0) AS DOUBLE)/{n_px}e0 AS f0,
+         CAST(list_sum(c1) AS DOUBLE)/{n_px}e0 AS f1,
+         CAST(list_sum(c2) AS DOUBLE)/{n_px}e0 AS f2,
+         list_sum(luma)/{n_px}e0 AS lm
+  FROM imgL),
+img AS (
+  SELECT media_id, 'image' AS kind, round(f0, 6) AS f0, round(f1, 6) AS f1,
+         round(f2, 6) AS f2,
+         round(sqrt(list_sum([(x - lm)*(x - lm) FOR x IN luma])/{n_px}e0), 6) AS f3
+  FROM imgS),
+audL AS (
+  SELECT doc_id AS media_id,
+         [(CASE WHEN {samp} >= 32768 THEN {samp} - 65536 ELSE {samp} END) / 32768e0
+          FOR i IN generate_series(0, {_WAV_N - 1})] AS xs
+  FROM d WHERE k = 1),
+aud AS (
+  SELECT media_id, 'audio' AS kind,
+         round(list_sum(xs)/{_WAV_N}e0, 6) AS f0,
+         round(sqrt(list_sum([x*x FOR x IN xs])/{_WAV_N}e0), 6) AS f1,
+         round(list_max([abs(x) FOR x IN xs]), 6) AS f2,
+         round({_WAV_SR}e0, 6) AS f3
+  FROM audL),
+vidL AS (
+  SELECT doc_id AS media_id,
+         [{_by('j')} FOR j IN generate_series(0, 191)] AS bs
+  FROM d WHERE k = 2),
+vidS AS (SELECT media_id, bs, CAST(list_sum(bs) AS DOUBLE)/192e0 AS m FROM vidL),
+vid AS (
+  SELECT media_id, 'video' AS kind,
+         round(m, 6) AS f0,
+         round(sqrt(list_sum([(b - m)*(b - m) FOR b IN bs])/192e0), 6) AS f1,
+         round(CAST(list_min(bs) AS DOUBLE), 6) AS f2,
+         round(CAST(list_max(bs) AS DOUBLE), 6) AS f3
+  FROM vidS)
+SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+"""
+
+
+@query("mm_decode_features", oracle=_decode_features_oracle())
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode every payload and emit modality-appropriate features:
     image -> per-channel means + luma std; audio -> sample mean/RMS/peak
     (normalized) + sample rate; video -> byte stats (no codec: the
-    stream is already raw frames).  rows-only; pixel/sample-level NumPy
-    reference check in tests/test_multimodal.py.
+    stream is already raw frames).  Oracle-EXACT (round 6): DuckDB
+    recomputes every feature from the digest hex characters alone (see
+    _decode_features_oracle) — a full differential test across the
+    binary decode boundary; pixel/sample-level NumPy reference checks
+    stay in tests/test_multimodal.py.
 
     The pure-NumPy PPM/WAV decoders are defined INSIDE the closure so
     cloudpickle ships them by value — Spark Python workers do not have
@@ -209,10 +280,25 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Frame sampling for "video" payloads: every 16-byte frame, keep each
-# k-th, fingerprint per frame (rows-only).
+# k-th, fingerprint per frame.  Oracle-EXACT (round 6): the fixture's
+# video payload is the 16-byte md5 digest repeated 12 times, so the
+# sampler must see exactly ceil(12/3) = 4 frames, all identical (one
+# distinct fingerprint), and the first frame's hex content must equal
+# md5(text) — the oracle checks the frame SLICING and the raw CONTENT
+# across the binary boundary, while per-frame digest behavior on
+# non-repeating streams stays covered in tests/test_multimodal.py.
 
 
-@query("mm_frame_sample")
+@query(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS n_frames_sampled,
+       CAST(1 AS BIGINT) AS n_distinct_frames,
+       md5(text) AS first_frame_hex
+FROM documents WHERE doc_id % 3 = 2
+""",
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_table(spark, sf_dir).filter(F.col("kind") == "video")
 
@@ -220,7 +306,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib
 
         for pdf in batches:
-            out_ids, out_frames, out_digests = [], [], []
+            out_ids, out_frames, out_digests, out_hex = [], [], [], []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(buf)
                 frames = [buf[i : i + 16] for i in range(0, len(buf), 16)]
@@ -228,14 +314,24 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out_ids.append(mid)
                     out_frames.append(fi)
                     out_digests.append(hashlib.md5(frames[fi]).hexdigest())
+                    out_hex.append(frames[fi].hex())
             yield pd.DataFrame(
-                {"media_id": out_ids, "frame_idx": out_frames, "frame_digest": out_digests}
+                {
+                    "media_id": out_ids,
+                    "frame_idx": out_frames,
+                    "frame_digest": out_digests,
+                    "frame_hex": out_hex,
+                }
             )
 
-    out = m.mapInPandas(sample_frames, "media_id long, frame_idx int, frame_digest string")
+    out = m.mapInPandas(
+        sample_frames,
+        "media_id long, frame_idx int, frame_digest string, frame_hex string",
+    )
     return out.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames_sampled"),
         F.countDistinct("frame_digest").alias("n_distinct_frames"),
+        F.min("frame_hex").alias("first_frame_hex"),
     )
 
 

@@ -220,10 +220,26 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # B43 — arbitrary stateful processing: per-user running spend tracker
 # via applyInPandasWithState (GroupState), emitting one summary row per
-# user per batch.
+# user per batch.  Oracle-EXACT (round 6): the state accumulates spend
+# in INTEGER CENTS (floor(v*100 + 0.5) per row), so the running total
+# is an exact commutative sum — independent of batch slicing AND row
+# order — and in the single-batch replay (see B41) each user emits
+# exactly one final row equal to the batch aggregate.  Storing a float
+# running total here would make the state order-dependent; cents are
+# also what a production ledger would keep.
 
 
-@query("stream_stateful")
+@query(
+    "stream_stateful",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1e2 + 5e-1) AS BIGINT)) AS DOUBLE) / 1e2
+         AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -231,15 +247,20 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Self-contained closure: executors can't import psvm_spark.
     def track(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int(
+                np.floor(pdf["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5)
+                .astype(np.int64)
+                .sum()
+            )
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
 
     out = (
@@ -248,7 +269,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandasWithState(
             track,
             outputStructType="user_id bigint, n_events bigint, total_value double",
-            stateStructType="n bigint, total double",
+            stateStructType="n bigint, cents bigint",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

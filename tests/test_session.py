@@ -40,31 +40,37 @@ class TestHostileSessionConfs:
 
 
 class TestRegistrationRotation:
-    def test_first_50_keys_are_the_planned_sample_families(self):
+    def test_first_50_keys_are_fresh_and_oracle_backed(self):
         """The driver's correctness sample is the FIRST 50 registered
-        keys; registry.load_all's import order deliberately fronts the
-        families with no prior driver evidence (rotation ledger in the
-        docstring).  Pin the invariant so an innocent import reorder or
-        a query added to an early module can't silently displace the
-        planned sample."""
+        keys; since round 6 registry.load_all reorders explicitly so
+        never-driver-sampled keys with exact oracles come first (then
+        never-sampled rows-only, then already-sampled).  Pin the
+        invariant so an innocent import reorder or a new early-module
+        query can't silently displace the planned sample."""
         from psvm_spark import registry
 
         registry.load_all()
-        first50 = list(registry.QUERIES)[:50]
-        mods = [
-            registry.QUERIES[k].__module__.rsplit(".", 1)[-1] for k in first50
-        ]
-        # round 5: multimodal + warehouse fully inside the window, the
-        # rest of the 50 from the aggregates prefix (family sizes grew
-        # past the original ledger estimate, so aggregates spills)
-        assert set(mods) == {"multimodal", "warehouse", "aggregates"}
-        for fam in ("multimodal", "warehouse"):
-            fam_all = [
-                k
-                for k, fn in registry.QUERIES.items()
-                if fn.__module__.rsplit(".", 1)[-1] == fam
-            ]
-            assert set(fam_all) <= set(first50), fam
-        # families appear as contiguous blocks in the planned order
-        order = ["multimodal", "warehouse", "aggregates"]
-        assert mods == sorted(mods, key=order.index)
+        keys = list(registry.QUERIES)
+        first50 = keys[:50]
+        # while fresh oracle-backed keys remain, every sample slot goes
+        # to one of them
+        n_fresh_oracle = sum(
+            1
+            for k in keys
+            if k not in registry._DRIVER_SAMPLED_R1_R5 and k in registry.ORACLES
+        )
+        for k in first50[: min(50, n_fresh_oracle)]:
+            assert k not in registry._DRIVER_SAMPLED_R1_R5, k
+            assert k in registry.ORACLES, k
+        # group order is total: fresh+oracle, fresh rows-only, sampled
+        rank = {
+            k: (
+                0
+                if k not in registry._DRIVER_SAMPLED_R1_R5 and k in registry.ORACLES
+                else 1
+                if k not in registry._DRIVER_SAMPLED_R1_R5
+                else 2
+            )
+            for k in keys
+        }
+        assert [rank[k] for k in keys] == sorted(rank[k] for k in keys)
