@@ -149,6 +149,18 @@ def fit_eval_linear_svc(
         )
         svc = svc.setWeightCol("w")
     model = svc.fit(tr)
+    # Drop the training summary before transform: the summary pins the
+    # SparkSession, and model.transform's prediction lambda captures the
+    # whole model — if ANY df.observe ran earlier in the session, the
+    # session's (lazily materialized, non-serializable)
+    # ObservationManager then rides into task serialization and every
+    # LinearSVC transform fails with "Task not serializable".  Scala
+    # private[spark] setSummary is public at the JVM level, so py4j can
+    # clear it; the summary is recomputable and unused here.
+    try:
+        model._java_obj.setSummary(tr.sparkSession._jvm.scala.Option.empty())
+    except Exception:  # noqa: BLE001 — best-effort: absent on API change
+        pass
     pred = model.transform(te)
     acc = pred.agg(
         F.avg((F.col("prediction") == F.col(label_col)).cast("double")).alias("acc")

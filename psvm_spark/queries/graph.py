@@ -174,13 +174,50 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # B73 — PageRank, 5 fixed iterations, damping 0.85, uniform init 1/n
 # over the undirected edge set (each edge contributes both directions,
-# so every vertex has out-degree >= 1: no dangling mass).  rows-only by
-# design (double accumulation order differs across engines in the last
-# ulps); tests/test_properties.py checks mass conservation and parity
-# vs a NumPy power-iteration reference at sf0.001.
+# so every vertex has out-degree >= 1: no dangling mass).
+# Oracle-EXACT (round 6): the iteration runs in FIXED-POINT integer
+# arithmetic — ranks carry mass scaled by 10^15, per-edge contribution
+# is rank DIV outdeg, damping is (17 * inflow) DIV 20 + (3 * SCALE)
+# DIV (20 * n) — so every step is exact, commutative integer math that
+# any engine reproduces bit-for-bit in any accumulation order (the
+# float formulation was rows-only precisely because double sums differ
+# across engines in the last ulps; deterministic fixed-point is also
+# how production rank systems get reproducible incremental runs).
+# Truncation loses < n*5 units of 10^-15 mass per iteration — invisible
+# at the round-9 output grid.  tests/test_properties.py checks mass
+# conservation and parity vs a NumPy power-iteration reference.
+
+_PR_SCALE = 10**15
+_PR_ITERS = 5
 
 
-@query("graph_pagerank")
+def _pagerank_oracle() -> str:
+    s = _PR_SCALE
+    return f"""
+WITH RECURSIVE edges AS ({_EDGES_DUCK}),
+oe AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM oe GROUP BY src),
+nv AS (SELECT COUNT(*) AS n FROM deg),
+it AS (
+  SELECT 0 AS step, src, CAST({s} // (SELECT n FROM nv) AS BIGINT) AS rank
+  FROM deg
+  UNION ALL
+  SELECT r.step + 1, o.dst AS src,
+         CAST((3 * {s}) // (20 * (SELECT n FROM nv))
+              + (17 * SUM(r.rank // d.outdeg)) // 20 AS BIGINT) AS rank
+  FROM it r
+  JOIN deg d ON d.src = r.src
+  JOIN oe o ON o.src = r.src
+  WHERE r.step < {_PR_ITERS}
+  GROUP BY r.step + 1, o.dst
+)
+SELECT src, round(CAST(rank AS DOUBLE) / 1e15, 9) AS rank
+FROM (SELECT src, rank FROM it WHERE step = {_PR_ITERS}
+      ORDER BY rank DESC, src LIMIT 20)
+"""
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edge_set(spark, sf_dir, materialize=True)
     out = (
@@ -190,8 +227,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = out.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     links = out.join(deg, "src").localCheckpoint(eager=True)
     n = deg.count()
-    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
-    for _ in range(5):
+    base = (3 * _PR_SCALE) // (20 * n)
+    ranks = deg.select("src", F.lit(_PR_SCALE // n).cast("bigint").alias("rank"))
+    for _ in range(_PR_ITERS):
         # Plain shuffle join on src: ranks is O(V) — one row per vertex —
         # so broadcasting it each iteration would ship the whole rank
         # vector to every executor (a driver/executor-memory killer at
@@ -202,7 +240,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             links.join(ranks, "src")
             .select(
                 F.col("dst").alias("src"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                F.expr("rank div outdeg").alias("c"),
             )
             .groupBy("src")
             .agg(F.sum("c").alias("inflow"))
@@ -212,14 +250,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # total, but the spine keeps the loop shape fully general.
         ranks = deg.select("src").join(contrib, "src", "left").select(
             "src",
-            (F.lit(0.15 / n) + 0.85 * F.coalesce("inflow", F.lit(0.0))).alias(
-                "rank"
-            ),
+            F.expr(f"{base}L + (17 * coalesce(inflow, 0L)) div 20")
+            .cast("bigint")
+            .alias("rank"),
         ).localCheckpoint(eager=True)
     return (
         ranks.orderBy(F.desc("rank"), "src")
         .limit(20)
-        .select("src", F.round("rank", 9).alias("rank"))
+        .select("src", F.round(F.col("rank") / F.lit(1e15), 9).alias("rank"))
     )
 
 

@@ -4374,7 +4374,12 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    # materialize the shingle arrays once: they feed the df rollup, the
+    # prefix ranking, AND both sides of the verify join — without the
+    # checkpoint Catalyst re-runs the regex shingling three times
+    sh = d.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles")
+    ).localCheckpoint(eager=True)
     post = sh.select("doc_id", F.explode("shingles").alias("s"))
     df_tok = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id")
