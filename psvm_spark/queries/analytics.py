@@ -2695,3 +2695,73 @@ def seq_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_purchases") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# B187 (round 6) — Holt linear (double-exponential) smoothing per user
+# series: level + trend state folded over the time-ordered values, the
+# forecasting baseline every monitoring stack runs.  The recurrence is
+# inherently sequential PER SERIES, so the distributed shape is one
+# executor-side fold per series key (aggregate() over the sorted value
+# array after a single shuffle on user_id) — millions of small series
+# run in parallel, none ever crosses an executor boundary.  Exactness:
+# alpha = 0.5, beta = 0.25 are exact binary fractions, the fold order
+# is pinned by (ts, event_id), and every float op in the recurrence is
+# mirrored literally in the oracle's recursive CTE — identical op
+# sequence on identical doubles, so round-9 parity is bitwise.  (The
+# oracle deliberately avoids DuckDB's list_reduce: multi-field struct
+# lambdas mis-evaluate fields referenced more than once there.)
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+WITH RECURSIVE s AS (
+  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id),
+it AS (
+  SELECT user_id, 1 AS i, xs[1] AS l, 0e0 AS t, n, xs FROM s
+  UNION ALL
+  SELECT user_id, i + 1,
+         5e-1 * xs[i+1] + 5e-1 * (l + t),
+         2.5e-1 * ((5e-1 * xs[i+1] + 5e-1 * (l + t)) - l) + 7.5e-1 * t,
+         n, xs
+  FROM it WHERE i < n
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(l, 9) AS level, round(t, 9) AS trend,
+       round(l + t, 9) AS forecast1
+FROM it WHERE i = n
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            " e -> cast(e.value as double))"
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    hw = F.expr(
+        """
+        aggregate(
+          xs,
+          named_struct('l', cast(0 as double), 't', cast(0 as double), 'n', 0),
+          (acc, x) -> IF(acc.n = 0,
+            named_struct('l', x, 't', cast(0 as double), 'n', 1),
+            named_struct(
+              'l', 0.5D * x + 0.5D * (acc.l + acc.t),
+              't', 0.25D * ((0.5D * x + 0.5D * (acc.l + acc.t)) - acc.l)
+                   + 0.75D * acc.t,
+              'n', acc.n + 1)))
+        """
+    )
+    return series.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(hw["l"], 9).alias("level"),
+        F.round(hw["t"], 9).alias("trend"),
+        F.round(hw["l"] + hw["t"], 9).alias("forecast1"),
+    )

@@ -769,3 +769,60 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.coalesce(F.col("ck").cast("string"), F.lit("NULL")).alias("key_group")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# B188 (round 6) — as-of join with a staleness tolerance: the
+# market-data pattern ("latest quote, but never older than 30 min").
+# Identity that keeps it one shuffle: the latest match within tolerance
+# IS the unbounded as-of match when that match is fresh enough, else
+# NULL — any older right row is strictly staler — so the tolerance is a
+# post-join null-out on the existing union + running-last window, with
+# zero extra joins or shuffles.  The oracle's correlated subquery
+# bounds the window directly; parity proves the identity.
+
+_ASOF_TOL = "30 minutes"
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       p.ts AS purchase_ts,
+       (SELECT max(v.ts) FROM events v
+         WHERE v.user_id = p.user_id AND v.event_type = 'view'
+           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE)
+       AS last_fresh_view_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    matched = asof_join(
+        purchases,
+        views,
+        left_keys=["user_id"],
+        right_keys=["v_user"],
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        value_col="view_ts",
+        out_col="last_view_ts",
+    )
+    fresh = F.col("last_view_ts") >= F.col("purchase_ts") - F.expr(
+        f"INTERVAL {_ASOF_TOL}"
+    )
+    return matched.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(fresh, F.col("last_view_ts")).alias("last_fresh_view_ts"),
+    )

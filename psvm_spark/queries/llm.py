@@ -4832,3 +4832,145 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_expr=lambda k: f"substring(md5(concat('{k}:', s)), 1, 16)",
         bucket_expr=lambda cols: "md5(concat(" + ", ".join(cols) + "))",
     )
+
+
+# --------------------------------------------------------------------------
+# B186 (round 6) — BPE merge learning: the first K merge steps of
+# byte-pair-encoding tokenizer TRAINING, run where it belongs at corpus
+# scale — on the distinct-word frequency table, which is orders of
+# magnitude smaller than the token stream (classic Sennrich et al.
+# formulation).  Each step: count adjacent symbol pairs weighted by
+# word frequency (one explode + map-side-combined shuffle over the word
+# dim), pick the global argmax with a deterministic (count DESC, left,
+# right) tie-break (a 1-row bounded driver reduction), and apply the
+# merge.  The merge uses a DELIMITED-STRING representation — symbols
+# joined by chr(31) with sentinels at both ends — so "merge left-to-
+# right non-overlapping" is exactly one replace('<US>a<US>b<US>',
+# '<US>ab<US>') call, a primitive Spark, DuckDB, and Python all
+# implement with identical greedy semantics ("aaa" + (a,a) -> [aa, a]).
+# The ORACLE replays all K steps in a recursive CTE (per-level argmax
+# via a window over the exploded pair occurrences), so driver parity
+# proves the full iterative training loop — pair counting, tie-breaks,
+# greedy merge — end to end.
+
+_BPE_STEPS = 6
+_BPE_SEP = "\x1f"  # US control char: never appears in fixture text
+
+
+def _bpe_oracle() -> str:
+    s = _BPE_SEP
+    k = _BPE_STEPS
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+it AS (
+  SELECT 0 AS step, w, cnt,
+         '{s}' || array_to_string(
+           list_transform(range(1, len(w)+1), i -> substr(w, i, 1)), '{s}')
+         || '{s}' AS ds,
+         CAST(NULL AS VARCHAR) AS ba, CAST(NULL AS VARCHAR) AS bb,
+         CAST(NULL AS BIGINT) AS bc
+  FROM words
+  UNION ALL
+  SELECT step + 1, w, any_value(cnt),
+         replace(any_value(ds),
+                 '{s}' || any_value(pa2) || '{s}' || any_value(pb2) || '{s}',
+                 '{s}' || any_value(pa2) || any_value(pb2) || '{s}'),
+         any_value(pa2), any_value(pb2), any_value(pc2)
+  FROM (
+    SELECT step, w, cnt, ds,
+           first_value(pa) OVER win AS pa2,
+           first_value(pb) OVER win AS pb2,
+           first_value(pcnt) OVER win AS pc2
+    FROM (
+      SELECT e.step, e.w, e.cnt, e.ds, e.pa, e.pb,
+             CASE WHEN e.pa IS NULL THEN NULL
+                  ELSE SUM(e.cnt) OVER (PARTITION BY e.pa, e.pb) END AS pcnt
+      FROM (
+        SELECT l.step, l.w, l.cnt, l.ds, u.pr['a'] AS pa, u.pr['b'] AS pb
+        FROM (
+          SELECT step, w, cnt, ds,
+                 CASE WHEN len(tk) < 2 THEN [{{'a': CAST(NULL AS VARCHAR), 'b': CAST(NULL AS VARCHAR)}}]
+                      ELSE [{{'a': tk[i], 'b': tk[i+1]}} FOR i IN generate_series(1, len(tk)-1)]
+                 END AS prs
+          FROM (
+            SELECT step, w, cnt, ds,
+                   list_filter(string_split(ds, '{s}'), x -> x <> '') AS tk
+            FROM it WHERE step < {k})
+        ) l, UNNEST(l.prs) AS u(pr)
+      ) e
+    ) f
+    WINDOW win AS (ORDER BY pcnt DESC NULLS LAST, pa, pb)
+  ) g
+  GROUP BY step, w
+)
+SELECT CAST(step - 1 AS INT) AS step,
+       any_value(ba) AS merge_left,
+       any_value(bb) AS merge_right,
+       any_value(bc) AS pair_count
+FROM it WHERE step >= 1
+GROUP BY step
+"""
+
+
+@query("vocab_bpe_merges", oracle=_bpe_oracle())
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sep = _BPE_SEP
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.concat(
+                F.lit(sep),
+                F.array_join(
+                    F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+                    sep,
+                ),
+                F.lit(sep),
+            ).alias("ds"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for step in range(_BPE_STEPS):
+        pairs = (
+            words.select(
+                "cnt", F.expr(f"filter(split(ds, '{sep}'), x -> x <> '')").alias("tk")
+            )
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(tk, 1, size(tk) - 1), "
+                        "slice(tk, 2, size(tk) - 1), (a, b) -> struct(a, b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pcnt"))
+        )
+        top = pairs.orderBy(F.desc("pcnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        ta, tb, tc = top[0].a, top[0].b, int(top[0].pcnt)
+        merges.append((step, ta, tb, tc))
+        words = words.select(
+            "w",
+            "cnt",
+            F.replace(
+                F.col("ds"),
+                F.lit(sep + ta + sep + tb + sep),
+                F.lit(sep + ta + tb + sep),
+            ).alias("ds"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, merge_left string, merge_right string, pair_count long"
+    )

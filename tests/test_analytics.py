@@ -1,0 +1,38 @@
+"""Round-6 analytics additions: Holt linear smoothing."""
+
+from psvm_spark import registry
+
+registry.load_all()
+
+
+class TestHoltLinear:
+    def test_matches_python_reference_fold(self, spark, sf_dir):
+        """Level/trend must equal a plain Python Holt fold over the same
+        (ts, event_id)-ordered series (alpha=0.5, beta=0.25)."""
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        out = {
+            r.user_id: r
+            for r in QUERIES["ts_holt_linear"](spark, sf_dir).collect()
+        }
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "ts", "event_id", "value")
+            .collect()
+        )
+        series = {}
+        for r in ev:
+            series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+        for uid, rows in series.items():
+            vals = [float(v) for _, _, v in sorted(rows)]
+            l, t = vals[0], 0.0
+            for x in vals[1:]:
+                nl = 0.5 * x + 0.5 * (l + t)
+                t = 0.25 * (nl - l) + 0.75 * t
+                l = nl
+            got = out[uid]
+            assert got.n_events == len(vals)
+            assert abs(got.level - round(l, 9)) < 1e-12, uid
+            assert abs(got.trend - round(t, 9)) < 1e-12, uid
+            assert abs(got.forecast1 - round(l + t, 9)) < 1e-12, uid

@@ -495,3 +495,47 @@ class TestShingleDfCap:
             [(1, "a"), (2, "a"), (3, "b")], "doc_id long, s string"
         )
         assert df_capped_postings(post, cap=2).count() == 3
+
+
+class TestBpeMerges:
+    def test_merge_table_shape_and_monotonicity(self, spark, sf_dir):
+        """K merge steps, each with a non-empty pair; max pair count is
+        non-increasing (a merged pair's successors can never out-count
+        the pair they were built from), and the sequence is
+        deterministic for a fixed corpus."""
+        from psvm_spark.queries.llm import _BPE_STEPS
+        from psvm_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["vocab_bpe_merges"](spark, sf_dir).collect(),
+            key=lambda r: r.step,
+        )
+        assert [r.step for r in rows] == list(range(_BPE_STEPS))
+        assert all(r.merge_left and r.merge_right for r in rows)
+        counts = [r.pair_count for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        rows2 = sorted(
+            QUERIES["vocab_bpe_merges"](spark, sf_dir).collect(),
+            key=lambda r: r.step,
+        )
+        assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+    def test_greedy_merge_is_left_to_right_non_overlapping(self, spark):
+        """The delimiter-string replace implements BPE's greedy scan:
+        'aaa' + merge (a,a) -> [aa, a], not [a, aa] or [aa, aa]."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.queries.llm import _BPE_SEP as S
+
+        out = (
+            spark.range(1)
+            .select(F.lit(f"{S}a{S}a{S}a{S}").alias("ds"))
+            .select(
+                F.replace(
+                    F.col("ds"), F.lit(f"{S}a{S}a{S}"), F.lit(f"{S}aa{S}")
+                ).alias("m")
+            )
+            .collect()[0]
+            .m
+        )
+        assert out == f"{S}aa{S}a{S}"
