@@ -1330,12 +1330,40 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch ts_cusum_drift (the decimal(12,2) cents are the same numbers),
 # which the test suite asserts stream-vs-batch.  Events are folded in
 # (ts, event_id) order within each micro-batch; state carries across
-# batches.  Registered rows-only (streaming).  Lives here rather than
-# queries/streaming.py because that module registers inside the pinned
-# first-50 driver-sample window.
+# batches.  Oracle-EXACT (round 6): the state is integer cents folded
+# in a total (ts, event_id) order, so in the one-file -> one-batch
+# replay (see queries/streaming.py B41) the update-mode final is the
+# exact batch computation — prefix sum, seeded running min, peak, and
+# strict alarm count all reproduce as layered window functions.  Lives
+# here rather than queries/streaming.py because that module registers
+# inside the pinned first-50 driver-sample window.
 
 
-@query("stream_cusum")
+@query(
+    "stream_cusum",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1e2) AS BIGINT) - 500 AS d
+  FROM events),
+p1 AS (
+  SELECT user_id, ts, event_id,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS pre
+  FROM c),
+p2 AS (
+  SELECT user_id, pre,
+         LEAST(0, MIN(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)) AS m
+  FROM p1)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(MAX(pre - m) AS DOUBLE) / 1e2 AS peak_cusum,
+       CAST(SUM(CASE WHEN pre - m > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms
+FROM p2 GROUP BY user_id
+""",
+)
 def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -391,3 +391,95 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
         frontier = nxt
     return settled.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# B190 (round 6) — k-core decomposition (k = 3): iteratively peel
+# vertices with fewer than k neighbors until a fixpoint — the standard
+# graph-cleanup pass before community/centrality work.  Integer degree
+# counts make every round exact, so the whole iterative algorithm has
+# an exact oracle: a recursive CTE carrying the alive-vertex LIST as
+# single-row state through _KCORE_ROUNDS fixed rounds (peeling is a
+# monotone contraction, so extra rounds past the fixpoint are the
+# identity and a fixed bound on both engines yields the same state;
+# the Spark loop early-exits at the fixpoint, which by the same
+# argument cannot change the result).  Spark shape per round: filter
+# edges to alive endpoints (two semi joins), one degree aggregation —
+# edge-linear, localCheckpoint keeps lineage flat.
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 20
+
+
+def _kcore_oracle() -> str:
+    return f"""
+WITH RECURSIVE edges AS ({_EDGES_DUCK}),
+verts AS (
+  SELECT list(DISTINCT v ORDER BY v) AS alive FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+),
+it AS (
+  SELECT 0 AS step, alive FROM verts
+  UNION ALL
+  SELECT step + 1, (
+    SELECT COALESCE(list(v ORDER BY v), CAST([] AS BIGINT[])) FROM (
+      SELECT u AS v FROM (
+        SELECT e.a AS u FROM edges e
+        WHERE list_contains(i.alive, e.a) AND list_contains(i.alive, e.b)
+        UNION ALL
+        SELECT e.b AS u FROM edges e
+        WHERE list_contains(i.alive, e.a) AND list_contains(i.alive, e.b)
+      ) GROUP BY u HAVING COUNT(*) >= {_KCORE_K}))
+  FROM it i WHERE step < {_KCORE_ROUNDS}
+),
+fin AS (SELECT alive FROM it WHERE step = {_KCORE_ROUNDS})
+SELECT u AS vertex, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT e.a AS u FROM edges e, fin
+  WHERE list_contains(fin.alive, e.a) AND list_contains(fin.alive, e.b)
+  UNION ALL
+  SELECT e.b AS u FROM edges e, fin
+  WHERE list_contains(fin.alive, e.a) AND list_contains(fin.alive, e.b)
+) GROUP BY u
+"""
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    alive = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    for _ in range(_KCORE_ROUNDS):
+        kept = (
+            e.join(alive.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("v", "b"), "b", "left_semi")
+        )
+        deg = (
+            kept.select(F.col("a").alias("v"))
+            .unionAll(kept.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        n2 = alive.count()
+        if n2 == n_alive:  # fixpoint: further rounds are the identity
+            break
+        n_alive = n2
+    core_edges = (
+        e.join(alive.withColumnRenamed("v", "a"), "a", "left_semi")
+        .join(alive.withColumnRenamed("v", "b"), "b", "left_semi")
+    )
+    return (
+        core_edges.select(F.col("a").alias("vertex"))
+        .unionAll(core_edges.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )

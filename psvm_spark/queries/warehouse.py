@@ -1421,3 +1421,90 @@ def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("actual").cast("bigint").alias("actual_rows"),
         F.round(F.col("est") / F.col("actual"), 6).alias("est_over_actual"),
     )
+
+
+# --------------------------------------------------------------------------
+# B189 (round 6) — referential-integrity audit: orphan counts for every
+# declared FK edge of the star schema, the preflight every warehouse
+# load runs before publishing.  Each edge is one left-anti join against
+# the (broadcastable) parent key set — at 100 TB the fact-side scan
+# reads only the FK column (columnar pruning), the parent key set is
+# dimension-sized, and no edge ever shuffles the fact table: anti join
+# with a broadcast build side is a map-side filter.
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+SELECT 'orders.o_custkey->customer' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders ok ON l.l_orderkey = ok.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(
+        label: str,
+        child: DataFrame,
+        fk: str,
+        parent: DataFrame,
+        pk: str,
+        broadcast_parent: bool = True,
+    ):
+        # broadcast only true dimensions; a fact-sized parent key set
+        # (orders, for the lineitem edge) goes through a shuffle join —
+        # broadcasting it would ship the whole fact to every executor
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        if broadcast_parent:
+            keys = F.broadcast(keys)
+        joined = child.select(F.col(fk).alias("__fk")).join(
+            keys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        return joined.agg(
+            F.lit(label).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("__pk").isNull().cast("bigint")).cast("bigint").alias(
+                "n_orphans"
+            ),
+        ).select("fk_edge", "n_rows", "n_orphans")
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        edge("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey")
+        .unionByName(
+            edge(
+                "lineitem.l_orderkey->orders",
+                lineitem,
+                "l_orderkey",
+                orders,
+                "o_orderkey",
+                broadcast_parent=False,
+            )
+        )
+        .unionByName(
+            edge("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey")
+        )
+        .unionByName(
+            edge("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey")
+        )
+    )

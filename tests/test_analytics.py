@@ -36,3 +36,25 @@ class TestHoltLinear:
             assert abs(got.level - round(l, 9)) < 1e-12, uid
             assert abs(got.trend - round(t, 9)) < 1e-12, uid
             assert abs(got.forecast1 - round(l + t, 9)) < 1e-12, uid
+
+
+class TestKCore:
+    def test_core_property_holds(self, spark, sf_dir):
+        """Every vertex reported in the 3-core has core-internal degree
+        >= 3, and the core is a fixpoint: recomputing degrees over the
+        reported vertex set changes nothing."""
+        from psvm_spark.queries.graph import _KCORE_K, edge_set
+
+        rows = registry.QUERIES["graph_kcore"](spark, sf_dir).collect()
+        core = {r.vertex: r.core_degree for r in rows}
+        assert all(d >= _KCORE_K for d in core.values())
+        edges = [
+            (r.a, r.b)
+            for r in edge_set(spark, sf_dir).collect()
+            if r.a in core and r.b in core
+        ]
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        assert deg == core
