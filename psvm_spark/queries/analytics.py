@@ -2793,3 +2793,62 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hw["t"], 9).alias("trend"),
         F.round(hw["l"] + hw["t"], 9).alias("forecast1"),
     )
+
+
+# --------------------------------------------------------------------------
+# B192 (round 6) — DAU/MAU stickiness: the engagement ratio on every
+# product dashboard.  Per calendar month: MAU = distinct users, avg DAU
+# = mean of the per-day distinct-user counts (over days that have
+# data), stickiness = avg DAU / MAU.  Two skinny distinct shuffles on
+# (day, user) / (month, user); every intermediate is an exact integer,
+# so the one final division is bitwise cross-engine.
+
+
+@query(
+    "metric_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(date_trunc('month', ts) AS DATE) AS m
+  FROM events),
+dau AS (SELECT m, d, COUNT(*) AS dau FROM ud GROUP BY m, d),
+mau AS (SELECT m, COUNT(DISTINCT user_id) AS mau FROM ud GROUP BY m)
+SELECT CAST(dau.m AS TIMESTAMP) AS month,
+       CAST(SUM(dau.dau) AS BIGINT) AS user_days,
+       CAST(COUNT(*) AS BIGINT) AS n_active_days,
+       CAST(ANY_VALUE(mau.mau) AS BIGINT) AS mau,
+       round((CAST(SUM(dau.dau) AS DOUBLE) / COUNT(*)) / ANY_VALUE(mau.mau), 9)
+         AS stickiness
+FROM dau JOIN mau ON dau.m = mau.m
+GROUP BY dau.m
+""",
+)
+def metric_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+    ).distinct()
+    dau = ud.groupBy("m", "d").agg(F.count(F.lit(1)).alias("dau"))
+    mau = ud.groupBy("m").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "m")
+        .groupBy("m")
+        .agg(
+            F.sum("dau").cast("bigint").alias("user_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+            F.first("mau").cast("bigint").alias("mau"),
+            F.round(
+                (F.sum("dau").cast("double") / F.count(F.lit(1))) / F.first("mau"), 9
+            ).alias("stickiness"),
+        )
+        .select(
+            F.col("m").alias("month"),
+            "user_days",
+            "n_active_days",
+            "mau",
+            "stickiness",
+        )
+    )

@@ -483,3 +483,75 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
+
+
+# --------------------------------------------------------------------------
+# B191 (round 6) — deterministic random-walk corpus generation: the
+# node2vec/DeepWalk preprocessing step that turns a graph into walk
+# "sentences" for embedding training.  One walk of _WALK_LEN hops per
+# seed vertex; the next hop is the salted-md5 pick over the SORTED
+# neighbor list (the repo's standard RNG-free randomness), so the whole
+# corpus is reproducible and exactly oracle-able via a recursive CTE.
+# Distributed shape: adjacency lists are built once (one groupBy
+# shuffle) and checkpointed; each hop shuffle-joins the walk frontier
+# to its current vertex's adjacency row — walk state is O(walks), never
+# materializing more than the frontier, the standard BSP walk pattern.
+
+_WALK_LEN = 4
+_WALK_SEED_MOD = 50
+
+
+def _walks_oracle() -> str:
+    return f"""
+WITH RECURSIVE edges AS ({_EDGES_DUCK}),
+sym AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+adj AS (SELECT u, list(v ORDER BY v) AS nb FROM sym GROUP BY u),
+walk AS (
+  SELECT u AS seed, 0 AS step, u AS vertex FROM adj WHERE u % {_WALK_SEED_MOD} = 0
+  UNION ALL
+  SELECT w.seed, w.step + 1,
+         a.nb[CAST(('0x' || substr(md5(w.seed || ':' || w.step || ':' || w.vertex), 1, 8))::BIGINT
+                   % len(a.nb) AS INT) + 1]
+  FROM walk w JOIN adj a ON a.u = w.vertex
+  WHERE w.step < {_WALK_LEN}
+)
+SELECT seed, CAST(step AS INT) AS step, vertex FROM walk
+"""
+
+
+@query("graph_random_walks", oracle=_walks_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    adj = (
+        sym.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nb"))
+        .localCheckpoint(eager=True)
+    )
+    pick = (
+        "element_at(nb, cast(pmod(cast(conv(substring(md5("
+        "concat(seed, ':', step, ':', vertex)), 1, 8), 16, 10) as bigint),"
+        " size(nb)) as int) + 1)"
+    )
+    frontier = adj.filter(F.col("u") % _WALK_SEED_MOD == 0).select(
+        F.col("u").alias("seed"), F.lit(0).alias("step"), F.col("u").alias("vertex")
+    )
+    levels = [frontier]
+    for _ in range(_WALK_LEN):
+        frontier = (
+            frontier.join(adj, adj.u == frontier.vertex)
+            .select("seed", "step", "vertex", "nb")
+            .select(
+                "seed",
+                (F.col("step") + 1).alias("step"),
+                F.expr(pick).alias("vertex"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("seed", F.col("step").cast("int").alias("step"), "vertex")

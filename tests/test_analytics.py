@@ -58,3 +58,28 @@ class TestKCore:
             deg[a] = deg.get(a, 0) + 1
             deg[b] = deg.get(b, 0) + 1
         assert deg == core
+
+
+class TestRandomWalks:
+    def test_walks_are_valid_paths(self, spark, sf_dir):
+        """Every consecutive (step i -> i+1) pair in a walk must be an
+        actual edge, every seed produces a full-length walk, and the
+        corpus is deterministic across invocations."""
+        from psvm_spark.queries.graph import _WALK_LEN, edge_set
+
+        rows = registry.QUERIES["graph_random_walks"](spark, sf_dir).collect()
+        edges = set()
+        for r in edge_set(spark, sf_dir).collect():
+            edges.add((r.a, r.b))
+            edges.add((r.b, r.a))
+        walks = {}
+        for r in rows:
+            walks.setdefault(r.seed, {})[r.step] = r.vertex
+        assert walks, "no walks produced"
+        for seed, path in walks.items():
+            assert sorted(path) == list(range(_WALK_LEN + 1)), seed
+            assert path[0] == seed
+            for i in range(_WALK_LEN):
+                assert (path[i], path[i + 1]) in edges, (seed, i)
+        rows2 = registry.QUERIES["graph_random_walks"](spark, sf_dir).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
