@@ -4713,9 +4713,9 @@ def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    base_cc = spark.read.parquet(cache).localCheckpoint(
-        eager=True
-    )  # [v, component] over history docs
+    # [v, component] over history docs — parquet re-scans are cheaper
+    # than an extra materialization job for this dimension-sized table
+    base_cc = spark.read.parquet(cache)
     lbl = base_cc.select(F.col("v").alias("k"), F.col("component").alias("lbl"))
     contracted = (
         delta_pairs.join(lbl.withColumnRenamed("k", "ia"), "ia", "left")
@@ -4731,11 +4731,18 @@ def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ca") != F.col("cb"))
         .distinct()
+        # materialize before the CC operator's symmetric union references
+        # it twice — otherwise the two label joins above run twice
+        .localCheckpoint(eager=True)
     )
     cc2 = connected_components(contracted, src="ca", dst="cb").localCheckpoint(
         eager=True
     )  # [v = root-or-doc, component = merged min]
-    remap = cc2.select(F.col("v").alias("old_root"), F.col("component").alias("newc"))
+    # the merged-root remap is delta-sized by construction — broadcast it
+    # so relabeling history never shuffles the big label table
+    remap = F.broadcast(
+        cc2.select(F.col("v").alias("old_root"), F.col("component").alias("newc"))
+    )
     # history docs: relabel through the merged roots (untouched keep lbl)
     relabeled_old = (
         base_cc.join(remap, base_cc.component == remap.old_root, "left")

@@ -468,3 +468,82 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_img = h.agg(F.count(F.lit(1)).cast("bigint").alias("n_images"))
     return n_img.crossJoin(pair_stats)
+
+
+# --------------------------------------------------------------------------
+# B193 (round 6) — image RESIZE as Arrow-batched NumPy 2x2 average
+# pooling (8x6 -> 4x3 RGB): the downscale step of a thumbnail/feature
+# pipeline, on REAL decoded pixels.  Each output channel value is the
+# mean of a 2x2 uint8 block — an integer sum divided by 4, exact in
+# float64 — so DuckDB reproduces every output pixel from the digest hex
+# characters alone and the whole decode -> pool -> flatten path is
+# hash-checked.  At scale this runs where the decode runs: mapInPandas
+# over the payload column, output is 36 doubles/row regardless of
+# source resolution.
+
+
+def _resize_oracle() -> str:
+    # resized pixel (r, c, ch) = mean of source block rows 2r..2r+1,
+    # cols 2c..2c+1; source byte index (y*W + x)*3 + ch cycles the
+    # 16-byte digest.
+    w = _PPM_W
+    terms = []
+    for r in range(_PPM_H // 2):
+        for c in range(_PPM_W // 2):
+            for ch in range(3):
+                idx = [
+                    ((y * w + x) * 3 + ch) % 16
+                    for y in (2 * r, 2 * r + 1)
+                    for x in (2 * c, 2 * c + 1)
+                ]
+                s = " + ".join(
+                    f"('0x' || substr(h, {2 * i + 1}, 2))::BIGINT" for i in idx
+                )
+                terms.append(f"({s}) / 4e0")
+    px_list = ",\n    ".join(terms)
+    return f"""
+SELECT doc_id AS media_id,
+       [{px_list}] AS px
+FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+"""
+
+
+@query("mm_resize_avgpool", oracle=_resize_oracle())
+def mm_resize_avgpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    )
+
+    def pool(batches):
+        def decode_ppm(buf: bytes):
+            if buf[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            parts, idx = [], 2
+            while len(parts) < 3:
+                while buf[idx] in b" \t\r\n":
+                    idx += 1
+                start = idx
+                while buf[idx] not in b" \t\r\n":
+                    idx += 1
+                parts.append(int(buf[start:idx]))
+            idx += 1
+            w, h, maxval = parts
+            if maxval != 255:
+                raise ValueError("only maxval=255 supported")
+            px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=idx)
+            return px.reshape(h, w, 3)
+
+        for pdf in batches:
+            ids, pxs = [], []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    px = decode_ppm(bytes(buf)).astype(np.float64)
+                except (ValueError, IndexError):
+                    continue  # skip-and-count convention (see mm_phash_dedup)
+                h, w, _ = px.shape
+                pooled = px.reshape(h // 2, 2, w // 2, 2, 3).sum(axis=(1, 3)) / 4.0
+                ids.append(int(mid))
+                pxs.append([float(v) for v in pooled.ravel()])
+            yield pd.DataFrame({"media_id": ids, "px": pxs})
+
+    return m.mapInPandas(pool, "media_id long, px array<double>")

@@ -101,3 +101,35 @@ class TestUdfSurface:
             F.sum("n").alias("s"), F.count(F.lit(1)).alias("c")
         ).collect()[0]
         assert row.n_docs == exp.c and row.total_tokens == exp.s
+
+
+class TestResizeAvgPool:
+    def test_pooling_matches_reference(self, spark, sf_dir):
+        """Pooled pixels must equal an independent Python mean over the
+        decoded 2x2 blocks, with the right output shape."""
+        import hashlib
+
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        out = {
+            r.media_id: r.px
+            for r in QUERIES["mm_resize_avgpool"](spark, sf_dir).collect()
+        }
+        docs = {
+            r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents")
+            .filter("doc_id % 3 = 0")
+            .select("doc_id", "text")
+            .collect()
+        }
+        assert set(out) == set(docs)
+        for did, text in list(docs.items())[:25]:
+            digest = hashlib.md5(text.encode()).digest()
+            raw = (digest * 9)[: 8 * 6 * 3]
+            px = np.frombuffer(raw, dtype=np.uint8).reshape(6, 8, 3).astype(float)
+            ref = px.reshape(3, 2, 4, 2, 3).sum(axis=(1, 3)) / 4.0
+            got = np.array(out[did]).reshape(3, 4, 3)
+            assert np.array_equal(got, ref), did
