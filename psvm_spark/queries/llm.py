@@ -4981,3 +4981,77 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, merge_left string, merge_right string, pair_count long"
     )
+
+
+# --------------------------------------------------------------------------
+# B194 (round 6) — temperature-based mixture sampling: the standard
+# multilingual/multi-source LLM mixing rule.  Source s with n_s docs
+# gets sampling mass q_s = n_s^alpha / sum_t n_t^alpha (alpha = 0.5 —
+# deliberately, because sqrt is correctly-rounded IEEE on both engines
+# while pow() disagrees in the last ulp, see SURVEY round-4 traps);
+# a total budget B then implies per-source keep rate min(1, B*q_s/n_s),
+# which up-weights small sources relative to proportional sampling.
+# The keep decision buckets a salted content hash against
+# floor(rate * 10^4) — identical doubles -> identical integer
+# thresholds -> exact parity.  Shape: one count aggregation (source dim
+# is tiny and broadcast back), one narrow filter pass; nothing
+# shuffles the corpus.
+
+_TEMP_MIX_BUDGET_FRAC = 0.5  # B = half the corpus
+_TEMP_MIX_ALPHA = 0.5
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+tot AS (SELECT SUM(sqrt(CAST(n_s AS DOUBLE))) AS z, SUM(n_s) AS n_all FROM n),
+r AS (
+  SELECT source, n_s,
+         CAST(floor(LEAST(1e0,
+             ({_TEMP_MIX_BUDGET_FRAC} * CAST(n_all AS DOUBLE))
+             * (sqrt(CAST(n_s AS DOUBLE)) / z) / CAST(n_s AS DOUBLE)) * 1e4)
+           AS INT) AS thr
+  FROM n, tot),
+b AS (
+  SELECT d.source, r.n_s, r.thr,
+         ('0x' || substr(md5('temp:' || d.text), 1, 4))::INTEGER % 10000 AS pct
+  FROM documents d JOIN r ON d.source = r.source)
+SELECT source,
+       CAST(ANY_VALUE(n_s) AS BIGINT) AS n_total,
+       CAST(ANY_VALUE(thr) AS INT) AS keep_threshold_bp,
+       CAST(COUNT(*) FILTER (pct < thr) AS BIGINT) AS n_kept
+FROM b GROUP BY source
+""",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = n.agg(
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("z"),
+        F.sum("n_s").alias("n_all"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(_TEMP_MIX_BUDGET_FRAC) * F.col("n_all").cast("double"))
+        * (F.sqrt(F.col("n_s").cast("double")) / F.col("z"))
+        / F.col("n_s").cast("double"),
+    )
+    r = n.crossJoin(F.broadcast(tot)).select(
+        "source", "n_s", F.floor(rate * 1e4).cast("int").alias("thr")
+    )
+    pct = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("temp:"), F.col("text"))), 1, 4), 16, 10)
+        .cast("int")
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(r), "source")
+        .select("source", "n_s", "thr", pct.alias("pct"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").cast("bigint").alias("n_total"),
+            F.first("thr").cast("int").alias("keep_threshold_bp"),
+            F.sum((F.col("pct") < F.col("thr")).cast("long")).cast("bigint").alias("n_kept"),
+        )
+    )

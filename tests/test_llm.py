@@ -539,3 +539,18 @@ class TestBpeMerges:
             .m
         )
         assert out == f"{S}aa{S}a{S}"
+
+
+class TestTemperatureMixture:
+    def test_upweights_small_sources(self, spark, sf_dir):
+        """Temperature alpha=0.5 keeps a HIGHER fraction of smaller
+        sources than larger ones (monotone thresholds), and kept counts
+        respect the threshold semantics."""
+        rows = registry.QUERIES["sample_temperature_mixture"](spark, sf_dir).collect()
+        assert rows
+        by_size = sorted(rows, key=lambda r: r.n_total)
+        thr = [r.keep_threshold_bp for r in by_size]
+        assert thr == sorted(thr, reverse=True)  # smaller source -> higher rate
+        for r in rows:
+            assert 0 <= r.n_kept <= r.n_total
+            assert 0 <= r.keep_threshold_bp <= 10000
