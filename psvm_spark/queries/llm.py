@@ -5055,3 +5055,110 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("pct") < F.col("thr")).cast("long")).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B195 (round 6) — Matryoshka prefix retrieval: rank by cosine over the
+# FIRST _MRL_DIMS dimensions only (the truncation trick
+# Matryoshka-trained embedding models support), then report how much of
+# the full-dimension exact top-10 the cheap prefix search recovers, per
+# probe.  At 100 TB prefix truncation cuts index bytes and dot-product
+# FLOPs by d_prefix/d before any ANN structure is even involved — the
+# first lever a serving stack pulls.  Both rankings reuse the
+# sim_topk_cosine partial-top-k shape (probes broadcast, corpus
+# partitioned, per-(probe, partition) top-10 before the final window);
+# slicing is exact, so the whole pipeline has a full DuckDB oracle.
+
+_MRL_DIMS = 16
+
+
+@query(
+    "sim_matryoshka_topk",
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS i, embedding AS vp FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT p.i, e.vec_id AS j,
+         round({K.sql_dot('p.vp', 'e.embedding')}
+               / (sqrt({K.sql_dot('p.vp', 'p.vp')}) * sqrt({K.sql_dot('e.embedding', 'e.embedding')})), 9)
+           AS cos_full,
+         round({K.sql_dot(f'list_slice(p.vp, 1, {_MRL_DIMS})', f'list_slice(e.embedding, 1, {_MRL_DIMS})')}
+               / (sqrt({K.sql_dot(f'list_slice(p.vp, 1, {_MRL_DIMS})', f'list_slice(p.vp, 1, {_MRL_DIMS})')})
+                  * sqrt({K.sql_dot(f'list_slice(e.embedding, 1, {_MRL_DIMS})', f'list_slice(e.embedding, 1, {_MRL_DIMS})')})), 9)
+           AS cos_pre
+  FROM probes p CROSS JOIN embeddings e
+  WHERE e.vec_id <> p.i
+),
+rf AS (
+  SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos_full DESC, j) AS rk
+  FROM scored),
+rp AS (
+  SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i ORDER BY cos_pre DESC, j) AS rk
+  FROM scored)
+SELECT f.i,
+       CAST(COUNT(*) FILTER (p.j IS NOT NULL) AS BIGINT) AS n_recovered,
+       CAST(COUNT(*) FILTER (p.j IS NOT NULL) AS DOUBLE) / 10 AS recall_at_10
+FROM (SELECT i, j FROM rf WHERE rk <= 10) f
+LEFT JOIN (SELECT i, j FROM rp WHERE rk <= 10) p ON f.i = p.i AND f.j = p.j
+GROUP BY f.i
+""",
+)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("vp")
+    )
+    corpus = fan_out(e, spark).select(
+        F.col("vec_id").alias("j"), F.col("embedding").alias("ve")
+    )
+    pre = lambda c: F.expr(f"slice({c}, 1, {_MRL_DIMS})")  # noqa: E731
+    cos_full = F.round(
+        K.dot(F.col("vp"), F.col("ve"))
+        / (F.sqrt(K.dot(F.col("vp"), F.col("vp"))) * F.sqrt(K.dot(F.col("ve"), F.col("ve")))),
+        9,
+    )
+    cos_pre = F.round(
+        K.dot(pre("vp"), pre("ve"))
+        / (F.sqrt(K.dot(pre("vp"), pre("vp"))) * F.sqrt(K.dot(pre("ve"), pre("ve")))),
+        9,
+    )
+    pairs = (
+        corpus.join(F.broadcast(probes), F.col("j") != F.col("i"))
+        .select(
+            "i",
+            "j",
+            cos_full.alias("cos_full"),
+            cos_pre.alias("cos_pre"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .localCheckpoint(eager=True)  # one pair pass feeds both rankings
+    )
+
+    def topk(col):
+        wl = Window.partitionBy("i", "pid").orderBy(F.col(col).desc(), F.col("j").asc())
+        cand = pairs.withColumn("lr", F.row_number().over(wl)).filter(F.col("lr") <= 10)
+        w = Window.partitionBy("i").orderBy(F.col(col).desc(), F.col("j").asc())
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("i", "j")
+        )
+
+    # both rankings derive from the same checkpointed `pairs` lineage, so
+    # rename on each side before joining to avoid trivially-true
+    # self-column predicates
+    full = topk("cos_full").select(F.col("i").alias("fi"), F.col("j").alias("fj"))
+    prefix = topk("cos_pre").select(F.col("i").alias("pi"), F.col("j").alias("pj"))
+    return (
+        full.join(
+            prefix, (F.col("fi") == F.col("pi")) & (F.col("fj") == F.col("pj")), "left"
+        )
+        .groupBy(F.col("fi").alias("i"))
+        .agg(
+            F.sum(F.col("pj").isNotNull().cast("long")).cast("bigint").alias("n_recovered"),
+            (F.sum(F.col("pj").isNotNull().cast("long")).cast("double") / 10).alias(
+                "recall_at_10"
+            ),
+        )
+    )

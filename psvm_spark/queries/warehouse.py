@@ -1508,3 +1508,70 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             edge("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B196 (round 6) — primary-key uniqueness audit across the schema's
+# declared keys, the sibling preflight to dq_referential_integrity:
+# per table, total rows, distinct key values, and how many key values
+# collide.  Each check is one map-side-combined count aggregation on
+# the key column only (columnar pruning reads nothing else) — at
+# 100 TB this is the cheapest possible full-table integrity scan.
+
+
+@query(
+    "dq_pk_uniqueness",
+    oracle="""
+SELECT 'orders.o_orderkey' AS pk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_excess
+FROM orders
+UNION ALL
+SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'part.p_partkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT)
+FROM part
+UNION ALL
+SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT event_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT l_orderkey * 1000 + l_linenumber) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 1000 + l_linenumber) AS BIGINT)
+FROM lineitem
+""",
+)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(label: str, df: DataFrame, key):
+        return df.agg(
+            F.lit(label).alias("pk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(key).cast("bigint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct(key)).cast("bigint").alias("n_excess"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = check("orders.o_orderkey", load_table(spark, sf_dir, "orders"), F.col("o_orderkey"))
+    out = out.unionByName(
+        check("customer.c_custkey", load_table(spark, sf_dir, "customer"), F.col("c_custkey"))
+    )
+    out = out.unionByName(
+        check("part.p_partkey", load_table(spark, sf_dir, "part"), F.col("p_partkey"))
+    )
+    out = out.unionByName(
+        check("events.event_id", load_table(spark, sf_dir, "events"), F.col("event_id"))
+    )
+    return out.unionByName(
+        check(
+            "lineitem.(l_orderkey,l_linenumber)",
+            li,
+            F.col("l_orderkey") * 1000 + F.col("l_linenumber"),
+        )
+    )

@@ -554,3 +554,15 @@ class TestTemperatureMixture:
         for r in rows:
             assert 0 <= r.n_kept <= r.n_total
             assert 0 <= r.keep_threshold_bp <= 10000
+
+
+class TestMatryoshka:
+    def test_recall_consistency(self, spark, sf_dir):
+        """Per-probe recall is n_recovered/10 in [0, 1]; probe set
+        matches the exact-cosine query's probes."""
+        rows = registry.QUERIES["sim_matryoshka_topk"](spark, sf_dir).collect()
+        exact = registry.QUERIES["sim_topk_cosine"](spark, sf_dir).collect()
+        assert {r.i for r in rows} == {r.i for r in exact}
+        for r in rows:
+            assert 0 <= r.n_recovered <= 10
+            assert abs(r.recall_at_10 - r.n_recovered / 10) < 1e-12
