@@ -5162,3 +5162,223 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B197 (round 6) — SemDeDup: cluster-blocked embedding near-dedup
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication").  Within each cluster (the fixture's
+# k-means-style `label` column), a vector is a semantic duplicate when
+# some LOWER-id vector in the SAME cluster has cosine >= t with it; the
+# lowest id of each duplicate group survives.  This is the principled
+# scale path that `dedup_embedding`'s capped brute force is the ground
+# truth for: blocking by cluster turns the O(n^2) global pair space into
+# O(sum n_c^2) ~ O(n^2/k) — at 100 TB with ~100k clusters the pair join
+# is per-cluster-local, shuffling once on the cluster key.  Per-row
+# cosine is round-9 (the tier's established cross-engine contract), and
+# every aggregate is integer, so the whole pipeline carries a full
+# DuckDB oracle.
+
+_SEMDEDUP_T = 0.35
+
+
+@query(
+    "sim_semdedup",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt({K.sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+rem AS (
+  SELECT DISTINCT a.label, b.vec_id
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({K.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) >= {_SEMDEDUP_T}
+),
+rc AS (SELECT label, COUNT(*) AS n_removed FROM rem GROUP BY label)
+SELECT CAST(t.label AS INT) AS label,
+       CAST(t.n_vecs AS BIGINT) AS n_vecs,
+       CAST(COALESCE(rc.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(t.n_vecs - COALESCE(rc.n_removed, 0) AS BIGINT) AS n_kept
+FROM (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label) t
+LEFT JOIN rc ON t.label = rc.label
+""",
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    n = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = n.select(
+        "label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        "label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cosine = F.round(K.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9)
+    removed = (
+        a.join(b, "label")  # cluster-blocked: the ONLY pair join is label-local
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine >= _SEMDEDUP_T)
+        .select("label", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    totals = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        totals.join(removed, "label", "left")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_removed"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B198 (round 6) — canonical selection among template near-duplicates:
+# cluster documents by their opening 5-token prefix (the shape of
+# wire-copy / boilerplate-template dedup, where many crawls share a
+# lead-in) and keep the BEST copy per cluster — longest text first,
+# lowest doc_id as the tiebreak — rather than dedup_exact's keep-first.
+# One shuffle on the prefix key; the keep rule is a single row_number
+# window over each cluster.  Only multi-member clusters are reported
+# (singletons are not duplicates).
+
+_CANON_PREFIX_TOKENS = 5
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         array_to_string(list_slice(string_split(text, ' '), 1, {_CANON_PREFIX_TOKENS}), ' ') AS prefix_key
+  FROM documents
+),
+sized AS (
+  SELECT prefix_key, COUNT(*) AS n_dups FROM keyed GROUP BY prefix_key HAVING COUNT(*) > 1
+),
+ranked AS (
+  SELECT k.prefix_key, k.doc_id, k.source, k.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY k.prefix_key
+                            ORDER BY k.n_chars DESC, k.doc_id) AS rn
+  FROM keyed k JOIN sized s ON k.prefix_key = s.prefix_key
+)
+SELECT r.prefix_key, CAST(s.n_dups AS BIGINT) AS n_dups,
+       r.doc_id AS kept_doc_id, r.source AS kept_source,
+       r.n_chars AS kept_n_chars
+FROM ranked r JOIN sized s ON r.prefix_key = s.prefix_key
+WHERE r.rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, _CANON_PREFIX_TOKENS), " "
+        ).alias("prefix_key"),
+    )
+    sized = (
+        keyed.groupBy("prefix_key")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+    w = Window.partitionBy("prefix_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.join(sized, "prefix_key")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "prefix_key",
+            F.col("n_dups").cast("bigint").alias("n_dups"),
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("source").alias("kept_source"),
+            F.col("n_chars").alias("kept_n_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B199 (round 6) — bigram-LM quality scoring (the CCNet recipe: train a
+# corpus LM, score every document by how predictable its text is, bucket
+# into quality bands).  The MLE bigram probability p(w2|w1) =
+# c(w1,w2)/c(w1 .) is a ratio of integers, so each bigram's score is the
+# FIXED-POINT integer (c2 * 10^6) div c1 — order-independent integer
+# sums end-to-end, which makes the whole pipeline (counts -> per-doc
+# fold -> banding) bitwise cross-engine, where a log-space perplexity
+# would drift in libm's last ulp.  Shape at 100 TB: two map-side-
+# combined count shuffles (bigram, context), one join of the token
+# stream against the count tables, one per-doc agg — no driver state,
+# no Python.  Higher band = more predictable text (score is in
+# [0, 10^6]; band = per-doc mean score div 5000 — the fixture corpus
+# spans bands ~6-9, so the banding actually separates documents).
+
+_PPLX_SCALE = 1_000_000
+_PPLX_BAND = 5_000
+
+
+@query(
+    "text_perplexity_lm",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id, lang, unnest([{{'w1': t[i], 'w2': t[i+1]}} FOR i IN range(1, len(t))]) AS bg
+  FROM toks),
+pairs AS (SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM bi),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY w1),
+sc AS (
+  SELECT p.doc_id, p.lang,
+         SUM((n2 * {_PPLX_SCALE}) // n1) AS s,
+         COUNT(*) AS nb
+  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY p.doc_id, p.lang)
+SELECT lang,
+       CAST((s // nb) // {_PPLX_BAND} AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s) AS DOUBLE) / SUM(nb) AS mean_score
+FROM sc
+GROUP BY lang, (s // nb) // {_PPLX_BAND}
+""",
+)
+def text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    pairs = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    sc = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .withColumn("p_scaled", F.expr(f"(n2 * {_PPLX_SCALE}) div n1"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("p_scaled").alias("s"), F.count(F.lit(1)).alias("nb"))
+    )
+    return (
+        sc.withColumn("band", F.expr(f"CAST((s div nb) div {_PPLX_BAND} AS INT)"))
+        .groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.sum("s").cast("double") / F.sum("nb")).alias("mean_score"),
+        )
+    )

@@ -566,3 +566,44 @@ class TestMatryoshka:
         for r in rows:
             assert 0 <= r.n_recovered <= 10
             assert abs(r.recall_at_10 - r.n_recovered / 10) < 1e-12
+
+
+class TestSemDedup:
+    def test_counts_consistent(self, spark, sf_dir):
+        """Per-cluster kept + removed == total; removals never exceed
+        cluster size - 1 (the lowest id always survives)."""
+        rows = registry.QUERIES["sim_semdedup"](spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r.n_kept + r.n_removed == r.n_vecs
+            assert r.n_kept >= 1
+
+
+class TestKeepBest:
+    def test_keeps_longest(self, spark, sf_dir):
+        """Every reported cluster has >= 2 members and the kept doc has
+        the cluster's max n_chars."""
+        df = registry.QUERIES["dedup_keep_best"](spark, sf_dir)
+        rows = df.collect()
+        assert all(r.n_dups >= 2 for r in rows)
+        from pyspark.sql import functions as F
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("k"),
+            "n_chars",
+        )
+        mx = {r.k: r.mx for r in d.groupBy("k").agg(F.max("n_chars").alias("mx")).collect()}
+        for r in rows:
+            assert r.kept_n_chars == mx[r.prefix_key]
+
+
+class TestPerplexityLM:
+    def test_bands_bounded(self, spark, sf_dir):
+        """Bands are within the fixed-point scale; doc counts positive;
+        mean score lies inside its band's score range only on average
+        (band is per-doc, mean is per-band), so just sanity-bound it."""
+        rows = registry.QUERIES["text_perplexity_lm"](spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 0 <= r.band <= 200
+            assert r.n_docs > 0
+            assert 0 <= r.mean_score <= 1_000_000
