@@ -5382,3 +5382,139 @@ def text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("s").cast("double") / F.sum("nb")).alias("mean_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B200 (round 6) — reciprocal-rank fusion (RRF, Cormack et al. 2009):
+# the standard hybrid-retrieval combiner.  Two rankers score every
+# (probe, candidate) pair — exact cosine over the float embeddings and
+# Hamming distance over the sign-binarized 63-bit words — each keeps
+# its top-20, and the fused score of a candidate is
+# sum_r 10^9 div (60 + rank_r) over the lists that contain it
+# (fixed-point integer RRF: integer division makes the fusion
+# order-independent and bitwise cross-engine, where 1/(60+r) doubles
+# would be fine per-term but invite drift once more rankers are added).
+# One pair pass feeds both rankings (the matryoshka checkpoint shape);
+# probes broadcast, corpus partitioned.  At 100 TB each ranker is
+# top-20-truncated per probe, so the fusion join touches 40 rows/probe
+# regardless of corpus size.
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000
+_RRF_DEPTH = 20
+
+
+@query(
+    "sim_rrf_fusion",
+    oracle=f"""
+WITH words AS (
+  SELECT vec_id, embedding,
+         sqrt({K.sql_dot('embedding', 'embedding')}) AS nrm,
+         CAST(list_sum([CASE WHEN embedding[p + 1] > 0
+                             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
+                        FOR p IN generate_series(0, 62)]) AS BIGINT) AS w
+  FROM embeddings),
+probes AS (SELECT vec_id AS i, embedding AS vp, nrm AS pn, w AS pw
+           FROM words WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT p.i, c.vec_id AS j,
+         round({K.sql_dot('p.vp', 'c.embedding')} / (p.pn * c.nrm), 9) AS cosine,
+         bit_count(xor(p.pw, c.w)) AS hamming
+  FROM probes p CROSS JOIN words c WHERE c.vec_id <> p.i),
+rc AS (SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rk
+       FROM scored),
+rh AS (SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i ORDER BY hamming, j) AS rk
+       FROM scored),
+fused AS (
+  SELECT COALESCE(c.i, h.i) AS i, COALESCE(c.j, h.j) AS j,
+         COALESCE({_RRF_SCALE} // ({_RRF_K} + c.rk), 0)
+           + COALESCE({_RRF_SCALE} // ({_RRF_K} + h.rk), 0) AS rrf_scaled
+  FROM (SELECT i, j, rk FROM rc WHERE rk <= {_RRF_DEPTH}) c
+  FULL JOIN (SELECT i, j, rk FROM rh WHERE rk <= {_RRF_DEPTH}) h
+    ON c.i = h.i AND c.j = h.j)
+SELECT i, j, CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+       CAST(fr AS INT) AS fused_rank
+FROM (SELECT i, j, rrf_scaled,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY rrf_scaled DESC, j) AS fr
+      FROM fused)
+WHERE fr <= 5
+""",
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    words = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(K.dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.expr(
+            "aggregate(sequence(0, 62), cast(0 as bigint), (acc, p) -> acc"
+            " + CASE WHEN element_at(embedding, p + 1) > 0"
+            " THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END)"
+        ).alias("w"),
+    )
+    probes = words.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("vp"),
+        F.col("nrm").alias("pn"),
+        F.col("w").alias("pw"),
+    )
+    corpus = fan_out(words, spark).select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("vc"),
+        F.col("nrm").alias("cn"),
+        F.col("w").alias("cw"),
+    )
+    pairs = (
+        corpus.join(F.broadcast(probes), F.col("j") != F.col("i"))
+        .select(
+            "i",
+            "j",
+            F.round(K.dot(F.col("vp"), F.col("vc")) / (F.col("pn") * F.col("cn")), 9).alias("cosine"),
+            F.bit_count(F.expr("pw ^ cw")).alias("hamming"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .localCheckpoint(eager=True)  # one pair pass feeds both rankings
+    )
+
+    def topk(order_cols):
+        wl = Window.partitionBy("i", "pid").orderBy(*order_cols)
+        cand = pairs.withColumn("lr", F.row_number().over(wl)).filter(
+            F.col("lr") <= _RRF_DEPTH
+        )
+        w = Window.partitionBy("i").orderBy(*order_cols)
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _RRF_DEPTH)
+            .select("i", "j", "rk")
+        )
+
+    rc = topk([F.col("cosine").desc(), F.col("j").asc()]).select(
+        F.col("i").alias("ci"), F.col("j").alias("cj"), F.col("rk").alias("crk")
+    )
+    rh = topk([F.col("hamming").asc(), F.col("j").asc()]).select(
+        F.col("i").alias("hi"), F.col("j").alias("hj"), F.col("rk").alias("hrk")
+    )
+    term = lambda rk: F.coalesce(  # noqa: E731
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + {rk})"), F.lit(0)
+    )
+    fused = (
+        rc.join(rh, (F.col("ci") == F.col("hi")) & (F.col("cj") == F.col("hj")), "full")
+        .select(
+            F.coalesce(F.col("ci"), F.col("hi")).alias("i"),
+            F.coalesce(F.col("cj"), F.col("hj")).alias("j"),
+            (term("crk") + term("hrk")).alias("rrf_scaled"),
+        )
+    )
+    fr = F.row_number().over(
+        Window.partitionBy("i").orderBy(F.col("rrf_scaled").desc(), F.col("j").asc())
+    )
+    return (
+        fused.withColumn("fr", fr)
+        .filter(F.col("fr") <= 5)
+        .select(
+            "i",
+            "j",
+            F.col("rrf_scaled").cast("bigint").alias("rrf_scaled"),
+            F.col("fr").cast("int").alias("fused_rank"),
+        )
+    )

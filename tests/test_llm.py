@@ -607,3 +607,19 @@ class TestPerplexityLM:
             assert 0 <= r.band <= 200
             assert r.n_docs > 0
             assert 0 <= r.mean_score <= 1_000_000
+
+
+class TestRRFFusion:
+    def test_fused_topk_shape(self, spark, sf_dir):
+        """<= 5 rows per probe, dense fused ranks, and the fixed-point
+        RRF score is bounded by two rank-1 contributions."""
+        rows = registry.QUERIES["sim_rrf_fusion"](spark, sf_dir).collect()
+        assert len(rows) > 0
+        top = 1_000_000_000 // 61
+        by_probe = {}
+        for r in rows:
+            by_probe.setdefault(r.i, []).append(r)
+            assert 0 < r.rrf_scaled <= 2 * top
+        for i, rs in by_probe.items():
+            assert len(rs) <= 5
+            assert sorted(r.fused_rank for r in rs) == list(range(1, len(rs) + 1))
