@@ -5518,3 +5518,116 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fr").cast("int").alias("fused_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B201 (round 6) — Gopher-style quality-rule audit (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", §A1.1 data pipeline; same rule
+# family Dolma ships).  Four rules, all exact-integer comparisons so the
+# whole audit is bitwise cross-engine:
+#   r_len      30 <= n_words <= 100000
+#   r_wordlen  mean word length in [3, 10]  (3n <= chars <= 10n)
+#   r_stop     >= 2 hits against the corpus's own top-20 word list
+#              (self-derived "stopword" proxy — the fixture corpus is
+#              synthetic, so a natural-language list would be empty)
+#   r_rep      most frequent word <= 10% of tokens (repetition gate)
+# Shape at 100 TB: one (doc, word) count shuffle feeds both the top-20
+# list (broadcast back) and the per-doc max; everything else is narrow.
+
+_GOPHER_STOP_K = 20
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS nw,
+         len(text) AS nc
+  FROM documents),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w),
+top AS (
+  SELECT w FROM (
+    SELECT w, SUM(c) AS tc FROM wc GROUP BY w)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY tc DESC, w) <= {_GOPHER_STOP_K}),
+per_doc AS (
+  SELECT wc.doc_id,
+         MAX(c) AS maxc,
+         SUM(CASE WHEN w IN (SELECT w FROM top) THEN 1 ELSE 0 END) AS stop_hits
+  FROM wc GROUP BY wc.doc_id),
+flags AS (
+  SELECT t.lang, t.source,
+         CASE WHEN t.nw BETWEEN 30 AND 100000 THEN 1 ELSE 0 END AS r_len,
+         CASE WHEN 3 * t.nw <= t.nc - (t.nw - 1)
+               AND t.nc - (t.nw - 1) <= 10 * t.nw THEN 1 ELSE 0 END AS r_wordlen,
+         CASE WHEN p.stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop,
+         CASE WHEN 10 * p.maxc <= t.nw THEN 1 ELSE 0 END AS r_rep
+  FROM toks t JOIN per_doc p ON t.doc_id = p.doc_id)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r_len * r_wordlen * r_stop * r_rep) AS BIGINT) AS n_pass,
+       CAST(SUM(1 - r_len) AS BIGINT) AS f_len,
+       CAST(SUM(1 - r_wordlen) AS BIGINT) AS f_wordlen,
+       CAST(SUM(1 - r_stop) AS BIGINT) AS f_stop,
+       CAST(SUM(1 - r_rep) AS BIGINT) AS f_rep
+FROM flags GROUP BY lang, source
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("nw"),
+        F.length("text").alias("nc"),
+    )
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        wc.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("tc").desc(), F.col("w").asc()))
+        )
+        .filter(F.col("rk") <= _GOPHER_STOP_K)
+        .select("w")
+    )
+    per_doc = (
+        wc.join(F.broadcast(top).withColumn("is_stop", F.lit(1)), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("maxc"),
+            F.sum(F.coalesce(F.col("is_stop"), F.lit(0))).alias("stop_hits"),
+        )
+    )
+    flags = toks.join(per_doc, "doc_id").select(
+        "lang",
+        "source",
+        F.when(F.col("nw").between(30, 100000), 1).otherwise(0).alias("r_len"),
+        F.when(
+            (3 * F.col("nw") <= F.col("nc") - (F.col("nw") - 1))
+            & (F.col("nc") - (F.col("nw") - 1) <= 10 * F.col("nw")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_wordlen"),
+        F.when(F.col("stop_hits") >= 2, 1).otherwise(0).alias("r_stop"),
+        F.when(10 * F.col("maxc") <= F.col("nw"), 1).otherwise(0).alias("r_rep"),
+    )
+    return flags.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("r_len") * F.col("r_wordlen") * F.col("r_stop") * F.col("r_rep"))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(1 - F.col("r_len")).cast("bigint").alias("f_len"),
+        F.sum(1 - F.col("r_wordlen")).cast("bigint").alias("f_wordlen"),
+        F.sum(1 - F.col("r_stop")).cast("bigint").alias("f_stop"),
+        F.sum(1 - F.col("r_rep")).cast("bigint").alias("f_rep"),
+    )

@@ -513,3 +513,109 @@ def ml_kmeans_assign_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round("dist2", 9).cast("decimal(27,9)")).cast("double").alias("inertia"),
         F.countDistinct("label").alias("n_labels"),
     )
+
+
+# --------------------------------------------------------------------------
+# B202 (round 6) — histogram-based decision-stump split finding: the
+# inner-loop primitive of distributed tree learning (XGBoost/LightGBM
+# style).  Regression target = l_extendedprice, feature = l_quantity;
+# per l_linestatus group the candidate splits are the <= 50 distinct
+# quantities, and the best split maximizes the between-group sum of
+# squares  BSS(v) = A^2/a + B^2/b  (equivalent to minimizing
+# SSE_left + SSE_right), where (a, A) / (b, B) are left/right counts
+# and target sums.  Sums are exact integer CENTS (the money columns are
+# clean 2-decimal), so A and B are bit-identical across engines, and
+# the score is the IDENTICAL three-op double expression on both sides
+# (mul, div, add on exact integer inputs are correctly rounded — the
+# repo's per-row-double contract).  Shape at 100 TB: one map-side-
+# combined (group, quantity) aggregation — 50 rows per group — then
+# driver-free windows over those 50 rows; this is exactly why
+# histogram-based tree learners scale: the shuffle carries the
+# histogram, never the rows.
+
+@query(
+    "ml_stump_split",
+    oracle="""
+WITH h AS (
+  SELECT l_linestatus AS grp, CAST(l_quantity AS INT) AS qty,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS s
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT grp, qty,
+         SUM(n) OVER (PARTITION BY grp ORDER BY qty
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a,
+         SUM(s) OVER (PARTITION BY grp ORDER BY qty
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         SUM(n) OVER (PARTITION BY grp) AS tn,
+         SUM(s) OVER (PARTITION BY grp) AS ts
+  FROM h),
+scored AS (
+  SELECT grp, qty, a, tn - a AS b,
+         CAST(cs AS DOUBLE) * cs / a
+           + CAST(ts - cs AS DOUBLE) * (ts - cs) / (tn - a) AS bss,
+         CAST(ts AS DOUBLE) * ts / tn AS bss0
+  FROM cum WHERE a > 0 AND tn - a > 0)
+SELECT grp, CAST(qty AS INT) AS split_qty,
+       CAST(a AS BIGINT) AS n_left, CAST(b AS BIGINT) AS n_right,
+       bss - bss0 AS gain
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                                   ORDER BY bss DESC, qty) AS rk
+      FROM scored)
+WHERE rk = 1
+""",
+)
+def ml_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_linestatus").alias("grp"),
+            F.col("l_quantity").cast("int").alias("qty"),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("grp", "qty")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    wcum = Window.partitionBy("grp").orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("grp")
+    cum = h.select(
+        "grp",
+        "qty",
+        F.sum("n").over(wcum).alias("a"),
+        F.sum("s").over(wcum).alias("cs"),
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("s").over(wall).alias("ts"),
+    )
+    scored = cum.filter((F.col("a") > 0) & (F.col("tn") - F.col("a") > 0)).select(
+        "grp",
+        "qty",
+        "a",
+        (F.col("tn") - F.col("a")).alias("b"),
+        (
+            F.col("cs").cast("double") * F.col("cs") / F.col("a")
+            + (F.col("ts") - F.col("cs")).cast("double")
+            * (F.col("ts") - F.col("cs"))
+            / (F.col("tn") - F.col("a"))
+        ).alias("bss"),
+        (F.col("ts").cast("double") * F.col("ts") / F.col("tn")).alias("bss0"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.col("bss").desc(), F.col("qty").asc())
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "grp",
+            F.col("qty").cast("int").alias("split_qty"),
+            F.col("a").cast("bigint").alias("n_left"),
+            F.col("b").cast("bigint").alias("n_right"),
+            (F.col("bss") - F.col("bss0")).alias("gain"),
+        )
+    )

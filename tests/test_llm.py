@@ -623,3 +623,18 @@ class TestRRFFusion:
         for i, rs in by_probe.items():
             assert len(rs) <= 5
             assert sorted(r.fused_rank for r in rs) == list(range(1, len(rs) + 1))
+
+
+class TestGopherRules:
+    def test_rule_accounting(self, spark, sf_dir):
+        """Failure counts never exceed group size; n_pass + any single
+        rule's failures <= n_docs (pass requires all four rules)."""
+        rows = registry.QUERIES["text_gopher_rules"](spark, sf_dir).collect()
+        assert len(rows) > 0
+        tot = sum(r.n_docs for r in rows)
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert tot == d
+        for r in rows:
+            for f in (r.f_len, r.f_wordlen, r.f_stop, r.f_rep):
+                assert 0 <= f <= r.n_docs
+                assert r.n_pass + f <= r.n_docs

@@ -325,3 +325,18 @@ class TestRidgeClosedForm:
         pred = Xa @ ref
         ref_r2 = 1.0 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
         assert abs(r2 - ref_r2) < 1e-6
+
+
+class TestStumpSplit:
+    def test_split_partitions_rows(self, spark, sf_dir):
+        """Left + right == group size; gain >= 0 (BSS of any split is at
+        least the parent's); split is an interior quantity."""
+        rows = registry.QUERIES["ml_stump_split"](spark, sf_dir).collect()
+        from pyspark.sql import functions as F
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sizes = {r.grp: r.c for r in li.groupBy(F.col("l_linestatus").alias("grp")).agg(F.count(F.lit(1)).alias("c")).collect()}
+        assert {r.grp for r in rows} == set(sizes)
+        for r in rows:
+            assert r.n_left + r.n_right == sizes[r.grp]
+            assert r.n_left > 0 and r.n_right > 0
+            assert r.gain >= 0
