@@ -5631,3 +5631,201 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("r_stop")).cast("bigint").alias("f_stop"),
         F.sum(1 - F.col("r_rep")).cast("bigint").alias("f_rep"),
     )
+
+
+# --------------------------------------------------------------------------
+# B202 (round 6) — context-window sequence packing (next-fit): the
+# standard LLM-pretraining prep step that concatenates documents into
+# fixed-budget training sequences (T5 / GPT-NeoX "packing").  Complements pack_sequences (the
+# concat-then-chunk windowed variant above): next-fit never splits a
+# document across packs.  Next-fit
+# over doc_id order within each source: keep appending while the pack
+# stays within _NEXTFIT_BUDGET tokens, else start a new pack (an oversized
+# doc gets its own pack).  Packing is inherently sequential *within* a
+# group but embarrassingly parallel *across* groups — the 100 TB shape
+# is groupBy(source shard) + applyInPandas linear scan, one shuffle
+# total; group count (sources x shards) >> executor count, so the
+# cluster stays busy.  The oracle replays the same recursion as a
+# per-source recursive CTE (depth = docs per source, 25 at sf0.01).
+
+_NEXTFIT_BUDGET = 256
+
+
+@query(
+    "pack_nextfit",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+pk AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(1 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN p.fill + d.n_tokens <= {_NEXTFIT_BUDGET}
+              THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= {_NEXTFIT_BUDGET}
+              THEN p.fill + d.n_tokens ELSE d.n_tokens END
+  FROM pk p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+SELECT doc_id, source, n_tokens, pack_id FROM pk
+""",
+)
+def pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs, fill, pid = [], 0, 0
+        for nt in pdf["n_tokens"]:
+            if pid == 0 or fill + nt > _NEXTFIT_BUDGET:
+                pid += 1
+                fill = nt
+            else:
+                fill += nt
+            packs.append(pid)
+        return pdf.assign(pack_id=packs)[
+            ["doc_id", "source", "n_tokens", "pack_id"]
+        ]
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return d.groupBy("source").applyInPandas(
+        pack, "doc_id long, source string, n_tokens long, pack_id long"
+    )
+
+
+# --------------------------------------------------------------------------
+# B203 (round 6) — rendezvous (highest-random-weight) shard routing
+# (Thaler & Ravishankar 1998): each doc goes to the shard maximizing
+# hash(doc, shard).  HRW's draw over consistent-ring hashing is minimal
+# reshuffling when shards are added/removed — the canonical router for
+# a sharded dedup index or feature store.  Weight = first 8 md5 hex
+# digits of "doc_id:shard"; the argmax is folded into one scalar
+# key = w * S + (S-1-s) so ties break toward the smaller shard id with
+# no struct comparisons (identical semantics both engines).  100 TB
+# shape: fully narrow per-row math (S hashes per doc, no explode, no
+# window), then one S-group aggregate.
+
+_HRW_SHARDS = 8
+
+
+@query(
+    "shard_rendezvous",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         list_max(list_transform(range(0, {_HRW_SHARDS}), s ->
+           ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 8))
+             ::VARCHAR::INT64 * {_HRW_SHARDS} + ({_HRW_SHARDS} - 1 - s)
+         )) AS mk
+  FROM documents)
+SELECT CAST({_HRW_SHARDS} - 1 - mk % {_HRW_SHARDS} AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(mk // {_HRW_SHARDS}) AS BIGINT) AS weight_sum
+FROM keyed GROUP BY 1
+""",
+)
+def shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S = _HRW_SHARDS
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr(
+            f"array_max(transform(sequence(0, {S - 1}), s -> "
+            f"cast(conv(substring(md5(concat(cast(doc_id as string), ':', "
+            f"cast(s as string))), 1, 8), 16, 10) as bigint) * {S} "
+            f"+ ({S} - 1 - s)))"
+        ).alias("mk"),
+    )
+    return (
+        keyed.groupBy(
+            (F.lit(S - 1) - F.col("mk") % S).cast("int").alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.sum(F.floor(F.col("mk") / S)).cast("bigint").alias("weight_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B204 (round 6) — quantile normalization of a per-source feature
+# against the global distribution (the cross-source standardization
+# step before mixing corpora: maps each doc's within-source rank onto
+# the same global value grid, so every source ends up with an
+# identically-shaped n_chars distribution).  All index arithmetic is
+# integer-exact: within-source rank rn of n (ties by doc_id) maps to
+# global order statistic at position ((rn-1)*(N-1)) // (n-1) + 1
+# ("lower" interpolation).  Exact global ranks need a global sort —
+# fine as the correctness baseline; at 100 TB the rank table drops in
+# for an approx_percentile grid (same join shape, sketch-sized build
+# side).  The position join build side is N rows and key-partitioned,
+# not broadcast.
+
+@query(
+    "feat_quantile_normalize",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+grank AS (
+  SELECT n_chars AS qn_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grn
+  FROM documents),
+tot AS (SELECT COUNT(*) AS N FROM documents),
+pos AS (
+  SELECT s.doc_id, s.source, s.n_chars,
+         CASE WHEN s.n = 1 THEN (t.N - 1) // 2 + 1
+              ELSE ((s.rn - 1) * (t.N - 1)) // (s.n - 1) + 1 END AS gi
+  FROM src s CROSS JOIN tot t)
+SELECT p.doc_id, p.source,
+       CAST(p.n_chars AS BIGINT) AS n_chars,
+       CAST(g.qn_chars AS BIGINT) AS qn_chars
+FROM pos p JOIN grank g ON p.gi = g.grn
+""",
+)
+def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    glob = d.select(
+        F.col("n_chars").alias("qn_chars"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("grn"),
+    )
+    total = d.count()
+    pos = src.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("n") == 1, F.lit((total - 1) // 2 + 1))
+        .otherwise(
+            F.floor(
+                ((F.col("rn") - 1) * F.lit(total - 1)) / (F.col("n") - 1)
+            ).cast("bigint")
+            + 1
+        )
+        .alias("gi"),
+    )
+    return pos.join(glob, pos.gi == glob.grn).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("qn_chars").cast("bigint").alias("qn_chars"),
+    )

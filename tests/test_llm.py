@@ -638,3 +638,94 @@ class TestGopherRules:
             for f in (r.f_len, r.f_wordlen, r.f_stop, r.f_rep):
                 assert 0 <= f <= r.n_docs
                 assert r.n_pass + f <= r.n_docs
+
+
+class TestPackNextfit:
+    def test_nextfit_invariants(self, spark, sf_dir):
+        """Pack ids are dense from 1 per source; every multi-doc pack
+        fits the budget; a doc never skips a pack it would have fit in
+        (next-fit property: consecutive packs' fills exceed the budget
+        when combined with the first doc of the next pack)."""
+        from psvm_spark.queries.llm import _NEXTFIT_BUDGET
+
+        rows = registry.QUERIES["pack_nextfit"](spark, sf_dir).collect()
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert len(rows) == d
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        for src, rs in by_src.items():
+            rs.sort(key=lambda r: r.doc_id)
+            fills = {}
+            for r in rs:
+                fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+            assert sorted(fills) == list(range(1, len(fills) + 1))
+            for pid, fill in fills.items():
+                n_in_pack = sum(1 for r in rs if r.pack_id == pid)
+                if n_in_pack > 1:
+                    assert fill <= _NEXTFIT_BUDGET
+            # next-fit: first doc of pack p+1 would not have fit in pack p
+            first_of = {}
+            for r in rs:
+                if r.pack_id not in first_of:
+                    first_of[r.pack_id] = r.n_tokens
+            for pid in range(1, len(fills)):
+                assert fills[pid] + first_of[pid + 1] > _NEXTFIT_BUDGET
+
+
+class TestShardRendezvous:
+    def test_partition_of_corpus(self, spark, sf_dir):
+        """Shards partition the corpus exactly: doc counts and doc_id
+        checksums total the whole table; shard ids stay in range."""
+        rows = registry.QUERIES["shard_rendezvous"](spark, sf_dir).collect()
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = d.count()
+        id_sum = d.groupBy().sum("doc_id").collect()[0][0]
+        assert sum(r.n_docs for r in rows) == n
+        assert sum(r.id_checksum for r in rows) == id_sum
+        shards = [r.shard for r in rows]
+        assert len(set(shards)) == len(shards)
+        assert all(0 <= s < 8 for s in shards)
+
+    def test_hrw_stability_under_shard_removal(self, spark, sf_dir):
+        """The HRW property: dropping one shard only moves the docs
+        that were on it (recompute winner over shards 0..6 locally)."""
+        import hashlib
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ids = [r.doc_id for r in d.select("doc_id").limit(50).collect()]
+
+        def winner(doc_id, shards):
+            best = max(
+                (int(hashlib.md5(f"{doc_id}:{s}".encode()).hexdigest()[:8], 16), -s)
+                for s in shards
+            )
+            return -best[1]
+
+        for i in ids:
+            w8 = winner(i, range(8))
+            w7 = winner(i, range(7))
+            if w8 != 7:
+                assert w7 == w8
+
+
+class TestQuantileNormalize:
+    def test_identical_distribution_across_sources(self, spark, sf_dir):
+        """After normalization every equal-sized source carries the
+        identical qn_chars multiset, drawn from global order stats,
+        and qn is monotone in the raw feature within a source."""
+        rows = registry.QUERIES["feat_quantile_normalize"](spark, sf_dir).collect()
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        global_vals = sorted(r.n_chars for r in d.select("n_chars").collect())
+        by_src = {}
+        for r in rows:
+            assert r.qn_chars in global_vals
+            by_src.setdefault(r.source, []).append(r)
+        sigs = {}
+        for src, rs in by_src.items():
+            rs.sort(key=lambda r: (r.n_chars, r.doc_id))
+            qn = [r.qn_chars for r in rs]
+            assert qn == sorted(qn)
+            sigs.setdefault(len(rs), set()).add(tuple(sorted(qn)))
+        for n, sig in sigs.items():
+            assert len(sig) == 1
