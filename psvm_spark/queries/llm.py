@@ -5829,3 +5829,227 @@ def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("qn_chars").cast("bigint").alias("qn_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# B205 (round 6) — DSIR data selection (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score raw-pool docs
+# by hashed-unigram importance weights log(p_target/p_raw) and keep the
+# top K.  Target distribution = the corpus's dominant language (most
+# docs, ties lexicographic), estimated over _DSIR_BUCKETS hash buckets
+# with add-one smoothing.  Parity: the per-bucket log-ratio is computed
+# once from exact-integer counts (single division, then ln — the
+# text_pmi_top precedent) and frozen to a 1e6 fixed-point BIGINT, so
+# each doc's score is an order-independent integer sum.  100 TB shape:
+# one (doc, bucket) count shuffle, a 64-row broadcast for the log-ratio
+# table, and TakeOrderedAndProject for the global top-K — the corpus is
+# never globally sorted.
+
+_DSIR_BUCKETS = 64
+_DSIR_KEEP = 100
+
+
+@query(
+    "select_dsir",
+    oracle=f"""
+WITH tgt AS (
+  SELECT lang FROM (
+    SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, lang) = 1),
+toks AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir:' || w), 1, 4))::INTEGER % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents)),
+bc AS (
+  SELECT b,
+         SUM(CASE WHEN lang = (SELECT lang FROM tgt) THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN lang = (SELECT lang FROM tgt) THEN 0 ELSE 1 END) AS cr
+  FROM toks GROUP BY b),
+n AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bc),
+lr AS (
+  SELECT b, CAST(floor(ln(
+           CAST((ct + 1) * (nr + {_DSIR_BUCKETS}) AS DOUBLE)
+           / CAST((cr + 1) * (nt + {_DSIR_BUCKETS}) AS DOUBLE)) * 1e6)
+         AS BIGINT) AS lr_fp
+  FROM bc CROSS JOIN n),
+docb AS (
+  SELECT doc_id, lang, b, COUNT(*) AS c FROM toks
+  WHERE lang <> (SELECT lang FROM tgt)
+  GROUP BY 1, 2, 3),
+scored AS (
+  SELECT d.doc_id, ANY_VALUE(d.lang) AS lang,
+         CAST(SUM(d.c * l.lr_fp) AS BIGINT) AS score_fp
+  FROM docb d JOIN lr l ON d.b = l.b GROUP BY d.doc_id)
+SELECT doc_id, lang, score_fp,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS rk
+FROM scored
+QUALIFY ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) <= {_DSIR_KEEP}
+""",
+)
+def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    NB, K = _DSIR_BUCKETS, _DSIR_KEEP
+    d = load_table(spark, sf_dir, "documents")
+    tgt = (
+        d.groupBy("lang")
+        .count()
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.col("count").desc(), "lang"))
+        )
+        .filter(F.col("r") == 1)
+        .select(F.col("lang").alias("tlang"))
+    )
+    toks = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .withColumn(
+            "b",
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), "w")), 1, 4), 16, 10)
+                .cast("int")
+                % NB
+            ),
+        )
+        .crossJoin(F.broadcast(tgt))
+    )
+    bc = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == F.col("tlang"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("lang") == F.col("tlang"), 0).otherwise(1)).alias("cr"),
+    )
+    n = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lr = bc.crossJoin(F.broadcast(n)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + NB)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("nt") + NB)).cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("lr_fp"),
+    )
+    docb = (
+        toks.filter(F.col("lang") != F.col("tlang"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        docb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.sum(F.col("c") * F.col("lr_fp")).cast("bigint").alias("score_fp"),
+        )
+    )
+    top = scored.orderBy(F.col("score_fp").desc(), "doc_id").limit(K)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_fp").desc(), "doc_id"))
+        .cast("int"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B206 (round 6) — UniMax token-budget waterfilling (Chung et al. 2023,
+# "UniMax: Fairer and More Effective Language Sampling"): distribute a
+# global token budget B across (source, lang) strata as uniformly as
+# possible without over-drawing any stratum — small strata keep all
+# their tokens (saturate), the rest split the remainder evenly (the
+# water level), with the integer remainder spread one token each over
+# the smallest unsaturated strata (largest-remainder style, fully
+# deterministic).  All-integer math end to end.  Saturation count K is
+# a prefix of the size-ascending order because
+# f(k) = P_k + s_k*(n-k) is non-decreasing, so one window pass finds
+# it.  100 TB shape: the corpus contributes one per-stratum token-count
+# aggregation; every window/join after that runs on the stratum dim
+# (thousands of rows at most), broadcast throughout.
+
+_UNIMAX_BUDGET_PCT = 60  # B = 60% of total tokens
+
+
+@query(
+    "sample_unimax_budget",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, lang,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS n,
+               SUM(n_tokens) * {_UNIMAX_BUDGET_PCT} // 100 AS b FROM tok),
+s AS (
+  SELECT source, lang, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, source, lang) AS rn,
+         SUM(n_tokens) OVER (
+           ORDER BY n_tokens, source, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+  FROM tok),
+f AS (
+  SELECT s.*, t.n, t.b,
+         CASE WHEN s.pk + s.n_tokens * (t.n - s.rn) <= t.b
+              THEN 1 ELSE 0 END AS is_sat
+  FROM s CROSS JOIN tot t),
+k AS (
+  SELECT COALESCE(SUM(is_sat), 0) AS kk,
+         COALESCE(MAX(CASE WHEN is_sat = 1 THEN pk END), 0) AS psat
+  FROM f)
+SELECT source, lang, n_tokens,
+       CAST(CASE
+         WHEN is_sat = 1 THEN n_tokens
+         ELSE (b - psat) // (n - kk)
+              + CASE WHEN rn - kk <= (b - psat) % (n - kk)
+                     THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc_tokens,
+       CAST(is_sat AS INT) AS saturated
+FROM f CROSS JOIN k
+""",
+)
+def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source", "lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("n_tokens") * _UNIMAX_BUDGET_PCT / 100)
+        .cast("bigint")
+        .alias("b"),
+    )
+    w = Window.orderBy("n_tokens", "source", "lang")
+    s = tok.select(
+        "source",
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("pk"),
+    )
+    f = s.crossJoin(F.broadcast(tot)).withColumn(
+        "is_sat",
+        F.when(
+            F.col("pk") + F.col("n_tokens") * (F.col("n") - F.col("rn"))
+            <= F.col("b"),
+            1,
+        ).otherwise(0),
+    )
+    k = f.agg(
+        F.coalesce(F.sum("is_sat"), F.lit(0)).alias("kk"),
+        F.coalesce(
+            F.max(F.when(F.col("is_sat") == 1, F.col("pk"))), F.lit(0)
+        ).alias("psat"),
+    )
+    lvl = F.floor((F.col("b") - F.col("psat")) / (F.col("n") - F.col("kk")))
+    rem = (F.col("b") - F.col("psat")) % (F.col("n") - F.col("kk"))
+    return f.crossJoin(F.broadcast(k)).select(
+        "source",
+        "lang",
+        "n_tokens",
+        F.when(F.col("is_sat") == 1, F.col("n_tokens"))
+        .otherwise(
+            lvl + F.when(F.col("rn") - F.col("kk") <= rem, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        F.col("is_sat").cast("int").alias("saturated"),
+    )

@@ -77,6 +77,8 @@ WHITELIST = {
     "ml_ece_calibration": "(b) SV broadcast scoring + 1-row totals broadcast",
     "ml_ridge_closed_form": "(a) 65-row coef x 1-row R2 local-relation combine",
     "sample_temperature_mixture": "(a) 1-row (z, n_all) scalar broadcast attached to the per-source dim",
+    "select_dsir": "(a) 1-row dominant-lang + corpus-totals scalar broadcasts; the (doc, bucket) joins are equi",
+    "sample_unimax_budget": "(a) 1-row totals/water-level scalar broadcasts attached to the stratum dim",
     "sim_rrf_fusion": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
 }
 

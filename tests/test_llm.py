@@ -729,3 +729,48 @@ class TestQuantileNormalize:
             sigs.setdefault(len(rs), set()).add(tuple(sorted(qn)))
         for n, sig in sigs.items():
             assert len(sig) == 1
+
+
+class TestSelectDSIR:
+    def test_topk_raw_pool_only(self, spark, sf_dir):
+        """Exactly K raw-pool docs, dominant (target) language excluded,
+        dense ranks aligned with non-increasing scores."""
+        from psvm_spark.queries.llm import _DSIR_KEEP
+
+        rows = registry.QUERIES["select_dsir"](spark, sf_dir).collect()
+        assert len(rows) == _DSIR_KEEP
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tgt = sorted(
+            [(r["count"], r.lang) for r in d.groupBy("lang").count().collect()],
+            key=lambda t: (-t[0], t[1]),
+        )[0][1]
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, _DSIR_KEEP + 1))
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev.score_fp >= cur.score_fp
+        assert all(r.lang != tgt for r in rows)
+
+
+class TestUnimaxBudget:
+    def test_waterfill_invariants(self, spark, sf_dir):
+        """Allocations sum exactly to the budget, never over-draw a
+        stratum, and unsaturated strata sit within one token of the
+        common water level."""
+        rows = registry.QUERIES["sample_unimax_budget"](spark, sf_dir).collect()
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from pyspark.sql import functions as F
+
+        total = d.select(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).collect()[0].t
+        budget = total * 60 // 100
+        assert sum(r.alloc_tokens for r in rows) == budget
+        unsat = []
+        for r in rows:
+            assert 0 <= r.alloc_tokens <= r.n_tokens
+            if r.saturated:
+                assert r.alloc_tokens == r.n_tokens
+            else:
+                unsat.append(r.alloc_tokens)
+        assert unsat, "budget below total must leave unsaturated strata"
+        assert max(unsat) - min(unsat) <= 1
