@@ -4621,9 +4621,13 @@ def _cc_base_cache_path(sf_dir: str) -> str:
 
     p = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(p)
+    # The key covers the INPUT (path+mtime+size), the cap constants, AND
+    # the shingling definition itself (ADVICE r6): editing _SHINGLE_SPARK
+    # rotates the cache without anyone remembering to bump a version tag.
+    algo = hashlib.md5(f"{_SHINGLE_SPARK}|{_SHINGLE_DUCK}".encode()).hexdigest()[:8]
     key = hashlib.md5(
         f"{os.path.abspath(p)}:{st.st_mtime_ns}:{st.st_size}"
-        f":cap{_SHINGLE_DF_CAP}:min{_CC_MIN_SHARED}:v1".encode()
+        f":cap{_SHINGLE_DF_CAP}:min{_CC_MIN_SHARED}:algo{algo}:v1".encode()
     ).hexdigest()
     return f"{tempfile.gettempdir()}/psvm_cc_base_{key}"
 
@@ -4698,6 +4702,14 @@ def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cache = _cc_base_cache_path(sf_dir)
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        import shutil
+        import uuid
+
+        # A directory without _SUCCESS is a half-written cache: remove it
+        # FIRST so the rename below can publish the rebuild (ADVICE r6 —
+        # previously the rename failed on the existing dir and the code
+        # read the very cache it had just declared invalid).
+        shutil.rmtree(cache, ignore_errors=True)
         base_pairs = to_pairs(
             post_old.alias("a")
             .join(post_old.alias("b"), "s")
@@ -4705,13 +4717,12 @@ def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb"))
         )
         built = connected_components(base_pairs, src="ia", dst="ib")
-        tmp = f"{cache}.tmp-{os.getpid()}"
+        # uuid, not pid: two sessions in one process must not share tmp
+        tmp = f"{cache}.tmp-{uuid.uuid4().hex}"
         built.write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, cache)  # atomic publish; loser of a race discards
         except OSError:
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
     # [v, component] over history docs — parquet re-scans are cheaper
     # than an extra materialization job for this dimension-sized table
@@ -4850,15 +4861,21 @@ def dedup_minhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word frequency (one explode + map-side-combined shuffle over the word
 # dim), pick the global argmax with a deterministic (count DESC, left,
 # right) tie-break (a 1-row bounded driver reduction), and apply the
-# merge.  The merge uses a DELIMITED-STRING representation — symbols
-# joined by chr(31) with sentinels at both ends — so "merge left-to-
-# right non-overlapping" is exactly one replace('<US>a<US>b<US>',
-# '<US>ab<US>') call, a primitive Spark, DuckDB, and Python all
-# implement with identical greedy semantics ("aaa" + (a,a) -> [aa, a]).
-# The ORACLE replays all K steps in a recursive CTE (per-level argmax
-# via a window over the exploded pair occurrences), so driver parity
-# proves the full iterative training loop — pair counting, tie-breaks,
-# greedy merge — end to end.
+# merge.  The merge is a left-to-right greedy FOLD over the token list
+# (Sennrich's exact semantics): scan tokens, and whenever the
+# accumulated tail is <US>a<US> and the next token is b, replace the
+# tail with <US>ab<US> — because a fresh merge changes the tail to ab,
+# a merged token can never serve as the left side of another merge in
+# the same step, which is precisely the "non-overlapping" rule
+# ("abab" + (a,b) -> [ab, ab], "aaaaa" + (a,a) -> [aa, aa, a]).  A
+# single replace('<US>a<US>b<US>', ...) call is NOT equivalent — it
+# consumes the shared delimiter and under-merges adjacent repeats
+# (ADVICE r6) — so both engines fold: Spark via the aggregate()
+# higher-order function, DuckDB via list_reduce with the '<US>'
+# sentinel prepended as the fold seed.  The ORACLE replays all K steps
+# in a recursive CTE (per-level argmax via a window over the exploded
+# pair occurrences), so driver parity proves the full iterative
+# training loop — pair counting, tie-breaks, greedy merge — end to end.
 
 _BPE_STEPS = 6
 _BPE_SEP = "\x1f"  # US control char: never appears in fixture text
@@ -4882,11 +4899,20 @@ it AS (
          CAST(NULL AS BIGINT) AS bc
   FROM words
   UNION ALL
-  SELECT step + 1, w, any_value(cnt),
-         replace(any_value(ds),
-                 '{s}' || any_value(pa2) || '{s}' || any_value(pb2) || '{s}',
-                 '{s}' || any_value(pa2) || any_value(pb2) || '{s}'),
-         any_value(pa2), any_value(pb2), any_value(pc2)
+  SELECT step + 1, w, cnt,
+         CASE WHEN ba IS NULL THEN ds
+              ELSE list_reduce(
+                list_prepend('{s}',
+                  list_filter(string_split(ds, '{s}'), x -> x <> '')),
+                (acc, t) -> CASE
+                  WHEN t = bb AND acc[-(len(ba)+2):] = '{s}' || ba || '{s}'
+                  THEN acc[1:len(acc)-len(ba)-2] || '{s}' || ba || bb || '{s}'
+                  ELSE acc || t || '{s}' END)
+         END AS ds,
+         ba, bb, bc
+  FROM (
+  SELECT step, w, any_value(cnt) AS cnt, any_value(ds) AS ds,
+         any_value(pa2) AS ba, any_value(pb2) AS bb, any_value(pc2) AS bc
   FROM (
     SELECT step, w, cnt, ds,
            first_value(pa) OVER win AS pa2,
@@ -4913,6 +4939,7 @@ it AS (
     WINDOW win AS (ORDER BY pcnt DESC NULLS LAST, pa, pb)
   ) g
   GROUP BY step, w
+  ) h
 )
 SELECT CAST(step - 1 AS INT) AS step,
        any_value(ba) AS merge_left,
@@ -4969,15 +4996,22 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         ta, tb, tc = top[0].a, top[0].b, int(top[0].pcnt)
         merges.append((step, ta, tb, tc))
-        words = words.select(
-            "w",
-            "cnt",
-            F.replace(
-                F.col("ds"),
-                F.lit(sep + ta + sep + tb + sep),
-                F.lit(sep + ta + tb + sep),
-            ).alias("ds"),
-        ).localCheckpoint(eager=True)
+        la = len(ta)
+        folded = F.aggregate(
+            F.expr(f"filter(split(ds, '{sep}'), x -> x <> '')"),
+            F.lit(sep),
+            lambda acc, t: F.when(
+                (t == F.lit(tb))
+                & (F.substring(acc, -(la + 2), la + 2) == F.lit(sep + ta + sep)),
+                F.concat(
+                    F.substring(acc, F.lit(1), F.length(acc) - F.lit(la + 2)),
+                    F.lit(sep + ta + tb + sep),
+                ),
+            ).otherwise(F.concat(acc, t, F.lit(sep))),
+        )
+        words = words.select("w", "cnt", folded.alias("ds")).localCheckpoint(
+            eager=True
+        )
     return spark.createDataFrame(
         merges, "step int, merge_left string, merge_right string, pair_count long"
     )
@@ -5814,12 +5848,13 @@ def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_chars",
+        # integer `div`, not double /: (rn-1)*(N-1) overflows the 2^53
+        # double mantissa long before it overflows BIGINT, and the long ->
+        # double round-trip can shift the floor by one (ADVICE r6); the
+        # oracle uses // so both sides stay integer-exact at any N.
         F.when(F.col("n") == 1, F.lit((total - 1) // 2 + 1))
         .otherwise(
-            F.floor(
-                ((F.col("rn") - 1) * F.lit(total - 1)) / (F.col("n") - 1)
-            ).cast("bigint")
-            + 1
+            F.expr(f"(rn - 1) * CAST({total - 1} AS BIGINT) div (n - 1)") + 1
         )
         .alias("gi"),
     )

@@ -331,7 +331,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames_sampled"),
         F.countDistinct("frame_digest").alias("n_distinct_frames"),
-        F.min("frame_hex").alias("first_frame_hex"),
+        # min_by, not min: "first frame" = the frame at the smallest
+        # sampled index, which on non-repeating streams differs from the
+        # lexicographic minimum (ADVICE r6).
+        F.expr("min_by(frame_hex, frame_idx)").alias("first_frame_hex"),
     )
 
 
@@ -478,14 +481,19 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # float64 — so DuckDB reproduces every output pixel from the digest hex
 # characters alone and the whole decode -> pool -> flatten path is
 # hash-checked.  At scale this runs where the decode runs: mapInPandas
-# over the payload column, output is 36 doubles/row regardless of
-# source resolution.
+# over the payload column, output is 36 (media_id, pos, px_val) rows per
+# image regardless of source resolution.  Output is FLAT scalar rows —
+# the round-6 driver sample proved the harness canonicalizer cannot sort
+# a top-level array<double> column (VERDICT r6 item 1), so one row per
+# output pixel replaces the former px array.
 
 
 def _resize_oracle() -> str:
     # resized pixel (r, c, ch) = mean of source block rows 2r..2r+1,
     # cols 2c..2c+1; source byte index (y*W + x)*3 + ch cycles the
-    # 16-byte digest.
+    # 16-byte digest.  Parallel unnests in one SELECT zip positionally in
+    # DuckDB, so pos aligns with the flattened (r, c, ch) term order —
+    # the same row-major order NumPy .ravel() emits on the Spark side.
     w = _PPM_W
     terms = []
     for r in range(_PPM_H // 2):
@@ -500,10 +508,12 @@ def _resize_oracle() -> str:
                     f"('0x' || substr(h, {2 * i + 1}, 2))::BIGINT" for i in idx
                 )
                 terms.append(f"({s}) / 4e0")
+    n = len(terms)
     px_list = ",\n    ".join(terms)
     return f"""
 SELECT doc_id AS media_id,
-       [{px_list}] AS px
+       CAST(unnest(range({n})) AS INTEGER) AS pos,
+       unnest([{px_list}]) AS px_val
 FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
 """
 
@@ -534,7 +544,7 @@ def mm_resize_avgpool(spark: SparkSession, sf_dir: str) -> DataFrame:
             return px.reshape(h, w, 3)
 
         for pdf in batches:
-            ids, pxs = [], []
+            ids, poss, vals = [], [], []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     px = decode_ppm(bytes(buf)).astype(np.float64)
@@ -542,8 +552,10 @@ def mm_resize_avgpool(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue  # skip-and-count convention (see mm_phash_dedup)
                 h, w, _ = px.shape
                 pooled = px.reshape(h // 2, 2, w // 2, 2, 3).sum(axis=(1, 3)) / 4.0
-                ids.append(int(mid))
-                pxs.append([float(v) for v in pooled.ravel()])
-            yield pd.DataFrame({"media_id": ids, "px": pxs})
+                flat = pooled.ravel()
+                ids.extend([int(mid)] * flat.size)
+                poss.extend(range(flat.size))
+                vals.extend(float(v) for v in flat)
+            yield pd.DataFrame({"media_id": ids, "pos": poss, "px_val": vals})
 
-    return m.mapInPandas(pool, "media_id long, px array<double>")
+    return m.mapInPandas(pool, "media_id long, pos int, px_val double")

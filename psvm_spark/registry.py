@@ -40,10 +40,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Keys the driver's 50-key/round correctness sample has already covered
-# (union of CORRECTNESS_r01..r05.json).  load_all() fronts everything NOT
+# (union of CORRECTNESS_r01..r06.json).  load_all() fronts everything NOT
 # in this set so each round's sample lands on fresh keys.  Append each
-# round's newly sampled keys here when rotating.
-_DRIVER_SAMPLED_R1_R5: frozenset[str] = frozenset({
+# round's newly sampled keys here when rotating.  mm_resize_avgpool was
+# sampled in r6 but ERRORED (array<double> output the driver canonicalizer
+# can't sort); it is deliberately left out of this ledger so the r7 sample
+# re-verifies the fix.
+_DRIVER_SAMPLED_R1_R6: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentile", "agg_bitmap_distinct",
     "agg_chi2_independence", "agg_cms_heavy_hitters", "agg_collect",
     "agg_cube", "agg_distinct", "agg_equidepth_bins", "agg_filtered",
@@ -99,6 +102,26 @@ _DRIVER_SAMPLED_R1_R5: frozenset[str] = frozenset({
     "warehouse_proration", "window_distribution", "window_frames",
     "window_lag_lead", "window_rank", "window_ratio_to_report",
     "window_sessionize", "window_sliding_distinct", "window_time_range",
+    # -- round 6 sample (CORRECTNESS_r06.json; 49 green, mm_resize_avgpool
+    #    errored and intentionally stays fresh) --
+    "ab_test_proportions", "agg_association_rules",
+    "agg_boolean_aggregates", "agg_conversion_delay",
+    "agg_generalized_means", "agg_gini_spend", "agg_hhi_concentration",
+    "agg_markov_stationary", "agg_mode", "agg_pareto_coverage",
+    "agg_regression_trend", "agg_rollup_grouping_id", "agg_skyline_2d",
+    "attribution_multi_touch", "dq_pk_uniqueness",
+    "dq_referential_integrity", "event_transitions", "funnel_time_bounded",
+    "geo_nearest_site", "graph_bfs_distance", "graph_copurchase_pairs",
+    "graph_degree_stats", "graph_jaccard_neighbors", "graph_pagerank",
+    "graph_triangle_count", "hierarchy_closure", "metric_adoption_curve",
+    "metric_stickiness", "sample_poisson_bootstrap",
+    "sample_rate_limit", "scd2_merge_update", "seq_pattern_match",
+    "seq_pattern_negation", "stream_cusum", "topk_per_group_ties",
+    "ts_autocorrelation", "ts_cusum_drift", "ts_downsample_ohlc", "ts_ewma",
+    "ts_holt_linear", "ts_interpolate_linear", "ts_m4_downsample",
+    "ts_peak_detection", "ts_runs_test", "ts_seasonal_baseline",
+    "ts_time_weighted_avg", "window_period_over_period",
+    "window_rolling_median", "window_streaks",
 })
 
 
@@ -144,12 +167,12 @@ def load_all() -> None:
     )
 
     fresh_oracle = [
-        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R5 and k in ORACLES
+        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R6 and k in ORACLES
     ]
     fresh_rows = [
-        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R5 and k not in ORACLES
+        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R6 and k not in ORACLES
     ]
-    seen = [k for k in QUERIES if k in _DRIVER_SAMPLED_R1_R5]
+    seen = [k for k in QUERIES if k in _DRIVER_SAMPLED_R1_R6]
     ordered = {k: QUERIES[k] for k in fresh_oracle + fresh_rows + seen}
     QUERIES.clear()
     QUERIES.update(ordered)

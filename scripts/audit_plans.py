@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from psvm_spark.registry import QUERIES, load_all
+from psvm_spark.registry import ORACLES, QUERIES, load_all
 from psvm_spark.session import get_spark
 
 # query -> why a nested-loop/cartesian shape is the intended plan.
@@ -110,6 +110,18 @@ def main() -> int:
         ]
         if hits and name not in WHITELIST:
             bad.append((name, "+".join(hits)))
+        # Oracle-backed outputs must be driver-canonicalizable: the
+        # driver's pandas sort_values throws on array/map cells (r6's
+        # mm_resize_avgpool failure), so no top-level complex column may
+        # reach a hash-compared result.  Structs are equally unsortable.
+        if name in ORACLES:
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                bad.append((name, f"complex-output:{','.join(complex_cols)}"))
     for name, detail in bad:
         print(f"NONEQUI  {name}  {detail}")
     for name, detail in errs:

@@ -521,24 +521,60 @@ class TestBpeMerges:
         assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
 
     def test_greedy_merge_is_left_to_right_non_overlapping(self, spark):
-        """The delimiter-string replace implements BPE's greedy scan:
-        'aaa' + merge (a,a) -> [aa, a], not [a, aa] or [aa, aa]."""
+        """The token-list fold implements BPE's greedy scan exactly —
+        including adjacent repeats of the merged pair, where a single
+        delimited-string replace() under-merges (ADVICE r6): 'abab' +
+        (a,b) -> [ab, ab] (replace() would give [ab, a, b] because the
+        first match consumes the shared delimiter), 'aaaaa' + (a,a) ->
+        [aa, aa, a], 'aaa' + (a,a) -> [aa, a].  Both engines must agree
+        word-for-word."""
+        import duckdb
         from pyspark.sql import functions as F
 
         from psvm_spark.queries.llm import _BPE_SEP as S
 
-        out = (
-            spark.range(1)
-            .select(F.lit(f"{S}a{S}a{S}a{S}").alias("ds"))
-            .select(
-                F.replace(
-                    F.col("ds"), F.lit(f"{S}a{S}a{S}"), F.lit(f"{S}aa{S}")
-                ).alias("m")
+        cases = [
+            ("abab", "a", "b", ["ab", "ab"]),
+            ("aaaaa", "a", "a", ["aa", "aa", "a"]),
+            ("aaa", "a", "a", ["aa", "a"]),
+            ("aab", "a", "b", ["a", "ab"]),
+            ("q", "a", "b", ["q"]),
+        ]
+        for w, a, b, want in cases:
+            la = len(a)
+            ds = S + S.join(w) + S
+            folded = F.aggregate(
+                F.expr(f"filter(split(ds, '{S}'), x -> x <> '')"),
+                F.lit(S),
+                lambda acc, t: F.when(
+                    (t == F.lit(b))
+                    & (F.substring(acc, -(la + 2), la + 2) == F.lit(S + a + S)),
+                    F.concat(
+                        F.substring(acc, F.lit(1), F.length(acc) - F.lit(la + 2)),
+                        F.lit(S + a + b + S),
+                    ),
+                ).otherwise(F.concat(acc, t, F.lit(S))),
             )
-            .collect()[0]
-            .m
-        )
-        assert out == f"{S}aa{S}a{S}"
+            got = (
+                spark.range(1)
+                .select(F.lit(ds).alias("ds"))
+                .select(folded.alias("m"))
+                .collect()[0]
+                .m
+            )
+            assert [x for x in got.split(S) if x] == want, (w, a, b, got)
+            duck = duckdb.sql(
+                f"""
+                SELECT list_reduce(
+                  list_prepend('{S}',
+                    list_filter(string_split('{ds}', '{S}'), x -> x <> '')),
+                  (acc, t) -> CASE
+                    WHEN t = '{b}' AND acc[-(len('{a}')+2):] = '{S}' || '{a}' || '{S}'
+                    THEN acc[1:len(acc)-len('{a}')-2] || '{S}' || '{a}' || '{b}' || '{S}'
+                    ELSE acc || t || '{S}' END) AS m
+                """
+            ).fetchone()[0]
+            assert duck == got, (w, a, b, duck, got)
 
 
 class TestTemperatureMixture:

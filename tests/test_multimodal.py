@@ -106,7 +106,10 @@ class TestUdfSurface:
 class TestResizeAvgPool:
     def test_pooling_matches_reference(self, spark, sf_dir):
         """Pooled pixels must equal an independent Python mean over the
-        decoded 2x2 blocks, with the right output shape."""
+        decoded 2x2 blocks, with the right output shape.  Output is flat
+        (media_id, pos, px_val) rows — pos in NumPy ravel (row-major)
+        order — because the driver canonicalizer cannot sort array
+        cells (r6 fix)."""
         import hashlib
 
         import numpy as np
@@ -114,10 +117,9 @@ class TestResizeAvgPool:
         from psvm_spark.catalog import load_table
         from psvm_spark.registry import QUERIES
 
-        out = {
-            r.media_id: r.px
-            for r in QUERIES["mm_resize_avgpool"](spark, sf_dir).collect()
-        }
+        out: dict[int, list[float]] = {}
+        for r in QUERIES["mm_resize_avgpool"](spark, sf_dir).collect():
+            out.setdefault(r.media_id, [0.0] * 36)[r.pos] = r.px_val
         docs = {
             r.doc_id: r.text
             for r in load_table(spark, sf_dir, "documents")
