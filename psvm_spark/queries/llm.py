@@ -6088,3 +6088,143 @@ def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc_tokens"),
         F.col("is_sat").cast("int").alias("saturated"),
     )
+
+
+# --------------------------------------------------------------------------
+# B207 (round 7) — exact substring-run dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): find
+# pairs of documents sharing a verbatim token run of >= _SUBSTR_MIN_RUN
+# tokens.  The paper builds a corpus suffix array; the scale-correct
+# Spark shape replaces it with seed k-grams + diagonal islands, which
+# finds the SAME longest shared runs without any quadratic scan:
+#   1. every word-level W-gram becomes a posting (doc_id, pos, md5);
+#   2. postings are df-capped (viral boilerplate grams are dropped from
+#      SEEDING, the df_capped_postings machinery — at fixture scale the
+#      cap never fires, so reported runs are exactly the true longest
+#      shared runs; when it fires at corpus scale a run crossing a hot
+#      gram fragments, but every fragment >= the threshold still
+#      surfaces the pair, and the oracle mirrors the cap so parity is
+#      exact by construction either way);
+#   3. matching gram occurrences join on the 16-byte digest — a pair of
+#      docs sharing a run of L tokens produces L-W+1 matches on ONE
+#      anti-diagonal (pa - pb constant), so a gaps-and-islands pass
+#      (pa - row_number per (ia, ib, diag)) groups each maximal run,
+#      and run_tokens = island_size + W - 1;
+#   4. per-pair aggregate keeps pairs whose longest run clears the
+#      threshold.
+# Everything shuffles 24-byte posting rows on gram digests — never
+# text, never all-pairs.  At 100 TB step 2's cap bounds the join fan-out
+# exactly like dedup_ngram_jaccard's (SCALE.md section 5).
+
+_SUBSTR_W = 3  # seed gram width (words)
+_SUBSTR_GRAM_CAP = 64  # max postings per gram admitted to seeding
+_SUBSTR_MIN_RUN = 20  # report pairs sharing >= this many verbatim tokens
+
+
+@query(
+    "dedup_substring_run",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+gl AS (
+  SELECT doc_id,
+         [{{'pos': i, 'gh': md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])}}
+          FOR i IN generate_series(1, len(w) - {_SUBSTR_W - 1})] AS gs
+  FROM tk WHERE len(w) >= {_SUBSTR_W}
+),
+g AS (SELECT doc_id, u.g['pos'] AS pos, u.g['gh'] AS gh
+      FROM gl, UNNEST(gl.gs) AS u(g)),
+hot AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > {_SUBSTR_GRAM_CAP}),
+gc AS (SELECT * FROM g WHERE gh NOT IN (SELECT gh FROM hot)),
+m AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, a.pos - b.pos AS diag
+  FROM gc a JOIN gc b ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT ia, ib, diag, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, diag ORDER BY pa) AS grp
+  FROM m
+),
+runs AS (
+  SELECT ia, ib, COUNT(*) + {_SUBSTR_W - 1} AS run_tokens
+  FROM isl GROUP BY ia, ib, diag, grp
+)
+SELECT ia AS id_a, ib AS id_b,
+       CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+       CAST(SUM(CASE WHEN run_tokens >= {_SUBSTR_MIN_RUN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_long_runs
+FROM runs
+GROUP BY ia, ib
+HAVING MAX(run_tokens) >= {_SUBSTR_MIN_RUN}
+""",
+)
+def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    grams = substring_gram_postings(d)
+    capped = df_capped_postings(grams, s_col="gh", cap=_SUBSTR_GRAM_CAP)
+    return substring_runs_from_postings(capped)
+
+
+def substring_gram_postings(d: DataFrame, w: int = _SUBSTR_W) -> DataFrame:
+    """(doc_id, pos, gh) for every word-level w-gram; pos is 1-based."""
+    return (
+        d.select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("w")
+        )
+        .filter(F.size("w") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {w - 1}), "
+                    f"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, {w}))) AS gh))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+
+
+def substring_runs_from_postings(
+    capped: DataFrame,
+    w: int = _SUBSTR_W,
+    min_run: int = _SUBSTR_MIN_RUN,
+) -> DataFrame:
+    """Diagonal gaps-and-islands over matched gram occurrences."""
+    m = (
+        capped.alias("a")
+        .join(capped.alias("b"), "gh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    isl = m.withColumn(
+        "grp",
+        F.col("pa")
+        - F.row_number().over(Window.partitionBy("ia", "ib", "diag").orderBy("pa")),
+    )
+    runs = isl.groupBy("ia", "ib", "diag", "grp").agg(
+        (F.count(F.lit(1)) + (w - 1)).alias("run_tokens")
+    )
+    return (
+        runs.groupBy("ia", "ib")
+        .agg(
+            F.max("run_tokens").cast("bigint").alias("max_run_tokens"),
+            F.sum(F.when(F.col("run_tokens") >= min_run, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_long_runs"),
+        )
+        .filter(F.col("max_run_tokens") >= min_run)
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            "max_run_tokens",
+            "n_long_runs",
+        )
+    )

@@ -619,3 +619,139 @@ def ml_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bss") - F.col("bss0")).alias("gain"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B208 (round 7) — distributed Incomplete Cholesky Factorization (ICF),
+# the reference's core kernel-approximation algorithm [psvm:icf.cc,
+# NIPS'07 section 3]: factor the linear-kernel Gram matrix K ~= H H^T
+# by greedily pivoting on the largest residual diagonal.  This is the
+# reference-FAITHFUL demo the Nystrom/RFF production path
+# (svm_nystrom_train_eval) substitutes for at scale: here the exact
+# psvm pivot rule (argmax residual diag, deterministic vec_id
+# tie-break) runs as a driver loop of _ICF_RANK steps, each step one
+# broadcast of the pivot row + one map over the partitioned sample —
+# the same per-iteration communication shape as psvm's MPI column
+# broadcast.  Parity is bit-exact by construction: embeddings are
+# quantized to integer thousandths, so every Gram entry is an exact
+# integer; the only floats are hnew = (K[i,p] - <h_i, h_p>) / sqrt(d_p)
+# and d_i -= hnew^2, evaluated with IDENTICAL left-fold order and
+# correctly-rounded ops on both engines.  The ORACLE replays all steps
+# in a recursive CTE with the pivot chosen by a window over the
+# recursive rows (the vocab_bpe_merges pattern), proving the full
+# iterative factorization — pivot order AND residual magnitudes (1e-6
+# fixed point) — end to end.  Input is the deterministic vec_id <
+# _ICF_CAP sample (the dedup_embedding convention): ICF itself is
+# O(n * rank) per step and scales linearly in rows, but the oracle
+# replay wants a bounded fixture.
+
+_ICF_CAP = 256
+_ICF_RANK = 5
+
+
+@query(
+    "ml_icf_factor",
+    oracle=f"""
+WITH RECURSIVE b2 AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(range(1, len(q)+1), i -> q[i] * q[i]))
+              AS DOUBLE) AS resid
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+    FROM embeddings WHERE vec_id < {_ICF_CAP})
+),
+it AS (
+  SELECT 0 AS step, vec_id, q, CAST([] AS DOUBLE[]) AS h, resid,
+         CAST(NULL AS BIGINT) AS pid, CAST(NULL AS DOUBLE) AS presid
+  FROM b2
+  UNION ALL
+  SELECT step + 1, vec_id, q,
+         list_append(h, hnew) AS h,
+         resid - hnew * hnew AS resid,
+         pid2 AS pid, presid2 AS presid
+  FROM (
+    SELECT step, vec_id, q, h, resid, pid2, presid2,
+           (CAST(list_sum(list_transform(range(1, len(q)+1),
+                                          i -> q[i] * pq2[i])) AS DOUBLE)
+            - list_reduce(
+                list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, len(h)+1), i -> h[i] * ph2[i])),
+                (a, x) -> a + x)
+           ) / sqrt(presid2) AS hnew
+    FROM (
+      SELECT step, vec_id, q, h, resid,
+             first_value(vec_id) OVER win AS pid2,
+             first_value(resid) OVER win AS presid2,
+             first_value(q) OVER win AS pq2,
+             first_value(h) OVER win AS ph2
+      FROM it WHERE step < {_ICF_RANK}
+      WINDOW win AS (ORDER BY resid DESC, vec_id)
+    ) s
+  ) t
+)
+SELECT CAST(step AS INT) AS step,
+       any_value(pid) AS pivot_vec_id,
+       CAST(floor(any_value(presid) * 1e6) AS BIGINT) AS resid_fp
+FROM it WHERE step >= 1 GROUP BY step
+""",
+)
+def ml_icf_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _ICF_CAP)
+    base = (
+        e.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, "
+                "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+            ).alias("q"),
+        )
+        .select(
+            "vec_id",
+            "q",
+            F.expr(
+                "CAST(aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"
+                " AS DOUBLE)"
+            ).alias("resid"),
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)").alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for step in range(_ICF_RANK):
+        p = base.orderBy(F.desc("resid"), "vec_id").limit(1).collect()[0]
+        pid, presid = int(p.vec_id), float(p.resid)
+        pq, ph = list(p.q), list(p.h)
+        out.append((step + 1, pid, int(math.floor(presid * 1e6))))
+        # math.sqrt and the engines' sqrt are all correctly-rounded IEEE
+        # doubles of the SAME presid, so embedding it as a literal is safe
+        sq = math.sqrt(presid)
+        pq_lit = F.array(*[F.lit(int(v)).cast("long") for v in pq])
+        kip = F.aggregate(
+            F.zip_with(F.col("q"), pq_lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        if ph:
+            ph_lit = F.array(*[F.lit(float(v)) for v in ph])
+            hdot = F.aggregate(
+                F.zip_with(F.col("h"), ph_lit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        else:
+            hdot = F.lit(0.0)
+        base = (
+            base.withColumn("hnew", (kip - hdot) / F.lit(sq))
+            .select(
+                "vec_id",
+                "q",
+                (F.col("resid") - F.col("hnew") * F.col("hnew")).alias("resid"),
+                F.concat("h", F.array(F.col("hnew"))).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(out, "step int, pivot_vec_id bigint, resid_fp bigint")

@@ -810,3 +810,77 @@ class TestUnimaxBudget:
                 unsat.append(r.alloc_tokens)
         assert unsat, "budget below total must leave unsaturated strata"
         assert max(unsat) - min(unsat) <= 1
+
+
+class TestSubstringRunDedup:
+    def test_planted_overlap_exact_run_length(self, spark):
+        """Two docs sharing a verbatim 30-token run (at different offsets,
+        different surroundings) must be reported with max_run_tokens
+        exactly 30; unrelated docs must not pair."""
+        from psvm_spark.queries.llm import (
+            substring_gram_postings,
+            substring_runs_from_postings,
+        )
+
+        run = " ".join(f"shared{i}" for i in range(30))
+        docs = [
+            (1, "alpha beta " + run + " gamma delta epsilon zeta"),
+            (2, "one two three four " + run),
+            (3, " ".join(f"solo{i}" for i in range(40))),
+        ]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            (r.id_a, r.id_b): r
+            for r in substring_runs_from_postings(
+                substring_gram_postings(d), min_run=20
+            ).collect()
+        }
+        assert set(out) == {(1, 2)}
+        assert out[(1, 2)].max_run_tokens == 30
+        assert out[(1, 2)].n_long_runs == 1
+
+    def test_viral_gram_capped_out_of_seeding(self, spark):
+        """A gram occurring in more docs than the cap must not generate
+        candidate pairs by itself (boilerplate suppression), while a
+        long run between two docs still surfaces via its other grams."""
+        from psvm_spark.queries.llm import (
+            df_capped_postings,
+            substring_gram_postings,
+            substring_runs_from_postings,
+        )
+
+        boiler = "all rights reserved worldwide"
+        run = " ".join(f"tok{i}" for i in range(25))
+        docs = [(i, f"doc{i} unique words {boiler}") for i in range(1, 9)]
+        docs += [(100, "x " + run), (101, run + " y")]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        grams = substring_gram_postings(d)
+        capped = df_capped_postings(grams, s_col="gh", cap=4)
+        out = {
+            (r.id_a, r.id_b): r
+            for r in substring_runs_from_postings(capped, min_run=20).collect()
+        }
+        assert set(out) == {(100, 101)}
+        assert out[(100, 101)].max_run_tokens == 25
+
+    def test_split_runs_counted_separately(self, spark):
+        """Two disjoint shared runs on different diagonals are separate
+        islands: n_long_runs counts both, max is the longer."""
+        from psvm_spark.queries.llm import (
+            substring_gram_postings,
+            substring_runs_from_postings,
+        )
+
+        r1 = " ".join(f"a{i}" for i in range(22))
+        r2 = " ".join(f"b{i}" for i in range(26))
+        docs = [
+            (1, r1 + " filler1 filler2 filler3 " + r2),
+            (2, r2 + " mid1 mid2 " + r1),
+        ]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        row = substring_runs_from_postings(
+            substring_gram_postings(d), min_run=20
+        ).collect()
+        assert len(row) == 1
+        assert row[0].max_run_tokens == 26
+        assert row[0].n_long_runs == 2

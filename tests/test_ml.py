@@ -340,3 +340,53 @@ class TestStumpSplit:
             assert r.n_left + r.n_right == sizes[r.grp]
             assert r.n_left > 0 and r.n_right > 0
             assert r.gain >= 0
+
+
+class TestICF:
+    def test_matches_numpy_reference(self, spark, sf_dir):
+        """The distributed ICF pivot trace must equal an independent
+        dense NumPy ICF on the same quantized Gram matrix: same pivots,
+        same residual magnitudes, residuals strictly positive and
+        non-increasing (greedy argmax property)."""
+        import math
+
+        from psvm_spark.queries.ml import _ICF_CAP, _ICF_RANK
+
+        rows = sorted(
+            registry.QUERIES["ml_icf_factor"](spark, sf_dir).collect(),
+            key=lambda r: r.step,
+        )
+        assert [r.step for r in rows] == list(range(1, _ICF_RANK + 1))
+
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < _ICF_CAP)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = np.array([r.vec_id for r in emb])
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = np.array(
+            [
+                [math.floor(float(x) * 1000.0 + 0.5) for x in emb[i].embedding]
+                for i in order
+            ],
+            dtype=np.float64,
+        )
+        gram = q @ q.T
+        n = len(ids)
+        resid = np.diag(gram).astype(np.float64).copy()
+        h = np.zeros((n, _ICF_RANK))
+        want = []
+        for j in range(_ICF_RANK):
+            p = int(np.lexsort((ids, -resid))[0])
+            want.append((j + 1, int(ids[p]), math.floor(resid[p] * 1e6)))
+            col = (gram[:, p] - h[:, :j] @ h[p, :j]) / math.sqrt(resid[p])
+            h[:, j] = col
+            resid = resid - col * col
+        got = [(r.step, r.pivot_vec_id, r.resid_fp) for r in rows]
+        assert got == want
+        resids = [r.resid_fp for r in rows]
+        assert all(v > 0 for v in resids)
+        assert resids == sorted(resids, reverse=True)
