@@ -2852,3 +2852,104 @@ def metric_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B212 (round 7) — single-changepoint detection by binary segmentation
+# (the first split of the CUSUM/PELT family): over the monthly
+# order-revenue series, find the boundary m that best explains the
+# series as two constant segments, i.e. maximizes the between-segment
+# sum of squares  BSS(m) = A^2/a + B^2/b  (equivalently minimizes
+# SSE_left + SSE_right), with gain = BSS(m) - T^2/n relative to the
+# no-split model.  Revenue is exact integer CENTS, so A, B, T are
+# bit-identical across engines and the score is the identical
+# mul/div/add double expression on both sides (the ml_stump_split
+# precedent).  Shape: one monthly aggregation (tiny), prefix sums via
+# window over the ~84-row month dim — at 100 TB the heavy part is the
+# first groupBy (map-side combined); the split search itself touches
+# only the month dimension.
+
+
+@query(
+    "ts_changepoint_sse",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS INT) AS ym,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+pref AS (
+  SELECT ym, y,
+         SUM(y) OVER (ORDER BY ym) AS cum,
+         ROW_NUMBER() OVER (ORDER BY ym) AS idx,
+         SUM(y) OVER () AS tot,
+         COUNT(*) OVER () AS n
+  FROM monthly
+),
+scored AS (
+  SELECT ym, idx, n,
+         CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE) / CAST(idx AS DOUBLE)
+         + CAST(tot - cum AS DOUBLE) * CAST(tot - cum AS DOUBLE)
+           / CAST(n - idx AS DOUBLE)
+         - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+           AS gain
+  FROM pref WHERE idx < n
+)
+SELECT ym AS split_after_ym,
+       CAST(idx AS BIGINT) AS n_left,
+       CAST(n - idx AS BIGINT) AS n_right,
+       gain
+FROM scored
+ORDER BY gain DESC, ym
+LIMIT 1
+""",
+)
+def ts_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("ym")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("ym")
+    full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pref = monthly.select(
+        "ym",
+        F.sum("y").over(w).alias("cum"),
+        F.row_number().over(w).alias("idx"),
+        F.sum("y").over(full).alias("tot"),
+        F.count(F.lit(1)).over(full).alias("n"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    scored = pref.filter(F.col("idx") < F.col("n")).select(
+        "ym",
+        "idx",
+        "n",
+        (
+            d(F.col("cum")) * d(F.col("cum")) / d(F.col("idx"))
+            + d(F.col("tot") - F.col("cum"))
+            * d(F.col("tot") - F.col("cum"))
+            / d(F.col("n") - F.col("idx"))
+            - d(F.col("tot")) * d(F.col("tot")) / d(F.col("n"))
+        ).alias("gain"),
+    )
+    return (
+        scored.orderBy(F.desc("gain"), "ym")
+        .limit(1)
+        .select(
+            F.col("ym").alias("split_after_ym"),
+            F.col("idx").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("idx")).cast("bigint").alias("n_right"),
+            "gain",
+        )
+    )

@@ -6228,3 +6228,294 @@ def substring_runs_from_postings(
             "n_long_runs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B210 (round 7) — retrieval-quality metrics (recall@k, MRR, nDCG@k):
+# the eval half of every embedding-retrieval pipeline.  Probes are the
+# deterministic vec_id % 100 = 7 sample; relevance = same label as the
+# probe; ranking = integer dot product of thousandth-quantized
+# embeddings (DESC, vec_id tie-break), so ranks are cross-engine exact.
+# The metric arithmetic is ALL integer: the DCG discount 1/log2(r+1) is
+# pre-evaluated in Python to 1e6 fixed-point literal weights embedded
+# in both engines (engine log() is not guaranteed identically rounded
+# across libm implementations — the SURVEY round-4 pow() trap), MRR's
+# reciprocal is integer division 1000000 div first_rel_rank, and IDCG
+# is a prefix-sum literal indexed by min(n_rel, k).  Probe-side join is
+# the sim_topk broadcast shape: probes broadcast, corpus partitioned.
+
+_RETR_K = 10
+_RETR_W = [1000000, 630929, 500000, 430676, 386852, 356207, 333333,
+           315464, 301029, 289064]  # floor(1e6 / log2(r+1)), r = 1..10
+_RETR_PFX = [0]
+for _w in _RETR_W:
+    _RETR_PFX.append(_RETR_PFX[-1] + _w)
+
+
+@query(
+    "ml_retrieval_metrics",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+pr AS (SELECT vec_id AS pid, label AS plabel, q AS pq FROM qv
+       WHERE vec_id % 100 = 7),
+dots AS (
+  SELECT p.pid, p.plabel, c.vec_id AS cid, c.label AS clabel,
+         CAST(list_sum(list_transform(range(1, len(c.q)+1),
+                                      i -> c.q[i] * p.pq[i])) AS BIGINT) AS dp
+  FROM pr p JOIN qv c ON c.vec_id <> p.pid
+),
+ranked AS (
+  SELECT pid, plabel, cid, clabel, dp,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dp DESC, cid) AS rnk
+  FROM dots
+),
+nrel AS (
+  SELECT pid, CAST(SUM(CASE WHEN clabel = plabel THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_rel
+  FROM ranked GROUP BY pid
+),
+topk AS (
+  SELECT pid,
+         CAST(SUM(CASE WHEN clabel = plabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_topk,
+         CAST(COALESCE(1000000 // MIN(CASE WHEN clabel = plabel THEN rnk END),
+                       0) AS BIGINT) AS rr_fp,
+         CAST(COALESCE(SUM(CASE WHEN clabel = plabel
+                           THEN ([{', '.join(str(w) for w in _RETR_W)}])[rnk]
+                           END), 0) AS BIGINT) AS dcg_fp
+  FROM (SELECT * FROM ranked WHERE rnk <= {_RETR_K}) t
+  GROUP BY pid
+)
+SELECT n.pid AS probe_id, n.n_rel, t.n_rel_topk, t.rr_fp, t.dcg_fp,
+       CAST(([{', '.join(str(p) for p in _RETR_PFX)}])
+            [least(n.n_rel, {_RETR_K}) + 1] AS BIGINT) AS idcg_fp
+FROM nrel n JOIN topk t ON n.pid = t.pid
+""",
+)
+def ml_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    pr = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("q").alias("pq"),
+    )
+    dots = (
+        F.broadcast(pr)
+        .join(e, F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "plabel",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("pq"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("dp"),
+        )
+    )
+    ranked = dots.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.desc("dp"), "cid")
+        ),
+    )
+    nrel = ranked.groupBy("pid").agg(
+        F.sum(F.when(F.col("clabel") == F.col("plabel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel")
+    )
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _RETR_W])
+    pfx_arr = F.array(*[F.lit(p).cast("long") for p in _RETR_PFX])
+    topk = (
+        ranked.filter(F.col("rnk") <= _RETR_K)
+        .withColumn("rel", F.col("clabel") == F.col("plabel"))
+        .groupBy("pid")
+        .agg(
+            F.sum(F.when(F.col("rel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rel_topk"),
+            F.coalesce(
+                F.expr("1000000 div min(CASE WHEN clabel = plabel THEN rnk END)"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("rr_fp"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("rel"), F.element_at(w_arr, F.col("rnk")))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dcg_fp"),
+        )
+    )
+    return nrel.join(topk, "pid").select(
+        F.col("pid").alias("probe_id"),
+        "n_rel",
+        "n_rel_topk",
+        "rr_fp",
+        "dcg_fp",
+        F.element_at(pfx_arr, F.least(F.col("n_rel"), F.lit(_RETR_K)).cast("int") + 1)
+        .cast("bigint")
+        .alias("idcg_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B211 (round 7) — MMR diverse retrieval (maximal marginal relevance,
+# Carbonell & Goldstein 1998): after a top-N candidate fetch, greedily
+# select K results balancing query relevance against redundancy with
+# what's already selected: argmax_c [lambda*sim(c,q) -
+# (1-lambda)*max_{s in S} sim(c,s)].  With lambda = 1/2 the argmax
+# ordering equals dq - max_pen, and with integer-quantized dot products
+# as sim, EVERY score is an exact integer (score2 = 2*MMR) — no float
+# anywhere.  Distribution shape: the candidate fetch is the sim_topk
+# broadcast join + per-probe window; the K-step greedy selection is
+# inherently sequential PER PROBE but embarrassingly parallel ACROSS
+# probes, so it runs as one applyInPandas over probe groups (<= _MMR_C
+# candidate rows each, integer NumPy inside) — no driver loop, scales
+# with probe count.  The ORACLE replays the greedy selection in a
+# recursive CTE carrying the selected set as a list, per-step argmax
+# via a window per probe — parity proves selection order, tie-breaks,
+# and the penalty maxes end to end.
+
+_MMR_C = 12  # candidates fetched per probe
+_MMR_K = 4  # results selected per probe
+
+
+@query(
+    "sim_mmr_select",
+    oracle=f"""
+WITH RECURSIVE qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+pr AS (SELECT vec_id AS pid, q AS pq FROM qv WHERE vec_id % 100 = 7),
+dots AS (
+  SELECT p.pid, c.vec_id AS cid, c.q AS cq,
+         CAST(list_sum(list_transform(range(1, len(c.q)+1),
+                                      i -> c.q[i] * p.pq[i])) AS BIGINT) AS dq
+  FROM pr p JOIN qv c ON c.vec_id <> p.pid
+),
+cand AS (
+  SELECT pid, cid, cq, dq FROM (
+    SELECT pid, cid, cq, dq,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dq DESC, cid) AS rnk
+    FROM dots) z
+  WHERE rnk <= {_MMR_C}
+),
+pair AS (
+  SELECT a.pid, a.cid AS ca, b.cid AS cb,
+         CAST(list_sum(list_transform(range(1, len(a.cq)+1),
+                                      i -> a.cq[i] * b.cq[i])) AS BIGINT) AS dcc
+  FROM cand a JOIN cand b ON a.pid = b.pid AND a.cid <> b.cid
+),
+sel AS (
+  SELECT pid, 1 AS step, [cid] AS selected, cid AS pick, dq AS score2
+  FROM (SELECT pid, cid, dq,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dq DESC, cid) AS r
+        FROM cand) z
+  WHERE r = 1
+  UNION ALL
+  SELECT pid, step + 1, list_append(selected, pick2), pick2, s2
+  FROM (
+    SELECT g.pid, g.step, g.selected, g.cid AS pick2, g.score2 AS s2,
+           ROW_NUMBER() OVER (PARTITION BY g.pid, g.step
+                              ORDER BY g.score2 DESC, g.cid) AS r
+    FROM (
+      SELECT s.pid, s.step, s.selected, c.cid, c.dq,
+             c.dq - MAX(p.dcc) AS score2
+      FROM sel s
+      JOIN cand c ON c.pid = s.pid AND NOT list_contains(s.selected, c.cid)
+      JOIN pair p ON p.pid = s.pid AND p.ca = c.cid
+                 AND list_contains(s.selected, p.cb)
+      WHERE s.step < {_MMR_K}
+      GROUP BY s.pid, s.step, s.selected, c.cid, c.dq
+    ) g
+  ) h
+  WHERE r = 1
+)
+SELECT pid AS probe_id, CAST(step AS INT) AS sel_step, pick AS vec_id,
+       CAST(score2 AS BIGINT) AS score2
+FROM sel
+""",
+)
+def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    pr = e.select(F.col("vec_id").alias("pid"), F.col("q").alias("pq")).filter(
+        F.col("pid") % 100 == 7
+    )
+    dots = (
+        F.broadcast(pr)
+        .join(e, F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cq"),
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("pq"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("dq"),
+        )
+    )
+    cand = dots.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("pid").orderBy(F.desc("dq"), "cid")),
+    ).filter(F.col("rnk") <= _MMR_C)
+
+    def mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("cid").reset_index(drop=True)
+        qm = np.array([list(v) for v in pdf["cq"]], dtype=np.int64)
+        cids = pdf["cid"].to_numpy()
+        dq = pdf["dq"].to_numpy().astype(np.int64)
+        pair = qm @ qm.T
+        pid = int(pdf["pid"].iloc[0])
+        sel: list[int] = []
+        rows = []
+        for step in range(1, _MMR_K + 1):
+            if len(sel) >= len(cids):
+                break
+            pen = (
+                pair[:, sel].max(axis=1)
+                if sel
+                else np.zeros(len(cids), dtype=np.int64)
+            )
+            score2 = dq - pen
+            best = next(
+                int(i) for i in np.lexsort((cids, -score2)) if int(i) not in sel
+            )
+            sel.append(best)
+            rows.append((pid, step, int(cids[best]), int(score2[best])))
+        return pd.DataFrame(
+            rows, columns=["probe_id", "sel_step", "vec_id", "score2"]
+        )
+
+    return cand.groupBy("pid").applyInPandas(
+        mmr, "probe_id long, sel_step int, vec_id long, score2 long"
+    )

@@ -301,3 +301,65 @@ def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), float(m["value_mass"]), int(m["n_errors"]))],
         "n_rows long, value_mass double, n_errors long",
     )
+
+
+# --------------------------------------------------------------------------
+# B209 (round 7) — XML scan/sink round-trip (Spark 4's built-in XML
+# source, the former spark-xml package): documents are written as XML
+# rows whose payload is salted with every XML-special character
+# (< > & " ') so the writer's escaping and the reader's entity decoding
+# are both on the hot path, then read back with an explicit schema and
+# checksummed.  The oracle recomputes the checksum from the parquet
+# fixture directly — equality proves the round-trip is lossless
+# INCLUDING escaping.  At 100 TB XML is a bronze-zone landing format
+# exactly like CSV/JSON (B2): parsed once per file split (XML rowTag
+# framing is splittable in the Spark 4 reader), rewritten to parquet.
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       md5(string_agg(md5(
+         'a<b&c>"' || substr(text, 1, 24) || '''d' || '|' || lang
+         || '|' || CAST(doc_id AS VARCHAR)
+       ), '' ORDER BY doc_id)) AS content_md5
+FROM documents
+""",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hostile = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit('a<b&c>"'), F.substring("text", 1, 24), F.lit("'d")
+        ).alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="psvm_xml_") + "/docs_xml"
+    (
+        hostile.write.format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, payload string")
+        .load(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(doc_id, "
+                    "md5(concat(payload, '|', lang, '|', cast(doc_id as string)"
+                    ")) as h))), x -> x.h)"
+                ),
+                "",
+            )
+        ).alias("content_md5"),
+    )

@@ -80,6 +80,8 @@ WHITELIST = {
     "select_dsir": "(a) 1-row dominant-lang + corpus-totals scalar broadcasts; the (doc, bucket) joins are equi",
     "sample_unimax_budget": "(a) 1-row totals/water-level scalar broadcasts attached to the stratum dim",
     "sim_rrf_fusion": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
+    "ml_retrieval_metrics": "(b) probes broadcast against corpus (sim_topk shape, non-equi <> filter)",
+    "sim_mmr_select": "(b) probes broadcast against corpus (sim_topk shape); selection is per-probe grouped-map",
 }
 
 

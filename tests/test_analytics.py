@@ -83,3 +83,49 @@ class TestRandomWalks:
                 assert (path[i], path[i + 1]) in edges, (seed, i)
         rows2 = registry.QUERIES["graph_random_walks"](spark, sf_dir).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+class TestChangepoint:
+    def test_matches_bruteforce(self, spark, sf_dir):
+        """The reported split must equal an independent Python scan over
+        all month boundaries, and its gain must be the global max
+        (ties to the earliest month)."""
+        from psvm_spark import registry
+
+        row = registry.QUERIES["ts_changepoint_sse"](spark, sf_dir).collect()[0]
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        from pyspark.sql import functions as F
+
+        monthly = sorted(
+            (r.ym, r.y)
+            for r in o.groupBy(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                .cast("int")
+                .alias("ym")
+            )
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                    )
+                ).alias("y")
+            )
+            .collect()
+        )
+        ys = [y for _, y in monthly]
+        tot, n = sum(ys), len(ys)
+        best = None
+        cum = 0
+        for i in range(n - 1):
+            cum += ys[i]
+            gain = (
+                cum * cum / (i + 1)
+                + (tot - cum) * (tot - cum) / (n - i - 1)
+                - tot * tot / n
+            )
+            if best is None or gain > best[1]:
+                best = (monthly[i][0], gain, i + 1)
+        assert row.split_after_ym == best[0]
+        assert row.n_left == best[2]
+        assert row.n_right == n - best[2]
+        assert row.gain >= 0

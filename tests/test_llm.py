@@ -884,3 +884,57 @@ class TestSubstringRunDedup:
         assert len(row) == 1
         assert row[0].max_run_tokens == 26
         assert row[0].n_long_runs == 2
+
+
+class TestRetrievalMetrics:
+    def test_metric_bounds_and_consistency(self, spark, sf_dir):
+        """Counts bounded by k and n_rel; DCG <= IDCG (ideal ranking
+        dominates); MRR fixed-point is 0 or in [1e5, 1e6]; IDCG equals
+        the prefix-table entry for min(n_rel, k)."""
+        from psvm_spark.queries.llm import _RETR_K, _RETR_PFX
+
+        rows = registry.QUERIES["ml_retrieval_metrics"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.n_rel_topk <= min(_RETR_K, r.n_rel)
+            assert 0 <= r.dcg_fp <= r.idcg_fp
+            assert r.rr_fp == 0 or 100000 <= r.rr_fp <= 1000000
+            assert r.idcg_fp == _RETR_PFX[min(r.n_rel, _RETR_K)]
+            assert (r.n_rel_topk == 0) == (r.rr_fp == 0) == (r.dcg_fp == 0)
+
+
+class TestMmrSelect:
+    def test_first_pick_is_top1_and_selections_distinct(self, spark, sf_dir):
+        """Step 1 must equal the plain relevance argmax (empty penalty);
+        all K selections per probe are distinct members of the candidate
+        pool; step-1 score2 equals its dot product."""
+        from psvm_spark.queries.llm import _MMR_K
+
+        rows = registry.QUERIES["sim_mmr_select"](spark, sf_dir).collect()
+        by_probe = {}
+        for r in rows:
+            by_probe.setdefault(r.probe_id, []).append(r)
+        assert by_probe
+        e = {
+            r.vec_id: list(r.embedding)
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+        import math
+
+        def quant(v):
+            return [math.floor(float(x) * 1000.0 + 0.5) for x in v]
+
+        for pid, rs in by_probe.items():
+            rs.sort(key=lambda r: r.sel_step)
+            assert [r.sel_step for r in rs] == list(range(1, _MMR_K + 1))
+            ids = [r.vec_id for r in rs]
+            assert len(set(ids)) == len(ids)
+            pq = quant(e[pid])
+            dots = {
+                vid: sum(a * b for a, b in zip(quant(vec), pq))
+                for vid, vec in e.items()
+                if vid != pid
+            }
+            best = min(dots, key=lambda k: (-dots[k], k))
+            assert rs[0].vec_id == best
+            assert rs[0].score2 == dots[best]
