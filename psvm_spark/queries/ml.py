@@ -755,3 +755,286 @@ def ml_icf_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return spark.createDataFrame(out, "step int, pivot_vec_id bigint, resid_fp bigint")
+
+
+# --------------------------------------------------------------------------
+# B213 (round 7) — ORACLE-EXACT iterative Lloyd's k-means.  Closes the
+# round-6 verdict's rows-only gap for the iterative-clustering family:
+# ml_kmeans_cluster (MLlib-shaped, float means) stays the production
+# form, ml_kmeans_assign_first pins the first pass, and THIS key proves
+# the full multi-iteration loop cross-engine.  The trick is an
+# integer-lattice Lloyd: embeddings quantize to thousandths (bigint),
+# and each centroid update takes the per-dimension FLOOR of the mean,
+# so every centroid coordinate, squared distance, argmin, and the final
+# inertia are exact integers — no float sum-order anywhere.  Python's
+# `s // c` is floor division; the oracle gets the identical floor via
+# the positivity bias (s + BIG*c) // c - BIG because DuckDB's `//`
+# truncates toward zero on negatives (verified: -7//2 = -3 there, -4 in
+# Python).  Ties in the argmin break toward the lowest cluster id on
+# both sides (array_position-of-min vs ORDER BY d2, cluster).
+#
+# Distribution shape per iteration (the psvm A10 "distributed pass +
+# tiny driver solve" loop, same as ml/kmeans.py lloyd): assignment is a
+# NARROW map with the k x 64 centroid literal embedded in the plan (no
+# join, scan-speed at 100 TB); the update is one map-side-combined
+# posexplode shuffle of k*64 integer cells, collected to the driver
+# (256 rows — the bounded rank-0 reduction) and re-embedded as the next
+# literal.  The oracle unrolls all three updates + final assignment as
+# straight-line CTEs.  Empty clusters would silently diverge from the
+# unrolled oracle, so the Spark loop asserts k stays full (loud, never
+# wrong).
+
+_KML_K = 4
+_KML_ITERS = 3
+_KML_DIM = 64
+_KML_BIG = 10_000_000  # positivity bias: |sum(q_d)| < BIG * count always
+
+_KML_Q = "(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+
+
+def _kml_oracle() -> str:
+    def assign(prev_cent: str, name: str) -> str:
+        return f"""
+{name}_d AS (
+  SELECT v.vec_id, v.label, v.q, c.cluster,
+         CAST(list_sum(list_transform(range(1, {_KML_DIM + 1}),
+              i -> (v.q[i] - c.carr[i]) * (v.q[i] - c.carr[i]))) AS BIGINT) AS d2
+  FROM qv v CROSS JOIN {prev_cent} c
+),
+{name} AS (
+  SELECT vec_id, label, q, cluster, d2 FROM (
+    SELECT vec_id, label, q, cluster, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM {name}_d) WHERE rk = 1
+)"""
+
+    def cent(assigned: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT cluster, list(cd ORDER BY dim) AS carr FROM (
+    SELECT cluster, dim, (s + {_KML_BIG} * c) // c - {_KML_BIG} AS cd FROM (
+      SELECT a.cluster, u.dim, SUM(u.v) AS s, COUNT(*) AS c
+      FROM {assigned} a,
+           LATERAL (SELECT unnest(generate_series(1, {_KML_DIM})) AS dim,
+                           unnest(a.q) AS v) u
+      GROUP BY a.cluster, u.dim))
+  GROUP BY cluster
+)"""
+
+    steps = ""
+    prev = "c0"
+    for it in range(1, _KML_ITERS + 1):
+        steps += "," + assign(prev, f"a{it}")
+        steps += "," + cent(f"a{it}", f"c{it}")
+        prev = f"c{it}"
+    steps += "," + assign(prev, "af")
+    return f"""
+WITH qv AS (
+  SELECT vec_id, label, list_transform{_KML_Q} AS q FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         q AS carr
+  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {_KML_K})
+){steps}
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(d2) AS BIGINT) AS inertia_q,
+       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+FROM af GROUP BY cluster
+"""
+
+
+def _kml_assign(qv: DataFrame, cents: list[list[int]]) -> DataFrame:
+    lit = F.array(*[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in cents])
+    return (
+        qv.withColumn("cents", lit)
+        .withColumn(
+            "d",
+            F.expr(
+                "transform(cents, c -> aggregate(zip_with(q, c, (a, b) ->"
+                " (a - b) * (a - b)), 0L, (s, x) -> s + x))"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "q",
+            (F.expr("array_position(d, array_min(d))").cast("int") - 1).alias("cluster"),
+            F.expr("array_min(d)").alias("d2"),
+        )
+    )
+
+
+@query("ml_kmeans_lloyd_exact", oracle=_kml_oracle())
+def ml_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(f"transform{_KML_Q}").alias("q")
+    )
+    cents = [
+        [int(v) for v in r.q]
+        for r in qv.orderBy("vec_id").limit(_KML_K).select("q").collect()
+    ]
+    for _ in range(_KML_ITERS):
+        cells = (
+            _kml_assign(qv, cents)
+            .select("cluster", F.posexplode("q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in cells:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.s // r.c
+        assert len(by_cluster) == _KML_K, (
+            "empty cluster: the unrolled oracle assumes k stays full"
+        )
+        cents = [
+            [by_cluster[k][d] for d in range(_KML_DIM)] for k in range(_KML_K)
+        ]
+    return (
+        _kml_assign(qv, cents)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("d2").cast("bigint").alias("inertia_q"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B215 (round 7) — two rounds of gradient boosting over histogram
+# stumps: round 1 fits the best l_quantity split to the price target,
+# round 2 fits the best l_discount split to round 1's RESIDUALS — the
+# minimal but complete boosting loop (Friedman 2001, squared loss, the
+# shape XGBoost/LightGBM iterate).  Everything stays cross-engine
+# exact: targets are integer cents, leaf values are FLOOR-of-mean
+# integers via the positivity-bias floor division (residuals go
+# negative, and Spark's `div`/DuckDB's `//` truncate instead of floor),
+# so the residual stream entering round 2 is bit-identical, and each
+# round's split score is the ml_stump_split BSS contract (mul/div/add
+# on exact integer inputs — correctly rounded doubles both sides).
+#
+# Shape at 100 TB: per round one map-side-combined histogram shuffle
+# (<= 50 cells for quantity, 11 for discount), windows over those
+# cells, and a single-row driver reduction for the chosen split (the
+# bounded rank-0 step); residuals are a narrow map with the two leaf
+# constants embedded in the plan.  The shuffle carries the histogram,
+# never the rows — the reason histogram boosting scales.
+
+_GBM_BIG = 1_000_000_000  # |mean| bound for biased floor division
+
+
+def _gbm_best(df, feat: str):
+    """Best BSS split of integer target `y` on integer feature column.
+
+    Returns (split_v, n_left, n_right, mean_left, mean_right, gain)
+    with floor-of-mean leaf values (Python // floors, matching the
+    oracle's (s + BIG*n) // n - BIG)."""
+    from pyspark.sql import Window
+
+    h = df.groupBy(feat).agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+    wcum = Window.orderBy(feat).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = h.select(
+        feat,
+        F.sum("n").over(wcum).alias("a"),
+        F.sum("s").over(wcum).alias("cs"),
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("s").over(wall).alias("ts"),
+    )
+    scored = cum.filter((F.col("a") > 0) & (F.col("tn") > F.col("a"))).select(
+        feat,
+        "a",
+        (F.col("tn") - F.col("a")).alias("b"),
+        "cs",
+        (F.col("ts") - F.col("cs")).alias("rs"),
+        (
+            F.col("cs").cast("double") * F.col("cs") / F.col("a")
+            + (F.col("ts") - F.col("cs")).cast("double")
+            * (F.col("ts") - F.col("cs"))
+            / (F.col("tn") - F.col("a"))
+        ).alias("bss"),
+        (F.col("ts").cast("double") * F.col("ts") / F.col("tn")).alias("bss0"),
+    )
+    r = scored.orderBy(F.desc("bss"), F.col(feat).asc()).limit(1).collect()[0]
+    ml = (r.cs + _GBM_BIG * r.a) // r.a - _GBM_BIG
+    mr = (r.rs + _GBM_BIG * r.b) // r.b - _GBM_BIG
+    return int(r[feat]), int(r.a), int(r.b), int(ml), int(mr), float(r.bss - r.bss0)
+
+
+def _gbm_round_sql(src: str, feat: str, out_feat: str, rnd: int) -> str:
+    return f"""
+h{rnd} AS (SELECT {feat} AS f, COUNT(*) AS n, SUM(y) AS s FROM {src} GROUP BY {feat}),
+c{rnd} AS (
+  SELECT f,
+         SUM(n) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a,
+         SUM(s) OVER (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         SUM(n) OVER () AS tn, SUM(s) OVER () AS ts
+  FROM h{rnd}),
+s{rnd} AS (
+  SELECT f, a, tn - a AS b, cs, ts - cs AS rs,
+         CAST(cs AS DOUBLE) * cs / a
+           + CAST(ts - cs AS DOUBLE) * (ts - cs) / (tn - a) AS bss,
+         CAST(ts AS DOUBLE) * ts / tn AS bss0
+  FROM c{rnd} WHERE a > 0 AND tn - a > 0),
+b{rnd} AS (SELECT * FROM s{rnd} ORDER BY bss DESC, f LIMIT 1),
+m{rnd} AS (
+  SELECT f AS split_v, a, b,
+         (cs + {_GBM_BIG} * a) // a - {_GBM_BIG} AS ml,
+         (rs + {_GBM_BIG} * b) // b - {_GBM_BIG} AS mr,
+         bss - bss0 AS gain
+  FROM b{rnd}),
+o{rnd} AS (
+  SELECT {rnd} AS round, '{out_feat}' AS feature, split_v, a AS n_left,
+         b AS n_right, ml AS mean_left_q, mr AS mean_right_q, gain
+  FROM m{rnd})"""
+
+
+@query(
+    "ml_boosting_two_rounds",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS INT) AS qty,
+         CAST(l_discount * 100 AS INT) AS disc,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM lineitem),
+r1 AS (SELECT qty AS f1, disc, y FROM base),
+{_gbm_round_sql("(SELECT f1 AS qty, y FROM r1)", "qty", "l_quantity", 1)},
+res AS (
+  SELECT r1.disc, r1.y - CASE WHEN r1.f1 <= m1.split_v THEN m1.ml ELSE m1.mr END AS y
+  FROM r1, m1),
+{_gbm_round_sql("res", "disc", "l_discount", 2)}
+SELECT CAST(round AS INT) AS round, feature, CAST(split_v AS INT) AS split_v,
+       CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+       CAST(mean_left_q AS BIGINT) AS mean_left_q,
+       CAST(mean_right_q AS BIGINT) AS mean_right_q, gain
+FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2)
+""",
+)
+def ml_boosting_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("qty"),
+        (F.col("l_discount") * 100).cast("int").alias("disc"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s1, a1, b1, ml1, mr1, g1 = _gbm_best(li.select(F.col("qty"), "y"), "qty")
+    res = li.select(
+        "disc",
+        (
+            F.col("y")
+            - F.when(F.col("qty") <= s1, F.lit(ml1)).otherwise(F.lit(mr1))
+        ).alias("y"),
+    )
+    s2, a2, b2, ml2, mr2, g2 = _gbm_best(res, "disc")
+    return spark.createDataFrame(
+        [
+            (1, "l_quantity", s1, a1, b1, ml1, mr1, g1),
+            (2, "l_discount", s2, a2, b2, ml2, mr2, g2),
+        ],
+        "round int, feature string, split_v int, n_left bigint, n_right bigint,"
+        " mean_left_q bigint, mean_right_q bigint, gain double",
+    )

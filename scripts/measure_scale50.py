@@ -56,6 +56,13 @@ DF_CAP_QUERIES = [
     "dedup_minhash",
 ]
 FIXED_PROBE_QUERIES = ["sim_ann_lsh"]
+# Round-7 verdict item 7: the graph family's >4x ratios at 20x were the
+# only ones unconfirmed at 50x.  Same graph-specific amplification as
+# measure_scale.py: BOTH lineitem endpoint keys shift per copy and
+# psvm.graph.n_nodes scales by AMP, so the amplified graph is 50x edges
+# over a 50x vertex space at base density (edge-volume-bound behavior,
+# not fixture densification).
+GRAPH_QUERIES = ["graph_kcore", "graph_random_walks", "graph_pagerank"]
 
 SYMLINK_TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -123,6 +130,27 @@ def build(spark, base: str, out: str) -> None:
     Path(out, "_DONE").touch()
 
 
+def build_graph(spark, base: str, out: str) -> None:
+    """Lineitem-only graph variant: both endpoint keys shift per copy so
+    the derived vertex set grows with the data (measure_scale.py's
+    build_graph_amplified at AMP=50)."""
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_DONE")):
+        return
+    os.makedirs(out, exist_ok=True)
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    okey_off = _offset(li, "l_orderkey")
+    pkey_off = _offset(li, "l_partkey")
+    (
+        li.crossJoin(spark.range(AMP).toDF("cp"))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("cp") * okey_off)
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("cp") * pkey_off)
+        .drop("cp")
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    Path(out, "_DONE").touch()
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/psvm_scale50"
@@ -166,6 +194,24 @@ def main() -> None:
         }
         print(
             f"{name}: base {b}s amp50/fixed-probes {a}s ratio {round(a/b,1)}x",
+            file=sys.stderr,
+        )
+    out_graph = out.rstrip("/") + "_graph"
+    build_graph(spark, base, out_graph)
+    for name in GRAPH_QUERIES:
+        b = timed(name, base)
+        spark.conf.set("psvm.graph.n_nodes", str(4000 * AMP))
+        try:
+            a = timed(name, out_graph)
+        finally:
+            spark.conf.unset("psvm.graph.n_nodes")
+        res["queries"][name] = {
+            "base": b, "amp50_scaled_vertices": a, "ratio": round(a / b, 1),
+            "factor": AMP,
+            "note": "50x edges over 50x vertex space (n_nodes conf x50): base density",
+        }
+        print(
+            f"{name}: base {b}s amp50/scaled-vertices {a}s ratio {round(a/b,1)}x",
             file=sys.stderr,
         )
     print(json.dumps(res))

@@ -938,3 +938,41 @@ class TestMmrSelect:
             best = min(dots, key=lambda k: (-dots[k], k))
             assert rs[0].vec_id == best
             assert rs[0].score2 == dots[best]
+
+
+class TestKCenterCoreset:
+    def test_matches_numpy_greedy_replay(self, spark, sf_dir):
+        """Greedy farthest-point selection must equal a NumPy replay on
+        quantized vectors, and the radius sequence must be non-increasing
+        from step 2 (the k-center coverage guarantee)."""
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _KC_K
+
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+        e.sort(key=lambda r: r.vec_id)
+        ids = np.array([r.vec_id for r in e])
+        q = np.floor(
+            np.array([[float(x) for x in r.embedding] for r in e]) * 1000.0 + 0.5
+        ).astype(np.int64)
+        sel = [0]
+        want = [(1, int(ids[0]), 0)]
+        mind = ((q - q[0]) ** 2).sum(axis=1)
+        for step in range(2, min(_KC_K, len(ids)) + 1):
+            m = mind.copy()
+            m[sel] = -1
+            best = np.lexsort((ids, -m))[0]
+            want.append((step, int(ids[best]), int(m[best])))
+            sel.append(int(best))
+            mind = np.minimum(mind, ((q - q[best]) ** 2).sum(axis=1))
+        got = [
+            (r.step, r.center_vec_id, r.radius_q)
+            for r in sorted(
+                registry.QUERIES["select_kcenter_coreset"](spark, sf_dir).collect(),
+                key=lambda r: r.step,
+            )
+        ]
+        assert got == want
+        radii = [r[2] for r in got[1:]]
+        assert radii == sorted(radii, reverse=True)

@@ -390,3 +390,50 @@ class TestICF:
         resids = [r.resid_fp for r in rows]
         assert all(v > 0 for v in resids)
         assert resids == sorted(resids, reverse=True)
+
+
+class TestKmeansLloydExact:
+    def test_matches_numpy_integer_lattice_replay(self, spark, sf_dir):
+        """The exact-oracle Lloyd must equal a NumPy replay of the same
+        integer-lattice algorithm: thousandth-quantized points, floor-of-
+        mean centroid updates, argmin with lowest-cluster tie-break."""
+        from psvm_spark.queries.ml import _KML_DIM, _KML_ITERS, _KML_K
+
+        e = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "label", "embedding")
+            .collect()
+        )
+        e.sort(key=lambda r: r.vec_id)
+        q = np.floor(
+            np.array([[float(x) for x in r.embedding] for r in e]) * 1000.0 + 0.5
+        ).astype(np.int64)
+        labels = np.array([r.label for r in e])
+        cents = q[:_KML_K].copy()
+
+        def assign(c):
+            d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return d2.argmin(axis=1), d2.min(axis=1)  # argmin = first min
+
+        for _ in range(_KML_ITERS):
+            a, _ = assign(cents)
+            cents = np.array(
+                [
+                    np.floor_divide(q[a == k].sum(axis=0), (a == k).sum())
+                    for k in range(_KML_K)
+                ]
+            )
+        a, d2 = assign(cents)
+        want = {
+            int(k): (
+                int((a == k).sum()),
+                int(d2[a == k].sum()),
+                len(set(labels[a == k])),
+            )
+            for k in range(_KML_K)
+        }
+        got = {
+            r.cluster: (r.n, r.inertia_q, r.n_labels)
+            for r in registry.QUERIES["ml_kmeans_lloyd_exact"](spark, sf_dir).collect()
+        }
+        assert got == want
