@@ -2953,3 +2953,91 @@ def ts_changepoint_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B216 (round 7) — Theil–Sen robust trend: per-brand slope = the median
+# of all pairwise monthly-revenue slopes (Theil 1950 / Sen 1968), the
+# outlier-resistant counterpart to agg_regression_trend's OLS.  The
+# pairwise stage is bounded by the CALENDAR, not the corpus: the monthly
+# rollup compresses any data volume to <= ~84 points per brand first, so
+# the per-brand pair join is O(months^2) ~ 3.5k rows — at 100 TB the
+# only corpus-sized stage is the initial map-side-combined rollup
+# shuffle.  Slopes are (exact cents delta) / (exact month delta) as the
+# IDENTICAL two-op double expression on both engines; the median is the
+# LOWER median (element selection at row_number = (n+1)/2 under a total
+# (slope, x1, x2) order), so the reported value is an actual pairwise
+# slope and no float averaging enters the parity path.
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+WITH monthly AS (
+  SELECT p_brand,
+         CAST((EXTRACT(year FROM l_shipdate) - 1995) * 12
+              + EXTRACT(month FROM l_shipdate) - 1 AS INT) AS x,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.p_brand, a.x AS x1, b.x AS x2,
+         CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+  FROM monthly a JOIN monthly b
+    ON a.p_brand = b.p_brand AND a.x < b.x),
+ranked AS (
+  SELECT p_brand, slope,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY slope, x1, x2) AS rk,
+         COUNT(*) OVER (PARTITION BY p_brand) AS np
+  FROM pairs)
+SELECT p_brand, CAST(np AS BIGINT) AS n_pairs,
+       slope AS ts_slope_cents_per_month
+FROM ranked WHERE rk = (np + 1) // 2
+""",
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1)
+            .cast("int")
+            .alias("x"),
+        )
+        .agg(
+            (F.sum((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    a = monthly.select("p_brand", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = monthly.select("p_brand", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = (
+        a.join(b, "p_brand")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "p_brand",
+            "x1",
+            "x2",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1"))
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("slope", "x1", "x2")
+    ranked = pairs.select(
+        "p_brand",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_brand")).alias("np"),
+    )
+    return ranked.filter(F.col("rk") == F.expr("(np + 1) div 2")).select(
+        "p_brand",
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("ts_slope_cents_per_month"),
+    )

@@ -33,7 +33,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
@@ -555,3 +555,94 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.select("seed", F.col("step").cast("int").alias("step"), "vertex")
+
+
+# --------------------------------------------------------------------------
+# B218 (round 7) — HITS hubs & authorities (Kleinberg 1999) on the
+# DIRECTED order-node -> part-node edge set (the undirected view the
+# other graph queries share would make hubs == authorities).  Two full
+# unnormalized power-iteration rounds in exact BIGINT arithmetic:
+# a1 = indegree, h1 = sum of a1 over out-neighbors, a2 = sum of h1 over
+# in-neighbors — the normalization HITS usually applies is a
+# presentation-only scalar, so dropping it keeps every score an exact
+# integer (values stay < ~1e7 here; at larger iteration counts the
+# fixed-point rescale trick from graph_pagerank's oracle applies).
+# Shape: each half-step is one equi-join edges->scores + one
+# map-side-combined aggregation on the 8-byte node key; edges are
+# localCheckpointed once.  Output = top-15 per role with (score DESC,
+# node) total order.
+
+_HITS_TOPK = 15
+
+_DEDGES_DUCK = f"""
+  SELECT DISTINCT {_U_DUCK} AS u, {_V_DUCK} AS v
+  FROM lineitem
+  WHERE l_orderkey % 4 = 0 AND {_U_DUCK} <> {_V_DUCK}
+"""
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+WITH edges AS ({_DEDGES_DUCK}),
+a1 AS (SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS s FROM edges GROUP BY v),
+h1 AS (
+  SELECT e.u AS node, CAST(SUM(a1.s) AS BIGINT) AS s
+  FROM edges e JOIN a1 ON e.v = a1.node GROUP BY e.u),
+a2 AS (
+  SELECT e.v AS node, CAST(SUM(h1.s) AS BIGINT) AS s
+  FROM edges e JOIN h1 ON e.u = h1.node GROUP BY e.v),
+ranked AS (
+  SELECT 'hub' AS role, node, s,
+         ROW_NUMBER() OVER (ORDER BY s DESC, node) AS rnk
+  FROM h1
+  UNION ALL
+  SELECT 'authority' AS role, node, s,
+         ROW_NUMBER() OVER (ORDER BY s DESC, node) AS rnk
+  FROM a2)
+SELECT role, CAST(node AS BIGINT) AS node, CAST(s AS BIGINT) AS score,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_HITS_TOPK}
+""",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    n = _n_nodes(spark)
+    edges = (
+        li.select(
+            F.expr(_u_spark(n)).cast("bigint").alias("u"),
+            F.expr(_v_spark(n)).cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a1 = edges.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    h1 = (
+        edges.join(a1, edges.v == a1.node)
+        .groupBy(F.col("u").alias("hnode"))
+        .agg(F.sum("s").cast("bigint").alias("hs"))
+    )
+    a2 = (
+        edges.join(h1, edges.u == h1.hnode)
+        .groupBy(F.col("v").alias("anode"))
+        .agg(F.sum("hs").cast("bigint").alias("as_"))
+    )
+    w = Window.orderBy(F.desc("score"), "node")
+    hubs = h1.select(
+        F.lit("hub").alias("role"),
+        F.col("hnode").alias("node"),
+        F.col("hs").alias("score"),
+    ).withColumn("rnk", F.row_number().over(w))
+    auths = a2.select(
+        F.lit("authority").alias("role"),
+        F.col("anode").alias("node"),
+        F.col("as_").alias("score"),
+    ).withColumn("rnk", F.row_number().over(w))
+    return (
+        hubs.unionByName(auths)
+        .filter(F.col("rnk") <= _HITS_TOPK)
+        .select("role", "node", "score", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -6719,3 +6719,111 @@ def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "step int, center_vec_id bigint, radius_q bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# B217 (round 7) — Neyman-allocated stratified sampling: the classical
+# survey-sampling rule (Neyman 1934) that a fixed labeling/eval budget
+# B should be split across strata proportional to N_h * S_h (stratum
+# size x stratum std-dev), not raw size — high-variance strata deserve
+# more of the budget.  Strata = documents.lang, x = text length.  The
+# weight algebra stays exact: N_h * S_h = sqrt(n*sum(x^2) - sum(x)^2)
+# exactly (the n's cancel), so each stratum weight is ONE sqrt of an
+# exact bigint — IEEE sqrt is correctly rounded, so both engines agree
+# bitwise.  Integerization is largest-remainder (the warehouse_proration
+# rule) with a deterministic (remainder DESC, lang) tie-break, capped at
+# the stratum population; the sampled rows themselves are the lowest
+# md5(doc_id) per stratum — content-stable under repartitioning.
+# Shape at 100 TB: one pass for stratum moments (map-side combine, one
+# row per lang), the tiny allocation table broadcasts back, and
+# selection is one per-stratum top-n_h window — no global sort.
+
+_NEY_BUDGET = 200
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH st AS (
+  SELECT lang, COUNT(*) AS n, SUM(CAST(length(text) AS BIGINT)) AS sx,
+         SUM(CAST(length(text) AS BIGINT) * length(text)) AS sxx
+  FROM documents GROUP BY lang),
+wt AS (
+  SELECT lang, n, sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS w FROM st),
+qt AS (
+  SELECT lang, n, w,
+         {_NEY_BUDGET} * w / SUM(w) OVER () AS q
+  FROM wt),
+alloc0 AS (
+  SELECT lang, n, q, CAST(floor(q) AS BIGINT) AS base,
+         ROW_NUMBER() OVER (ORDER BY q - floor(q) DESC, lang) AS rr,
+         SUM(CAST(floor(q) AS BIGINT)) OVER () AS tot_base
+  FROM qt),
+alloc AS (
+  SELECT lang,
+         least(base + CASE WHEN rr <= {_NEY_BUDGET} - tot_base THEN 1 ELSE 0 END,
+               n) AS n_h
+  FROM alloc0),
+ranked AS (
+  SELECT d.doc_id, d.lang, a.n_h,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rk
+  FROM documents d JOIN alloc a ON d.lang = a.lang)
+SELECT doc_id, lang, CAST(n_h AS BIGINT) AS stratum_alloc,
+       CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= n_h
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("x")
+    )
+    st = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    wt = st.select(
+        "lang",
+        "n",
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")).alias("w"),
+    )
+    qt = wt.select(
+        "lang",
+        "n",
+        (F.lit(_NEY_BUDGET) * F.col("w") / F.sum("w").over(Window.partitionBy())).alias("q"),
+    )
+    alloc0 = qt.select(
+        "lang",
+        "n",
+        F.floor("q").cast("bigint").alias("base"),
+        F.row_number()
+        .over(Window.orderBy((F.col("q") - F.floor("q")).desc(), F.col("lang").asc()))
+        .alias("rr"),
+        F.sum(F.floor("q").cast("bigint")).over(Window.partitionBy()).alias("tot_base"),
+    )
+    alloc = alloc0.select(
+        "lang",
+        F.least(
+            F.col("base")
+            + F.when(F.col("rr") <= F.lit(_NEY_BUDGET) - F.col("tot_base"), 1).otherwise(0),
+            F.col("n"),
+        ).alias("n_h"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        d.join(F.broadcast(alloc), "lang")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= F.col("n_h"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_h").cast("bigint").alias("stratum_alloc"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

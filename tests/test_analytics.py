@@ -129,3 +129,46 @@ class TestChangepoint:
         assert row.n_left == best[2]
         assert row.n_right == n - best[2]
         assert row.gain >= 0
+
+
+class TestTheilSen:
+    def test_matches_numpy_lower_median_of_slopes(self, spark, sf_dir):
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part")
+        monthly = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy(
+                "p_brand",
+                ((F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1).alias("x"),
+            )
+            .agg(
+                F.sum((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")).alias("y")
+            )
+            .collect()
+        )
+        series: dict[str, list[tuple[int, int]]] = {}
+        for r in monthly:
+            series.setdefault(r.p_brand, []).append((int(r.x), int(r.y)))
+        want = {}
+        for brand, pts in series.items():
+            pts.sort()
+            slopes = [
+                ((y2 - y1) / (x2 - x1), x1, x2)
+                for i, (x1, y1) in enumerate(pts)
+                for (x2, y2) in pts[i + 1 :]
+            ]
+            slopes.sort()
+            want[brand] = (len(slopes), slopes[(len(slopes) + 1) // 2 - 1][0])
+        got = {
+            r.p_brand: (r.n_pairs, r.ts_slope_cents_per_month)
+            for r in registry.QUERIES["ts_theil_sen"](spark, sf_dir).collect()
+        }
+        assert got.keys() == want.keys()
+        for brand in want:
+            assert got[brand][0] == want[brand][0], brand
+            assert got[brand][1] == want[brand][1], brand

@@ -976,3 +976,21 @@ class TestKCenterCoreset:
         assert got == want
         radii = [r[2] for r in got[1:]]
         assert radii == sorted(radii, reverse=True)
+
+
+class TestNeymanAllocation:
+    def test_budget_exhausted_and_per_stratum_counts_match_alloc(self, spark, sf_dir):
+        from psvm_spark.queries.llm import _NEY_BUDGET
+
+        rows = registry.QUERIES["sample_neyman_allocation"](spark, sf_dir).collect()
+        by_lang: dict[str, list] = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        total = 0
+        for lang, rs in by_lang.items():
+            alloc = {r.stratum_alloc for r in rs}
+            assert len(alloc) == 1, lang
+            assert len(rs) == alloc.pop(), lang
+            assert sorted(r.rk for r in rs) == list(range(1, len(rs) + 1)), lang
+            total += len(rs)
+        assert total <= _NEY_BUDGET
