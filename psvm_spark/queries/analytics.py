@@ -3041,3 +3041,96 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").cast("bigint").alias("n_pairs"),
         F.col("slope").alias("ts_slope_cents_per_month"),
     )
+
+
+# --------------------------------------------------------------------------
+# B220 (round 7) — Welch's unequal-variance t-test (reported as t^2 and
+# the Welch–Satterthwaite df), completing the A/B toolkit next to the
+# two-proportion z-test: proportions compare rates, this compares MEANS
+# of a heavy-tailed metric (order value) without assuming equal
+# variance.  The parity recipe is the moment-sum contract: per-group
+# n / sum(cents) / sum(cents^2) accumulate EXACTLY (cents as BIGINT,
+# squares summed in DECIMAL(25,0) on Spark / HUGEINT on DuckDB — cents^2
+# overflows BIGINT beyond ~30k rows), are converted to double once, and
+# every downstream op is the identical correctly-rounded double
+# expression on both engines.  One conditional-aggregation scan; no
+# shuffle wider than two cells.
+
+
+@query(
+    "ab_test_welch_t2",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (grp = '1-URGENT') AS BIGINT) AS n1,
+    CAST(COUNT(*) FILTER (grp = '5-LOW') AS BIGINT) AS n2,
+    CAST(SUM(cents) FILTER (grp = '1-URGENT') AS DOUBLE) AS s1,
+    CAST(SUM(cents) FILTER (grp = '5-LOW') AS DOUBLE) AS s2,
+    CAST(SUM(CAST(cents AS HUGEINT) * cents) FILTER (grp = '1-URGENT')
+         AS DOUBLE) AS q1,
+    CAST(SUM(CAST(cents AS HUGEINT) * cents) FILTER (grp = '5-LOW')
+         AS DOUBLE) AS q2
+  FROM g
+)
+SELECT n1, n2,
+       s1 / n1 - s2 / n2 AS mean_diff_cents,
+       (s1 / n1 - s2 / n2) * (s1 / n1 - s2 / n2)
+         / ((n1 * q1 - s1 * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+            + (n2 * q2 - s2 * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2) AS t2,
+       ((n1 * q1 - s1 * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+        + (n2 * q2 - s2 * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2)
+       * ((n1 * q1 - s1 * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+          + (n2 * q2 - s2 * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2)
+       / ((n1 * q1 - s1 * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+          * ((n1 * q1 - s1 * s1) / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1)
+          / (n1 - 1)
+          + (n2 * q2 - s2 * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2
+          * ((n2 * q2 - s2 * s2) / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2)
+          / (n2 - 1)) AS df_welch
+FROM s
+""",
+)
+def ab_test_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    g = o.select(F.col("o_orderpriority").alias("grp"), cents.alias("cents"))
+    is1 = F.col("grp") == "1-URGENT"
+    is2 = F.col("grp") == "5-LOW"
+    sq = (F.col("cents").cast("decimal(12,0)") * F.col("cents")).cast("decimal(25,0)")
+    s = g.agg(
+        F.count(F.when(is1, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(is2, 1)).cast("bigint").alias("n2"),
+        F.sum(F.when(is1, F.col("cents"))).cast("double").alias("s1"),
+        F.sum(F.when(is2, F.col("cents"))).cast("double").alias("s2"),
+        F.sum(F.when(is1, sq)).cast("double").alias("q1"),
+        F.sum(F.when(is2, sq)).cast("double").alias("q2"),
+    )
+    m = F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")
+    se1 = (
+        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+        / (F.col("n1").cast("double") * (F.col("n1") - 1))
+        / F.col("n1")
+    )
+    se2 = (
+        (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2"))
+        / (F.col("n2").cast("double") * (F.col("n2") - 1))
+        / F.col("n2")
+    )
+    return s.select(
+        "n1",
+        "n2",
+        m.alias("mean_diff_cents"),
+        (m * m / (se1 + se2)).alias("t2"),
+        (
+            (se1 + se2)
+            * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1))
+        ).alias("df_welch"),
+    )

@@ -172,3 +172,35 @@ class TestTheilSen:
         for brand in want:
             assert got[brand][0] == want[brand][0], brand
             assert got[brand][1] == want[brand][1], brand
+
+
+class TestWelchT2:
+    def test_matches_numpy_welch(self, spark, sf_dir):
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        rows = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+            .select(
+                "o_orderpriority",
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .collect()
+        )
+        a = np.array([r.cents for r in rows if r.o_orderpriority == "1-URGENT"], dtype=np.float64)
+        b = np.array([r.cents for r in rows if r.o_orderpriority == "5-LOW"], dtype=np.float64)
+        v1, v2 = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+        t2 = (a.mean() - b.mean()) ** 2 / (v1 + v2)
+        df = (v1 + v2) ** 2 / (v1**2 / (len(a) - 1) + v2**2 / (len(b) - 1))
+        got = registry.QUERIES["ab_test_welch_t2"](spark, sf_dir).collect()[0]
+        assert got.n1 == len(a) and got.n2 == len(b)
+        assert abs(got.t2 - t2) < 1e-6 * max(1.0, abs(t2))
+        assert abs(got.df_welch - df) < 1e-6 * df
+        assert abs(got.mean_diff_cents - (a.mean() - b.mean())) < 1e-6 * max(
+            1.0, abs(a.mean() - b.mean())
+        )
