@@ -6827,3 +6827,197 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B219 (round 7) — IVF-PQ: the composed production ANN index (Jegou et
+# al. 2011, the FAISS IVFPQ shape).  sim_ivf contributes the coarse
+# quantizer (deterministic per-label centroids, nprobe inverted lists);
+# sim_pq_encode contributes the product quantizer — but trained on and
+# applied to the RESIDUAL vector minus its coarse centroid, which is
+# what makes IVF-PQ beat flat PQ (residuals are smaller and better
+# conditioned).  A probe builds one 8x4 LUT per probed cluster from ITS
+# residual against that cluster's centroid, then scores that cluster's
+# codes by 8 lookups — never touching corpus floats.  Everything is
+# deterministic and cross-engine exact: centroids round-6 (the sim_ivf
+# contract), codebook = residual slices of the fixed vec_id % 7 picks,
+# LUT entries round-9 decimal so the ADC sum is order-independent.
+#
+# Scale shape: the stored index is (cluster id + 16-bit code) per
+# vector — 64x smaller than the floats; centroids (10 x 64) and the
+# 32-row codebook broadcast; LUTs are probe-side tiny; the score join
+# shuffles on the (cluster, s, c) key only.  At 100 TB the corpus is
+# stored partitioned by cluster id so a probe touches nprobe partitions
+# (the sim_ivf layout argument, compounded by PQ compression).
+
+_IVFPQ_NPROBE = 3
+_IVFPQ_TOPK = 10
+
+_IVFPQ_RES_DUCK = (
+    "list_transform(list_zip(e.embedding, a.centroid),"
+    " p -> CAST(p[1] AS DOUBLE) - p[2])"
+)
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=f"""
+WITH {_IVF_CENT_DUCK},
+assign AS (
+  SELECT e.vec_id, e.embedding, c.clab, c.centroid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({K.sql_sq_l2('e.embedding', 'c.centroid')}, 6), c.clab
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent_arr c
+),
+clusters AS (
+  SELECT e.vec_id, a.clab, {_IVFPQ_RES_DUCK} AS res
+  FROM embeddings e
+  JOIN (SELECT vec_id, clab, centroid FROM assign WHERE rk = 1) a
+    ON e.vec_id = a.vec_id
+),
+subs AS (
+  SELECT vec_id, clab, g.s, list_slice(res, g.s * 8 + 1, g.s * 8 + 8) AS sv
+  FROM clusters
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g),
+cb AS (
+  SELECT CAST((vec_id // 7) // 4 AS BIGINT) AS s,
+         CAST((vec_id // 7) % 4 AS BIGINT) AS c,
+         list_slice(res,
+                    CAST((vec_id // 7) // 4 AS BIGINT) * 8 + 1,
+                    CAST((vec_id // 7) // 4 AS BIGINT) * 8 + 8) AS cv
+  FROM clusters WHERE vec_id % 7 = 0 AND vec_id <= 217),
+codes AS (
+  SELECT vec_id, clab, s, c FROM (
+    SELECT u.vec_id, u.clab, u.s, b.c,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id, u.s
+                              ORDER BY {K.sql_sq_l2('u.sv', 'b.cv')}, b.c) AS rk
+    FROM subs u JOIN cb b ON u.s = b.s)
+  WHERE rk = 1),
+probe_c AS (
+  SELECT a.vec_id AS i, a.clab, a.centroid
+  FROM assign a WHERE a.vec_id % 50 = 0 AND a.rk <= {_IVFPQ_NPROBE}),
+pres AS (
+  SELECT pc.i, pc.clab, g.s,
+         list_slice(list_transform(list_zip(e.embedding, pc.centroid),
+                                   p -> CAST(p[1] AS DOUBLE) - p[2]),
+                    g.s * 8 + 1, g.s * 8 + 8) AS sv
+  FROM probe_c pc
+  JOIN embeddings e ON e.vec_id = pc.i
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g),
+lut AS (
+  SELECT p.i, p.clab, p.s, b.c,
+         CAST(round({K.sql_sq_l2('p.sv', 'b.cv')}, 9) AS DECIMAL(18,9)) AS dt
+  FROM pres p JOIN cb b ON p.s = b.s),
+scored AS (
+  SELECT l.i, k.vec_id AS j, SUM(l.dt) AS adc
+  FROM codes k
+  JOIN lut l ON k.clab = l.clab AND k.s = l.s AND k.c = l.c
+  WHERE k.vec_id <> l.i
+  GROUP BY l.i, k.vec_id)
+SELECT i, j, CAST(adc AS DOUBLE) AS adc, CAST(rnk AS INT) AS rnk
+FROM (SELECT i, j, adc,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY adc, j) AS rnk
+      FROM scored)
+WHERE rnk <= {_IVFPQ_TOPK}
+""",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg((F.round(F.sum("col"), 6) / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(F.col("label").alias("clab"), F.col("pc.c").alias("centroid"))
+    )
+    dist = F.round(K.sq_l2(F.col("embedding"), F.col("centroid")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("clab").asc())
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .select("vec_id", "embedding", "clab", "centroid", "rk")
+    )
+    res_expr = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("centroid"),
+        lambda a, b: a - b,
+    )
+    clusters = (
+        assign.filter(F.col("rk") == 1)
+        .select("vec_id", "clab", res_expr.alias("res"))
+        .localCheckpoint(eager=True)
+    )
+    subs = clusters.select(
+        "vec_id",
+        "clab",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), s -> "
+                "struct(cast(s as bigint) as s, slice(res, s * 8 + 1, 8) as sv))"
+            )
+        ).alias("x"),
+    ).select("vec_id", "clab", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    cb = (
+        clusters.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") <= 217))
+        .select(
+            F.expr("cast((vec_id div 7) div 4 as bigint)").alias("s"),
+            F.expr("cast((vec_id div 7) % 4 as bigint)").alias("c"),
+            F.expr("slice(res, cast((vec_id div 7) div 4 as int) * 8 + 1, 8)").alias("cv"),
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy(
+        K.sq_l2(F.col("sv"), F.col("cv")).asc(), F.col("c").asc()
+    )
+    codes = (
+        subs.join(F.broadcast(cb), "s")
+        .withColumn("rk", F.row_number().over(w_code))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "clab", "s", "c")
+    )
+    probe_c = assign.filter(
+        (F.col("vec_id") % _probe_mod(spark) == 0) & (F.col("rk") <= _IVFPQ_NPROBE)
+    ).select(F.col("vec_id").alias("i"), "clab", "centroid")
+    pe = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("pemb"))
+    pres = (
+        probe_c.join(F.broadcast(pe), "i")
+        .select(
+            "i",
+            "clab",
+            F.zip_with(
+                F.col("pemb").cast("array<double>"),
+                F.col("centroid"),
+                lambda a, b: a - b,
+            ).alias("pr"),
+        )
+        .select(
+            "i",
+            "clab",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 7), s -> "
+                    "struct(cast(s as bigint) as s, slice(pr, s * 8 + 1, 8) as sv))"
+                )
+            ).alias("x"),
+        )
+        .select("i", "clab", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    )
+    lut = pres.join(F.broadcast(cb), "s").select(
+        "i",
+        "clab",
+        "s",
+        "c",
+        F.round(K.sq_l2(F.col("sv"), F.col("cv")), 9).cast("decimal(18,9)").alias("dt"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["clab", "s", "c"])
+        .filter(F.col("vec_id") != F.col("i"))
+        .groupBy("i", F.col("vec_id").alias("j"))
+        .agg(F.sum("dt").alias("adc"))
+    )
+    w_rank = Window.partitionBy("i").orderBy(F.col("adc").asc(), F.col("j").asc())
+    return scored.select("i", "j", F.col("adc").cast("double").alias("adc")).withColumn(
+        "rnk", F.row_number().over(w_rank)
+    ).filter(F.col("rnk") <= _IVFPQ_TOPK)

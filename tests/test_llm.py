@@ -994,3 +994,69 @@ class TestNeymanAllocation:
             assert sorted(r.rk for r in rs) == list(range(1, len(rs) + 1)), lang
             total += len(rs)
         assert total <= _NEY_BUDGET
+
+
+class TestIVFPQ:
+    def test_matches_numpy_ivfpq_replay(self, spark, sf_dir):
+        """Full NumPy replay of the composed index: coarse label-centroid
+        assignment, residual PQ codes from the fixed codebook picks,
+        per-(probe, cluster) LUTs, and the ADC top-10."""
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _IVFPQ_NPROBE, _IVFPQ_TOPK
+
+        rows = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        ).collect()
+        rows.sort(key=lambda r: r.vec_id)
+        ids = np.array([r.vec_id for r in rows])
+        labels = np.array([r.label for r in rows])
+        X = np.array([[float(x) for x in r.embedding] for r in rows])
+        labs = sorted(set(labels.tolist()))
+        cent = {
+            lab: np.round(X[labels == lab].sum(axis=0), 6) / (labels == lab).sum()
+            for lab in labs
+        }
+        C = np.array([cent[lab] for lab in labs])
+        d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        order = np.argsort(d2, axis=1, kind="stable")  # ties -> lowest label idx
+        a1 = order[:, 0]
+        res = X - C[a1]
+        cb = {}
+        for vid in range(0, 218, 7):
+            k = vid // 7
+            s, c = k // 4, k % 4
+            cb[(s, c)] = res[np.where(ids == vid)[0][0], s * 8 : s * 8 + 8]
+        codes = np.zeros((len(ids), 8), dtype=np.int64)
+        for s in range(8):
+            dist = np.stack(
+                [((res[:, s * 8 : s * 8 + 8] - cb[(s, c)]) ** 2).sum(1) for c in range(4)],
+                axis=1,
+            )
+            codes[:, s] = dist.argmin(axis=1)
+        want = {}
+        for pi in np.where(ids % 50 == 0)[0]:
+            probed = order[pi, :_IVFPQ_NPROBE]
+            cand = []
+            for cl in probed:
+                pres = X[pi] - C[cl]
+                lut = {
+                    (s, c): np.round(
+                        ((pres[s * 8 : s * 8 + 8] - cb[(s, c)]) ** 2).sum(), 9
+                    )
+                    for s in range(8)
+                    for c in range(4)
+                }
+                for j in np.where(a1 == cl)[0]:
+                    if j == pi:
+                        continue
+                    adc = sum(lut[(s, codes[j, s])] for s in range(8))
+                    cand.append((float(adc), int(ids[j])))
+            cand.sort()
+            want[int(ids[pi])] = [j for _, j in cand[:_IVFPQ_TOPK]]
+        got = {}
+        for r in registry.QUERIES["sim_ivfpq_topk"](spark, sf_dir).collect():
+            got.setdefault(r.i, []).append((r.rnk, r.j))
+        got = {i: [j for _, j in sorted(v)] for i, v in got.items()}
+        assert got == want
