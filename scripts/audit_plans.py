@@ -35,6 +35,7 @@ WHITELIST = {
     "sim_topk_cosine": "(b) probes broadcast against corpus by design (non-equi <> filter)",
     "sim_ivf": "(b) nprobe cluster-id join; candidate set bounded by IVF blocking",
     "sim_ivf_kmeans": "(b) same IVF shape with k-means centroids",
+    "sim_ivfpq_topk": "(b) same IVF coarse-assignment crossJoin (10-row centroid broadcast); scoring joins are equi on (clab, s, c)",
     "agg_theta_sketch": "(b) 1x1 crossJoin of two single-row sketch relations",
     "svm_predict_score": "(b) support-vector broadcast against test rows (kernel eval)",
     "kernel_linear": "(b) pair-sample kernel matrix on %-sampled rows (bounded)",

@@ -36,12 +36,15 @@ Three measurement groups:
   realistic scale question is "bigger index, same query rate": the
   script raises psvm.sim.probe_modulo by the amp factor so the probe
   COUNT stays at its base value while the corpus grows 20x.  Expected
-  ratio <= 20x (work is probes x corpus-fraction).  Measured context
-  (sf0.001, this machine): random-projection LSH cannot prune uniform
-  unit vectors — pruning to 47% of pairs already drops recall@10 to
-  0.58 (bl=0.15/nt=2) vs 1.0 at no pruning — so sim_ann_lsh's
-  candidate volume is data-dependent by nature and the deterministic
-  bounded-candidates path is IVF (nprobe/k of the corpus per probe).
+  ratio <= 20x (work is probes x corpus-fraction).  Measured context:
+  random-projection LSH cannot prune uniform unit vectors far without
+  losing recall (pruning to 47% of pairs drops recall@10 to ~0.58 on
+  this fixture), so candidate volume is data-dependent by nature; the
+  round-7 deterministic E2LSH rewrite still cut sim_ann_lsh's 50x
+  fixed-probe ratio from ~55x to 2.1x (SCALE.md §9h) because only the
+  (vec_id, table, bucket) banding and the candidate set — never the
+  corpus floats — cross the wire.  The deterministic bounded-candidates
+  path remains IVF (nprobe/k of the corpus per probe).
 - AMP_QUAD (4x): the brute-force all-pairs baseline
   (dedup_embedding), O(n^2) BY DESIGN — its scale path is
   dedup_minhash / the LSH banding family, measured above.  Since
