@@ -7021,3 +7021,83 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("i", "j", F.col("adc").cast("double").alias("adc")).withColumn(
         "rnk", F.row_number().over(w_rank)
     ).filter(F.col("rnk") <= _IVFPQ_TOPK)
+
+
+# --------------------------------------------------------------------------
+# B220 (round 7) — TRUE winnowing fingerprints (Schleimer, Wilkerson &
+# Aiken 2003, the MOSS algorithm).  doc_fingerprint keeps one global
+# min-hash per doc; winnowing keeps the minimum of EVERY window of w
+# consecutive k-gram hashes, giving the guarantee the global min lacks:
+# any verbatim match of length >= w + k - 1 characters between two
+# documents shares at least one selected fingerprint, with expected
+# density 2/(w+1).  Character k-grams (k=8) hash through md5 prefixes;
+# window minima are by VALUE, so tie position (the one spot where
+# winnowing variants differ) cannot affect the output set.  The whole
+# computation is one narrow per-row HOF pass — no shuffle, no join; at
+# 100 TB the fingerprint inverted index this feeds is the
+# dedup_substring_run candidate generator's natural companion.  Output
+# per doc: gram/window/fingerprint counts + an order-canonical digest
+# of the selected set (sorted-concat md5 — the established
+# driver-canonicalizable pattern for set-valued results).
+
+_WIN_K = 8  # k-gram length (chars)
+_WIN_W = 6  # hashes per window; guarantee threshold = w + k - 1 = 13 chars
+
+
+@query(
+    "doc_winnowing",
+    oracle=f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {_WIN_K} + 2, 1)),
+                        i -> substr(md5(substr(text, CAST(i AS INT), {_WIN_K})), 1, 16))
+           AS h
+  FROM documents),
+wins AS (
+  SELECT doc_id, len(h) AS n_grams,
+         list_transform(range(1, greatest(len(h) - {_WIN_W} + 2, 1)),
+                        s -> list_aggregate(list_slice(h, CAST(s AS INT),
+                                                       CAST(s AS INT) + {_WIN_W} - 1),
+                                            'min')) AS mins
+  FROM hs),
+fp AS (
+  SELECT doc_id, n_grams,
+         CAST(len(mins) AS BIGINT) AS n_windows,
+         list_sort(list_distinct(mins)) AS fps
+  FROM wins)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_windows,
+       CAST(len(fps) AS BIGINT) AS n_fps,
+       md5(array_to_string(fps, '')) AS fp_digest
+FROM fp
+""",
+)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # IF-guards because Spark's sequence(1, 0) yields DESCENDING [1, 0]
+    # rather than an empty array (DuckDB's range(1, 1) is empty).
+    hs = d.select(
+        "doc_id",
+        F.expr(
+            f"IF(length(text) < {_WIN_K}, array(),"
+            f" transform(sequence(1, length(text) - {_WIN_K} + 1),"
+            f" i -> substring(md5(substring(text, i, {_WIN_K})), 1, 16)))"
+        ).alias("h"),
+    )
+    wins = hs.select(
+        "doc_id",
+        F.size("h").alias("n_grams"),
+        F.expr(
+            f"IF(size(h) < {_WIN_W}, array(),"
+            f" transform(sequence(1, size(h) - {_WIN_W} + 1),"
+            f" s -> array_min(slice(h, s, {_WIN_W}))))"
+        ).alias("mins"),
+    )
+    return wins.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.size("mins").cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct("mins")).cast("bigint").alias("n_fps"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct("mins")), "")).alias(
+            "fp_digest"
+        ),
+    )

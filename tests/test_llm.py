@@ -1060,3 +1060,70 @@ class TestIVFPQ:
             got.setdefault(r.i, []).append((r.rnk, r.j))
         got = {i: [j for _, j in sorted(v)] for i, v in got.items()}
         assert got == want
+
+
+class TestWinnowing:
+    def test_guarantee_and_density_and_short_doc_edges(self, spark, sf_dir):
+        """Winnowing's two published properties on planted data: (1) two
+        docs sharing a verbatim run of >= w + k - 1 chars share at least
+        one fingerprint; (2) fingerprint density ~ 2/(w+1); plus the
+        short-doc edge cases (len < k and len < k + w - 1)."""
+        import hashlib
+
+        from psvm_spark.queries.llm import _WIN_K, _WIN_W
+
+        def winnow(text):
+            hs = [
+                hashlib.md5(text[i : i + _WIN_K].encode()).hexdigest()[:16]
+                for i in range(len(text) - _WIN_K + 1)
+            ]
+            if len(hs) < _WIN_W:
+                return set(), len(hs), 0
+            mins = [min(hs[s : s + _WIN_W]) for s in range(len(hs) - _WIN_W + 1)]
+            return set(mins), len(hs), len(mins)
+
+        shared = "the quick brown fox jumps over the lazy dog"
+        docs = [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "cccc " + shared + " dddd"),
+            (3, "zz"),  # shorter than k
+            (4, "abcdefghij"),  # >= k but < k + w - 1
+            (5, "x" * 400),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        # replicate the registered query's exact Spark expressions on
+        # the planted frame (the fixture dirs are read-only)
+        from pyspark.sql import functions as F
+
+        hs = df.select(
+            "doc_id",
+            F.expr(
+                f"IF(length(text) < {_WIN_K}, array(),"
+                f" transform(sequence(1, length(text) - {_WIN_K} + 1),"
+                f" i -> substring(md5(substring(text, i, {_WIN_K})), 1, 16)))"
+            ).alias("h"),
+        )
+        wins = hs.select(
+            "doc_id",
+            F.size("h").alias("n_grams"),
+            F.expr(
+                f"IF(size(h) < {_WIN_W}, array(),"
+                f" transform(sequence(1, size(h) - {_WIN_W} + 1),"
+                f" s -> array_min(slice(h, s, {_WIN_W}))))"
+            ).alias("mins"),
+        ).collect()
+        got = {r.doc_id: (set(r.mins), r.n_grams) for r in wins}
+        for doc_id, text in docs:
+            fps, n_grams, n_windows = winnow(text)
+            assert got[doc_id][0] == fps, doc_id
+            assert got[doc_id][1] == n_grams, doc_id
+        # guarantee: docs 1 and 2 share the long run -> share a fingerprint
+        assert got[1][0] & got[2][0]
+        # short docs: empty fingerprint sets
+        assert got[3][0] == set() and got[4][0] == set()
+        # density on real corpus: ~2/(w+1) of windows produce distinct fps
+        rows = registry.QUERIES["doc_winnowing"](spark, sf_dir).collect()
+        dens = [r.n_fps / r.n_windows for r in rows if r.n_windows > 50]
+        assert dens, "fixture docs unexpectedly tiny"
+        avg = sum(dens) / len(dens)
+        assert 0.5 * 2 / (_WIN_W + 1) < avg < 2.5 * 2 / (_WIN_W + 1), avg
