@@ -1239,3 +1239,77 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_n").cast("bigint").alias("n_user"),
         (F.col("n").cast("double") / F.col("user_n")).alias("mode_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# B221 (round 7) — EXACT global quantiles by two-pass bucket selection,
+# the 100 TB alternative to both approx_percentile (not exact) and a
+# global sort (a full-shuffle non-starter): pass 1 is a map-side-
+# combined 1024-bucket histogram of integer cents; the cumulative
+# bucket counts locate the bucket holding global rank k, and pass 2
+# sorts ONLY that bucket's ~n/1024 rows to select the element.  All
+# bucket arithmetic is integer (fixed width = (max-min) div 1024 + 1),
+# the quantile is the LOWER order statistic k = (n-1)*p div 100 + 1 —
+# element selection, no float interpolation — so the result is the
+# exact same cent value either engine's full sort would return (the
+# oracle does the brute-force ORDER BY to prove it).  The min/max/count
+# pre-pass is a single-row driver reduction; the per-p work joins
+# against the <= 1024-row cumulative histogram.
+
+_Q2P_BUCKETS = 1024
+_Q2P_PCTS = (50, 95)
+
+
+@query(
+    "agg_median_two_pass",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM lineitem),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+ks AS (
+  SELECT p, ((n - 1) * p) // 100 + 1 AS k
+  FROM (VALUES (50), (95)) t(p) CROSS JOIN n),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c)
+SELECT CAST(ks.p AS INT) AS p, CAST(ks.k AS BIGINT) AS k,
+       r.v AS value_cents
+FROM ks JOIN r ON r.rn = ks.k
+""",
+)
+def agg_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+    st = li.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    mn, mx, n = int(st.mn), int(st.mx), int(st.n)
+    wdt = (mx - mn) // _Q2P_BUCKETS + 1
+    hist = (
+        li.groupBy(((F.col("v") - mn) / wdt).cast("bigint").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "b",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("before"),
+        F.sum("cnt").over(wcum).alias("through"),
+    )
+    targets = spark.createDataFrame(
+        [(p, (n - 1) * p // 100 + 1) for p in _Q2P_PCTS], "p int, k bigint"
+    )
+    tb = F.broadcast(targets).join(
+        cum, (F.col("k") > F.col("before")) & (F.col("k") <= F.col("through"))
+    )
+    in_bucket = li.withColumn("b", ((F.col("v") - mn) / wdt).cast("bigint"))
+    wsel = Window.partitionBy("p").orderBy("v")
+    return (
+        F.broadcast(tb)
+        .join(in_bucket, "b")
+        .withColumn("rn_in", F.row_number().over(wsel))
+        .filter(F.col("rn_in") == F.col("k") - F.col("before"))
+        .select(F.col("p").cast("int").alias("p"), F.col("k").cast("bigint").alias("k"),
+                F.col("v").alias("value_cents"))
+    )
