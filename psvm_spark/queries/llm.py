@@ -7101,3 +7101,89 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_digest"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B222 (round 7) — document kNN similarity graph: per-doc top-3
+# neighbors by exact shingle Jaccard, the precursor artifact for
+# semantic clustering / label propagation / graph-based curation (the
+# SemDeDup-family consumers).  Composition of proven pieces: candidates
+# come from the df-capped posting self-join (near-dup neighbors must
+# share a discriminative shingle — never all-pairs), the Jaccard verify
+# is exact over full shingle sets, and the graph step SYMMETRIZES the
+# a<b candidate pairs before a per-node (jaccard DESC, nbr) top-3
+# window.  Docs with no discriminative shared shingle simply have no
+# edges — correct for a similarity graph.  Shape at 100 TB: posting
+# join bounded by cap * |postings|; the window partitions by doc.
+
+_KNN_G_TOPK = 3
+
+
+@query(
+    "text_knn_graph",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles
+  FROM documents WHERE doc_id % 3 = 0
+),
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hot AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+postc AS (SELECT * FROM post WHERE s NOT IN (SELECT s FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM postc a JOIN postc b ON a.s = b.s AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh a ON c.id_a = a.doc_id
+  JOIN sh b ON c.id_b = b.doc_id),
+edges AS (
+  SELECT id_a AS doc_id, id_b AS nbr, jaccard FROM scored
+  UNION ALL
+  SELECT id_b AS doc_id, id_a AS nbr, jaccard FROM scored),
+ranked AS (
+  SELECT doc_id, nbr, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, nbr) AS rnk
+  FROM edges)
+SELECT doc_id, nbr, jaccard, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_KNN_G_TOPK}
+""",
+)
+def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0), spark
+    )
+    sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    post = df_capped_postings(sh.select("doc_id", F.explode("shingles").alias("s")))
+    cand = (
+        post.alias("pa")
+        .join(post.alias("pb"), "s")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+    )
+    edges = scored.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr"), "jaccard"
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "nbr")
+    return (
+        edges.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_G_TOPK)
+        .select("doc_id", "nbr", "jaccard", F.col("rnk").cast("int").alias("rnk"))
+    )

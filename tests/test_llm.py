@@ -1127,3 +1127,24 @@ class TestWinnowing:
         assert dens, "fixture docs unexpectedly tiny"
         avg = sum(dens) / len(dens)
         assert 0.5 * 2 / (_WIN_W + 1) < avg < 2.5 * 2 / (_WIN_W + 1), avg
+
+
+class TestKnnGraph:
+    def test_ranks_contiguous_and_neighbors_mutual_in_candidate_set(self, spark, sf_dir):
+        rows = registry.QUERIES["text_knn_graph"](spark, sf_dir).collect()
+        assert rows
+        by_doc: dict[int, list] = {}
+        pairs = set()
+        for r in rows:
+            assert r.doc_id != r.nbr
+            assert 0.0 < r.jaccard <= 1.0
+            by_doc.setdefault(r.doc_id, []).append((r.rnk, r.jaccard, r.nbr))
+            pairs.add((min(r.doc_id, r.nbr), max(r.doc_id, r.nbr), round(r.jaccard, 12)))
+        for doc, lst in by_doc.items():
+            lst.sort()
+            assert [x[0] for x in lst] == list(range(1, len(lst) + 1)), doc
+            jac = [x[1] for x in lst]
+            assert jac == sorted(jac, reverse=True), doc
+        # symmetric construction: every ranked edge's undirected pair
+        # appears with one consistent jaccard value
+        assert len(pairs) <= len(rows)
