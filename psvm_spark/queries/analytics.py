@@ -3134,3 +3134,114 @@ def ab_test_welch_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1))
         ).alias("df_welch"),
     )
+
+
+# --------------------------------------------------------------------------
+# B223 (round 7) — fixed-frequency periodogram: DFT power of the monthly
+# revenue series at seasonal frequencies k = 1..6 cycles over the fixed
+# N = 84-month calendar window (1995-01..2001-12) — the frequency-domain
+# seasonality detector complementing ts_seasonal_baseline (which assumes
+# a period) and ts_autocorrelation (lag domain).  The ml_retrieval_
+# metrics literal trick keeps parity exact: cos/sin weights are
+# PRE-EVALUATED in Python to 1e4 fixed-point integer literals embedded
+# identically in both engines (engine trig is not identically rounded
+# across libm builds), so each frequency's cosine/sine accumulators are
+# exact BIGINT sums of cents x weight, and the reported power is one
+# identical double expression over them.  Shape: the corpus-sized work
+# is the monthly rollup shuffle; the DFT is 6 x 84 integer
+# multiply-adds on the tiny month dimension.
+
+import math as _math
+
+_PGRAM_N = 84  # months in 1995-01 .. 2001-12
+_PGRAM_KS = (1, 2, 3, 4, 5, 6)
+_PGRAM_FP = 10_000
+_PGRAM_COS = [
+    [int(round(_math.cos(2 * _math.pi * k * t / _PGRAM_N) * _PGRAM_FP))
+     for t in range(_PGRAM_N)]
+    for k in _PGRAM_KS
+]
+_PGRAM_SIN = [
+    [int(round(_math.sin(2 * _math.pi * k * t / _PGRAM_N) * _PGRAM_FP))
+     for t in range(_PGRAM_N)]
+    for k in _PGRAM_KS
+]
+
+
+def _pgram_lit(rows: list[list[int]], duck: bool) -> str:
+    inner = ", ".join(
+        "[" + ", ".join(str(v) for v in r) + "]" if duck
+        else "array(" + ", ".join(f"{v}L" for v in r) + ")"
+        for r in rows
+    )
+    return f"[{inner}]" if duck else f"array({inner})"
+
+
+@query(
+    "ts_periodogram",
+    oracle=f"""
+WITH monthly AS (
+  SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS t,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+terms AS (
+  SELECT k.k,
+         SUM(m.y * ({_pgram_lit(_PGRAM_COS, True)})[k.k][m.t + 1]) AS c_fp,
+         SUM(m.y * ({_pgram_lit(_PGRAM_SIN, True)})[k.k][m.t + 1]) AS s_fp
+  FROM monthly m
+  CROSS JOIN (SELECT unnest(generate_series(1, {len(_PGRAM_KS)})) AS k) k
+  WHERE m.t >= 0 AND m.t < {_PGRAM_N}
+  GROUP BY k.k)
+SELECT CAST(k AS INT) AS k, CAST(c_fp AS BIGINT) AS c_fp,
+       CAST(s_fp AS BIGINT) AS s_fp,
+       (CAST(c_fp AS DOUBLE) / {_PGRAM_FP}) * (CAST(c_fp AS DOUBLE) / {_PGRAM_FP})
+         + (CAST(s_fp AS DOUBLE) / {_PGRAM_FP}) * (CAST(s_fp AS DOUBLE) / {_PGRAM_FP})
+         AS power
+FROM terms
+""",
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+            .cast("int")
+            .alias("t")
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .filter((F.col("t") >= 0) & (F.col("t") < _PGRAM_N))
+    )
+    cos_lit = _pgram_lit(_PGRAM_COS, False)
+    sin_lit = _pgram_lit(_PGRAM_SIN, False)
+    terms = (
+        monthly.select(
+            "y",
+            "t",
+            F.expr(
+                f"explode(transform(sequence(1, {len(_PGRAM_KS)}), k -> struct("
+                f"k AS k,"
+                f" y * element_at(element_at({cos_lit}, k), t + 1) AS c,"
+                f" y * element_at(element_at({sin_lit}, k), t + 1) AS s)))"
+            ).alias("x"),
+        )
+        .select(F.col("x.k").alias("k"), F.col("x.c").alias("c"), F.col("x.s").alias("s"))
+        .groupBy("k")
+        .agg(F.sum("c").alias("c_fp"), F.sum("s").alias("s_fp"))
+    )
+    p = (F.col("c_fp").cast("double") / _PGRAM_FP) * (
+        F.col("c_fp").cast("double") / _PGRAM_FP
+    ) + (F.col("s_fp").cast("double") / _PGRAM_FP) * (
+        F.col("s_fp").cast("double") / _PGRAM_FP
+    )
+    return terms.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("c_fp").cast("bigint").alias("c_fp"),
+        F.col("s_fp").cast("bigint").alias("s_fp"),
+        p.alias("power"),
+    )

@@ -204,3 +204,51 @@ class TestWelchT2:
         assert abs(got.mean_diff_cents - (a.mean() - b.mean())) < 1e-6 * max(
             1.0, abs(a.mean() - b.mean())
         )
+
+
+class TestPeriodogram:
+    def test_matches_numpy_dft_power(self, spark, sf_dir):
+        """Fixed-point DFT accumulators must equal a NumPy replay with
+        the same quantized trig weights, and power must approximate the
+        true float DFT power to fixed-point precision."""
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.analytics import (
+            _PGRAM_COS,
+            _PGRAM_FP,
+            _PGRAM_N,
+            _PGRAM_SIN,
+        )
+        from pyspark.sql import functions as F
+
+        m = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(
+                ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias("t")
+            )
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+                ).alias("y")
+            )
+            .collect()
+        )
+        y = np.zeros(_PGRAM_N, dtype=np.int64)
+        for r in m:
+            if 0 <= r.t < _PGRAM_N:
+                y[r.t] = r.y
+        got = {
+            r.k: (r.c_fp, r.s_fp, r.power)
+            for r in registry.QUERIES["ts_periodogram"](spark, sf_dir).collect()
+        }
+        for ki, k in enumerate(range(1, 7)):
+            c = int((y * np.array(_PGRAM_COS[ki], dtype=np.int64)).sum())
+            s = int((y * np.array(_PGRAM_SIN[ki], dtype=np.int64)).sum())
+            assert got[k][0] == c and got[k][1] == s, k
+            t = np.arange(_PGRAM_N)
+            ct = float((y * np.cos(2 * np.pi * k * t / _PGRAM_N)).sum())
+            st = float((y * np.sin(2 * np.pi * k * t / _PGRAM_N)).sum())
+            true_p = ct * ct + st * st
+            # quantized weights: relative error ~1e-4 on each accumulator
+            assert abs(got[k][2] - true_p) < 1e-3 * max(true_p, 1.0) + 1e6, k
