@@ -559,3 +559,105 @@ def mm_resize_avgpool(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "pos": poss, "px_val": vals})
 
     return m.mapInPandas(pool, "media_id long, pos int, px_val double")
+
+
+# --------------------------------------------------------------------------
+# B224 (round 7) — WebDataset shard export: the tar-shard layout
+# (Aizman et al., webdataset) that large-scale multimodal training
+# loaders stream — members grouped by sample key, payload + a .json
+# metadata sidecar per sample, fixed shard count for deterministic
+# routing.  Each shard group writes ONE tar via applyInPandas (the
+# write lands where the group's rows live — on a cluster this path
+# would be a shared/object store, exactly like the repo's other
+# tempfile sinks), then REOPENS its own tar and derives the output
+# from the read-back members, so the query result proves the
+# round-trip.  The oracle reconstructs every member's name and payload
+# digest from the documents table with the established payload byte
+# math (digests go over lowercase hex strings because DuckDB's md5 is
+# VARCHAR-only), aggregated in media_id order — so member naming,
+# routing, payload bytes, and ordering are all differentially checked.
+
+_WDS_SHARDS = 8
+_WDS_EXT = {"image": "ppm", "audio": "wav", "video": "bin"}
+
+
+@query(
+    "export_webdataset_shards",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % {_WDS_SHARDS} AS INT) AS shard_id,
+         ['ppm','wav','bin'][CAST(doc_id % 3 + 1 AS INT)] AS ext,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN '{_PPM_HEADER_HEX}' || repeat(md5(text), {_PPM_W * _PPM_H * 3 // 16})
+           WHEN 1 THEN '{_WAV_HEADER_HEX}' || repeat(md5(text), {2 * _WAV_N // 16})
+           ELSE repeat(md5(text), 12)
+         END AS phex
+  FROM documents)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(length(phex) // 2) AS BIGINT) AS payload_bytes,
+       md5(string_agg(CAST(media_id AS VARCHAR) || '.' || ext || ':' || md5(phex),
+                      '' ORDER BY media_id)) AS members_digest
+FROM media GROUP BY shard_id
+""",
+)
+def export_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import io
+    import json
+    import os
+    import tarfile
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="psvm_wds_")
+    m = media_table(spark, sf_dir).select(
+        "media_id",
+        (F.col("media_id") % _WDS_SHARDS).cast("int").alias("shard_id"),
+        "kind",
+        "payload",
+    )
+
+    def write_and_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard_id"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        pdf = pdf.sort_values("media_id")
+        with tarfile.open(path, "w") as tf:
+            for r in pdf.itertuples():
+                payload = bytes(r.payload)
+                name = f"{r.media_id}.{_WDS_EXT[r.kind]}"
+                ti = tarfile.TarInfo(name)
+                ti.size = len(payload)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(payload))
+                meta = json.dumps(
+                    {"media_id": int(r.media_id), "kind": r.kind}, sort_keys=True
+                ).encode()
+                tj = tarfile.TarInfo(f"{r.media_id}.json")
+                tj.size = len(meta)
+                tj.mtime = 0
+                tf.addfile(tj, io.BytesIO(meta))
+        # read back OUR OWN tar; the result derives from re-read members
+        n, total, parts = 0, 0, []
+        with tarfile.open(path, "r") as tf:
+            for mem in tf.getmembers():
+                if mem.name.endswith(".json"):
+                    continue
+                data = tf.extractfile(mem).read()
+                n += 1
+                total += len(data)
+                parts.append(
+                    (int(mem.name.split(".")[0]),
+                     f"{mem.name}:{hashlib.md5(data.hex().encode()).hexdigest()}")
+                )
+        parts.sort()
+        digest = hashlib.md5("".join(p for _, p in parts).encode()).hexdigest()
+        return pd.DataFrame(
+            [(shard, n, total, digest)],
+            columns=["shard_id", "n_members", "payload_bytes", "members_digest"],
+        )
+
+    return m.groupBy("shard_id").applyInPandas(
+        write_and_verify,
+        "shard_id int, n_members bigint, payload_bytes bigint, members_digest string",
+    )

@@ -135,3 +135,16 @@ class TestResizeAvgPool:
             ref = px.reshape(3, 2, 4, 2, 3).sum(axis=(1, 3)) / 4.0
             got = np.array(out[did]).reshape(3, 4, 3)
             assert np.array_equal(got, ref), did
+
+
+class TestWebdatasetExport:
+    def test_shard_routing_and_totals(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.multimodal import _WDS_SHARDS
+
+        rows = registry.QUERIES["export_webdataset_shards"](spark, sf_dir).collect()
+        assert {r.shard_id for r in rows} == set(range(_WDS_SHARDS))
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(r.n_members for r in rows) == n_docs
+        assert all(len(r.members_digest) == 32 for r in rows)
+        assert all(r.payload_bytes > r.n_members * 100 for r in rows)
