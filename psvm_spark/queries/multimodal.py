@@ -661,3 +661,103 @@ def export_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_and_verify,
         "shard_id int, n_members bigint, payload_bytes bigint, members_digest string",
     )
+
+
+# --------------------------------------------------------------------------
+# B225 (round 7) — WebDataset tar-shard SCAN via a custom Python
+# DataSource (sources/webdataset_tar.py): the read half of B224's
+# export, with one InputPartition per shard so N shards scan N-wide —
+# the streaming access pattern multimodal training loaders rely on.
+# The query writes fresh shards (payload + .json sidecar members),
+# reads them back through `spark.read.format("webdataset_tar")`, and
+# aggregates per extension; the oracle reconstructs counts, byte
+# totals, and the media_id-ordered payload-digest chain from the
+# documents byte math — so the DataSource's member filtering (sidecars
+# skipped), name parsing, and payload fidelity are all differentially
+# tested.
+
+
+@query(
+    "scan_webdataset_pyds",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['ppm','wav','bin'][CAST(doc_id % 3 + 1 AS INT)] AS ext,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN '{_PPM_HEADER_HEX}' || repeat(md5(text), {_PPM_W * _PPM_H * 3 // 16})
+           WHEN 1 THEN '{_WAV_HEADER_HEX}' || repeat(md5(text), {2 * _WAV_N // 16})
+           ELSE repeat(md5(text), 12)
+         END AS phex
+  FROM documents)
+SELECT ext,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(length(phex) // 2) AS BIGINT) AS total_bytes,
+       md5(string_agg(md5(phex), '' ORDER BY media_id)) AS payload_chain
+FROM media GROUP BY ext
+""",
+)
+def scan_webdataset_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from psvm_spark.sources.webdataset_tar import register
+
+    register(spark)
+    out_dir = tempfile.mkdtemp(prefix="psvm_wds_scan_")
+    m = media_table(spark, sf_dir).select(
+        "media_id",
+        (F.col("media_id") % _WDS_SHARDS).cast("int").alias("shard_id"),
+        "kind",
+        "payload",
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import json
+        import os
+        import tarfile
+
+        ext_map = {"image": "ppm", "audio": "wav", "video": "bin"}
+        shard = int(pdf["shard_id"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        pdf = pdf.sort_values("media_id")
+        with tarfile.open(path, "w") as tf:
+            for r in pdf.itertuples():
+                payload = bytes(r.payload)
+                ti = tarfile.TarInfo(f"{r.media_id}.{ext_map[r.kind]}")
+                ti.size = len(payload)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(payload))
+                meta = json.dumps(
+                    {"media_id": int(r.media_id), "kind": r.kind}, sort_keys=True
+                ).encode()
+                tj = tarfile.TarInfo(f"{r.media_id}.json")
+                tj.size = len(meta)
+                tj.mtime = 0
+                tf.addfile(tj, io.BytesIO(meta))
+        return pd.DataFrame([(shard, len(pdf))], columns=["shard_id", "n"])
+
+    written = m.groupBy("shard_id").applyInPandas(
+        write_shard, "shard_id int, n bigint"
+    )
+    assert written.count() > 0  # materialize the writes before reading
+    back = (
+        spark.read.format("webdataset_tar").option("path", out_dir).load()
+    )
+    dig = F.md5(F.lower(F.hex("payload")))
+    return (
+        back.select("media_id", "ext", "n_bytes", dig.alias("dig"))
+        .groupBy("ext")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(media_id, dig))),"
+                        " x -> x.dig)"
+                    ),
+                    "",
+                )
+            ).alias("payload_chain"),
+        )
+    )

@@ -148,3 +148,13 @@ class TestWebdatasetExport:
         assert sum(r.n_members for r in rows) == n_docs
         assert all(len(r.members_digest) == 32 for r in rows)
         assert all(r.payload_bytes > r.n_members * 100 for r in rows)
+
+
+class TestWebdatasetScan:
+    def test_reader_partitions_per_shard_and_skips_sidecars(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+
+        rows = registry.QUERIES["scan_webdataset_pyds"](spark, sf_dir).collect()
+        assert {r.ext for r in rows} == {"ppm", "wav", "bin"}
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(r.n for r in rows) == n_docs  # .json sidecars not counted
