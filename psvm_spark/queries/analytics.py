@@ -3245,3 +3245,104 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_fp").cast("bigint").alias("s_fp"),
         p.alias("power"),
     )
+
+
+# --------------------------------------------------------------------------
+# B226 (round 7) — Kaplan–Meier survival estimation (Kaplan & Meier
+# 1958) over customer order lifetimes: duration = months between first
+# and last order, with customers still ordering in the corpus's final
+# month treated as right-CENSORED at the observation end — the textbook
+# churn-analysis construction.  Parity recipe: at each event time the
+# at-risk count and event count are exact integers (n_risk via a
+# duration-descending cumulative count), the hazard is integer
+# fixed-point (d * 1e9 div n), and the survival curve S(t) =
+# prod(1 - d/n) is a SEQUENTIAL double fold over the time-ordered
+# factor prefix (a running windowed list + left fold — the
+# ts_holt_linear proof that identical fold order gives bitwise parity;
+# the event-time dimension is calendar-bounded at ~80 rows, so the
+# O(T^2) prefix lists are free).  Corpus-sized work is one groupBy
+# customer; everything after lives on the tiny duration dimension.
+
+
+@query(
+    "ml_survival_km",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(MIN((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1) AS INT) AS t0,
+         CAST(MAX((EXTRACT(year FROM o_orderdate) - 1995) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1) AS INT) AS t1
+  FROM orders GROUP BY o_custkey),
+obs AS (
+  SELECT o_custkey, t0, t1, MAX(t1) OVER () AS m FROM cust),
+dur AS (
+  SELECT CASE WHEN t1 < m THEN t1 - t0 ELSE m - t0 END AS duration,
+         CASE WHEN t1 < m THEN 1 ELSE 0 END AS event
+  FROM obs),
+per_t AS (
+  SELECT duration AS t, CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(event) AS BIGINT) AS d
+  FROM dur GROUP BY duration),
+risk AS (
+  SELECT t, d,
+         SUM(n_all) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_risk
+  FROM per_t),
+ev AS (
+  SELECT t, d, n_risk,
+         1.0 - CAST(d AS DOUBLE) / n_risk AS factor
+  FROM risk WHERE d > 0),
+curve AS (
+  SELECT t, d, n_risk,
+         list(factor) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pre
+  FROM ev)
+SELECT CAST(t AS INT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(d * 1000000000 // n_risk AS BIGINT) AS hazard_fp,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pre), (a, b) -> a * b)
+         AS survival
+FROM curve
+""",
+)
+def ml_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    month = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).cast(
+        "int"
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.min(month).alias("t0"), F.max(month).alias("t1")
+    )
+    obs = cust.withColumn("m", F.max("t1").over(Window.partitionBy()))
+    dur = obs.select(
+        F.when(F.col("t1") < F.col("m"), F.col("t1") - F.col("t0"))
+        .otherwise(F.col("m") - F.col("t0"))
+        .alias("duration"),
+        F.when(F.col("t1") < F.col("m"), 1).otherwise(0).alias("event"),
+    )
+    per_t = dur.groupBy(F.col("duration").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("event").alias("d")
+    )
+    w_risk = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select("t", "d", F.sum("n_all").over(w_risk).alias("n_risk"))
+    ev = risk.filter(F.col("d") > 0).withColumn(
+        "factor", F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+    )
+    w_pre = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = ev.withColumn("pre", F.collect_list("factor").over(w_pre))
+    return curve.select(
+        F.col("t").cast("int").alias("t"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.expr("d * 1000000000 div n_risk").cast("bigint").alias("hazard_fp"),
+        F.expr("aggregate(pre, CAST(1.0 AS DOUBLE), (a, b) -> a * b)").alias(
+            "survival"
+        ),
+    )

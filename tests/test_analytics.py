@@ -252,3 +252,49 @@ class TestPeriodogram:
             true_p = ct * ct + st * st
             # quantized weights: relative error ~1e-4 on each accumulator
             assert abs(got[k][2] - true_p) < 1e-3 * max(true_p, 1.0) + 1e6, k
+
+
+class TestKaplanMeier:
+    def test_matches_direct_km_and_monotone(self, spark, sf_dir):
+        """Replay KM from the raw (duration, event) pairs in Python and
+        compare; survival must be non-increasing in t and within (0, 1]."""
+        from collections import Counter
+
+        from psvm_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        month = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).cast("int")
+        cust = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.min(month).alias("t0"), F.max(month).alias("t1"))
+            .collect()
+        )
+        m = max(r.t1 for r in cust)
+        durs = [
+            ((r.t1 - r.t0) if r.t1 < m else (m - r.t0), 1 if r.t1 < m else 0)
+            for r in cust
+        ]
+        d_at = Counter(d for d, e in durs if e)
+        n_all = Counter(d for d, _ in durs)
+        want = {}
+        s = 1.0
+        n_total = len(durs)
+        seen = 0
+        for t in sorted(n_all):
+            n_risk = n_total - seen
+            if t in d_at:
+                s = s * (1.0 - d_at[t] / n_risk)
+                want[t] = (n_risk, d_at[t], d_at[t] * 10**9 // n_risk, s)
+            seen += n_all[t]
+        got = {
+            r.t: (r.n_risk, r.d_events, r.hazard_fp, r.survival)
+            for r in registry.QUERIES["ml_survival_km"](spark, sf_dir).collect()
+        }
+        assert got.keys() == want.keys()
+        for t in want:
+            assert got[t][:3] == want[t][:3], t
+            assert abs(got[t][3] - want[t][3]) < 1e-12, t
+        surv = [got[t][3] for t in sorted(got)]
+        assert all(0 < s <= 1 for s in surv)
+        assert surv == sorted(surv, reverse=True)
