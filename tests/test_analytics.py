@@ -296,5 +296,6 @@ class TestKaplanMeier:
             assert got[t][:3] == want[t][:3], t
             assert abs(got[t][3] - want[t][3]) < 1e-12, t
         surv = [got[t][3] for t in sorted(got)]
-        assert all(0 < s <= 1 for s in surv)
+        # S hits exactly 0 when the final event time exhausts the risk set
+        assert all(0 <= s <= 1 for s in surv)
         assert surv == sorted(surv, reverse=True)
