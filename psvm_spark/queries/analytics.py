@@ -3346,3 +3346,144 @@ def ml_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B227 (round 7) — point-in-polygon spatial join by exact integer ray
+# casting.  Points are customers at salted-md5 CENTI-DEGREE integer
+# coordinates (the geo_nearest_site twin pattern, kept integer so the
+# crossing test never divides); polygons are four literal fences —
+# including a concave L to prove the even-odd rule — expanded to an
+# edge-list literal table.  Scale shape mirrors geo_nearest_site's
+# GRID BLOCKING: each polygon's bbox cells are precomputed in Python
+# into a (poly, cell) literal, points equi-join on their 30-degree cell
+# key, and only cell-local candidates run the exact edge test — never
+# points x polygons.  The crossing predicate is the classic ray-cast
+# inequality cross-multiplied by dy so it stays in integers:
+# dy > 0 ? (px-x1)*dy < (py-y1)*(x2-x1) : flipped.
+
+_PIP_CELL = 3000  # centi-degrees = 30 degrees, matching geo_nearest_site
+# (poly_id, [(x, y) vertices, counter-clockwise, closed implicitly])
+_PIP_POLYS = {
+    1: [(-12000, -6000), (-4000, -6000), (-4000, 2000), (-12000, 2000)],
+    2: [(0, -2000), (9000, -2000), (9000, 7000), (0, 7000)],
+    3: [(10000, -7500), (17000, -7500), (17000, -3500)],  # triangle
+    4: [(-17000, 3000), (-10000, 3000), (-10000, 5500), (-14000, 5500),
+        (-14000, 7500), (-17000, 7500)],  # concave L
+}
+
+
+def _pip_edges() -> list[tuple[int, int, int, int, int]]:
+    out = []
+    for pid, vs in _PIP_POLYS.items():
+        for i, (x1, y1) in enumerate(vs):
+            x2, y2 = vs[(i + 1) % len(vs)]
+            out.append((pid, x1, y1, x2, y2))
+    return out
+
+
+def _pip_cells() -> list[tuple[int, int, int]]:
+    out = []
+    for pid, vs in _PIP_POLYS.items():
+        xs = [v[0] for v in vs]
+        ys = [v[1] for v in vs]
+        for cx in range(min(xs) // _PIP_CELL, max(xs) // _PIP_CELL + 1):
+            for cy in range(min(ys) // _PIP_CELL, max(ys) // _PIP_CELL + 1):
+                out.append((pid, cx, cy))
+    return out
+
+
+_PIP_PX_S = (
+    "(pmod(cast(conv(substring(md5(concat('glon:', c_custkey)), 1, 8), 16, 10)"
+    " as bigint), 36000) - 18000)"
+)
+_PIP_PY_S = (
+    "(pmod(cast(conv(substring(md5(concat('glat:', c_custkey)), 1, 8), 16, 10)"
+    " as bigint), 16000) - 8000)"
+)
+_PIP_PX_D = "((('0x' || substr(md5('glon:' || c_custkey), 1, 8))::BIGINT % 36000) - 18000"
+_PIP_PY_D = "((('0x' || substr(md5('glat:' || c_custkey), 1, 8))::BIGINT % 16000) - 8000"
+
+
+def _pip_oracle() -> str:
+    edges = ", ".join(f"({p}, {a}, {b}, {c}, {d})" for p, a, b, c, d in _pip_edges())
+    cells = ", ".join(f"({p}, {cx}, {cy})" for p, cx, cy in _pip_cells())
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_PIP_PX_D}) AS px, {_PIP_PY_D}) AS py FROM customer),
+ptc AS (
+  SELECT c_custkey, px, py,
+         CAST(floor(CAST(px AS DOUBLE) / {_PIP_CELL}) AS BIGINT) AS cx,
+         CAST(floor(CAST(py AS DOUBLE) / {_PIP_CELL}) AS BIGINT) AS cy
+  FROM pts),
+cells(poly_id, cx, cy) AS (VALUES {cells}),
+edges(poly_id, x1, y1, x2, y2) AS (VALUES {edges}),
+cand AS (
+  SELECT DISTINCT p.c_custkey, p.px, p.py, c.poly_id
+  FROM ptc p JOIN cells c ON p.cx = c.cx AND p.cy = c.cy),
+crossings AS (
+  SELECT cd.c_custkey, cd.poly_id,
+         SUM(CASE WHEN ((e.y1 > cd.py) <> (e.y2 > cd.py))
+                   AND (CASE WHEN e.y2 > e.y1
+                        THEN (cd.px - e.x1) * (e.y2 - e.y1)
+                             < (cd.py - e.y1) * (e.x2 - e.x1)
+                        ELSE (cd.px - e.x1) * (e.y2 - e.y1)
+                             > (cd.py - e.y1) * (e.x2 - e.x1) END)
+              THEN 1 ELSE 0 END) AS nc
+  FROM cand cd JOIN edges e ON cd.poly_id = e.poly_id
+  GROUP BY cd.c_custkey, cd.poly_id),
+inside AS (SELECT c_custkey, poly_id FROM crossings WHERE nc % 2 = 1)
+SELECT CAST(poly_id AS INT) AS poly_id,
+       CAST(COUNT(*) AS BIGINT) AS n_inside,
+       CAST(SUM(c_custkey) AS BIGINT) AS custkey_sum
+FROM inside GROUP BY poly_id
+"""
+
+
+@query("join_point_in_polygon", oracle=_pip_oracle())
+def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.expr(_PIP_PX_S).alias("px"),
+        F.expr(_PIP_PY_S).alias("py"),
+    ).select(
+        "c_custkey",
+        "px",
+        "py",
+        F.floor(F.col("px").cast("double") / _PIP_CELL).cast("bigint").alias("cx"),
+        F.floor(F.col("py").cast("double") / _PIP_CELL).cast("bigint").alias("cy"),
+    )
+    cells = spark.createDataFrame(_pip_cells(), "poly_id int, cx bigint, cy bigint")
+    edges = spark.createDataFrame(
+        _pip_edges(), "poly_id int, x1 long, y1 long, x2 long, y2 long"
+    )
+    cand = (
+        pts.join(F.broadcast(cells), ["cx", "cy"])
+        .select("c_custkey", "px", "py", "poly_id")
+        .distinct()
+    )
+    crossing = (
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & F.when(
+            F.col("y2") > F.col("y1"),
+            (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+            < (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1")),
+        ).otherwise(
+            (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+            > (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+        )
+    )
+    crossings = (
+        cand.join(F.broadcast(edges), "poly_id")
+        .groupBy("c_custkey", "poly_id")
+        .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("nc"))
+    )
+    return (
+        crossings.filter(F.col("nc") % 2 == 1)
+        .groupBy(F.col("poly_id").cast("int").alias("poly_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inside"),
+            F.sum("c_custkey").cast("bigint").alias("custkey_sum"),
+        )
+    )

@@ -299,3 +299,56 @@ class TestKaplanMeier:
         # S hits exactly 0 when the final event time exhausts the risk set
         assert all(0 <= s <= 1 for s in surv)
         assert surv == sorted(surv, reverse=True)
+
+
+class TestPointInPolygon:
+    def test_planted_points_including_concave_notch(self, spark, sf_dir):
+        """Known inside/outside points for each fence — including the
+        concave L's notch, which a bbox test would get wrong — replayed
+        through the exact Spark crossing predicate."""
+        from psvm_spark.queries.analytics import _PIP_POLYS, _pip_edges
+        from pyspark.sql import functions as F
+
+        cases = [
+            # (px, py, poly_id, inside?)
+            (-8000, -2000, 1, True),
+            (-2000, -2000, 1, False),
+            (4000, 3000, 2, True),
+            (4000, 8000, 2, False),
+            (14000, -6000, 3, True),   # inside triangle
+            (11000, -4000, 3, False),  # in bbox, outside hypotenuse side
+            (-16000, 7000, 4, True),   # upper arm of the L
+            (-11000, 7000, 4, False),  # the notch: inside bbox, outside L
+            (-11000, 4000, 4, True),   # lower arm of the L
+        ]
+        pts = spark.createDataFrame(
+            [(i, px, py, pid) for i, (px, py, pid, _) in enumerate(cases)],
+            "id int, px long, py long, poly_id int",
+        )
+        edges = spark.createDataFrame(
+            _pip_edges(), "poly_id int, x1 long, y1 long, x2 long, y2 long"
+        )
+        crossing = (
+            ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+            & F.when(
+                F.col("y2") > F.col("y1"),
+                (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+                < (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1")),
+            ).otherwise(
+                (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+                > (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+            )
+        )
+        got = {
+            r.id: r.nc % 2 == 1
+            for r in pts.join(edges, "poly_id")
+            .groupBy("id")
+            .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("nc"))
+            .collect()
+        }
+        for i, (_, _, _, want_inside) in enumerate(cases):
+            assert got[i] == want_inside, cases[i]
+        # and the registered query runs with every polygon populated
+        rows = registry.QUERIES["join_point_in_polygon"](spark, sf_dir).collect()
+        assert {r.poly_id for r in rows} <= set(_PIP_POLYS)
+        assert all(r.n_inside > 0 for r in rows)
