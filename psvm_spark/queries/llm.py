@@ -7187,3 +7187,133 @@ def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_G_TOPK)
         .select("doc_id", "nbr", "jaccard", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# B228 (round 7) — greedy facility-location submodular selection: pick K
+# representatives maximizing sum_p max_{s in S} sim(p, s) — the
+# representativeness objective behind submodular data-subset selection
+# (CRAIG / facility-location coresets), complementing select_dsir
+# (distribution match) and select_kcenter_coreset (geometric cover).
+# The classic greedy enjoys the 1 - 1/e guarantee (Nemhauser et al.
+# 1978) and its argmax trace is what the ORACLE replays in a recursive
+# CTE.  Similarity = integer dot product of thousandth-quantized
+# vectors clamped at 0 (greatest(dp, 0)); every marginal gain is an
+# exact integer, ties break toward the lowest vec_id.  Input is the
+# deterministic vec_id % 10 ground set (the dedup_embedding
+# bounded-sample precedent: facility location is inherently
+# pairwise-coverage over its ground set, so the ground set is the
+# budgeted unit — at 100 TB this runs per-stratum over sampled ground
+# sets, K scans each, exactly like the k-center loop).
+
+_FL_K = 6
+_FL_MOD = 10
+_FL_Q = "(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+_FL_DOT_DUCK = (
+    "CAST(greatest(list_sum(list_transform(range(1, 65),"
+    " i -> p.q[i] * s.q[i])), 0) AS BIGINT)"
+)
+
+
+@query(
+    "select_facility_location",
+    oracle=f"""
+WITH RECURSIVE g AS (
+  SELECT vec_id, list_transform{_FL_Q} AS q
+  FROM embeddings WHERE vec_id % {_FL_MOD} = 0
+),
+sims AS (
+  SELECT p.vec_id AS pid, s.vec_id AS sid, {_FL_DOT_DUCK} AS sim
+  FROM g p JOIN g s ON TRUE
+),
+sel AS (
+  SELECT 1 AS step, [pick] AS selected, pick, gain FROM (
+    SELECT sid AS pick, SUM(sim) AS gain,
+           ROW_NUMBER() OVER (ORDER BY SUM(sim) DESC, sid) AS r
+    FROM sims GROUP BY sid) z
+  WHERE r = 1
+  UNION ALL
+  SELECT step + 1, list_append(selected, pick2), pick2, g2 FROM (
+    SELECT h.step, h.selected, h.cand AS pick2, h.g2,
+           ROW_NUMBER() OVER (PARTITION BY h.step
+                              ORDER BY h.g2 DESC, h.cand) AS r
+    FROM (
+      SELECT s.step, s.selected, c.sid AS cand,
+             SUM(greatest(c.sim - COALESCE(cv.cov, 0), 0)) AS g2
+      FROM sel s
+      JOIN sims c ON NOT list_contains(s.selected, c.sid)
+      LEFT JOIN (
+        SELECT s2.step AS cstep, m.pid, MAX(m.sim) AS cov
+        FROM sel s2 JOIN sims m ON list_contains(s2.selected, m.sid)
+        GROUP BY s2.step, m.pid) cv
+        ON cv.cstep = s.step AND cv.pid = c.pid
+      WHERE s.step < {_FL_K}
+      GROUP BY s.step, s.selected, c.sid
+    ) h
+  ) zz WHERE r = 1
+)
+SELECT CAST(step AS INT) AS step, CAST(pick AS BIGINT) AS center_vec_id,
+       CAST(gain AS BIGINT) AS marginal_gain
+FROM sel
+""",
+)
+def select_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _FL_MOD == 0)
+        .select("vec_id", F.expr(f"transform{_FL_Q}").alias("q"))
+    )
+    p = g.select(F.col("vec_id").alias("pid"), F.col("q").alias("pq"))
+    s = g.select(F.col("vec_id").alias("sid"), F.col("q").alias("sq"))
+    sims = (
+        p.join(F.broadcast(s), F.lit(True))
+        .select(
+            "pid",
+            "sid",
+            F.greatest(
+                F.aggregate(
+                    F.zip_with(F.col("pq"), F.col("sq"), lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0).cast("long"),
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        sims.groupBy("sid")
+        .agg(F.sum("sim").alias("gain"))
+        .orderBy(F.desc("gain"), "sid")
+        .limit(1)
+        .collect()[0]
+    )
+    selected = [int(first.sid)]
+    out = [(1, int(first.sid), int(first.gain))]
+    for step in range(2, _FL_K + 1):
+        cov = (
+            sims.filter(F.col("sid").isin(selected))
+            .groupBy("pid")
+            .agg(F.max("sim").alias("cov"))
+        )
+        best = (
+            sims.filter(~F.col("sid").isin(selected))
+            .join(cov, "pid", "left")
+            .select(
+                "sid",
+                F.greatest(
+                    F.col("sim") - F.coalesce(F.col("cov"), F.lit(0)),
+                    F.lit(0).cast("long"),
+                ).alias("mg"),
+            )
+            .groupBy("sid")
+            .agg(F.sum("mg").alias("gain"))
+            .orderBy(F.desc("gain"), "sid")
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(int(best.sid))
+        out.append((step, int(best.sid), int(best.gain)))
+    return spark.createDataFrame(
+        out, "step int, center_vec_id bigint, marginal_gain bigint"
+    )

@@ -1148,3 +1148,41 @@ class TestKnnGraph:
         # symmetric construction: every ranked edge's undirected pair
         # appears with one consistent jaccard value
         assert len(pairs) <= len(rows)
+
+
+class TestFacilityLocation:
+    def test_matches_numpy_greedy_and_gains_non_increasing(self, spark, sf_dir):
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _FL_K, _FL_MOD
+
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % _FL_MOD == 0)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        rows.sort(key=lambda r: r.vec_id)
+        ids = np.array([r.vec_id for r in rows])
+        q = np.floor(
+            np.array([[float(x) for x in r.embedding] for r in rows]) * 1000.0 + 0.5
+        ).astype(np.int64)
+        sims = np.maximum(q @ q.T, 0)
+        cov = np.zeros(len(ids), dtype=np.int64)
+        sel: list[int] = []
+        want = []
+        for step in range(1, _FL_K + 1):
+            gains = np.maximum(sims - cov[:, None], 0).sum(axis=0)
+            gains[sel] = -1
+            best = np.lexsort((ids, -gains))[0]
+            want.append((step, int(ids[best]), int(gains[best])))
+            sel.append(int(best))
+            cov = np.maximum(cov, sims[:, best])
+        got = sorted(
+            (r.step, r.center_vec_id, r.marginal_gain)
+            for r in registry.QUERIES["select_facility_location"](spark, sf_dir).collect()
+        )
+        assert got == want
+        gains = [g for _, _, g in got[1:]]
+        assert gains == sorted(gains, reverse=True)  # submodularity
