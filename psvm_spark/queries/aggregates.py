@@ -1313,3 +1313,109 @@ def agg_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p").cast("int").alias("p"), F.col("k").cast("bigint").alias("k"),
                 F.col("v").alias("value_cents"))
     )
+
+
+# --------------------------------------------------------------------------
+# B229 (round 7) — raking / iterative proportional fitting (Deming &
+# Stephan 1940): rescale a contingency table's weights until both
+# margins match target totals — the standard survey-reweighting and
+# census-calibration move, two full row/column cycles here.  Parity
+# discipline for an iterative FLOAT computation: every scaled weight
+# rounds to 9 dp and lands in DECIMAL(28,9) before any margin SUM, so
+# the group sums are order-independent (the repo's money-aggregate
+# rule), and each scaling factor is one identical double ratio.
+# Shape: the corpus-sized work is a single (nation x priority) count
+# rollup; the raking cycles live on the 125-cell table.
+
+_IPF_ROUNDS = 2
+
+
+@query(
+    "agg_raking_ipf",
+    oracle=f"""
+WITH cells AS (
+  SELECT n_name, o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+base AS (
+  SELECT n_name, prio, n,
+         CAST(n AS DECIMAL(28,9)) AS w,
+         CAST(SUM(n) OVER () AS DOUBLE) / COUNT(DISTINCT n_name) OVER () AS rt,
+         CAST(SUM(n) OVER () AS DOUBLE) / COUNT(DISTINCT prio) OVER () AS ct
+  FROM cells),
+r1 AS (
+  SELECT n_name, prio, n, rt, ct,
+         CAST(round(CAST(w AS DOUBLE) * (rt / CAST(SUM(w) OVER (PARTITION BY n_name) AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS w
+  FROM base),
+c1 AS (
+  SELECT n_name, prio, n, rt, ct,
+         CAST(round(CAST(w AS DOUBLE) * (ct / CAST(SUM(w) OVER (PARTITION BY prio) AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS w
+  FROM r1),
+r2 AS (
+  SELECT n_name, prio, n, rt, ct,
+         CAST(round(CAST(w AS DOUBLE) * (rt / CAST(SUM(w) OVER (PARTITION BY n_name) AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS w
+  FROM c1),
+c2 AS (
+  SELECT n_name, prio, n, rt, ct,
+         CAST(round(CAST(w AS DOUBLE) * (ct / CAST(SUM(w) OVER (PARTITION BY prio) AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS w
+  FROM r2)
+SELECT n_name, prio, n, CAST(w AS DOUBLE) AS weight
+FROM c2
+""",
+)
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wall = Window.partitionBy()
+    base = cells.select(
+        "n_name",
+        "prio",
+        "n",
+        F.col("n").cast("decimal(28,9)").alias("w"),
+        (
+            F.sum("n").over(wall).cast("double")
+            / F.size(F.collect_set("n_name").over(wall))
+        ).alias("rt"),
+        (
+            F.sum("n").over(wall).cast("double")
+            / F.size(F.collect_set("prio").over(wall))
+        ).alias("ct"),
+    )
+    cur = base
+    for _ in range(_IPF_ROUNDS):
+        cur = cur.withColumn(
+            "w",
+            F.round(
+                F.col("w").cast("double")
+                * (
+                    F.col("rt")
+                    / F.sum("w").over(Window.partitionBy("n_name")).cast("double")
+                ),
+                9,
+            ).cast("decimal(28,9)"),
+        )
+        cur = cur.withColumn(
+            "w",
+            F.round(
+                F.col("w").cast("double")
+                * (
+                    F.col("ct")
+                    / F.sum("w").over(Window.partitionBy("prio")).cast("double")
+                ),
+                9,
+            ).cast("decimal(28,9)"),
+        )
+    return cur.select("n_name", "prio", "n", F.col("w").cast("double").alias("weight"))

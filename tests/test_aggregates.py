@@ -33,3 +33,24 @@ class TestMedianTwoPass:
             for r in registry.QUERIES["agg_median_two_pass"](spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestRakingIPF:
+    def test_margins_converge_to_targets(self, spark, sf_dir):
+        rows = registry.QUERIES["agg_raking_ipf"](spark, sf_dir).collect()
+        assert all(r.weight > 0 for r in rows)
+        total = sum(r.n for r in rows)
+        n_nat = len({r.n_name for r in rows})
+        n_pri = len({r.prio for r in rows})
+        rt, ct = total / n_nat, total / n_pri
+        col = {}
+        row = {}
+        for r in rows:
+            col[r.prio] = col.get(r.prio, 0.0) + r.weight
+            row[r.n_name] = row.get(r.n_name, 0.0) + r.weight
+        # last cycle scaled columns: column margins hit ct exactly (to
+        # rounding); row margins are within a few percent after 2 rounds
+        for v in col.values():
+            assert abs(v - ct) < 1e-3 * ct
+        for v in row.values():
+            assert abs(v - rt) < 0.05 * rt
