@@ -1419,3 +1419,109 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(28,9)"),
         )
     return cur.select("n_name", "prio", "n", F.col("w").cast("double").alias("weight"))
+
+
+# --------------------------------------------------------------------------
+# Round 7 — HLL from first principles, cross-engine EXACT twin of the
+# rows-only `agg_hll_sketch` (whose JVM Datasketches binary cannot be
+# reproduced in SQL).  Same md5 discipline as agg_cms_heavy_hitters /
+# agg_bitmap_distinct: bucket = first md5 byte (m=256 registers), the
+# next 32 hash bits give rho = leading-zero count + 1 (computed from
+# length(bin(w)) — both engines print binary without leading zeros, so
+# the expression is integer-exact).  Registers are MERGEABLE by max —
+# the "__all__" row is the union of the per-type register sets, which
+# is the 100 TB story: 256 tiny ints per shard/day, one max-reduce,
+# distinct estimates forever without raw data.  The raw harmonic-mean
+# estimate m^2 / sum(2^-M_j) is computed entirely in scaled-integer
+# arithmetic (2^49 div sum(2^(33-M_j))) so no float ever appears and
+# the DuckDB oracle matches bitwise.  The exact distinct count rides
+# along to expose the estimator error explicitly.
+
+_HLL_M = 256  # registers (p = 8 bucket bits)
+_HLL_NUM = _HLL_M * _HLL_M * (1 << 33)  # m^2 * 2^33 = 2^49 scale factor
+
+
+@query(
+    "agg_hll_exact_twin",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5('h:' || user_id), 1, 2))::BIGINT AS bucket,
+         ('0x' || substr(md5('h:' || user_id), 3, 8))::BIGINT AS w
+  FROM events),
+regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS m
+  FROM h GROUP BY event_type, bucket),
+allregs AS (
+  SELECT '__all__' AS event_type, bucket, MAX(m) AS m
+  FROM regs GROUP BY bucket),
+unioned AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+est AS (
+  SELECT event_type,
+         CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+         CAST(CAST({_HLL_NUM} AS BIGINT)
+              // CAST(SUM(CAST(1 AS BIGINT) << (33 - m))
+                      + ({_HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << 33)
+                      AS BIGINT) AS BIGINT) AS raw_est
+  FROM unioned GROUP BY event_type),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__all__', COUNT(DISTINCT user_id) FROM events)
+SELECT e.event_type, e.v_zero, e.raw_est,
+       CAST(CASE WHEN e.v_zero > 0 AND e.raw_est <= {5 * _HLL_M // 2}
+                 THEN CAST(round({_HLL_M} * ln({_HLL_M} / CAST(e.v_zero AS DOUBLE)), 0) AS BIGINT)
+                 ELSE e.raw_est END AS BIGINT) AS est_users,
+       CAST(x.exact_users AS BIGINT) AS exact_users
+FROM est e JOIN exact x ON e.event_type = x.event_type
+""",
+)
+def agg_hll_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(concat('h:', user_id)), 1, 2), 16, 10) as bigint)"
+        ).alias("bucket"),
+        F.expr(
+            "cast(conv(substring(md5(concat('h:', user_id)), 3, 8), 16, 10) as bigint)"
+        ).alias("w"),
+    )
+    regs = h.groupBy("event_type", "bucket").agg(
+        F.expr(
+            "max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END)"
+        ).alias("m")
+    )
+    allregs = regs.groupBy("bucket").agg(F.max("m").alias("m")).select(
+        F.lit("__all__").alias("event_type"), "bucket", "m"
+    )
+    unioned = regs.unionByName(allregs)
+    est = unioned.groupBy("event_type").agg(
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+        F.expr(
+            f"cast({_HLL_NUM} as bigint) div"
+            " (sum(shiftleft(cast(1 as bigint), cast(33 - m as int)))"
+            f" + ({_HLL_M} - count(*)) * shiftleft(cast(1 as bigint), 33))"
+        ).alias("raw_est"),
+    )
+    est = est.withColumn(
+        "est_users",
+        F.expr(
+            f"cast(CASE WHEN v_zero > 0 AND raw_est <= {5 * _HLL_M // 2}"
+            f" THEN cast(round({_HLL_M} * ln({_HLL_M} / cast(v_zero as double)), 0) as bigint)"
+            " ELSE raw_est END as bigint)"
+        ),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users")).select(
+        F.lit("__all__").alias("event_type"), "exact_users"
+    )
+    return est.join(
+        exact.unionByName(exact_all).withColumn(
+            "exact_users", F.col("exact_users").cast("bigint")
+        ),
+        "event_type",
+    )

@@ -54,3 +54,20 @@ class TestRakingIPF:
             assert abs(v - ct) < 1e-3 * ct
         for v in row.values():
             assert abs(v - rt) < 0.05 * rt
+
+
+class TestHLLExactTwin:
+    def test_estimate_and_union_monotonicity(self, spark, sf_dir):
+        rows = registry.QUERIES["agg_hll_exact_twin"](spark, sf_dir).collect()
+        per = {r.event_type: r for r in rows}
+        assert "__all__" in per and len(per) >= 3
+        for r in rows:
+            # corrected estimate (linear counting below 2.5m, raw
+            # harmonic above) within 25% of exact at m=256
+            assert abs(r.est_users - r.exact_users) <= max(3, 0.25 * r.exact_users)
+            assert 0 <= r.v_zero < 256
+        # union registers dominate every per-type register set, so the
+        # merged estimate can never be below any component's estimate
+        for t, r in per.items():
+            if t != "__all__":
+                assert per["__all__"].raw_est >= r.raw_est
