@@ -1575,3 +1575,82 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") * 1000 + F.col("l_linenumber"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — bitemporal as-of: the two-axis temporal query SCD2 cannot
+# answer.  The fact table is an append-only assertion log (key,
+# valid_from, tx_time, value): tx_time is when the warehouse LEARNED
+# the fact, valid_from is when it became TRUE in the world — late
+# corrections arrive with old valid_from but new tx_time.  "What did
+# we believe on snapshot date S about the balance in effect on date V"
+# = among assertions with tx_time <= S and valid_from <= V, the one
+# with the greatest valid_from, ties broken by latest tx_time then
+# sequence.  Comparing two snapshot dates for the same V exposes every
+# retroactively rewritten key.  Shape at 100 TB: the 2-row snapshot
+# spine broadcasts, the log shuffles ONCE on (key, snapshot) for the
+# row_number window — no self-join, no per-snapshot rescan.
+
+
+@query(
+    "warehouse_bitemporal_asof",
+    oracle="""
+WITH log AS (
+  SELECT o_custkey % 500 AS key,
+         o_orderdate - INTERVAL ((o_orderkey % 90)) DAY AS valid_from,
+         o_orderdate AS tx_time,
+         o_orderkey AS seq,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS bal
+  FROM orders),
+snaps AS (SELECT DATE '1995-06-01' AS s UNION ALL SELECT DATE '1997-06-01'),
+vis AS (
+  SELECT l.key, s.s, l.bal,
+         row_number() OVER (PARTITION BY l.key, s.s
+                            ORDER BY l.valid_from DESC, l.tx_time DESC, l.seq DESC) AS rn
+  FROM log l JOIN snaps s
+    ON l.tx_time <= s.s AND l.valid_from <= DATE '1996-01-01'),
+best AS (SELECT key, s, bal FROM vis WHERE rn = 1)
+SELECT key,
+       CAST(MAX(CASE WHEN s = DATE '1995-06-01' THEN bal END) AS DOUBLE) AS bal_asof_1995,
+       CAST(MAX(CASE WHEN s = DATE '1997-06-01' THEN bal END) AS DOUBLE) AS bal_asof_1997,
+       CAST(MAX(CASE WHEN s = DATE '1995-06-01' THEN bal END)
+            IS DISTINCT FROM MAX(CASE WHEN s = DATE '1997-06-01' THEN bal END)
+            AS BOOLEAN) AS rewritten
+FROM best GROUP BY key
+""",
+)
+def warehouse_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    log = o.select(
+        (F.col("o_custkey") % 500).alias("key"),
+        F.date_sub(
+            F.col("o_orderdate"), (F.col("o_orderkey") % 90).cast("int")
+        ).alias("valid_from"),
+        F.col("o_orderdate").alias("tx_time"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("bal"),
+    )
+    # snapshot spine as an exploded literal array: no join operator at
+    # all (a 2-row non-equi broadcast would plan as a nested loop)
+    vis = log.withColumn(
+        "s",
+        F.explode(
+            F.array(
+                F.lit("1995-06-01").cast("date"), F.lit("1997-06-01").cast("date")
+            )
+        ),
+    ).filter(
+        (F.col("tx_time") <= F.col("s"))
+        & (F.col("valid_from") <= F.lit("1996-01-01").cast("date"))
+    )
+    w = Window.partitionBy("key", "s").orderBy(
+        F.desc("valid_from"), F.desc("tx_time"), F.desc("seq")
+    )
+    best = vis.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    b95 = F.max(F.when(F.col("s") == F.lit("1995-06-01").cast("date"), F.col("bal")))
+    b97 = F.max(F.when(F.col("s") == F.lit("1997-06-01").cast("date"), F.col("bal")))
+    return best.groupBy("key").agg(
+        b95.cast("double").alias("bal_asof_1995"),
+        b97.cast("double").alias("bal_asof_1997"),
+        b95.eqNullSafe(b97).__invert__().alias("rewritten"),
+    )

@@ -1029,3 +1029,25 @@ class TestMarkovStationary:
         ref = np.real(evecs[:, lead])
         ref = ref / ref.sum()
         assert np.abs(ref - pi).max() < 1e-6
+
+
+class TestBitemporalAsof:
+    def test_retroactive_rewrites_visible(self, spark, sf_dir):
+        rows = registry.QUERIES["warehouse_bitemporal_asof"](spark, sf_dir).collect()
+        assert rows
+        by_key = {r.key: r for r in rows}
+        # later transaction-time snapshot sees at least as much history:
+        # every key visible at the 1995 snapshot is visible at 1997
+        for r in rows:
+            if r.bal_asof_1995 is not None:
+                assert r.bal_asof_1997 is not None
+        # some keys were retroactively rewritten between snapshots, some
+        # weren't — both flag states occur, and the flag is consistent
+        flags = {r.rewritten for r in rows}
+        assert flags == {True, False}
+        for r in rows:
+            want = not (
+                (r.bal_asof_1995 is None and r.bal_asof_1997 is None)
+                or r.bal_asof_1995 == r.bal_asof_1997
+            )
+            assert bool(r.rewritten) == want, r
