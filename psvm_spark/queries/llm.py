@@ -7317,3 +7317,155 @@ def select_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "step int, center_vec_id bigint, marginal_gain bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — distinct-n diversity (distinct-1/2/3): the standard
+# corpus-diversity metric (ratio of unique n-grams to total n-grams;
+# Li et al. 2016 "A Diversity-Promoting Objective Function").  Low
+# distinct-2/3 per (lang, source) slice flags template-generated or
+# boilerplate-heavy strata before they bias a training mix.  One
+# explode over the concatenated tagged n-gram lists (sequence guarded
+# against the descending-sequence trap for short docs), then a single
+# partial+final distinct aggregate per (lang, source, n) — the gram
+# shuffle is the unavoidable cost of exact distinct counting, and
+# agg_hll_exact_twin is the sketch path when approximate suffices.
+
+
+@query(
+    "text_distinct_ngrams",
+    oracle="""
+WITH toks AS (SELECT lang, source, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT lang, source, 1 AS n, unnest(w) AS gram FROM toks
+  UNION ALL
+  SELECT lang, source, 2 AS n,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                               i -> array_to_string(w[i:i+1], ' '))) AS gram
+  FROM toks
+  UNION ALL
+  SELECT lang, source, 3 AS n,
+         unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS gram
+  FROM toks)
+SELECT lang, source, n,
+       COUNT(*) AS total_grams,
+       COUNT(DISTINCT gram) AS distinct_grams,
+       round(COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE), 9) AS distinct_ratio
+FROM g GROUP BY lang, source, n
+""",
+)
+def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        "source",
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(split(text, ' '), t -> struct(1 as n, t as gram)),"
+                " CASE WHEN size(split(text, ' ')) < 2 THEN"
+                "   array()"
+                " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
+                "   i -> struct(2 as n, array_join(slice(split(text, ' '), i, 2), ' ') as gram)) END,"
+                " CASE WHEN size(split(text, ' ')) < 3 THEN"
+                "   array()"
+                " ELSE transform(sequence(1, size(split(text, ' ')) - 2),"
+                "   i -> struct(3 as n, array_join(slice(split(text, ' '), i, 3), ' ') as gram)) END"
+                ")"
+            )
+        ).alias("t"),
+    ).select("lang", "source", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    return grams.groupBy("lang", "source", "n").agg(
+        F.count(F.lit(1)).alias("total_grams"),
+        F.countDistinct("gram").alias("distinct_grams"),
+        F.round(
+            F.countDistinct("gram") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("distinct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — curriculum ordering (Bengio et al. 2009): order the corpus
+# easy -> hard by a deterministic difficulty score (mean token length
+# + ln(1 + tokens), all from integer token stats so both engines build
+# identical doubles), then deal the global order round-robin onto 8
+# data-parallel shards so worker s trains row `step` in lockstep and
+# the global curriculum is preserved across workers.  The global rank
+# is NOT a single-partition window: ranks are computed within coarse
+# integer difficulty buckets (a ~15-row cumulative-offset table adds
+# the bucket base), which is the distributed ranking shape that holds
+# at 100 TB — each bucket's window is hash-partition-local.
+
+_CURR_SHARDS = 8
+
+
+@query(
+    "select_curriculum_order",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         round((len(text) - len(string_split(text, ' ')) + 1)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               + ln(1 + len(string_split(text, ' '))), 9) AS difficulty
+  FROM documents),
+b AS (SELECT doc_id, difficulty, CAST(floor(difficulty) AS BIGINT) AS bucket FROM s),
+off AS (
+  SELECT bucket, COUNT(*) AS cnt,
+         COALESCE(SUM(COUNT(*)) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM b GROUP BY bucket),
+rk AS (
+  SELECT b.doc_id, b.difficulty,
+         CAST(o.base + row_number() OVER (PARTITION BY b.bucket
+                                          ORDER BY b.difficulty, b.doc_id) AS BIGINT) AS grank
+  FROM b JOIN off o ON b.bucket = o.bucket)
+SELECT doc_id, difficulty, grank,
+       CAST((grank - 1) % {_CURR_SHARDS} AS BIGINT) AS shard,
+       CAST((grank - 1) // {_CURR_SHARDS} AS BIGINT) AS step
+FROM rk
+""",
+)
+def select_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.round(
+            (F.length("text") - F.size(F.split("text", " ")) + 1)
+            / F.size(F.split("text", " ")).cast("double")
+            + F.log(F.lit(1) + F.size(F.split("text", " "))),
+            9,
+        ).alias("difficulty"),
+    ).withColumn("bucket", F.floor("difficulty").cast("bigint"))
+    off = (
+        s.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    rk = s.join(F.broadcast(off), "bucket").select(
+        "doc_id",
+        "difficulty",
+        (
+            F.col("base")
+            + F.row_number().over(
+                Window.partitionBy("bucket").orderBy("difficulty", "doc_id")
+            )
+        ).cast("bigint").alias("grank"),
+    )
+    return rk.select(
+        "doc_id",
+        "difficulty",
+        "grank",
+        ((F.col("grank") - 1) % _CURR_SHARDS).cast("bigint").alias("shard"),
+        F.expr(f"(grank - 1) div {_CURR_SHARDS}").cast("bigint").alias("step"),
+    )

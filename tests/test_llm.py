@@ -1186,3 +1186,43 @@ class TestFacilityLocation:
         assert got == want
         gains = [g for _, _, g in got[1:]]
         assert gains == sorted(gains, reverse=True)  # submodularity
+
+
+class TestDistinctNgrams:
+    def test_diversity_invariants(self, spark, sf_dir):
+        rows = registry.QUERIES["text_distinct_ngrams"](spark, sf_dir).collect()
+        assert rows
+        groups = {}
+        for r in rows:
+            assert r.n in (1, 2, 3)
+            assert 0 < r.distinct_grams <= r.total_grams
+            assert 0.0 < r.distinct_ratio <= 1.0
+            groups.setdefault((r.lang, r.source), {})[r.n] = r
+        for (lang, source), by_n in groups.items():
+            # all three orders present per slice
+            assert set(by_n) == {1, 2, 3}, (lang, source)
+            # each doc contributes exactly one fewer bigram than tokens
+            # (and one fewer trigram than bigrams) unless it is shorter
+            # than n tokens, so totals are strictly decreasing in n
+            assert by_n[1].total_grams > by_n[2].total_grams > by_n[3].total_grams
+
+
+class TestCurriculumOrder:
+    def test_global_order_and_shard_deal(self, spark, sf_dir):
+        rows = registry.QUERIES["select_curriculum_order"](spark, sf_dir).collect()
+        n = len(rows)
+        assert n > 0
+        # grank is a permutation of 1..n consistent with difficulty order
+        assert sorted(r.grank for r in rows) == list(range(1, n + 1))
+        by_rank = sorted(rows, key=lambda r: r.grank)
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert (a.difficulty, a.doc_id) < (b.difficulty, b.doc_id)
+        # round-robin deal: shards balanced within 1, step monotone per shard
+        from collections import Counter
+
+        c = Counter(r.shard for r in rows)
+        assert set(c) == set(range(8))
+        assert max(c.values()) - min(c.values()) <= 1
+        for r in rows:
+            assert r.shard == (r.grank - 1) % 8
+            assert r.step == (r.grank - 1) // 8
