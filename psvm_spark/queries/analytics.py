@@ -3487,3 +3487,88 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("bigint").alias("custkey_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — geohash cells: the real base-32 geohash (bit-interleaved
+# lon/lat, lon first), computed ENTIRELY in integer arithmetic so both
+# engines emit identical strings.  Coordinates are the fixture's
+# deterministic centi-degree md5 points, so the 10-bit quantizations
+# (lat+90)/180*1024 and (lon+180)/360*1024 reduce to exact integer
+# divisions of the raw centi-degree values ((y+1000)*64 div 1125 and
+# x*32 div 1125); the 20-bit interleave and 4-char base-32 encode are
+# sums of shifts.  The rollup groups by the 3-char prefix — geohash's
+# defining property (prefix = containing cell) makes hierarchical
+# spatial aggregation a plain string-prefix groupBy, which at 100 TB
+# is one partial+final hash aggregate, no spatial library, no shuffle
+# beyond the group keys.
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_exprs() -> tuple[str, str]:
+    # raw centi-degree draws (same md5 discipline as _coord, but kept
+    # in integers): x in [0, 36000) spans lon -180..180, y in [0,
+    # 16000) spans lat -80..80 (fixture customers never reach the
+    # poles; the quantizer still uses the full -90..90 domain)
+    sx = ("pmod(cast(conv(substring(md5(concat('glon:', c_custkey)), 1, 8), 16, 10)"
+          " as bigint), 36000)")
+    sy = ("pmod(cast(conv(substring(md5(concat('glat:', c_custkey)), 1, 8), 16, 10)"
+          " as bigint), 16000)")
+    dx = "(('0x' || substr(md5('glon:' || c_custkey), 1, 8))::BIGINT % 36000)"
+    dy = "(('0x' || substr(md5('glat:' || c_custkey), 1, 8))::BIGINT % 16000)"
+    s_lonq = f"(({sx}) * 32 div 1125)"
+    s_latq = f"((({sy}) + 1000) * 64 div 1125)"
+    d_lonq = f"(({dx}) * 32 // 1125)"
+    d_latq = f"((({dy}) + 1000) * 64 // 1125)"
+
+    # Spark has shiftright; DuckDB has >>.  Build each engine's form.
+    s_bits = "(" + " + ".join(
+        [f"((shiftright({s_lonq}, {9 - i}) % 2) * {1 << (19 - 2 * i)})" for i in range(10)]
+        + [f"((shiftright({s_latq}, {9 - i}) % 2) * {1 << (18 - 2 * i)})" for i in range(10)]
+    ) + ")"
+    d_bits = "(" + " + ".join(
+        [f"((({d_lonq} >> {9 - i}) % 2) * {1 << (19 - 2 * i)})" for i in range(10)]
+        + [f"((({d_latq} >> {9 - i}) % 2) * {1 << (18 - 2 * i)})" for i in range(10)]
+    ) + ")"
+    s_hash = "concat(" + ", ".join(
+        f"substring('{_GH_ALPHABET}', cast((shiftright({s_bits}, {15 - 5 * c}) % 32) as int) + 1, 1)"
+        for c in range(4)
+    ) + ")"
+    d_hash = "concat(" + ", ".join(
+        f"substr('{_GH_ALPHABET}', CAST((({d_bits} >> {15 - 5 * c}) % 32) AS INT) + 1, 1)"
+        for c in range(4)
+    ) + ")"
+    return s_hash, d_hash
+
+
+_GH_SPARK, _GH_DUCK = _geohash_exprs()
+
+
+@query(
+    "geo_geohash_cells",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal, {_GH_DUCK} AS gh
+  FROM customer)
+SELECT substr(gh, 1, 3) AS cell3,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT gh) AS n_subcells,
+       CAST(SUM(bal) AS DOUBLE) AS total_bal,
+       min(gh) AS first_subcell
+FROM pts GROUP BY substr(gh, 1, 3)
+""",
+)
+def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        F.expr(_GH_SPARK).alias("gh"),
+    )
+    return pts.groupBy(F.substring("gh", 1, 3).alias("cell3")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("gh").alias("n_subcells"),
+        F.sum("bal").cast("double").alias("total_bal"),
+        F.min("gh").alias("first_subcell"),
+    )

@@ -646,3 +646,121 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _HITS_TOPK)
         .select("role", "node", "score", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — label propagation communities (Raghavan et al. 2007), the
+# near-linear community detector: every vertex starts as its own label
+# and repeatedly adopts the most frequent label among its neighbors
+# (ties -> smallest label, which makes the SYNCHRONOUS schedule fully
+# deterministic — no engine RNG, so DuckDB replays the identical K
+# rounds unrolled).  Per round: one co-partitioned join of the O(V)
+# label vector to the checkpointed directed edge list, one
+# (dst, label) count, one arg-max — the same scale shape as
+# graph_pagerank (never broadcast the label vector; localCheckpoint
+# truncates the loop lineage).  Output: per surviving community, size
+# + min member + membership checksum.
+
+_LPA_ITERS = 4
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+directed AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL
+  SELECT b AS src, a AS dst FROM edges),
+labels0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM directed),
+l1c AS (
+  SELECT d.dst AS node, p.label, COUNT(*) AS cnt
+  FROM directed d JOIN labels0 p ON d.src = p.node
+  GROUP BY d.dst, p.label),
+l1r AS (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+  FROM l1c),
+labels1 AS (
+  SELECT s.node, COALESCE(r.label, s.label) AS label
+  FROM labels0 s LEFT JOIN (SELECT node, label FROM l1r WHERE rn = 1) r
+    ON s.node = r.node),
+l2c AS (
+  SELECT d.dst AS node, p.label, COUNT(*) AS cnt
+  FROM directed d JOIN labels1 p ON d.src = p.node
+  GROUP BY d.dst, p.label),
+l2r AS (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+  FROM l2c),
+labels2 AS (
+  SELECT s.node, COALESCE(r.label, s.label) AS label
+  FROM labels0 s LEFT JOIN (SELECT node, label FROM l2r WHERE rn = 1) r
+    ON s.node = r.node),
+l3c AS (
+  SELECT d.dst AS node, p.label, COUNT(*) AS cnt
+  FROM directed d JOIN labels2 p ON d.src = p.node
+  GROUP BY d.dst, p.label),
+l3r AS (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+  FROM l3c),
+labels3 AS (
+  SELECT s.node, COALESCE(r.label, s.label) AS label
+  FROM labels0 s LEFT JOIN (SELECT node, label FROM l3r WHERE rn = 1) r
+    ON s.node = r.node),
+l4c AS (
+  SELECT d.dst AS node, p.label, COUNT(*) AS cnt
+  FROM directed d JOIN labels3 p ON d.src = p.node
+  GROUP BY d.dst, p.label),
+l4r AS (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+  FROM l4c),
+labels4 AS (
+  SELECT s.node, COALESCE(r.label, s.label) AS label
+  FROM labels0 s LEFT JOIN (SELECT node, label FROM l4r WHERE rn = 1) r
+    ON s.node = r.node)
+SELECT label AS community,
+       COUNT(*) AS n_members,
+       MIN(node) AS min_member,
+       CAST(SUM(node) AS BIGINT) AS member_checksum
+FROM labels4 GROUP BY label
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    directed = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    spine = directed.select(F.col("src").alias("node")).distinct()
+    labels = spine.select("node", F.col("node").alias("label"))
+    for _ in range(_LPA_ITERS):
+        counts = (
+            directed.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # most frequent neighbor label, smallest label on ties: max over
+        # (cnt, -label) lexicographic
+        winner = counts.groupBy("node").agg(
+            F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
+        )
+        labels = (
+            spine.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.sum("node").alias("member_checksum"),
+    )

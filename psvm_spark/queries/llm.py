@@ -7469,3 +7469,128 @@ def select_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("grank") - 1) % _CURR_SHARDS).cast("bigint").alias("shard"),
         F.expr(f"(grank - 1) div {_CURR_SHARDS}").cast("bigint").alias("step"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — multinomial Naive Bayes language classifier, trained and
+# scored entirely relationally (no MLlib, no RNG).  Add-one smoothing
+# makes the unseen-token term vanish: score(d, c) = ln P(c)
+# + sum over d's tokens of ln(cnt(tok, c) + 1) - |d| * ln(tot_c + V),
+# so only (token, class) pairs PRESENT in the training table ever join
+# (ln(0 + 1) = 0) — no dense vocab-class grid, which is what makes
+# the shape work at 100 TB: the weight table is Zipf-bounded, the test
+# corpus streams through one equi-join on token, and the per-(doc,
+# class) sum runs on DECIMAL(18,9)-rounded logs so the reduction is
+# order-independent and DuckDB replays it bitwise.  Train/test split
+# and the class list are fixture-deterministic (doc_id % 5; the five
+# corpus langs, same constant style as _MARKERS).
+
+_NB_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "ml_naive_bayes_lang",
+    oracle=f"""
+WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train),
+cnts AS (SELECT lang, tok, COUNT(*) AS cnt FROM ttok GROUP BY lang, tok),
+tots AS (SELECT lang, SUM(cnt) AS tot FROM cnts GROUP BY lang),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM ttok),
+priors AS (
+  SELECT lang, CAST(round(ln(COUNT(*) / CAST((SELECT COUNT(*) FROM train) AS DOUBLE)), 9)
+               AS DECIMAL(18,9)) AS prior
+  FROM train GROUP BY lang),
+wts AS (
+  SELECT lang, tok, CAST(round(ln(cnt + 1), 9) AS DECIMAL(18,9)) AS w FROM cnts),
+pen AS (
+  SELECT t.lang, CAST(round(ln(t.tot + v.v), 9) AS DECIMAL(18,9)) AS p
+  FROM tots t CROSS JOIN vocab v),
+dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM test),
+dlen AS (SELECT doc_id, COUNT(*) AS n_tok FROM dtok GROUP BY doc_id),
+seen AS (
+  SELECT d.doc_id, w.lang, SUM(w.w) AS s
+  FROM dtok d JOIN wts w ON d.tok = w.tok
+  GROUP BY d.doc_id, w.lang),
+grid AS (
+  SELECT t.doc_id, t.lang AS true_lang, c.cl AS cand, l.n_tok
+  FROM test t
+  JOIN dlen l ON t.doc_id = l.doc_id
+  CROSS JOIN (SELECT unnest({list(_NB_LANGS)}) AS cl) c),
+scored AS (
+  SELECT g.doc_id, g.true_lang, g.cand,
+         pr.prior + COALESCE(s.s, 0) - g.n_tok * pe.p AS score
+  FROM grid g
+  JOIN priors pr ON pr.lang = g.cand
+  JOIN pen pe ON pe.lang = g.cand
+  LEFT JOIN seen s ON s.doc_id = g.doc_id AND s.lang = g.cand),
+ranked AS (
+  SELECT doc_id, true_lang, cand,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+  FROM scored)
+SELECT doc_id, true_lang, cand AS pred_lang,
+       CAST(cand = true_lang AS BOOLEAN) AS correct
+FROM ranked WHERE rn = 1
+""",
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    ttok = train.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    cnts = ttok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tots = cnts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    v = ttok.select("tok").distinct().count()
+    n_train = train.count()
+    priors = train.groupBy("lang").agg(
+        F.round(F.log(F.count(F.lit(1)) / F.lit(float(n_train))), 9)
+        .cast("decimal(18,9)")
+        .alias("prior")
+    )
+    wts = cnts.select(
+        "lang",
+        "tok",
+        F.round(F.log(F.col("cnt") + 1), 9).cast("decimal(18,9)").alias("w"),
+    )
+    pen = tots.select(
+        "lang",
+        F.round(F.log(F.col("tot") + v), 9).cast("decimal(18,9)").alias("p"),
+    )
+    dtok = test.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dlen = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    seen = (
+        dtok.join(wts.withColumnRenamed("lang", "cand"), "tok")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("w").alias("s"))
+    )
+    grid = (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(dlen, "doc_id")
+        .withColumn("cand", F.explode(F.array(*[F.lit(c) for c in _NB_LANGS])))
+    )
+    scored = (
+        grid.join(F.broadcast(priors.withColumnRenamed("lang", "cand")), "cand")
+        .join(F.broadcast(pen.withColumnRenamed("lang", "cand")), "cand")
+        .join(seen, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (
+                F.col("prior")
+                + F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,9)"))
+                - F.col("n_tok") * F.col("p")
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cand").alias("pred_lang"),
+            (F.col("cand") == F.col("true_lang")).alias("correct"),
+        )
+    )

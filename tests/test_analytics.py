@@ -352,3 +352,77 @@ class TestPointInPolygon:
         rows = registry.QUERIES["join_point_in_polygon"](spark, sf_dir).collect()
         assert {r.poly_id for r in rows} <= set(_PIP_POLYS)
         assert all(r.n_inside > 0 for r in rows)
+
+
+class TestGeohashCells:
+    def test_geohash_encoding_matches_reference_impl(self, spark, sf_dir):
+        # independent reference geohash (classic bisection algorithm)
+        # vs the integer-arithmetic SQL encode, via the rollup's
+        # deterministic min-subcell witness per 3-char prefix
+        import hashlib
+
+        rows = registry.QUERIES["geo_geohash_cells"](spark, sf_dir).collect()
+        assert rows
+        alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+        def ref_geohash(lat, lon, n_chars=4):
+            lat_lo, lat_hi = -90.0, 90.0
+            lon_lo, lon_hi = -180.0, 180.0
+            bits = []
+            even = True
+            while len(bits) < 5 * n_chars:
+                if even:
+                    mid = (lon_lo + lon_hi) / 2
+                    if lon >= mid:
+                        bits.append(1); lon_lo = mid
+                    else:
+                        bits.append(0); lon_hi = mid
+                else:
+                    mid = (lat_lo + lat_hi) / 2
+                    if lat >= mid:
+                        bits.append(1); lat_lo = mid
+                    else:
+                        bits.append(0); lat_hi = mid
+                even = not even
+            return "".join(
+                alphabet[int("".join(map(str, bits[i : i + 5])), 2)]
+                for i in range(0, len(bits), 5)
+            )
+
+        from psvm_spark.catalog import load_table
+
+        cust = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+        seen = {}
+        for r in cust:
+            k = r.c_custkey
+            x = int(hashlib.md5(f"glon:{k}".encode()).hexdigest()[:8], 16) % 36000
+            y = int(hashlib.md5(f"glat:{k}".encode()).hexdigest()[:8], 16) % 16000
+            gh = ref_geohash(y / 100.0 - 80.0, x / 100.0 - 180.0)
+            p = gh[:3]
+            seen[p] = min(seen.get(p, "~"), gh)
+            seen.setdefault("_n_" + p, 0)
+            seen["_n_" + p] = seen["_n_" + p] + 1
+        for r in rows:
+            assert seen[r.cell3] == r.first_subcell, r.cell3
+            assert seen["_n_" + r.cell3] == r.n_customers
+
+
+class TestLabelPropagation:
+    def test_partition_and_determinism(self, spark, sf_dir):
+        rows = registry.QUERIES["graph_label_propagation"](spark, sf_dir).collect()
+        assert rows
+        from psvm_spark.queries.graph import edge_set
+
+        e = edge_set(spark, sf_dir)
+        n_nodes = (
+            e.selectExpr("a as node").union(e.selectExpr("b as node")).distinct().count()
+        )
+        # labels partition the vertex set
+        assert sum(r.n_members for r in rows) == n_nodes
+        # propagation merged at least some singleton communities
+        assert len(rows) < n_nodes
+        for r in rows:
+            assert r.min_member <= r.member_checksum / r.n_members
+        # synchronous schedule is deterministic
+        again = registry.QUERIES["graph_label_propagation"](spark, sf_dir).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

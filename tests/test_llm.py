@@ -1226,3 +1226,25 @@ class TestCurriculumOrder:
         for r in rows:
             assert r.shard == (r.grank - 1) % 8
             assert r.step == (r.grank - 1) // 8
+
+
+class TestNaiveBayesLang:
+    def test_structural_invariants(self, spark, sf_dir):
+        rows = registry.QUERIES["ml_naive_bayes_lang"](spark, sf_dir).collect()
+        assert rows
+        d = load_table(spark, sf_dir, "documents")
+        n_test = d.filter(F.col("doc_id") % 5 == 0).count()
+        # exactly one prediction per held-out doc
+        assert len(rows) == n_test
+        assert len({r.doc_id for r in rows}) == n_test
+        langs = {"de", "en", "es", "fr", "zh"}
+        for r in rows:
+            assert r.pred_lang in langs
+            assert r.correct == (r.pred_lang == r.true_lang)
+        # the fixture text is language-independent by construction, so a
+        # correct NB collapses toward the class prior: the majority
+        # class must dominate predictions
+        from collections import Counter
+
+        top = Counter(r.pred_lang for r in rows).most_common(1)[0][0]
+        assert top == "en"
