@@ -219,14 +219,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B46 — MinHash + LSH banding near-dedup, fully deterministic (xxhash64
-# with fixed salt constants, no RNG).  Candidates from band-bucket
-# equi-join, then exact Jaccard verification >= 0.5.  rows-only: the
-# xxhash64 signature family isn't expressible in DuckDB; recall vs the
-# brute-force oracle is asserted in tests/test_llm.py.
+# B46 — MinHash + LSH banding near-dedup, fully deterministic and (since
+# round 7) ORACLE-EXACT.  The signature family is classic Carter-Wegman
+# universal hashing: each shingle maps to a 60-bit integer key x (first
+# 15 hex chars of md5 — fixed-width, both engines byte-identical), and
+# h_k(x) = (a_k * (x mod p) + b_k) mod p over the Mersenne prime
+# p = 2^31 - 1, with the (a_k, b_k) constants derived once in Python and
+# baked into BOTH engines' expressions as literals.  All arithmetic
+# stays inside int64 ((p-1) * a_k < 2^62), so Spark and DuckDB agree
+# bit-for-bit and the ENTIRE lossy pipeline — signatures -> band buckets
+# -> candidate equi-join -> exact-Jaccard verify — is differentially
+# tested end to end (dedup_minhash_exact covers the same shape with an
+# md5-substring family; two independent families, one shared pipeline).
+# Candidates come from the band-bucket equi-join, never all-pairs;
+# recall vs the brute-force truth is additionally asserted in
+# tests/test_llm.py.
 
 _N_HASH = 16
 _N_BANDS = 8  # rows per band = 2
+_MH_P = (1 << 31) - 1  # Mersenne prime 2^31 - 1
+# deterministic Carter-Wegman coefficients: a_k != 0, both < p
+_MH_A = [(2654435761 * (k + 1) + 104729) % _MH_P or 1 for k in range(_N_HASH)]
+_MH_B = [(40503 * (k + 1) + 2147483587) % _MH_P for k in range(_N_HASH)]
+_MH_FOLD = 1000003  # bucket fold multiplier: p * 1000003 + p < 2^62
+
+
+def _mh_bucket_fold(cols: list[str]) -> str:
+    """((h0 * m + h1) % p ... ) — same literal form in Spark and DuckDB."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = f"(({acc}) * {_MH_FOLD} + {c}) % {_MH_P}"
+    return f"({acc})"
+
+
+def _mh_oracle() -> str:
+    rows = _N_HASH // _N_BANDS
+    key = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_P})"
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(shingles,"
+        f" s -> ({_MH_A[k]} * {key} + {_MH_B[k]}) % {_MH_P}), 'min') AS h{k}"
+        for k in range(_N_HASH)
+    )
+    band_list = ", ".join(
+        "{'band': %d, 'bucket': %s}"
+        % (b, _mh_bucket_fold([f"h{b * rows + r}" for r in range(rows)]))
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles FROM documents
+),
+sig AS (
+  SELECT doc_id, shingles,
+         {sig_cols}
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, bb['band'] AS band, bb['bucket'] AS bucket
+  FROM (SELECT doc_id, unnest([{band_list}]) AS bb FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh a ON c.id_a = a.doc_id
+  JOIN sh b ON c.id_b = b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
 
 
 def _minhash_lsh_pairs(
@@ -291,15 +358,16 @@ def _minhash_lsh_pairs(
     )
 
 
-@query("dedup_minhash")
+@query("dedup_minhash", oracle=_mh_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = f"(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {_MH_P})"
     return _minhash_lsh_pairs(
         spark,
         sf_dir,
         _N_HASH,
         _N_BANDS,
-        hash_expr=lambda k: f"xxhash64({k}, s)",
-        bucket_expr=lambda cols: "xxhash64(" + ", ".join(cols) + ")",
+        hash_expr=lambda k: f"({_MH_A[k]} * {key} + {_MH_B[k]}) % {_MH_P}",
+        bucket_expr=_mh_bucket_fold,
     )
 
 

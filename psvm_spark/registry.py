@@ -57,7 +57,10 @@ _DRIVER_SAMPLED_R1_R6: frozenset[str] = frozenset({
     "agg_stats", "agg_string_agg", "agg_theta_sketch", "agg_weighted",
     "agg_weighted_percentile", "anomaly_mad", "case_when",
     "cdc_merge_apply", "cogroup_reconcile", "cohort_retention",
-    "dedup_embedding", "dedup_exact", "dedup_minhash",
+    # dedup_minhash was sampled rows-only in r1-r5; round 7 converted it
+    # to an oracle-exact Carter-Wegman hash family, so it is deliberately
+    # left out of this ledger for the driver to re-verify hash-green.
+    "dedup_embedding", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
     "doc_rolling_hash", "dq_benford_first_digit", "dq_expectations",
     "dq_gdpr_erasure", "dq_join_cardinality_estimate", "dq_merkle_ranges",
