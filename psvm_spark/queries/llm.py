@@ -7662,3 +7662,151 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cand") == F.col("true_lang")).alias("correct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — RHO-style excess-loss data selection (Selective Language
+# Modeling, Lin et al. 2024 "Rho-1: Not All Tokens Are What You Need",
+# at document granularity): score every document by the gap between its
+# loss under the CURRENT data distribution (unigram LM over the full
+# corpus) and under a REFERENCE model trained on a curated high-quality
+# slice, then keep the top 1/5 — high excess = "the reference knows
+# something the corpus at large does not", the classic learnability
+# signal.  Everything is relational and decimal-exact: both LMs share
+# one vocabulary and add-one smoothing, so per-token excess reduces to
+# round9(ln(c_ref+1)) - round9(ln(c_cur+1)) plus a per-corpus constant,
+# summed as DECIMAL(18,9) (order-independent, bitwise-replayable).  At
+# 100 TB the weight table is Zipf-bounded, the corpus streams through
+# one token equi-join, and the final selection uses the bucketed
+# global-rank shape (coarse score buckets + cumulative offsets, same
+# as select_curriculum_order) — no single-partition window.
+
+_RHO_REF_SRC = ("src0", "src1", "src2", "src3")  # curated-slice proxy
+_RHO_KEEP_DEN = 5  # keep the top 1/5 by excess loss
+
+_RHO_SRC_SQL = "('" + "', '".join(_RHO_REF_SRC) + "')"
+
+
+@query(
+    "select_rho_excess_loss",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+cur AS (SELECT tok, COUNT(*) AS c_cur FROM tok GROUP BY tok),
+ref AS (SELECT tok, COUNT(*) AS c_ref FROM tok
+        WHERE source IN {_RHO_SRC_SQL} GROUP BY tok),
+wts AS (
+  SELECT c.tok,
+         CAST(round(ln(COALESCE(r.c_ref, 0) + 1), 9) AS DECIMAL(18,9))
+       - CAST(round(ln(c.c_cur + 1), 9) AS DECIMAL(18,9)) AS dw
+  FROM cur c LEFT JOIN ref r ON c.tok = r.tok),
+consts AS (
+  SELECT CAST(round(ln((SELECT COUNT(*) FROM tok)
+                       + (SELECT COUNT(*) FROM cur)), 9) AS DECIMAL(18,9)) AS cc,
+         CAST(round(ln((SELECT COUNT(*) FROM tok WHERE source IN {_RHO_SRC_SQL})
+                       + (SELECT COUNT(*) FROM cur)), 9) AS DECIMAL(18,9)) AS cr),
+docs AS (
+  SELECT t.doc_id, t.source, t.lang, COUNT(*) AS n_tok, SUM(w.dw) AS sum_dw
+  FROM tok t JOIN wts w ON t.tok = w.tok
+  GROUP BY t.doc_id, t.source, t.lang),
+sc AS (
+  -- the per-corpus constant and the token sum combine in DOUBLE (the
+  -- decimal subtraction cc - cr is exact; a bigint * decimal product
+  -- would hit Spark's precision-38 scale reduction and diverge)
+  SELECT doc_id, source, lang, n_tok,
+         round((CAST(n_tok AS DOUBLE) * CAST(c.cc - c.cr AS DOUBLE)
+                + CAST(sum_dw AS DOUBLE)) / n_tok, 9) AS excess_mean
+  FROM docs CROSS JOIN consts c),
+b AS (SELECT *, CAST(floor(excess_mean * 1000) AS BIGINT) AS bucket FROM sc),
+off AS (
+  SELECT bucket,
+         COALESCE(SUM(COUNT(*)) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM b GROUP BY bucket),
+rk AS (
+  SELECT b.doc_id, b.source, b.lang, b.n_tok, b.excess_mean,
+         CAST(o.base + row_number() OVER (PARTITION BY b.bucket
+              ORDER BY b.excess_mean DESC, b.doc_id) AS BIGINT) AS sel_rank
+  FROM b JOIN off o ON b.bucket = o.bucket)
+SELECT doc_id, source, lang, n_tok, excess_mean, sel_rank
+FROM rk
+WHERE sel_rank <= (SELECT COUNT(*) // {_RHO_KEEP_DEN} FROM documents)
+""",
+)
+def select_rho_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    rtok = tok.filter(F.col("source").isin(*_RHO_REF_SRC))
+    cur = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_cur"))
+    ref = rtok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_ref"))
+    wts = cur.join(ref, "tok", "left").select(
+        "tok",
+        (
+            F.round(F.log(F.coalesce(F.col("c_ref"), F.lit(0)) + 1), 9)
+            .cast("decimal(18,9)")
+            - F.round(F.log(F.col("c_cur") + 1), 9).cast("decimal(18,9)")
+        ).alias("dw"),
+    )
+    # bounded driver scalars (corpus totals), mirroring the oracle's
+    # scalar subqueries; the smoothing constants are then in-engine logs
+    tot_cur = tok.count()
+    tot_ref = rtok.count()
+    v = cur.count()
+    n_docs = d.count()
+    n_sel = n_docs // _RHO_KEEP_DEN
+    cc = F.round(F.log(F.lit(float(tot_cur + v))), 9).cast("decimal(18,9)")
+    cr = F.round(F.log(F.lit(float(tot_ref + v))), 9).cast("decimal(18,9)")
+    docs = (
+        tok.join(wts, "tok")
+        .groupBy("doc_id", "source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("dw").alias("sum_dw"))
+    )
+    sc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tok",
+        F.round(
+            (
+                F.col("n_tok").cast("double") * (cc - cr).cast("double")
+                + F.col("sum_dw").cast("double")
+            )
+            / F.col("n_tok"),
+            9,
+        ).alias("excess_mean"),
+    ).withColumn("bucket", F.floor(F.col("excess_mean") * 1000).cast("bigint"))
+    off = (
+        sc.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy(F.desc("bucket")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("cnt")
+    )
+    rk = sc.join(F.broadcast(off), "bucket").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tok",
+        "excess_mean",
+        (
+            F.col("base")
+            + F.row_number().over(
+                Window.partitionBy("bucket").orderBy(
+                    F.desc("excess_mean"), F.asc("doc_id")
+                )
+            )
+        ).cast("bigint").alias("sel_rank"),
+    )
+    return rk.filter(F.col("sel_rank") <= n_sel)

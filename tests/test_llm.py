@@ -1248,3 +1248,25 @@ class TestNaiveBayesLang:
 
         top = Counter(r.pred_lang for r in rows).most_common(1)[0][0]
         assert top == "en"
+
+
+class TestRhoExcessLoss:
+    def test_selection_size_and_ordering(self, spark, sf_dir):
+        rows = registry.QUERIES["select_rho_excess_loss"](spark, sf_dir).collect()
+        d = load_table(spark, sf_dir, "documents")
+        n_docs = d.count()
+        # exactly the top 1/5 by excess loss, ranks dense from 1
+        assert len(rows) == n_docs // 5
+        assert sorted(r.sel_rank for r in rows) == list(range(1, n_docs // 5 + 1))
+        # rank order agrees with score order (ties broken by doc_id)
+        by_rank = sorted(rows, key=lambda r: r.sel_rank)
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert (a.excess_mean, -a.doc_id) >= (b.excess_mean, -b.doc_id)
+
+    def test_reference_slice_scores_low(self, spark, sf_dir):
+        """Docs from the curated reference sources have LOW excess loss
+        (the reference model already fits them), so the selected top
+        slice should skew toward non-reference sources."""
+        rows = registry.QUERIES["select_rho_excess_loss"](spark, sf_dir).collect()
+        n_ref = sum(1 for r in rows if r.source in ("src0", "src1", "src2", "src3"))
+        assert n_ref < len(rows) / 2
