@@ -303,6 +303,7 @@ def _minhash_lsh_pairs(
     n_bands: int,
     hash_expr,
     bucket_expr,
+    key_expr: str | None = None,
 ) -> DataFrame:
     """Shared MinHash+LSH pipeline used by dedup_minhash (xxhash64
     family) and dedup_minhash_exact (md5 family, DuckDB-mirrorable):
@@ -311,7 +312,10 @@ def _minhash_lsh_pairs(
 
     ``hash_expr(k)`` returns the per-shingle SQL expression for the k-th
     hash (over the lambda variable ``s``); ``bucket_expr(cols)`` combines
-    one band's signature column names into its bucket expression.
+    one band's signature column names into its bucket expression.  When
+    ``key_expr`` is given, each shingle string is first mapped ONCE to a
+    key array (e.g. one md5 per shingle instead of one per shingle per
+    hash — 16x fewer digests) and ``hash_expr`` then runs over the key.
 
     Scale notes: signature[k] = min over shingles of hash_k(shingle);
     one explode produces all bands in a single pass (no union-of-selects,
@@ -322,9 +326,13 @@ def _minhash_lsh_pairs(
     """
     d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    hash_src = "shingles"
+    if key_expr is not None:
+        sh = sh.withColumn("keys", F.expr(f"transform(shingles, s -> {key_expr})"))
+        hash_src = "keys"
     rows_per_band = n_hash // n_bands
     sig_cols = [
-        F.array_min(F.expr(f"transform(shingles, s -> {hash_expr(k)})")).alias(f"h{k}")
+        F.array_min(F.expr(f"transform({hash_src}, s -> {hash_expr(k)})")).alias(f"h{k}")
         for k in range(n_hash)
     ]
     band_structs = ", ".join(
@@ -360,14 +368,15 @@ def _minhash_lsh_pairs(
 
 @query("dedup_minhash", oracle=_mh_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = f"(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {_MH_P})"
     return _minhash_lsh_pairs(
         spark,
         sf_dir,
         _N_HASH,
         _N_BANDS,
-        hash_expr=lambda k: f"({_MH_A[k]} * {key} + {_MH_B[k]}) % {_MH_P}",
+        # one md5 per shingle (key_expr), then 16 integer affine maps
+        hash_expr=lambda k: f"({_MH_A[k]} * s + {_MH_B[k]}) % {_MH_P}",
         bucket_expr=_mh_bucket_fold,
+        key_expr=f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {_MH_P}",
     )
 
 
