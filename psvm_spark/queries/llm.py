@@ -7819,3 +7819,4 @@ def select_rho_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("sel_rank"),
     )
     return rk.filter(F.col("sel_rank") <= n_sel)
+

@@ -761,3 +761,69 @@ def scan_webdataset_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload_chain"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — windowed audio energy / voice-activity detection: the
+# standard first stage of any speech-data curation pipeline (frame the
+# PCM stream, per-frame RMS, threshold into active/silent).  The decode
+# + framing runs as an Arrow-batched mapInPandas where the payload
+# lives — at 100 TB the WAV bytes never cross a shuffle; the output is
+# 4 tiny rows per clip.  Oracle-EXACT across the binary boundary: the
+# fixture WAV repeats the 16-byte md5(text) digest, so DuckDB recomputes
+# every frame's RMS from the digest hex alone.  Exactness: x = s/2^15
+# gives x*x = s^2/2^30 (dyadic, exact in float64 in any order), /16 is
+# exact, sqrt+round6 are deterministic IEEE on both engines; `active`
+# compares the ROUNDED value so the threshold decision is shared too.
+
+_VAD_FRAME = 16  # samples per frame -> 4 frames per 64-sample clip
+_VAD_THRESH = 0.55
+
+
+def _vad_oracle() -> str:
+    samp = f"{_by('2*i')} + 256*{_by('2*i+1')}"
+    sq = (
+        f"(CASE WHEN {samp} >= 32768 THEN {samp} - 65536 ELSE {samp} END)"
+        f" * (CASE WHEN {samp} >= 32768 THEN {samp} - 65536 ELSE {samp} END)"
+        " / 1073741824e0"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 1),
+fr AS (
+  SELECT doc_id AS media_id, CAST(t.f AS INT) AS frame_idx,
+         round(sqrt(list_sum([{sq}
+             FOR i IN generate_series({_VAD_FRAME}*t.f,
+                                      {_VAD_FRAME}*t.f + {_VAD_FRAME - 1})])
+             / {_VAD_FRAME}e0), 6) AS rms
+  FROM d, generate_series(0, {_WAV_N // _VAD_FRAME - 1}) t(f))
+SELECT media_id, frame_idx, rms, rms >= {_VAD_THRESH} AS active FROM fr
+"""
+
+
+@query("mm_audio_vad_frames", oracle=_vad_oracle())
+def mm_audio_vad_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "audio")
+
+    def frames(batches):
+        def decode_wav(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            data_size = int.from_bytes(buf[40:44], "little")
+            return np.frombuffer(buf, dtype="<i2", count=data_size // 2, offset=44)
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                x = decode_wav(bytes(buf)).astype(np.float64) / 32768.0
+                for f in range(len(x) // _VAD_FRAME):
+                    w = x[_VAD_FRAME * f : _VAD_FRAME * (f + 1)]
+                    rows.append((int(mid), f, float(np.sqrt((w * w).mean()))))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rms"])
+
+    out = m.mapInPandas(frames, "media_id long, frame_idx int, rms double")
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.round("rms", 6).alias("rms"),
+        (F.round("rms", 6) >= _VAD_THRESH).alias("active"),
+    )

@@ -158,3 +158,34 @@ class TestWebdatasetScan:
         assert {r.ext for r in rows} == {"ppm", "wav", "bin"}
         n_docs = load_table(spark, sf_dir, "documents").count()
         assert sum(r.n for r in rows) == n_docs  # .json sidecars not counted
+
+
+class TestAudioVadFrames:
+    def test_rms_matches_numpy_reference(self, spark, sf_dir):
+        """Frame RMS must equal an independent NumPy recompute from the
+        synthesized WAV bytes (digest * 8 -> 64 LE int16 samples)."""
+        import hashlib
+
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+
+        rows = registry.QUERIES["mm_audio_vad_frames"](spark, sf_dir).collect()
+        docs = {
+            r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents")
+            .filter("doc_id % 3 = 1")
+            .collect()
+        }
+        # 4 frames per audio clip, every clip present
+        assert len(rows) == 4 * len(docs)
+        got = {(r.media_id, r.frame_idx): (r.rms, r.active) for r in rows}
+        for did, text in list(docs.items())[:25]:
+            digest = hashlib.md5(text.encode()).digest()
+            smp = np.frombuffer(digest * 8, dtype="<i2").astype(np.float64) / 32768.0
+            for f in range(4):
+                w = smp[16 * f : 16 * (f + 1)]
+                ref = round(float(np.sqrt((w * w).mean())), 6)
+                rms, active = got[(did, f)]
+                assert rms == ref, (did, f)
+                assert active == (ref >= 0.55)
