@@ -1525,3 +1525,129 @@ def agg_hll_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — K-minimum-values audience overlap: the theta-sketch family's
+# deterministic form (Bar-Yossef et al. 2002; theta sketches are KMV
+# with adaptive theta).  agg_theta_sketch stays rows-only because the
+# DataSketches register layout has no SQL twin; THIS query runs the
+# same set-algebra workload — per-segment distinct estimate, union,
+# intersection, difference — on a KMV sketch whose keys are md5-derived
+# 60-bit integers, so DuckDB replays every retained key, threshold, and
+# estimate bitwise.  Estimator: with the k-th smallest of n distinct
+# uniform keys at K_(k), |S| ~= (k-1) * 2^60 / K_(k); segments holding
+# fewer than k keys are exact by construction.  Union = k smallest of
+# the combined retained sets (the KMV merge law — ONLY sketch contents
+# are touched); intersection/difference by inclusion-exclusion, clamped
+# at 0.  Scale shape: distinct-key reduce, then a salted partial top-k
+# (32 buckets) so the final per-segment selection sees <= 32k rows —
+# the mergeable-partials shape a bounded-heap Aggregator would use at
+# 100 TB, expressed relationally.
+
+_KMV_K = 64
+_KMV_SALT = 32
+_KMV_DOM = 1 << 60  # md5-prefix key domain
+
+
+def _kmv_oracle() -> str:
+    est = (
+        f"CASE WHEN nret < {_KMV_K} THEN CAST(nret AS DOUBLE)"
+        f" ELSE {_KMV_K - 1} * {float(_KMV_DOM)} / kth END"
+    )
+    return f"""
+WITH dk AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS k
+  FROM events WHERE event_type IN ('click', 'view')),
+ret AS (
+  SELECT event_type, k FROM (
+    SELECT event_type, k,
+           row_number() OVER (PARTITION BY event_type ORDER BY k) AS rn
+    FROM dk) WHERE rn <= {_KMV_K}),
+per AS (
+  SELECT event_type, MAX(k) AS kth, COUNT(*) AS nret
+  FROM ret GROUP BY event_type),
+ests AS (SELECT event_type, {est} AS est FROM per),
+uret AS (
+  SELECT k FROM (
+    SELECT k, row_number() OVER (ORDER BY k) AS rn
+    FROM (SELECT DISTINCT k FROM ret)) WHERE rn <= {_KMV_K}),
+uper AS (SELECT MAX(k) AS kth, COUNT(*) AS nret FROM uret),
+uest AS (SELECT {est} AS est FROM uper),
+funnel AS (
+  SELECT a.est AS ea, b.est AS eb, u.est AS eu,
+         greatest(a.est + b.est - u.est, 0) AS ei
+  FROM (SELECT est FROM ests WHERE event_type = 'click') a,
+       (SELECT est FROM ests WHERE event_type = 'view') b,
+       uest u)
+SELECT CAST(round(ea) AS BIGINT) AS est_click,
+       CAST(round(eb) AS BIGINT) AS est_view,
+       CAST(round(eu) AS BIGINT) AS est_union,
+       CAST(round(ei) AS BIGINT) AS est_intersect,
+       CAST(round(greatest(ea - ei, 0)) AS BIGINT) AS est_click_only
+FROM funnel
+"""
+
+
+@query("agg_kmv_exact_twin", oracle=_kmv_oracle())
+def agg_kmv_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    dk = ev.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substring(md5(concat('kmv:', user_id)), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("k"),
+    ).distinct()
+    # salted partial top-k (mergeable KMV partials), then final top-k
+    w1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("k"), F.lit(_KMV_SALT))
+    ).orderBy("k")
+    p1 = dk.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= _KMV_K
+    ).drop("rn")
+    w2 = Window.partitionBy("event_type").orderBy("k")
+    ret = p1.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= _KMV_K
+    ).drop("rn")
+
+    def est(df):
+        return df.select(
+            F.when(
+                F.col("nret") < _KMV_K, F.col("nret").cast("double")
+            ).otherwise(
+                F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_DOM)) / F.col("kth")
+            ).alias("est")
+        )
+
+    per = ret.groupBy("event_type").agg(
+        F.max("k").alias("kth"), F.count(F.lit(1)).alias("nret")
+    )
+    ea = est(per.filter(F.col("event_type") == "click")).withColumnRenamed("est", "ea")
+    eb = est(per.filter(F.col("event_type") == "view")).withColumnRenamed("est", "eb")
+    uret = (
+        ret.select("k")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("k")))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    eu = est(
+        uret.agg(F.max("k").alias("kth"), F.count(F.lit(1)).alias("nret"))
+    ).withColumnRenamed("est", "eu")
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .withColumn("ei", F.greatest(F.col("ea") + F.col("eb") - F.col("eu"), F.lit(0.0)))
+        .select(
+            F.round("ea").cast("bigint").alias("est_click"),
+            F.round("eb").cast("bigint").alias("est_view"),
+            F.round("eu").cast("bigint").alias("est_union"),
+            F.round("ei").cast("bigint").alias("est_intersect"),
+            F.round(F.greatest(F.col("ea") - F.col("ei"), F.lit(0.0)))
+            .cast("bigint")
+            .alias("est_click_only"),
+        )
+    )

@@ -71,3 +71,23 @@ class TestHLLExactTwin:
         for t, r in per.items():
             if t != "__all__":
                 assert per["__all__"].raw_est >= r.raw_est
+
+
+class TestKmvExactTwin:
+    def test_estimates_near_truth_and_algebra_consistent(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+
+        row = registry.QUERIES["agg_kmv_exact_twin"](spark, sf_dir).collect()[0]
+        ev = load_table(spark, sf_dir, "events")
+        click = {r.user_id for r in ev.filter("event_type = 'click'").select("user_id").distinct().collect()}
+        view = {r.user_id for r in ev.filter("event_type = 'view'").select("user_id").distinct().collect()}
+        # KMV standard error ~ 1/sqrt(k-2) ~ 12.7% at k=64; allow 3 sigma
+        for est, truth in [
+            (row.est_click, len(click)),
+            (row.est_view, len(view)),
+            (row.est_union, len(click | view)),
+        ]:
+            assert abs(est - truth) <= max(0.4 * truth, 5), (est, truth)
+        # inclusion-exclusion identities hold exactly on the estimates
+        assert row.est_intersect == round(max(row.est_click + row.est_view - row.est_union, 0))
+        assert row.est_click_only == max(row.est_click - row.est_intersect, 0)
