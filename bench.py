@@ -109,8 +109,15 @@ def main() -> None:
     # for round-over-round comparison, and print a compact (<2 KB)
     # summary line LAST — totals plus the slowest queries — so the driver
     # records non-null parsed totals.
+    # bench_full.json is the sf0.1 round-over-round baseline ledger;
+    # contract checks at other scale factors write a suffixed file so
+    # they can never clobber it (the "sf0.001 overwrite trap" tripped
+    # in rounds 6 and 7 before this guard).
+    record = (
+        "bench_full.json" if abs(sf - 0.1) < 1e-9 else f"bench_full_sf{sf}.json"
+    )
     try:
-        with open(Path(__file__).resolve().parent / "bench_full.json", "w") as fh:
+        with open(Path(__file__).resolve().parent / record, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout must not fail the bench
