@@ -38,6 +38,7 @@ WHITELIST = {
     "sim_ivfpq_topk": "(b) same IVF coarse-assignment crossJoin (10-row centroid broadcast); scoring joins are equi on (clab, s, c)",
     "select_facility_location": "(c) bounded ground-set pair matrix (vec_id % 10 deterministic sample) — facility location is pairwise-coverage over its ground set by definition; the dedup_embedding precedent",
     "agg_median_two_pass": "(b) 2-row rank-target broadcast range-joined to the <=1024-row cumulative histogram; the bucket scan join is equi",
+    "agg_kmv_exact_twin": "(a) 1-row x 1-row x 1-row estimate combine (the graph_triangle_count shape); the sketch build itself is distinct-reduce + salted windows",
     "agg_theta_sketch": "(b) 1x1 crossJoin of two single-row sketch relations",
     "svm_predict_score": "(b) support-vector broadcast against test rows (kernel eval)",
     "kernel_linear": "(b) pair-sample kernel matrix on %-sampled rows (bounded)",
