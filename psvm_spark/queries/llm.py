@@ -5057,11 +5057,12 @@ _BPE_STEPS = 6
 _BPE_SEP = "\x1f"  # US control char: never appears in fixture text
 
 
-def _bpe_oracle() -> str:
+def _bpe_learn_ctes() -> str:
+    """The words/it learning CTE pair, shared by the merges oracle and
+    the encode oracle (which appends application CTEs)."""
     s = _BPE_SEP
     k = _BPE_STEPS
-    return f"""
-WITH RECURSIVE words AS (
+    return f"""words AS (
   SELECT w, COUNT(*) AS cnt FROM (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w <> '' GROUP BY w
@@ -5116,7 +5117,12 @@ it AS (
   ) g
   GROUP BY step, w
   ) h
-)
+)"""
+
+
+def _bpe_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_bpe_learn_ctes()}
 SELECT CAST(step - 1 AS INT) AS step,
        any_value(ba) AS merge_left,
        any_value(bb) AS merge_right,
@@ -5126,8 +5132,43 @@ GROUP BY step
 """
 
 
-@query("vocab_bpe_merges", oracle=_bpe_oracle())
-def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_char_ds(col: str) -> "F.Column":
+    """<US>-delimited character tokenization of a word column."""
+    sep = _BPE_SEP
+    return F.concat(
+        F.lit(sep),
+        F.array_join(
+            F.expr(f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"),
+            sep,
+        ),
+        F.lit(sep),
+    )
+
+
+def _bpe_merge_fold(ta: str, tb: str) -> "F.Column":
+    """One greedy left-to-right merge of pair (ta, tb) over a delimited
+    string column ``ds`` — the Sennrich fold shared by training and
+    encoding."""
+    sep = _BPE_SEP
+    la = len(ta)
+    return F.aggregate(
+        F.expr(f"filter(split(ds, '{sep}'), x -> x <> '')"),
+        F.lit(sep),
+        lambda acc, t: F.when(
+            (t == F.lit(tb))
+            & (F.substring(acc, -(la + 2), la + 2) == F.lit(sep + ta + sep)),
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - F.lit(la + 2)),
+                F.lit(sep + ta + tb + sep),
+            ),
+        ).otherwise(F.concat(acc, t, F.lit(sep))),
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """Run the K-step BPE training loop; returns [(step, left, right,
+    pair_count)].  Driver loop with a limit(1) argmax per step — the
+    inherent BPE shape (see vocab_bpe_merges)."""
     sep = _BPE_SEP
     d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     words = (
@@ -5135,21 +5176,10 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "w",
-            "cnt",
-            F.concat(
-                F.lit(sep),
-                F.array_join(
-                    F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-                    sep,
-                ),
-                F.lit(sep),
-            ).alias("ds"),
-        )
+        .select("w", "cnt", _bpe_char_ds("w").alias("ds"))
         .localCheckpoint(eager=True)
     )
-    merges = []
+    merges: list[tuple[int, str, str, int]] = []
     for step in range(_BPE_STEPS):
         pairs = (
             words.select(
@@ -5172,24 +5202,17 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         ta, tb, tc = top[0].a, top[0].b, int(top[0].pcnt)
         merges.append((step, ta, tb, tc))
-        la = len(ta)
-        folded = F.aggregate(
-            F.expr(f"filter(split(ds, '{sep}'), x -> x <> '')"),
-            F.lit(sep),
-            lambda acc, t: F.when(
-                (t == F.lit(tb))
-                & (F.substring(acc, -(la + 2), la + 2) == F.lit(sep + ta + sep)),
-                F.concat(
-                    F.substring(acc, F.lit(1), F.length(acc) - F.lit(la + 2)),
-                    F.lit(sep + ta + tb + sep),
-                ),
-            ).otherwise(F.concat(acc, t, F.lit(sep))),
-        )
-        words = words.select("w", "cnt", folded.alias("ds")).localCheckpoint(
-            eager=True
-        )
+        words = words.select(
+            "w", "cnt", _bpe_merge_fold(ta, tb).alias("ds")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@query("vocab_bpe_merges", oracle=_bpe_oracle())
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
-        merges, "step int, merge_left string, merge_right string, pair_count long"
+        _bpe_learn(spark, sf_dir),
+        "step int, merge_left string, merge_right string, pair_count long",
     )
 
 
@@ -7820,3 +7843,100 @@ def select_rho_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rk.filter(F.col("sel_rank") <= n_sel)
 
+
+
+# --------------------------------------------------------------------------
+# Round 7 — BPE ENCODE: apply the learned merge table to a held-out
+# slice, closing the tokenizer lifecycle (vocab_bpe_merges trains; this
+# encodes).  Training reuses _bpe_learn (parity-proven above); the K
+# merges then apply to each held-out word as K chained greedy folds —
+# pure map-side literals, which is exactly how a 100 TB corpus is
+# tokenized: the merge table is tiny and ships to the data, the corpus
+# never shuffles.  The ORACLE re-derives the merges inside the same
+# recursive CTE and applies them with a second recursive CTE (step-join
+# against the learned table), so driver parity proves train AND apply
+# end to end.  Output per doc: word/char/token counts and an md5 over
+# the position-ordered token stream (delimiter included), pinning every
+# token boundary.
+
+_BPE_ENC_MOD = 7  # held-out slice: doc_id % 7 == 0
+
+
+def _bpe_encode_oracle() -> str:
+    s = _BPE_SEP
+    k = _BPE_STEPS
+    return f"""
+WITH RECURSIVE {_bpe_learn_ctes()},
+merges AS (
+  SELECT step - 1 AS mstep, any_value(ba) AS ma, any_value(bb) AS mb
+  FROM it WHERE step >= 1 GROUP BY step
+),
+tw AS (
+  SELECT doc_id, u.pw['pos'] AS pos, u.pw['w'] AS w
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(sp)+1),
+                          i -> {{'pos': i, 'w': sp[i]}}) AS pws
+    FROM (SELECT doc_id, string_split(text, ' ') AS sp
+          FROM documents WHERE doc_id % {_BPE_ENC_MOD} = 0)
+  ), UNNEST(pws) AS u(pw)
+  WHERE u.pw['w'] <> ''
+),
+app AS (
+  SELECT doc_id, pos, w, 0 AS step,
+         '{s}' || array_to_string(
+           list_transform(range(1, len(w)+1), i -> substr(w, i, 1)), '{s}')
+         || '{s}' AS ds
+  FROM tw
+  UNION ALL
+  SELECT a.doc_id, a.pos, a.w, a.step + 1,
+         list_reduce(
+           list_prepend('{s}',
+             list_filter(string_split(a.ds, '{s}'), x -> x <> '')),
+           (acc, t) -> CASE
+             WHEN t = m.mb AND acc[-(len(m.ma)+2):] = '{s}' || m.ma || '{s}'
+             THEN acc[1:len(acc)-len(m.ma)-2] || '{s}' || m.ma || m.mb || '{s}'
+             ELSE acc || t || '{s}' END) AS ds
+  FROM app a JOIN merges m ON m.mstep = a.step
+  WHERE a.step < {k}
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(list_filter(string_split(ds, '{s}'), x -> x <> '')))
+            AS BIGINT) AS n_tokens,
+       md5(string_agg(ds, '' ORDER BY pos)) AS token_digest
+FROM app WHERE step = {k}
+GROUP BY doc_id
+"""
+
+
+@query("vocab_bpe_encode", oracle=_bpe_encode_oracle())
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sep = _BPE_SEP
+    merges = _bpe_learn(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _BPE_ENC_MOD == 0
+    )
+    words = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", "pos", "w", _bpe_char_ds("w").alias("ds"))
+    )
+    for _, ta, tb, _cnt in merges:
+        words = words.select(
+            "doc_id", "pos", "w", _bpe_merge_fold(ta, tb).alias("ds")
+        )
+    return words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        F.sum(F.expr(f"size(filter(split(ds, '{sep}'), x -> x <> ''))"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, ds))), x -> x.ds)"),
+                "",
+            )
+        ).alias("token_digest"),
+    )

@@ -1270,3 +1270,49 @@ class TestRhoExcessLoss:
         rows = registry.QUERIES["select_rho_excess_loss"](spark, sf_dir).collect()
         n_ref = sum(1 for r in rows if r.source in ("src0", "src1", "src2", "src3"))
         assert n_ref < len(rows) / 2
+
+
+class TestBpeEncode:
+    def test_counts_and_compression(self, spark, sf_dir):
+        rows = registry.QUERIES["vocab_bpe_encode"](spark, sf_dir).collect()
+        d = load_table(spark, sf_dir, "documents").filter("doc_id % 7 = 0")
+        docs = {r.doc_id: r.text for r in d.collect()}
+        assert {r.doc_id for r in rows} == set(docs)
+        for r in rows:
+            words = [w for w in docs[r.doc_id].split(" ") if w]
+            assert r.n_words == len(words)
+            assert r.n_chars == sum(len(w) for w in words)
+            # merges only ever reduce token count; chars are the ceiling
+            assert r.n_tokens <= r.n_chars
+            assert len(r.token_digest) == 32
+        # the corpus is repetitive: the learned merges must compress
+        assert sum(r.n_tokens for r in rows) < sum(r.n_chars for r in rows)
+
+    def test_encoding_applies_learned_merges_greedily(self, spark, sf_dir):
+        """Independent Python replay: learn merges via _bpe_learn's
+        output (parity-proven), re-encode a few docs with a reference
+        greedy fold, and compare token counts."""
+        from psvm_spark.queries.llm import _bpe_learn
+
+        merges = _bpe_learn(spark, sf_dir)
+        rows = {
+            r.doc_id: r
+            for r in registry.QUERIES["vocab_bpe_encode"](spark, sf_dir).collect()
+        }
+        d = load_table(spark, sf_dir, "documents").filter("doc_id % 7 = 0")
+        for r in d.limit(10).collect():
+            total = 0
+            for w in r.text.split(" "):
+                if not w:
+                    continue
+                toks = list(w)
+                for _, a, b, _c in merges:
+                    out = []
+                    for t in toks:
+                        if out and out[-1] == a and t == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(t)
+                    toks = out
+                total += len(toks)
+            assert rows[r.doc_id].n_tokens == total, r.doc_id
