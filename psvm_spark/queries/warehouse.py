@@ -1654,3 +1654,107 @@ def warehouse_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         b97.cast("double").alias("bal_asof_1997"),
         b95.eqNullSafe(b97).__invert__().alias("rewritten"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — write-audit-publish (WAP): the production data-lake gate.
+# The transform lands in a STAGING location, an audit re-reads the
+# staged bytes (never the in-memory frame) and checks row count +
+# null contract + an order-insensitive content checksum against
+# expectations computed independently from the source, and only a
+# passing audit "publishes" (atomic rename — the same O(1) metadata
+# flip a table format's snapshot commit performs).  A second staged
+# write with a deliberately violated contract (nulled keys) must FAIL
+# the audit and never publish.  The oracle recomputes both audits'
+# expectations straight from `orders`, so parity proves the staged
+# bytes, the checksum math, and the gate decision end to end.  At
+# 100 TB: the data write is the distributed part; audit is one
+# aggregate over the staged files; publish is metadata-only.
+
+_WAP_NULL_EVERY = 97  # corrupt variant: null out every 97th key
+
+
+@query(
+    "warehouse_write_audit_publish",
+    oracle=f"""
+WITH src AS (
+  SELECT o_orderpriority AS priority,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS total
+  FROM orders GROUP BY o_orderpriority),
+good AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(n_rows) AS BIGINT) AS n_src_rows,
+         md5(string_agg(priority || ':' || n_rows || ':' || CAST(total AS VARCHAR),
+                        '|' ORDER BY priority)) AS checksum
+  FROM src),
+bad AS (
+  SELECT COUNT(*) AS n_nulls
+  FROM orders WHERE o_orderkey % {_WAP_NULL_EVERY} = 0)
+SELECT 'clean' AS batch, g.n_rows, g.n_src_rows, g.checksum,
+       TRUE AS audit_pass, TRUE AS published
+FROM good g
+UNION ALL
+SELECT 'corrupt' AS batch, g.n_rows,
+       g.n_src_rows, g.checksum,
+       FALSE AS audit_pass, FALSE AS published
+FROM good g CROSS JOIN bad b
+""",
+)
+def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="psvm_wap_")
+
+    def transform(df):
+        # total stays DECIMAL(22,2): its string form (and therefore the
+        # checksum) is engine-identical, unlike double formatting
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(22,2)")
+            .alias("total"),
+        )
+
+    def stage_audit_publish(df, name, key_col):
+        staging = os.path.join(base, f"_staging_{name}")
+        final = os.path.join(base, name)
+        transform(df).write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        audit = staged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_rows").cast("bigint").alias("n_src_rows"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(priority,"
+                        " concat(priority, ':', n_rows, ':', cast(total as string))))),"
+                        " x -> x.col2)"
+                    ),
+                    "|",
+                )
+            ).alias("checksum"),
+            F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0)).alias("n_null_keys"),
+        ).collect()[0]
+        audit_pass = bool(audit.n_null_keys == 0 and audit.n_rows > 0)
+        published = False
+        if audit_pass:
+            os.rename(staging, final)  # the atomic metadata flip
+            published = os.path.isdir(final)
+        return audit, audit_pass, published
+
+    g_audit, g_pass, g_pub = stage_audit_publish(o, "clean", "priority")
+    corrupt = o.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % _WAP_NULL_EVERY == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    b_audit, b_pass, b_pub = stage_audit_publish(corrupt, "corrupt", "priority")
+    return spark.createDataFrame(
+        [
+            ("clean", g_audit.n_rows, g_audit.n_src_rows, g_audit.checksum, g_pass, g_pub),
+            ("corrupt", g_audit.n_rows, g_audit.n_src_rows, g_audit.checksum, b_pass, b_pub),
+        ],
+        "batch string, n_rows long, n_src_rows long, checksum string,"
+        " audit_pass boolean, published boolean",
+    )
