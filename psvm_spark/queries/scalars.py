@@ -384,3 +384,40 @@ def scalar_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).cast("int").alias("qtr"),
         F.expr("weekday(cast(o_orderdate as date)) + 1").cast("int").alias("iso_dow"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — bitwise scalar family: AND/OR/XOR, shifts, bit_count, and a
+# bit-extraction — the one scalar group the B31-B37 families did not
+# yet exercise.  All-integer, so cross-engine exact by construction.
+# Spark's shiftright is DuckDB's >>; bit_count is shared.  Keys are
+# deterministic fixture integers (o_orderkey), narrow one-pass scan.
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 1431655765) AS toggled,
+       o_orderkey >> 3 AS shr3,
+       (o_orderkey & 1023) << 2 AS shl2,
+       bit_count(o_orderkey) AS popcnt,
+       CAST((o_orderkey >> 5) & 1 AS INT) AS bit5
+FROM orders WHERE o_orderkey % 11 = 0
+""",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("low_byte"),
+        k.bitwiseOR(4096).alias("with_flag"),
+        k.bitwiseXOR(1431655765).alias("toggled"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shr3"),
+        F.expr("shiftleft(o_orderkey & 1023, 2)").alias("shl2"),
+        F.expr("bit_count(o_orderkey)").alias("popcnt"),
+        F.expr("cast(shiftright(o_orderkey, 5) & 1 as int)").alias("bit5"),
+    )
