@@ -421,3 +421,46 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_count(o_orderkey)").alias("popcnt"),
         F.expr("cast(shiftright(o_orderkey, 5) & 1 as int)").alias("bit5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — URL parsing: host / path / single query-param extraction
+# with Spark's built-in parse_url (JVM-side; the canonical web-log
+# access path).  URLs are synthesized deterministically from documents
+# so both engines see identical strings; DuckDB mirrors parse_url with
+# anchored regexes — differential coverage OF the URL parser itself.
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang || '/' ||
+         CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&n=' ||
+         CAST(n_chars AS VARCHAR) AS url
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       regexp_extract(url, '[?&]n=([^&]*)', 1) AS n_param
+FROM u
+""",
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"), F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
+    )
