@@ -3232,7 +3232,14 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.k").alias("k"), F.col("x.c").alias("c"), F.col("x.s").alias("s"))
         .groupBy("k")
-        .agg(F.sum("c").alias("c_fp"), F.sum("s").alias("s_fp"))
+        # Sum in decimal(38,0) for HUGEINT-equivalent headroom: the DuckDB
+        # oracle accumulates these fixed-point products in HUGEINT, while
+        # a plain bigint sum would silently wrap under non-ANSI overflow
+        # once monthly cent sums x 1e4 weights approach 2^63 (~sf50).
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("c_fp"),
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("s_fp"),
+        )
     )
     p = (F.col("c_fp").cast("double") / _PGRAM_FP) * (
         F.col("c_fp").cast("double") / _PGRAM_FP

@@ -7619,7 +7619,8 @@ grid AS (
   CROSS JOIN (SELECT unnest({list(_NB_LANGS)}) AS cl) c),
 scored AS (
   SELECT g.doc_id, g.true_lang, g.cand,
-         pr.prior + COALESCE(s.s, 0) - g.n_tok * pe.p AS score
+         pr.prior + COALESCE(s.s, 0)
+           - CAST(g.n_tok AS DECIMAL(10,0)) * pe.p AS score
   FROM grid g
   JOIN priors pr ON pr.lang = g.cand
   JOIN pen pe ON pe.lang = g.cand
@@ -7677,9 +7678,13 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_lang",
             "cand",
             (
+                # n_tok cast to decimal(10,0) keeps the product at
+                # decimal(29,9) on BOTH engines; bigint x decimal(18,9)
+                # would exceed precision 38 on Spark and silently demote
+                # to (38,8), dropping the 9th digit (ADVICE r7).
                 F.col("prior")
                 + F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,9)"))
-                - F.col("n_tok") * F.col("p")
+                - F.col("n_tok").cast("decimal(10,0)") * F.col("p")
             ).alias("score"),
         )
     )

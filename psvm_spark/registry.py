@@ -40,13 +40,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Keys the driver's 50-key/round correctness sample has already covered
-# (union of CORRECTNESS_r01..r06.json).  load_all() fronts everything NOT
+# (union of CORRECTNESS_r01..r07.json).  load_all() fronts everything NOT
 # in this set so each round's sample lands on fresh keys.  Append each
-# round's newly sampled keys here when rotating.  mm_resize_avgpool was
-# sampled in r6 but ERRORED (array<double> output the driver canonicalizer
-# can't sort); it is deliberately left out of this ledger so the r7 sample
-# re-verifies the fix.
-_DRIVER_SAMPLED_R1_R6: frozenset[str] = frozenset({
+# round's newly sampled keys here when rotating.
+_DRIVER_SAMPLED_R1_R7: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentile", "agg_bitmap_distinct",
     "agg_chi2_independence", "agg_cms_heavy_hitters", "agg_collect",
     "agg_cube", "agg_distinct", "agg_equidepth_bins", "agg_filtered",
@@ -128,6 +125,26 @@ _DRIVER_SAMPLED_R1_R6: frozenset[str] = frozenset({
     "ts_peak_detection", "ts_runs_test", "ts_seasonal_baseline",
     "ts_time_weighted_avg", "window_period_over_period",
     "window_rolling_median", "window_streaks",
+    # -- round 7 sample (CORRECTNESS_r07.json; 50/50 hash-green, including
+    #    the re-verified mm_resize_avgpool fix and the dedup_minhash /
+    #    sim_ann_lsh oracle-exact conversions) --
+    "ab_test_welch_t2", "agg_hll_exact_twin", "agg_kmv_exact_twin",
+    "agg_median_two_pass", "agg_raking_ipf", "decontaminate_ngram",
+    "dedup_components", "dedup_incremental", "dedup_minhash",
+    "doc_chunk_overlap", "export_jsonl", "export_webdataset_shards",
+    "feat_hashing_trick", "geo_geohash_cells", "graph_hits", "graph_kcore",
+    "graph_label_propagation", "graph_random_walks", "ids_contiguous",
+    "join_point_in_polygon", "ml_kmeans_assign_first", "ml_survival_km",
+    "mm_audio_vad_frames", "mm_resize_avgpool", "pack_sequences",
+    "pipeline_curation", "sample_mixture", "sample_per_group_cap",
+    "sample_stratified", "sample_upsample_epochs",
+    "sample_weighted_reservoir", "scan_webdataset_pyds", "scrub_pii",
+    "sim_ann_lsh", "split_stable_hash", "text_bigram_lm",
+    "text_blocklist_scrub", "text_entropy", "text_lang_id",
+    "text_normalize", "text_pmi_top", "text_repetition",
+    "ts_changepoint_sse", "ts_periodogram", "ts_theil_sen",
+    "vec_centroid_dist", "vec_group_stats", "vocab_encode",
+    "warehouse_bitemporal_asof", "warehouse_write_audit_publish",
 })
 
 
@@ -142,7 +159,7 @@ def load_all() -> None:
       1. never-driver-sampled keys WITH an exact DuckDB oracle (these
          yield the strongest evidence: hash-green rows),
       2. never-driver-sampled rows-only keys,
-      3. everything already sampled in r1-r5 (registration order).
+      3. everything already sampled in earlier rounds (registration order).
 
     Rotation ledger:
       round 3 (done, 50/50 green): relational(31) + joins(11) +
@@ -173,12 +190,12 @@ def load_all() -> None:
     )
 
     fresh_oracle = [
-        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R6 and k in ORACLES
+        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R7 and k in ORACLES
     ]
     fresh_rows = [
-        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R6 and k not in ORACLES
+        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R7 and k not in ORACLES
     ]
-    seen = [k for k in QUERIES if k in _DRIVER_SAMPLED_R1_R6]
+    seen = [k for k in QUERIES if k in _DRIVER_SAMPLED_R1_R7]
     ordered = {k: QUERIES[k] for k in fresh_oracle + fresh_rows + seen}
     QUERIES.clear()
     QUERIES.update(ordered)

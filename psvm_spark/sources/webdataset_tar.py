@@ -70,10 +70,20 @@ def make_datasource():
 
             with tarfile.open(partition.path, "r") as tf:
                 for mem in tf.getmembers():
-                    if mem.name.endswith(".json"):
-                        continue  # metadata sidecar, not a payload member
+                    # Externally produced shards may carry directory or
+                    # special members and non-`<int>.<ext>` names; skip
+                    # anything that is not a regular payload file.
+                    if not mem.isfile():
+                        continue
+                    if mem.name.endswith(".json") or "." not in mem.name:
+                        continue  # metadata sidecar / nonconforming name
                     stem, ext = mem.name.rsplit(".", 1)
-                    data = tf.extractfile(mem).read()
+                    if not stem.isdigit():
+                        continue
+                    fobj = tf.extractfile(mem)
+                    if fobj is None:
+                        continue
+                    data = fobj.read()
                     yield (int(stem), ext, data, len(data))
 
     class WebDatasetTarDataSource(DataSource):

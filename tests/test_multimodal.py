@@ -159,6 +159,36 @@ class TestWebdatasetScan:
         n_docs = load_table(spark, sf_dir, "documents").count()
         assert sum(r.n for r in rows) == n_docs  # .json sidecars not counted
 
+    def test_reader_tolerates_hostile_external_shards(self, tmp_path):
+        """Externally produced shards may carry directory entries and
+        members whose names don't match ``<int>.<ext>``; the reader must
+        skip them instead of crashing (ADVICE r7)."""
+        import io
+        import tarfile
+
+        shard = tmp_path / "hostile-000.tar"
+        with tarfile.open(shard, "w") as tf:
+            d = tarfile.TarInfo("imgs/")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)
+            for name, payload in [
+                ("7.bin", b"ok-payload"),
+                ("README", b"dotless name, skipped"),
+                ("notanum.bin", b"non-numeric stem, skipped"),
+                ("3.json", b"{}"),
+            ]:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(payload)
+                tf.addfile(ti, io.BytesIO(payload))
+
+        from psvm_spark.sources.webdataset_tar import make_datasource
+
+        ds_cls = make_datasource()
+        reader = ds_cls({"path": str(tmp_path)}).reader(None)
+        parts = reader.partitions()
+        out = [row for p in parts for row in reader.read(p)]
+        assert out == [(7, "bin", b"ok-payload", 10)]
+
 
 class TestAudioVadFrames:
     def test_rms_matches_numpy_reference(self, spark, sf_dir):
