@@ -792,7 +792,15 @@ _KML_BIG = 10_000_000  # positivity bias: |sum(q_d)| < BIG * count always
 _KML_Q = "(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
 
 
-def _kml_oracle() -> str:
+def _kml_cte_prefix(k: int = _KML_K, iters: int = _KML_ITERS) -> str:
+    """WITH-body prefix: quantized vectors, init centroids, `iters`
+    unrolled assign/update steps, ending in the final assignment CTEs
+    ``af_d`` (all (vec, cluster, d2) distances) and ``af`` (argmin rows).
+
+    Parameterized so sim_ivf_kmeans (queries/llm.py) can train its IVF
+    coarse quantizer with the identical exact recipe at a different k.
+    """
+
     def assign(prev_cent: str, name: str) -> str:
         return f"""
 {name}_d AS (
@@ -823,20 +831,24 @@ def _kml_oracle() -> str:
 
     steps = ""
     prev = "c0"
-    for it in range(1, _KML_ITERS + 1):
+    for it in range(1, iters + 1):
         steps += "," + assign(prev, f"a{it}")
         steps += "," + cent(f"a{it}", f"c{it}")
         prev = f"c{it}"
     steps += "," + assign(prev, "af")
-    return f"""
-WITH qv AS (
+    return f"""qv AS (
   SELECT vec_id, label, list_transform{_KML_Q} AS q FROM embeddings
 ),
 c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
          q AS carr
-  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {_KML_K})
-){steps}
+  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {k})
+){steps}"""
+
+
+def _kml_oracle() -> str:
+    return f"""
+WITH {_kml_cte_prefix()}
 SELECT cluster,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(d2) AS BIGINT) AS inertia_q,
@@ -866,16 +878,25 @@ def _kml_assign(qv: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-@query("ml_kmeans_lloyd_exact", oracle=_kml_oracle())
-def ml_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lloyd_exact_train(
+    spark: SparkSession, sf_dir: str, k: int = _KML_K, iters: int = _KML_ITERS
+) -> tuple[DataFrame, list[list[int]]]:
+    """Integer-lattice Lloyd training: (quantized vectors, centroids).
+
+    The distributed shape per iteration is the psvm A10 loop — narrow
+    assignment with the centroids as plan literals, one map-side-combined
+    k x 64 cell shuffle, bounded driver fold — and every centroid
+    coordinate is an exact integer, so callers can build straight-line
+    DuckDB oracles via :func:`_kml_cte_prefix` with the same (k, iters).
+    """
     qv = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(f"transform{_KML_Q}").alias("q")
     )
     cents = [
         [int(v) for v in r.q]
-        for r in qv.orderBy("vec_id").limit(_KML_K).select("q").collect()
+        for r in qv.orderBy("vec_id").limit(k).select("q").collect()
     ]
-    for _ in range(_KML_ITERS):
+    for _ in range(iters):
         cells = (
             _kml_assign(qv, cents)
             .select("cluster", F.posexplode("q").alias("dim", "v"))
@@ -886,12 +907,16 @@ def ml_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_cluster: dict[int, dict[int, int]] = {}
         for r in cells:
             by_cluster.setdefault(r.cluster, {})[r.dim] = r.s // r.c
-        assert len(by_cluster) == _KML_K, (
+        assert len(by_cluster) == k, (
             "empty cluster: the unrolled oracle assumes k stays full"
         )
-        cents = [
-            [by_cluster[k][d] for d in range(_KML_DIM)] for k in range(_KML_K)
-        ]
+        cents = [[by_cluster[c][d] for d in range(_KML_DIM)] for c in range(k)]
+    return qv, cents
+
+
+@query("ml_kmeans_lloyd_exact", oracle=_kml_oracle())
+def ml_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv, cents = lloyd_exact_train(spark, sf_dir)
     return (
         _kml_assign(qv, cents)
         .groupBy("cluster")

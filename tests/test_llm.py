@@ -455,6 +455,36 @@ class TestBoundaryOverlap:
         assert rows[0].shared_run == run
 
 
+class TestSubstringCorpus:
+    def test_planted_duplicates_first_occurrence_survives(self, spark, tmp_path):
+        """Full duplicate of doc 1 is fully removed from doc 2 (first
+        occurrence survives); a doc embedding a 22-token verbatim slice
+        of doc 1 loses exactly those 22 tokens; unrelated text loses 0."""
+        from psvm_spark.registry import QUERIES
+
+        a = [f"tok{i}" for i in range(30)]
+        docs = [
+            (1, " ".join(a), "en", "web", 200),
+            (2, " ".join(a), "en", "web", 200),  # verbatim copy
+            (3, " ".join(f"other{i}" for i in range(25)), "en", "web", 180),
+            (4, " ".join([f"pre{i}" for i in range(10)] + a[:22]), "en", "web", 220),
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        sf = str(tmp_path)
+        df.write.mode("overwrite").parquet(sf + "/documents.parquet")
+        out = {r.doc_id: r for r in QUERIES["dedup_substring_corpus"](spark, sf).collect()}
+        assert out[1].removed_tokens == 0 and out[1].kept_frac == 1.0
+        assert out[2].removed_tokens == 30 and out[2].kept_frac == 0.0
+        assert out[3].removed_tokens == 0
+        # doc 4: windows at pos 11..13 (the three 20-grams inside the
+        # 22-token slice) union to exactly 22 removed tokens
+        assert out[4].removed_tokens == 22
+        assert out[4].n_dup_windows == 3
+        assert abs(out[4].kept_frac - 10 / 32) < 1e-12
+
+
 class TestShingleDfCap:
     def test_hot_shingle_candidates_bounded(self, spark):
         """Plant one viral boilerplate shingle shared by EVERY doc plus a
