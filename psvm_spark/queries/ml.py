@@ -1063,3 +1063,146 @@ def ml_boosting_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, feature string, split_v int, n_left bigint, n_right bigint,"
         " mean_left_q bigint, mean_right_q bigint, gain double",
     )
+
+
+# --------------------------------------------------------------------------
+# B234 (round 8) — top principal component via distributed moment
+# reduction + fixed-point power iteration: the PCA shape every
+# embedding-QC pipeline runs, and the psvm A8/A9 decomposition applied
+# one more time — a single distributed pass reduces the corpus to the
+# (d x d) scatter statistics (one map-side-combined shuffle of 2080
+# upper-triangle product cells + 64 sums, exactly the Gram-reduction
+# shape of the kernel tier), and the tiny 64 x 64 eigen-solve runs at
+# rank 0 (the serial-Cholesky locus).  Everything is integer:
+# embeddings quantize to thousandths, the centered scatter matrix is
+# M = n*S2 - s s^T (no division — same eigenvectors as the covariance),
+# and each power step renormalizes by the max-abs entry with floor
+# division (v' = floor(u * VSCALE / max|u|)), so all K iterates are
+# exact integers replayed bitwise by the oracle's recursive CTE with
+# the positivity-bias floor (DuckDB `//` truncates on negatives).
+# Bounds: |M| <= 2 n^2 q^2 and per-step products |M| * VSCALE * 64
+# stay under 2^63 through sf0.1; the driver loop uses Python ints
+# (unbounded) so the Spark side can never wrap first.
+
+_PCA_ITERS = 6
+_PCA_VSCALE = 1000
+_PCA_BIG = 1_000_000  # positivity bias: |u_d * VSCALE| < BIG * max|u| always
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    return f"""
+WITH RECURSIVE qv AS (
+  SELECT vec_id, list_transform{_KML_Q} AS q FROM embeddings
+),
+nn AS (SELECT COUNT(*) AS n FROM qv),
+sv AS (
+  SELECT u.dim, SUM(u.v) AS s
+  FROM qv, LATERAL (SELECT unnest(generate_series(1, {_PCA_DIM})) AS dim,
+                           unnest(q) AS v) u
+  GROUP BY u.dim),
+p AS (
+  SELECT da.dim AS d, db.dim AS e, SUM(da.v * db.v) AS s2
+  FROM qv,
+       LATERAL (SELECT unnest(generate_series(1, {_PCA_DIM})) AS dim,
+                       unnest(q) AS v) da,
+       LATERAL (SELECT unnest(generate_series(1, {_PCA_DIM})) AS dim,
+                       unnest(q) AS v) db
+  WHERE da.dim <= db.dim
+  GROUP BY da.dim, db.dim),
+cell AS (
+  SELECT d, e, s2 FROM p
+  UNION ALL
+  SELECT e, d, s2 FROM p WHERE d <> e),
+mrow AS (
+  SELECT c.d, list(nn.n * c.s2 - sa.s * sb.s ORDER BY c.e) AS r
+  FROM cell c
+  JOIN sv sa ON sa.dim = c.d
+  JOIN sv sb ON sb.dim = c.e
+  CROSS JOIN nn
+  GROUP BY c.d),
+marr AS (SELECT list(r ORDER BY d) AS m FROM mrow),
+it AS (
+  SELECT 0 AS k, [{", ".join([str(_PCA_VSCALE)] * _PCA_DIM)}] AS v
+  UNION ALL
+  SELECT k + 1,
+         [CAST((u[d] * {_PCA_VSCALE} + {_PCA_BIG} * mx) // mx - {_PCA_BIG}
+               AS BIGINT)
+          FOR d IN generate_series(1, {_PCA_DIM})]
+  FROM (
+    SELECT it.k,
+           [list_sum([m[d][e] * v[e] FOR e IN generate_series(1, {_PCA_DIM})])
+            FOR d IN generate_series(1, {_PCA_DIM})] AS u
+    FROM it, marr WHERE it.k < {_PCA_ITERS}
+  ) s,
+  LATERAL (SELECT list_max(list_transform(u, x -> abs(x))) AS mx) l
+),
+fin AS (SELECT v FROM it WHERE k = {_PCA_ITERS})
+SELECT CAST(p.d AS INT) AS dim,
+       CAST(f.v[p.d] AS BIGINT) AS v_fp,
+       CAST(nn.n * p.s2 - sv.s * sv.s AS BIGINT) AS m_diag,
+       CAST(sv.s AS BIGINT) AS s_sum
+FROM p JOIN sv ON sv.dim = p.d CROSS JOIN nn CROSS JOIN fin f
+WHERE p.d = p.e
+"""
+
+
+@query("ml_pca_power_iteration", oracle=_pca_oracle())
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(f"transform{_KML_Q}").alias("q")
+    )
+    n = qv.count()
+    tri = (
+        f"flatten(transform(sequence(1, {_PCA_DIM}), d ->"
+        f" transform(sequence(d, {_PCA_DIM}), e ->"
+        " struct(d AS d, e AS e, element_at(q, d) * element_at(q, e) AS p))))"
+    )
+    pairs = (
+        qv.select(F.explode(F.expr(tri)).alias("c"))
+        .select("c.d", "c.e", "c.p")
+        .groupBy("d", "e")
+        .agg(F.sum("p").alias("s2"))
+        .cache()
+    )
+    sums = (
+        qv.select(F.posexplode("q").alias("pos", "v"))
+        .select((F.col("pos") + 1).alias("dim"), "v")
+        .groupBy("dim")
+        .agg(F.sum("v").alias("s"))
+        .cache()
+    )
+    s2 = {(r.d, r.e): r.s2 for r in pairs.collect()}
+    s = {r.dim: r.s for r in sums.collect()}
+    dim = _PCA_DIM
+    m = [
+        [
+            n * (s2[(d, e)] if d <= e else s2[(e, d)]) - s[d] * s[e]
+            for e in range(1, dim + 1)
+        ]
+        for d in range(1, dim + 1)
+    ]
+    v = [_PCA_VSCALE] * dim
+    for _ in range(_PCA_ITERS):
+        u = [sum(m[d][e] * v[e] for e in range(dim)) for d in range(dim)]
+        mx = max(abs(x) for x in u)
+        # Python // floors (matching the oracle's positivity-bias floor)
+        v = [(x * _PCA_VSCALE) // mx for x in u]
+    vdf = spark.createDataFrame(
+        [(d + 1, int(v[d])) for d in range(dim)], "dim int, v_fp long"
+    )
+    diag = pairs.filter(F.col("d") == F.col("e")).select(
+        F.col("d").alias("dim"), "s2"
+    )
+    return (
+        diag.join(sums, "dim")
+        .join(F.broadcast(vdf), "dim")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("v_fp").cast("bigint").alias("v_fp"),
+            (F.lit(n) * F.col("s2") - F.col("s") * F.col("s"))
+            .cast("bigint")
+            .alias("m_diag"),
+            F.col("s").cast("bigint").alias("s_sum"),
+        )
+    )
