@@ -1651,3 +1651,100 @@ def agg_kmv_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_click_only"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B238 (round 8) — mutual information between event type and hour of
+# day (plus the two marginal entropies): the dependence screen feature
+# stores run over every categorical pair before training, and the
+# information-theoretic sibling of agg_chi2_independence — same
+# contingency machinery, log-ratio instead of squared-residual terms.
+# Parity recipe: every count is an exact integer; each cell term
+# round9((n_xy/N) * ln(n_xy*N/(n_x*n_y))) is computed with an IDENTICAL
+# double op sequence on both engines, cast DECIMAL(18,9), and summed
+# order-independently (the text_entropy recipe).  Shape at 100 TB: one
+# (type, hour) count shuffle (map-side combined, cells bounded at
+# |types| x 24), marginals from the tiny cell table, scalars attached
+# via 1-row broadcasts.
+
+
+@query(
+    "agg_mutual_information",
+    oracle="""
+WITH obs AS (
+  SELECT event_type AS x, EXTRACT(hour FROM ts) AS y, COUNT(*) AS o
+  FROM events GROUP BY 1, 2),
+rowm AS (SELECT x, SUM(o) AS rn FROM obs GROUP BY x),
+colm AS (SELECT y, SUM(o) AS cn FROM obs GROUP BY y),
+tot AS (SELECT SUM(o) AS n FROM obs),
+terms AS (
+  SELECT CAST(round((CAST(o.o AS DOUBLE) / t.n)
+              * ln(CAST(o.o AS DOUBLE) * t.n / (CAST(r.rn AS DOUBLE) * c.cn)), 9)
+         AS DECIMAL(18,9)) AS mi_t
+  FROM obs o JOIN rowm r USING (x) JOIN colm c USING (y) CROSS JOIN tot t),
+hx AS (
+  SELECT CAST(-SUM(CAST(round((CAST(rn AS DOUBLE) / t.n)
+              * ln(CAST(rn AS DOUBLE) / t.n), 9) AS DECIMAL(18,9))) AS DOUBLE) AS h
+  FROM rowm CROSS JOIN tot t),
+hy AS (
+  SELECT CAST(-SUM(CAST(round((CAST(cn AS DOUBLE) / t.n)
+              * ln(CAST(cn AS DOUBLE) / t.n), 9) AS DECIMAL(18,9))) AS DOUBLE) AS h
+  FROM colm CROSS JOIN tot t)
+SELECT CAST(t.n AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM obs) AS BIGINT) AS n_cells,
+       CAST((SELECT SUM(mi_t) FROM terms) AS DOUBLE) AS mi,
+       (SELECT h FROM hx) AS h_event,
+       (SELECT h FROM hy) AS h_hour
+FROM tot t
+""",
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(F.col("event_type").alias("x"), F.hour("ts").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowm = obs.groupBy("x").agg(F.sum("o").alias("rn"))
+    colm = obs.groupBy("y").agg(F.sum("o").alias("cn"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    mi_t = F.round(
+        (F.col("o").cast("double") / F.col("n"))
+        * F.log(
+            F.col("o").cast("double") * F.col("n")
+            / (F.col("rn").cast("double") * F.col("cn"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    terms = (
+        obs.join(F.broadcast(rowm), "x")
+        .join(F.broadcast(colm), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(mi_t.alias("mi_t"))
+    )
+    ent = lambda cnt: F.round(  # noqa: E731
+        (F.col(cnt).cast("double") / F.col("n"))
+        * F.log(F.col(cnt).cast("double") / F.col("n")),
+        9,
+    ).cast("decimal(18,9)")
+    hx = (
+        rowm.crossJoin(F.broadcast(tot))
+        .select(ent("rn").alias("t"))
+        .agg((-F.sum("t")).cast("double").alias("h_event"))
+    )
+    hy = (
+        colm.crossJoin(F.broadcast(tot))
+        .select(ent("cn").alias("t"))
+        .agg((-F.sum("t")).cast("double").alias("h_hour"))
+    )
+    core = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("mi_t").cast("double").alias("mi"),
+    )
+    return (
+        tot.select(F.col("n").cast("bigint").alias("n_rows"))
+        .crossJoin(F.broadcast(core))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select("n_rows", "n_cells", "mi", "h_event", "h_hour")
+    )

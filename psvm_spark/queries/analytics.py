@@ -3579,3 +3579,126 @@ def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal").cast("double").alias("total_bal"),
         F.min("gh").alias("first_subcell"),
     )
+
+
+# --------------------------------------------------------------------------
+# B235 (round 8) — additive Holt-Winters (triple-exponential) smoothing
+# per market segment: level + trend + a 12-slot seasonal state folded
+# over the monthly revenue series — the seasonal extension of
+# ts_holt_linear and the classic forecasting baseline for anything with
+# a yearly cycle.  Same parity recipe as the linear form: alpha = 0.5,
+# beta = 0.25, gamma = 0.5 are exact binary fractions, the fold order
+# is pinned by month index, every float op (including the seasonal
+# array update) is mirrored LITERALLY between the Spark aggregate()
+# lambda and the oracle's recursive CTE, and inputs are exact integers
+# (cent sums) cast to double once.  Seasonality is POSITIONAL (slot =
+# step mod 12 over the observed series, x_1 seeds the level with its
+# seasonal left at 0) — the ts_holt_linear simplification applied to
+# the seasonal state.  Distribution: one broadcast dim join + one
+# monthly rollup shuffle; the fold runs executor-side per segment, and
+# at 100 TB "segments" become the millions of independent series keys,
+# none crossing an executor boundary.
+
+_HW_M = 12
+
+
+@query(
+    "ts_holt_winters_seasonal",
+    oracle=f"""
+WITH RECURSIVE monthly AS (
+  SELECT c.c_mktsegment AS seg,
+         (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o.o_orderdate) - 1 AS m,
+         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS DOUBLE) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+s AS (
+  SELECT seg, list(x ORDER BY m) AS xs, COUNT(*) AS n FROM monthly GROUP BY seg),
+it AS (
+  SELECT seg, 1 AS i, xs[1] AS l, 0e0 AS t,
+         [0e0 FOR j IN generate_series(1, {_HW_M})] AS sa, n, xs
+  FROM s
+  UNION ALL
+  SELECT seg, i + 1,
+         5e-1 * (xs[i+1] - sa[(i % {_HW_M}) + 1]) + 5e-1 * (l + t),
+         2.5e-1 * ((5e-1 * (xs[i+1] - sa[(i % {_HW_M}) + 1]) + 5e-1 * (l + t)) - l)
+           + 7.5e-1 * t,
+         [CASE WHEN j = (i % {_HW_M}) + 1
+               THEN 5e-1 * (xs[i+1]
+                            - (5e-1 * (xs[i+1] - sa[(i % {_HW_M}) + 1])
+                               + 5e-1 * (l + t)))
+                    + 5e-1 * sa[(i % {_HW_M}) + 1]
+               ELSE sa[j] END
+          FOR j IN generate_series(1, {_HW_M})],
+         n, xs
+  FROM it WHERE i < n
+)
+SELECT seg AS segment, CAST(n AS BIGINT) AS n_months,
+       round(l, 0) AS level, round(t, 0) AS trend,
+       round(sa[(n % {_HW_M}) + 1], 0) AS season_next,
+       round(l + t + sa[(n % {_HW_M}) + 1], 0) AS forecast1
+FROM it WHERE i = n
+""",
+)
+def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+            .alias("m"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    series = monthly.groupBy("seg").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(m, x))), e -> e.x)"
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = _HW_M
+    hw = F.expr(
+        f"""
+        aggregate(
+          xs,
+          named_struct('l', cast(0 as double), 't', cast(0 as double),
+                       'sa', array_repeat(cast(0 as double), {m}), 'n', 0),
+          (acc, x) -> IF(acc.n = 0,
+            named_struct('l', x, 't', cast(0 as double), 'sa', acc.sa, 'n', 1),
+            named_struct(
+              'l', 0.5D * (x - element_at(acc.sa, (acc.n % {m}) + 1))
+                   + 0.5D * (acc.l + acc.t),
+              't', 0.25D * ((0.5D * (x - element_at(acc.sa, (acc.n % {m}) + 1))
+                             + 0.5D * (acc.l + acc.t)) - acc.l)
+                   + 0.75D * acc.t,
+              'sa', transform(acc.sa, (v, j) -> IF(j + 1 = (acc.n % {m}) + 1,
+                    0.5D * (x - (0.5D * (x - element_at(acc.sa, (acc.n % {m}) + 1))
+                                 + 0.5D * (acc.l + acc.t)))
+                    + 0.5D * element_at(acc.sa, (acc.n % {m}) + 1),
+                    v)),
+              'n', acc.n + 1)))
+        """
+    )
+    nxt = F.expr(f"element_at(hw.sa, (cast(n as int) % {m}) + 1)")
+    return (
+        series.withColumn("hw", hw)
+        # Outputs round to WHOLE cents, not 9 dp: at cent magnitude
+        # (~4e8) the double ulp (~6e-8) is coarser than a 1e-9 grid, and
+        # DuckDB's round(x, 9) multiplies past 2^53 — a 1-ulp divergence
+        # trap round-8 hit on forecast1.  Grid 1 >> ulp is always safe.
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n").cast("bigint").alias("n_months"),
+            F.round(F.col("hw.l"), 0).alias("level"),
+            F.round(F.col("hw.t"), 0).alias("trend"),
+            F.round(nxt, 0).alias("season_next"),
+            F.round(F.col("hw.l") + F.col("hw.t") + nxt, 0).alias("forecast1"),
+        )
+    )

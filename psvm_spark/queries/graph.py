@@ -764,3 +764,78 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_member"),
         F.sum("node").alias("member_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# B240 (round 8) — per-node local clustering coefficient: the
+# node-level refinement of graph_triangle_count (cc(v) = 2T(v) /
+# deg(v)(deg(v)-1)), the standard community-structure feature every
+# graph-ML pipeline computes.  Same oriented wedge/closure machinery as
+# the global count, but the closure keeps all three vertices and
+# explodes each triangle to its members, so per-node counts come out of
+# one more map-side-combined shuffle.  Exactness: counts are integers
+# and the coefficient is fixed-point ((2T * 1e6) div (deg * (deg-1)),
+# all positive).  Scale: the wedge join is bounded by oriented
+# out-degree (~sqrt(2m) on skewed graphs) exactly like the count; the
+# explode adds 3 rows per triangle.
+
+_LCC_FP = 1_000_000
+
+
+@query(
+    "graph_local_clustering",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+tri AS (
+  SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+tcnt AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT va AS node FROM tri
+    UNION ALL SELECT vb FROM tri
+    UNION ALL SELECT vc FROM tri)
+  GROUP BY node),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY node)
+SELECT d.node,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST((2 * COALESCE(t.n_tri, 0) * {_LCC_FP}) // (d.deg * (d.deg - 1))
+            AS BIGINT) AS cc_fp
+FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+WHERE d.deg >= 2
+""",
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    e1 = e.select(F.col("a").alias("va"), F.col("b").alias("vb"))
+    e2 = e.select(F.col("a").alias("x_b"), F.col("b").alias("vc"))
+    wedges = e1.join(e2, e1.vb == e2.x_b).select("va", "vb", "vc")
+    tri = wedges.join(e, (wedges.va == e.a) & (wedges.vc == e.b), "left_semi")
+    tcnt = (
+        tri.select(F.explode(F.array("va", "vb", "vc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.expr(
+                f"CAST((2 * coalesce(n_tri, 0) * {_LCC_FP})"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("cc_fp"),
+        )
+    )

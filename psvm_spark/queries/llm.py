@@ -8202,3 +8202,156 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token_digest"),
     )
+
+
+# --------------------------------------------------------------------------
+# B236 (round 8) — RAKE keyword extraction (Rose et al. 2010, "Rapid
+# Automatic Keyword Extraction"): split documents into candidate
+# phrases at delimiter words, score each word by degree/frequency over
+# within-phrase co-occurrence, score each phrase as the sum of its
+# member word scores, keep the top phrases per language.  Adapted to
+# the fixture corpus the same way text_gopher_rules derives its
+# stopword proxy: the delimiter set is the per-lang top-K most frequent
+# words (deterministic, count DESC / word ASC ties) instead of a fixed
+# English list the word-salad corpus would never contain.  Exactness:
+# degree, frequency, and phrase sums are integers; the one division is
+# fixed-point (deg * 1e6 div freq, both positive so truncation ==
+# floor on both engines).  Shape at 100 TB: token explode -> one
+# (lang, word) count shuffle for delimiters (top-K via window over the
+# Zipf-bounded vocab), gaps-and-islands per doc for phrase ids
+# (doc-bounded windows), one word-stats shuffle, one broadcast score
+# join back — never a pair join, phrase length capped at
+# _RAKE_MAX_PHRASE so degree is bounded.
+
+_RAKE_DELIM_K = 8
+_RAKE_MAX_PHRASE = 6
+_RAKE_TOPK = 10
+_RAKE_FP = 1_000_000
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, doc_id, u.pos, u.w
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+                       unnest(string_split(text, ' ')) AS w) u
+  WHERE u.w <> ''),
+delim AS (
+  SELECT lang, w FROM (
+    SELECT lang, w, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, w) AS rk
+    FROM toks GROUP BY lang, w)
+  WHERE rk <= {_RAKE_DELIM_K}),
+marked AS (
+  SELECT t.lang, t.doc_id, t.pos, t.w,
+         CASE WHEN d.w IS NULL THEN 0 ELSE 1 END AS is_d
+  FROM toks t LEFT JOIN delim d ON t.lang = d.lang AND t.w = d.w),
+isl AS (
+  SELECT lang, doc_id, pos, w, is_d,
+         SUM(is_d) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked),
+member AS (SELECT lang, doc_id, g, pos, w FROM isl WHERE is_d = 0),
+plen AS (
+  SELECT lang, doc_id, g, COUNT(*) AS plen,
+         string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM member GROUP BY lang, doc_id, g
+  HAVING COUNT(*) <= {_RAKE_MAX_PHRASE}),
+wstat AS (
+  SELECT m.lang, m.w, COUNT(*) AS freq, SUM(p.plen) AS deg
+  FROM member m
+  JOIN plen p ON m.lang = p.lang AND m.doc_id = p.doc_id AND m.g = p.g
+  GROUP BY m.lang, m.w),
+wscore AS (
+  SELECT lang, w, (deg * {_RAKE_FP}) // freq AS sc FROM wstat),
+pscore AS (
+  SELECT p.lang, p.phrase, p.doc_id, p.g, SUM(s.sc) AS psc
+  FROM member m
+  JOIN plen p ON m.lang = p.lang AND m.doc_id = p.doc_id AND m.g = p.g
+  JOIN wscore s ON m.lang = s.lang AND m.w = s.w
+  GROUP BY p.lang, p.phrase, p.doc_id, p.g),
+dp AS (
+  SELECT lang, phrase, COUNT(*) AS n_occur, MIN(psc) AS score_fp
+  FROM pscore GROUP BY lang, phrase),
+ranked AS (
+  SELECT lang, phrase, n_occur, score_fp,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score_fp DESC, phrase ASC) AS rank
+  FROM dp)
+SELECT lang, phrase, CAST(n_occur AS BIGINT) AS n_occur,
+       CAST(score_fp AS BIGINT) AS score_fp, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_RAKE_TOPK}
+""",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    toks = (
+        d.select("lang", "doc_id", F.posexplode(F.split("text", " ")))
+        .filter(F.col("col") != "")
+        .select("lang", "doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("w"))
+    )
+    wrk = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    delim = (
+        toks.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= _RAKE_DELIM_K)
+        .select(
+            F.col("lang").alias("dlang"),
+            F.col("w").alias("dw"),
+            F.lit(1).alias("is_d"),
+        )
+    )
+    marked = (
+        toks.join(
+            F.broadcast(delim),
+            (F.col("lang") == F.col("dlang")) & (F.col("w") == F.col("dw")),
+            "left",
+        )
+        .select("lang", "doc_id", "pos", "w", F.coalesce("is_d", F.lit(0)).alias("is_d"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marked.withColumn(
+        "g",
+        F.sum("is_d").over(wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    member = isl.filter(F.col("is_d") == 0).select("lang", "doc_id", "g", "pos", "w")
+    plen = (
+        member.groupBy("lang", "doc_id", "g")
+        .agg(
+            F.count(F.lit(1)).alias("plen"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, w))), e -> e.w)"),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    mp = member.join(plen, ["lang", "doc_id", "g"])
+    wscore = (
+        mp.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select("lang", "w", F.expr(f"(deg * {_RAKE_FP}) div freq").alias("sc"))
+    )
+    pscore = (
+        mp.join(F.broadcast(wscore), ["lang", "w"])
+        .groupBy("lang", "phrase", "doc_id", "g")
+        .agg(F.sum("sc").alias("psc"))
+    )
+    dp = pscore.groupBy("lang", "phrase").agg(
+        F.count(F.lit(1)).alias("n_occur"), F.min("psc").alias("score_fp")
+    )
+    wr = Window.partitionBy("lang").orderBy(F.desc("score_fp"), F.asc("phrase"))
+    return (
+        dp.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _RAKE_TOPK)
+        .select(
+            "lang",
+            "phrase",
+            F.col("n_occur").cast("bigint").alias("n_occur"),
+            F.col("score_fp").cast("bigint").alias("score_fp"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1084,9 +1084,11 @@ def ml_boosting_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stay under 2^63 through sf0.1; the driver loop uses Python ints
 # (unbounded) so the Spark side can never wrap first.
 
-_PCA_ITERS = 6
-_PCA_VSCALE = 1000
-_PCA_BIG = 1_000_000  # positivity bias: |u_d * VSCALE| < BIG * max|u| always
+_PCA_ITERS = 200  # the fixture spectrum is nearly flat (gap ratio ~0.93
+# at sf0.001, ~0.987 at sf0.01): power iteration needs O(1/(1-ratio))
+# steps, and each step is trivial on both engines (64x64 integers)
+_PCA_VSCALE = 1_000_000
+_PCA_BIG = 100_000_000  # positivity bias: |u_d * VSCALE| < BIG * max|u| always
 _PCA_DIM = 64
 
 
@@ -1205,4 +1207,92 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m_diag"),
             F.col("s").cast("bigint").alias("s_sum"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B239 (round 8) — per-dimension two-class Welch t-statistic screen:
+# the univariate feature-selection pass run before any heavy trainer
+# (and the vector sibling of ab_test_welch_t2 — same statistic, one row
+# per embedding dimension instead of one scalar pair).  Classes are the
+# label parity split the SVM tier already uses.  Parity recipe:
+# embeddings quantize to thousandth integers, so per-(dim, class)
+# count/sum/sum-of-squares are exact bigints out of ONE map-side-
+# combined shuffle of 64 x 2 cells; the Welch formula then runs on
+# identical exact operands with an identical double op sequence,
+# rounded to 9 on both engines.  Shape at 100 TB: a single narrow
+# posexplode pass + 128-cell reduce — the psvm A9 AllReduce shape.
+
+
+def _ttest_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT CAST(label % 2 AS INT) AS cls, list_transform{_KML_Q} AS q
+  FROM embeddings
+),
+cells AS (
+  SELECT u.dim, cls, COUNT(*) AS n, SUM(u.v) AS s, SUM(u.v * u.v) AS s2
+  FROM qv, LATERAL (SELECT unnest(generate_series(1, {_KML_DIM})) AS dim,
+                           unnest(q) AS v) u
+  GROUP BY u.dim, cls),
+sides AS (
+  SELECT a.dim,
+         a.n AS n1, a.s AS s1, a.s2 AS q1,
+         b.n AS n0, b.s AS s0, b.s2 AS q0
+  FROM cells a JOIN cells b ON a.dim = b.dim AND a.cls = 1 AND b.cls = 0),
+st AS (
+  SELECT dim,
+         CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s0 AS DOUBLE) / n0 AS m0,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+         (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) AS v0,
+         n1, n0
+  FROM sides)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+       round(m1 - m0, 9) AS mean_diff,
+       round((m1 - m0) / sqrt(v1 / n1 + v0 / n0), 9) AS t_welch
+FROM st
+"""
+
+
+@query("ml_feature_ttest_screen", oracle=_ttest_oracle())
+def ml_feature_ttest_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).cast("int").alias("cls"),
+        F.expr(f"transform{_KML_Q}").alias("q"),
+    )
+    cells = (
+        qv.select("cls", F.posexplode("q").alias("pos", "v"))
+        .select("cls", (F.col("pos") + 1).alias("dim"), "v")
+        .groupBy("dim", "cls")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+    )
+    a = cells.filter(F.col("cls") == 1).select(
+        "dim",
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("s2").alias("q1"),
+    )
+    b = cells.filter(F.col("cls") == 0).select(
+        "dim",
+        F.col("n").alias("n0"), F.col("s").alias("s0"), F.col("s2").alias("q0"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    v1 = (
+        F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v0 = (
+        F.col("q0").cast("double") - F.col("s0").cast("double") * F.col("s0") / F.col("n0")
+    ) / (F.col("n0") - 1)
+    return a.join(b, "dim").select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n0").cast("bigint").alias("n0"),
+        F.round(m1 - m0, 9).alias("mean_diff"),
+        F.round((m1 - m0) / F.sqrt(v1 / F.col("n1") + v0 / F.col("n0")), 9).alias(
+            "t_welch"
+        ),
     )

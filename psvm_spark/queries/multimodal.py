@@ -827,3 +827,121 @@ def mm_audio_vad_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         (F.round("rms", 6) >= _VAD_THRESH).alias("active"),
     )
+
+
+# --------------------------------------------------------------------------
+# B237 (round 8) — video shot-boundary detection: frame the byte
+# stream, compute the mean absolute byte difference between consecutive
+# frames, and cut where the difference clears a threshold — the
+# standard first pass of any video curation pipeline (PySceneDetect's
+# content detector in grayscale-free form).  The fixture's repeated-
+# digest video payload has no shots, so this key synthesizes a RICHER
+# deterministic stream per video doc: 12 frames of 16 bytes, frame f's
+# content = md5(text # shot_id(f)) where shot boundaries fire at
+# frames whose base-digest byte is < 64 (~25%).  The DETECTOR knows
+# nothing of the generator — it just thresholds frame deltas — while
+# the oracle replays generation AND detection from the digest hex.
+# Exactness: every frame delta is an integer sum / 16 (dyadic, <= 4
+# decimal digits — round6 is the identity), so the checksum and the
+# boundary decisions are bit-identical.  Shape at 100 TB: synthesis +
+# decode run in one mapInPandas where the payload lives (the video
+# bytes never shuffle); output is one row per clip.
+
+_SHOT_FRAMES = 12
+_SHOT_BYTES = 16
+_SHOT_T = 8.0  # mean-abs-delta threshold (identical frames -> 0)
+
+
+def _shot_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id % 3 = 2),
+fl AS (
+  SELECT doc_id, text,
+         [CASE WHEN g >= 1
+                AND ('0x' || substr(h, 2*g+1, 2))::BIGINT < 64
+               THEN 1 ELSE 0 END
+          FOR g IN generate_series(0, {_SHOT_FRAMES - 1})] AS flags
+  FROM d),
+fr AS (
+  SELECT doc_id, t.f AS f,
+         md5(text || '#' || CAST(list_sum(flags[1:t.f+1]) AS VARCHAR)) AS hf
+  FROM fl, generate_series(0, {_SHOT_FRAMES - 1}) t(f)),
+fb AS (
+  SELECT doc_id, f,
+         [('0x' || substr(hf, 2*j+1, 2))::BIGINT
+          FOR j IN generate_series(0, {_SHOT_BYTES - 1})] AS bs
+  FROM fr),
+dist AS (
+  SELECT a.doc_id, a.f,
+         list_sum([abs(a.bs[j] - b.bs[j])
+                   FOR j IN generate_series(1, {_SHOT_BYTES})]) / {_SHOT_BYTES}e0
+           AS dl
+  FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND b.f = a.f - 1)
+SELECT doc_id AS media_id,
+       CAST({_SHOT_FRAMES} AS INT) AS n_frames,
+       CAST(COUNT(*) FILTER (WHERE dl > {_SHOT_T}) AS BIGINT) AS n_boundaries,
+       CAST(COUNT(*) FILTER (WHERE dl > {_SHOT_T}) + 1 AS BIGINT) AS n_shots,
+       round(SUM(dl), 6) AS dist_checksum
+FROM dist GROUP BY doc_id
+"""
+
+
+@query("mm_shot_boundary", oracle=_shot_oracle())
+def mm_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    h = F.md5("text")
+
+    def byte(i: int):
+        return F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("int")
+
+    flags = [F.lit(0)] + [
+        (byte(g) < 64).cast("int") for g in range(1, _SHOT_FRAMES)
+    ]
+    frames = []
+    sid = flags[0]
+    for f in range(_SHOT_FRAMES):
+        if f > 0:
+            sid = sid + flags[f]
+        frames.append(
+            F.to_binary(
+                F.md5(F.concat(F.col("text"), F.lit("#"), sid.cast("string"))),
+                F.lit("hex"),
+            )
+        )
+    src = d.select(
+        F.col("doc_id").alias("media_id"), F.concat(*frames).alias("payload")
+    )
+
+    def detect(batches):
+        for pdf in batches:
+            out = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                a = (
+                    np.frombuffer(bytes(buf), dtype=np.uint8)
+                    .reshape(_SHOT_FRAMES, _SHOT_BYTES)
+                    .astype(np.int64)
+                )
+                dl = np.abs(a[1:] - a[:-1]).mean(axis=1)
+                nb = int((dl > _SHOT_T).sum())
+                # deltas are integer-sums/16 (dyadic, <= 4 decimal
+                # digits): round6 is the identity on both engines
+                out.append(
+                    (int(mid), _SHOT_FRAMES, nb, nb + 1, round(float(dl.sum()), 6))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "n_boundaries",
+                    "n_shots",
+                    "dist_checksum",
+                ],
+            )
+
+    return src.mapInPandas(
+        detect,
+        "media_id long, n_frames int, n_boundaries long, n_shots long,"
+        " dist_checksum double",
+    )

@@ -30,16 +30,30 @@ _counter = itertools.count()
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a stream: same schema + ts semantics as the batch table."""
+    """events as a stream: same schema + ts semantics as the batch table.
+
+    Handles BOTH parquet layouts: the driver fixtures ship events.parquet
+    as a single FILE (watch the parent dir, glob the one file), while
+    engine-written tables — every production deployment, and the
+    amplified scale fixtures — are DIRECTORIES of part files (watch the
+    table dir itself).  The glob form alone silently matched ZERO leaf
+    files on the directory layout, so every streaming query read an
+    empty stream at the sf1 whole-surface run (round-8 finding).
+    """
+    import os
+
     ensure_session_invariants(spark)
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
-    # the file source watches a directory; select just events.parquet
-    df = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    if os.path.isdir(path):
+        df = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # the file source watches a directory; select just events.parquet
+        df = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
     return normalize_event_ts(df)
 
 

@@ -79,6 +79,7 @@ WHITELIST = {
     "sim_binary_hamming_topk": "(b) probes broadcast against binary-word corpus (sim_topk shape)",
     "sim_two_stage_rerank": "(b) probes broadcast for the Hamming prefilter; rerank touches 50 rows/probe",
     "agg_chi2_independence": "(a) 1-row total/marginal-count broadcasts for the 25-cell combine",
+    "agg_mutual_information": "(a) 1-row total/entropy scalar broadcasts for the contingency combine (the chi2 shape)",
     "ml_ks_statistic": "(b) SV broadcast scoring + 1-row totals broadcast",
     "dq_benford_first_digit": "(a) 1-row total-count scalar broadcast for the 9-digit combine",
     "ml_psi_drift": "(b) SV broadcast scoring + 1-row totals broadcast",

@@ -426,3 +426,48 @@ class TestLabelPropagation:
         # synchronous schedule is deterministic
         again = registry.QUERIES["graph_label_propagation"](spark, sf_dir).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestHoltWintersSeasonal:
+    def test_matches_python_replay(self, spark, sf_dir):
+        """The executor-side fold must equal a plain-Python replay of
+        the additive Holt-Winters recurrence on the same series."""
+        from psvm_spark.queries.analytics import _HW_M
+        from psvm_spark.registry import QUERIES
+
+        import pyspark.sql.functions as F
+        from psvm_spark.catalog import load_table
+
+        rows = {r.segment: r for r in
+                QUERIES["ts_holt_winters_seasonal"](spark, sf_dir).collect()}
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        monthly = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(
+                F.col("c_mktsegment").alias("seg"),
+                ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+                .alias("m"),
+            )
+            .agg(F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                       .cast("bigint")).cast("double").alias("x"))
+            .collect()
+        )
+        series: dict[str, list] = {}
+        for r in monthly:
+            series.setdefault(r.seg, []).append((r.m, r.x))
+        for seg, pts in series.items():
+            xs = [x for _, x in sorted(pts)]
+            l, t, sa = xs[0], 0.0, [0.0] * _HW_M
+            for i in range(1, len(xs)):
+                slot = i % _HW_M
+                l_new = 0.5 * (xs[i] - sa[slot]) + 0.5 * (l + t)
+                t = 0.25 * (l_new - l) + 0.75 * t
+                sa[slot] = 0.5 * (xs[i] - l_new) + 0.5 * sa[slot]
+                l = l_new
+            got = rows[seg]
+            assert got.n_months == len(xs)
+            # outputs round to whole cents (magnitude-vs-grid, see query)
+            assert abs(got.level - l) <= 0.5
+            assert abs(got.trend - t) <= 0.5
+            assert abs(got.forecast1 - (l + t + sa[len(xs) % _HW_M])) <= 0.5

@@ -1346,3 +1346,57 @@ class TestBpeEncode:
                     toks = out
                 total += len(toks)
             assert rows[r.doc_id].n_tokens == total, r.doc_id
+
+
+class TestRakeKeywords:
+    def test_planted_phrase_dominates(self, spark, tmp_path):
+        """Plant a corpus where 'the'/'of' are the (derived) delimiters
+        and a repeated multi-word phrase exists: RAKE must rank the
+        planted phrase first for the language, with degree-boosted
+        multi-word score."""
+        from psvm_spark.registry import QUERIES
+
+        block = " ".join(f"d{i}" for i in range(8))  # 8 filler words whose
+        # counts dominate -> they become the derived delimiter set
+        text = f"{block} {block} {block} quantum flux capacitor {block} widget"
+        docs = [(i, text, "en", "web", 100) for i in range(6)]
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        sf = str(tmp_path)
+        df.write.mode("overwrite").parquet(sf + "/documents.parquet")
+        rows = [r for r in QUERIES["text_rake_keywords"](spark, sf).collect()
+                if r.lang == "en"]
+        top = min(rows, key=lambda r: r.rank)
+        assert top.phrase == "quantum flux capacitor"
+        assert top.n_occur == 6
+        # 3 words, each deg=3 freq=6(docs)... deg counts phrase length per
+        # occurrence: each word freq 6, deg 18 -> sc 3e6 each, phrase 9e6
+        assert top.score_fp == 9_000_000
+
+    def test_fixture_scores_positive_and_ranked(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["text_rake_keywords"](spark, sf_dir).collect()
+        assert rows
+        per_lang = {}
+        for r in rows:
+            per_lang.setdefault(r.lang, []).append(r)
+        for lang, rs in per_lang.items():
+            rs.sort(key=lambda r: r.rank)
+            scores = [r.score_fp for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            assert all(s >= 1_000_000 for s in scores)  # deg >= freq
+
+
+class TestMutualInformation:
+    def test_information_inequalities(self, spark, sf_dir):
+        """0 <= MI <= min(H(X), H(Y)) up to the 1e-9 rounding grid."""
+        from psvm_spark.registry import QUERIES
+
+        r = QUERIES["agg_mutual_information"](spark, sf_dir).collect()[0]
+        eps = 1e-6
+        assert r.mi >= -eps
+        assert r.mi <= min(r.h_event, r.h_hour) + eps
+        assert r.h_event > 0 and r.h_hour > 0
+        assert r.n_cells <= r.n_rows

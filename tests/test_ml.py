@@ -437,3 +437,80 @@ class TestKmeansLloydExact:
             for r in registry.QUERIES["ml_kmeans_lloyd_exact"](spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestPcaPowerIteration:
+    def test_matches_numpy_dominant_eigenvector(self, spark, sf_dir):
+        """The fixed-point iterate must align with numpy's top
+        eigenvector of the SAME integer scatter matrix (cosine of the
+        two directions > 0.9999 after 200 max-norm steps)."""
+        import numpy as np
+
+        from psvm_spark.queries.ml import _KML_Q, _PCA_DIM
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ml_pca_power_iteration"](spark, sf_dir).collect()
+        assert len(rows) == _PCA_DIM
+        v = np.array([r.v_fp for r in sorted(rows, key=lambda r: r.dim)], float)
+
+        q = np.array(
+            [
+                r.q
+                for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .selectExpr(f"transform{_KML_Q} AS q")
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+        n = q.shape[0]
+        m = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+        w, vec = np.linalg.eigh(m.astype(float))
+        top = vec[:, np.argmax(w)]
+        cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+        assert cos > 0.9999, cos
+
+    def test_diag_cells_match_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from psvm_spark.queries.ml import _KML_Q
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ml_pca_power_iteration"](spark, sf_dir).collect()
+        q = np.array(
+            [
+                r.q
+                for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .selectExpr(f"transform{_KML_Q} AS q")
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+        n = q.shape[0]
+        diag = n * (q * q).sum(0) - q.sum(0) ** 2
+        for r in rows:
+            assert r.m_diag == diag[r.dim - 1]
+            assert r.s_sum == q.sum(0)[r.dim - 1]
+
+
+class TestFeatureTtestScreen:
+    def test_matches_numpy_welch(self, spark, sf_dir):
+        import numpy as np
+
+        from psvm_spark.queries.ml import _KML_Q
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ml_feature_ttest_screen"](spark, sf_dir).collect()
+        data = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+            "CAST(label % 2 AS INT) AS cls", f"transform{_KML_Q} AS q"
+        ).collect()
+        q = np.array([r.q for r in data], dtype=np.int64)
+        cls = np.array([r.cls for r in data])
+        a, b = q[cls == 1].astype(float), q[cls == 0].astype(float)
+        for r in rows:
+            d = r.dim - 1
+            m1, m0 = a[:, d].mean(), b[:, d].mean()
+            v1 = a[:, d].var(ddof=1)
+            v0 = b[:, d].var(ddof=1)
+            t = (m1 - m0) / np.sqrt(v1 / len(a) + v0 / len(b))
+            assert abs(r.t_welch - t) < 1e-6, (r.dim, r.t_welch, t)
+            assert r.n1 == len(a) and r.n0 == len(b)

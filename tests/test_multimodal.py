@@ -219,3 +219,35 @@ class TestAudioVadFrames:
                 rms, active = got[(did, f)]
                 assert rms == ref, (did, f)
                 assert active == (ref >= 0.55)
+
+
+class TestShotBoundary:
+    def test_detected_boundaries_equal_planted_flags(self, spark, sf_dir):
+        """The detector thresholds frame deltas with no knowledge of the
+        generator; on the synthetic stream every within-shot delta is 0
+        and every cross-shot delta is the mean |diff| of two independent
+        digests (>> threshold), so detected == planted."""
+        import hashlib
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.multimodal import _SHOT_FRAMES
+        from psvm_spark.registry import QUERIES
+
+        rows = {r.media_id: r for r in
+                QUERIES["mm_shot_boundary"](spark, sf_dir).collect()}
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter("doc_id % 3 = 2")
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert set(rows) == {d.doc_id for d in docs}
+        for d in docs:
+            h = hashlib.md5(d.text.encode()).hexdigest()
+            planted = sum(
+                1 for g in range(1, _SHOT_FRAMES) if int(h[2 * g: 2 * g + 2], 16) < 64
+            )
+            got = rows[d.doc_id]
+            assert got.n_boundaries == planted, (d.doc_id, planted)
+            assert got.n_shots == planted + 1
+            assert got.n_frames == _SHOT_FRAMES

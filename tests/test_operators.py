@@ -1051,3 +1051,15 @@ class TestBitemporalAsof:
                 or r.bal_asof_1995 == r.bal_asof_1997
             )
             assert bool(r.rewritten) == want, r
+
+
+class TestLocalClustering:
+    def test_consistent_with_global_triangles_and_bounds(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        loc = QUERIES["graph_local_clustering"](spark, sf_dir).collect()
+        glob = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+        assert sum(r.n_tri for r in loc) == 3 * glob.n_triangles
+        for r in loc:
+            assert 0 <= r.cc_fp <= 1_000_000
+            assert r.n_tri * 2 <= r.deg * (r.deg - 1)
