@@ -3702,3 +3702,99 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hw.l") + F.col("hw.t") + nxt, 0).alias("forecast1"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B243 (round 8) — classical seasonal decomposition of the monthly
+# revenue series (trend = centered 2x12 moving average, seasonal =
+# per-calendar-month mean of the detrended values, residual = the
+# rest): the textbook additive decomposition behind every
+# seasonality-aware monitoring chart, complementing ts_holt_winters
+# (which FORECASTS the same structure).  All integer cents: the CMA
+# numerator is x[-6] + 2*sum(x[-5..+5]) + x[+6] (exact bigint) with a
+# truncating div 24 on the always-positive revenue, the seasonal means
+# use the positivity-bias floor (detrended values go negative), and
+# residuals are differences of exact integers — bitwise parity with no
+# float anywhere.  The decomposition window runs on the CALENDAR-
+# BOUNDED ~84-row monthly rollup (a single-partition window over 84
+# rows is free; the corpus-sized work is the one monthly rollup
+# shuffle, map-side combined).
+
+_DEC_BIG = 10**12  # |seasonal-mean numerator| < BIG * count always
+
+
+@query(
+    "ts_decompose_classical",
+    oracle=f"""
+WITH monthly AS (
+  SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS m,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS moy,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2),
+tr AS (
+  SELECT m, moy, x,
+         LAG(x, 6) OVER w + LEAD(x, 6) OVER w
+           + 2 * SUM(x) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING
+                              AND 5 FOLLOWING) AS num
+  FROM monthly
+  WINDOW w AS (ORDER BY m)),
+det AS (
+  SELECT m, moy, x, num // 24 AS trend_c, x - num // 24 AS det_c
+  FROM tr WHERE num IS NOT NULL),
+seas AS (
+  SELECT moy,
+         (SUM(det_c) + {_DEC_BIG} * COUNT(*)) // COUNT(*) - {_DEC_BIG}
+           AS seasonal_c
+  FROM det GROUP BY moy)
+SELECT d.m, CAST(d.x AS BIGINT) AS x_c,
+       CAST(d.trend_c AS BIGINT) AS trend_c,
+       CAST(s.seasonal_c AS BIGINT) AS seasonal_c,
+       CAST(d.det_c - s.seasonal_c AS BIGINT) AS residual_c
+FROM det d JOIN seas s ON d.moy = s.moy
+""",
+)
+def ts_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+        .cast("int")
+        .alias("m"),
+        F.month("o_orderdate").cast("int").alias("moy"),
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.orderBy("m")
+    wsum = w.rowsBetween(-5, 5)
+    tr = monthly.select(
+        "m",
+        "moy",
+        "x",
+        (
+            F.lag("x", 6).over(w)
+            + F.lead("x", 6).over(w)
+            + 2 * F.sum("x").over(wsum)
+        ).alias("num"),
+    )
+    det = tr.filter(F.col("num").isNotNull()).select(
+        "m",
+        "moy",
+        "x",
+        F.expr("num div 24").alias("trend_c"),
+        (F.col("x") - F.expr("num div 24")).alias("det_c"),
+    )
+    seas = det.groupBy("moy").agg(
+        F.expr(
+            f"(sum(det_c) + {_DEC_BIG} * count(1)) div count(1) - {_DEC_BIG}"
+        ).alias("seasonal_c")
+    )
+    return det.join(F.broadcast(seas), "moy").select(
+        "m",
+        F.col("x").cast("bigint").alias("x_c"),
+        F.col("trend_c").cast("bigint").alias("trend_c"),
+        F.col("seasonal_c").cast("bigint").alias("seasonal_c"),
+        (F.col("det_c") - F.col("seasonal_c")).cast("bigint").alias("residual_c"),
+    )

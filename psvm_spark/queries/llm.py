@@ -8355,3 +8355,191 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B241 (round 8) — kNN classification over embeddings: predict each
+# held-out probe's label by majority vote of its k=9 nearest neighbors,
+# the classic lazy classifier every embedding-quality eval includes
+# (and the label-space twin of ml_retrieval_metrics — identical
+# integer-dot ranking machinery, different readout).  Exactness:
+# thousandth-quantized integer dot products rank with (dp DESC, cid)
+# tie-break, votes are integers, vote ties break toward the LOWER label
+# on both engines.  Shape at 100 TB: probes broadcast, corpus
+# partitioned (the sim_topk shape) — at serving scale the probe set is
+# the query workload, not a corpus fraction.
+
+_KNN_K = 9
+
+
+@query(
+    "ml_knn_classify",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+pr AS (SELECT vec_id AS pid, label AS plabel, q AS pq FROM qv
+       WHERE vec_id % 100 = 3),
+dots AS (
+  SELECT p.pid, p.plabel, c.vec_id AS cid, c.label AS clabel,
+         CAST(list_sum(list_transform(range(1, len(c.q)+1),
+                                      i -> c.q[i] * p.pq[i])) AS BIGINT) AS dp
+  FROM pr p JOIN qv c ON c.vec_id <> p.pid
+),
+ranked AS (
+  SELECT pid, plabel, clabel,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dp DESC, cid) AS rnk
+  FROM dots
+),
+votes AS (
+  SELECT pid, plabel, clabel, COUNT(*) AS v
+  FROM ranked WHERE rnk <= {_KNN_K}
+  GROUP BY pid, plabel, clabel
+),
+best AS (
+  SELECT pid, plabel, clabel, v,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY v DESC, clabel ASC) AS rn
+  FROM votes
+)
+SELECT pid AS probe_id,
+       CAST(plabel AS INT) AS true_label,
+       CAST(clabel AS INT) AS pred_label,
+       CAST(v AS BIGINT) AS n_votes,
+       plabel = clabel AS correct
+FROM best WHERE rn = 1
+""",
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    pr = e.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("q").alias("pq"),
+    )
+    dots = (
+        F.broadcast(pr)
+        .join(e, F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "plabel",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("pq"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("dp"),
+        )
+    )
+    ranked = dots.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("pid").orderBy(F.desc("dp"), "cid")),
+    )
+    votes = (
+        ranked.filter(F.col("rnk") <= _KNN_K)
+        .groupBy("pid", "plabel", "clabel")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    best = votes.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.desc("v"), F.asc("clabel"))
+        ),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        F.col("pid").alias("probe_id"),
+        F.col("plabel").cast("int").alias("true_label"),
+        F.col("clabel").cast("int").alias("pred_label"),
+        F.col("v").cast("bigint").alias("n_votes"),
+        (F.col("plabel") == F.col("clabel")).alias("correct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B242 (round 8) — weight-of-evidence encoding + information value: the
+# credit-scoring-standard categorical encoder (and the supervised
+# sibling of feat_target_encode_loo).  Per feature bin b:
+# WOE(b) = ln( ((pos_b + 1) * NEG) / ((neg_b + 1) * POS) ) with add-one
+# smoothing so empty cells stay finite, and the bin's IV contribution
+# is (pos_b/POS - neg_b/NEG) * WOE.  Exactness: counts are integers,
+# the ln argument is a single exact-integer ratio evaluated with one
+# identical double division on both engines, ln rounds to 9, and the IV
+# product uses the round9-decimal recipe.  One count shuffle, scalars
+# via 1-row broadcast — trivially 100 TB-safe.
+
+
+@query(
+    "feat_woe_encode",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS bin,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders),
+cells AS (
+  SELECT bin, SUM(pos) AS pos_b, COUNT(*) - SUM(pos) AS neg_b
+  FROM base GROUP BY bin),
+tot AS (SELECT SUM(pos_b) AS p, SUM(neg_b) AS n FROM cells),
+scored AS (
+  SELECT c.bin, c.pos_b, c.neg_b,
+         round(ln(CAST((c.pos_b + 1) * t.n AS DOUBLE)
+                  / ((c.neg_b + 1) * t.p)), 9) AS woe,
+         t.p, t.n
+  FROM cells c CROSS JOIN tot t)
+SELECT bin,
+       CAST(pos_b AS BIGINT) AS n_pos,
+       CAST(neg_b AS BIGINT) AS n_neg,
+       woe,
+       CAST(CAST(round((CAST(pos_b AS DOUBLE) / p - CAST(neg_b AS DOUBLE) / n)
+                       * woe, 9) AS DECIMAL(18,9)) AS DOUBLE) AS iv_term
+FROM scored
+""",
+)
+def feat_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("bin"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    cells = base.groupBy("bin").agg(
+        F.sum("pos").alias("pos_b"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("neg_b"),
+    )
+    tot = cells.agg(F.sum("pos_b").alias("p"), F.sum("neg_b").alias("n"))
+    woe = F.round(
+        F.log(
+            ((F.col("pos_b") + 1) * F.col("n")).cast("double")
+            / ((F.col("neg_b") + 1) * F.col("p"))
+        ),
+        9,
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("woe", woe)
+        .select(
+            "bin",
+            F.col("pos_b").cast("bigint").alias("n_pos"),
+            F.col("neg_b").cast("bigint").alias("n_neg"),
+            "woe",
+            F.round(
+                (
+                    F.col("pos_b").cast("double") / F.col("p")
+                    - F.col("neg_b").cast("double") / F.col("n")
+                )
+                * F.col("woe"),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .cast("double")
+            .alias("iv_term"),
+        )
+    )

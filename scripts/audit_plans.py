@@ -93,6 +93,8 @@ WHITELIST = {
     "sample_unimax_budget": "(a) 1-row totals/water-level scalar broadcasts attached to the stratum dim",
     "sim_rrf_fusion": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
     "ml_retrieval_metrics": "(b) probes broadcast against corpus (sim_topk shape, non-equi <> filter)",
+    "ml_knn_classify": "(b) probes broadcast against corpus (sim_topk shape, non-equi <> filter)",
+    "feat_woe_encode": "(a) 1-row pos/neg-total scalar broadcast for the WOE combine",
     "sim_mmr_select": "(b) probes broadcast against corpus (sim_topk shape); selection is per-probe grouped-map",
 }
 

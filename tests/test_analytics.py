@@ -471,3 +471,27 @@ class TestHoltWintersSeasonal:
             assert abs(got.level - l) <= 0.5
             assert abs(got.trend - t) <= 0.5
             assert abs(got.forecast1 - (l + t + sa[len(xs) % _HW_M])) <= 0.5
+
+
+class TestDecomposeClassical:
+    def test_additive_identity_and_window_trim(self, spark, sf_dir):
+        """x = trend + seasonal + residual EXACTLY (integer cents), and
+        the CMA trims 6 months at each end of the series."""
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ts_decompose_classical"](spark, sf_dir).collect()
+        for r in rows:
+            assert r.x_c == r.trend_c + r.seasonal_c + r.residual_c
+        n_months = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+                .alias("m")
+            )
+            .distinct()
+            .count()
+        )
+        assert len(rows) == n_months - 12

@@ -1400,3 +1400,41 @@ class TestMutualInformation:
         assert r.mi <= min(r.h_event, r.h_hour) + eps
         assert r.h_event > 0 and r.h_hour > 0
         assert r.n_cells <= r.n_rows
+
+
+class TestKnnClassify:
+    def test_vote_consistency_and_coverage(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _KNN_K
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ml_knn_classify"](spark, sf_dir).collect()
+        probes = {
+            r.vec_id
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter("vec_id % 100 = 3")
+            .select("vec_id")
+            .collect()
+        }
+        assert {r.probe_id for r in rows} == probes
+        for r in rows:
+            assert 1 <= r.n_votes <= _KNN_K
+            assert r.correct == (r.true_label == r.pred_label)
+
+
+class TestWoeEncode:
+    def test_counts_and_woe_signs(self, spark, sf_dir):
+        import math
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["feat_woe_encode"](spark, sf_dir).collect()
+        o = load_table(spark, sf_dir, "orders")
+        n = o.count()
+        assert sum(r.n_pos + r.n_neg for r in rows) == n
+        p = sum(r.n_pos for r in rows)
+        ng = sum(r.n_neg for r in rows)
+        for r in rows:
+            want = math.log(((r.n_pos + 1) * ng) / ((r.n_neg + 1) * p))
+            assert abs(r.woe - want) < 1e-8, (r.bin, r.woe, want)
