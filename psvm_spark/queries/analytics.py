@@ -3798,3 +3798,90 @@ def ts_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seasonal_c").cast("bigint").alias("seasonal_c"),
         (F.col("det_c") - F.col("seasonal_c")).cast("bigint").alias("residual_c"),
     )
+
+
+# --------------------------------------------------------------------------
+# B244 (round 8) — generalized ESD outlier detection (Rosner 1983) on
+# the monthly revenue series: K=5 rounds of "compute mean/std of the
+# REMAINING points, remove the max-|z| point" — the iterative test
+# monitoring stacks run because a single z-pass masks multiple
+# outliers.  The corpus-sized work is the monthly rollup (map-side-
+# combined shuffle); the K-round loop is the psvm distributed-pass +
+# rank-0 pattern on the calendar-bounded ~84-point series (the
+# ml_boosting_two_rounds precedent: series collected once, rounds
+# replayed in exact arithmetic, result re-emitted).  Exactness: per-
+# round sums are exact integers (cents in BIGINT, squares in
+# DECIMAL/HUGEINT), the mean/variance/z doubles use an IDENTICAL op
+# sequence both engines, z rounds to 9, and the pick tie-breaks
+# (z DESC, m ASC).
+
+_ESD_K = 5
+
+
+@query(
+    "ts_esd_outliers",
+    oracle=f"""
+WITH RECURSIVE monthly AS (
+  SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS m,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+it AS (
+  SELECT 0 AS k, CAST([] AS INT[]) AS removed,
+         CAST(NULL AS INT) AS pick_m, CAST(NULL AS BIGINT) AS pick_x,
+         CAST(NULL AS DOUBLE) AS pick_z
+  UNION ALL
+  SELECT it.k + 1, list_append(it.removed, s.m), s.m, s.x, s.z
+  FROM it, LATERAL (
+    SELECT m, x, z FROM (
+      SELECT r.m, r.x,
+             round(abs(CAST(r.x AS DOUBLE)
+                       - CAST(SUM(r.x) OVER () AS DOUBLE) / COUNT(*) OVER ())
+                   / sqrt((CAST(SUM(CAST(r.x AS HUGEINT) * r.x) OVER () AS DOUBLE)
+                           - CAST(SUM(r.x) OVER () AS DOUBLE)
+                             * CAST(SUM(r.x) OVER () AS DOUBLE)
+                             / COUNT(*) OVER ())
+                          / (COUNT(*) OVER () - 1)), 9) AS z
+      FROM (SELECT mm.m, mm.x FROM monthly mm
+            WHERE NOT list_contains(it.removed, mm.m)) r)
+    ORDER BY z DESC, m ASC LIMIT 1
+  ) s
+  WHERE it.k < {_ESD_K}
+)
+SELECT CAST(k AS INT) AS round,
+       CAST(pick_m AS INT) AS m,
+       CAST(pick_x AS BIGINT) AS x_c,
+       pick_z AS z
+FROM it WHERE k >= 1
+""",
+)
+def ts_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+        .cast("int")
+        .alias("m")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    pts = {r.m: int(r.x) for r in monthly.collect()}
+    out = []
+    removed: set[int] = set()
+    for k in range(1, _ESD_K + 1):
+        rem = [(m, x) for m, x in sorted(pts.items()) if m not in removed]
+        n = len(rem)
+        s = sum(x for _, x in rem)
+        s2 = sum(x * x for _, x in rem)
+        mu = float(s) / n
+        var = (float(s2) - float(s) * float(s) / n) / (n - 1)
+        sd = math.sqrt(var)
+        scored = [(round(abs(float(x) - mu) / sd, 9), m, x) for m, x in rem]
+        z, m_pick, x_pick = max(scored, key=lambda t: (t[0], -t[1]))
+        out.append((k, m_pick, x_pick, z))
+        removed.add(m_pick)
+    return spark.createDataFrame(out, "round int, m int, x_c bigint, z double")

@@ -1758,3 +1758,105 @@ def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
         "batch string, n_rows long, n_src_rows long, checksum string,"
         " audit_pass boolean, published boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# B245 (round 8) — manifest-based file pruning: the core mechanism of
+# every modern table format (Iceberg/Delta data skipping) demonstrated
+# without table-format packages (none ship offline — the documented
+# round-5 constraint).  Write orders partitioned by order month, build
+# a MANIFEST of per-file (path, min/max o_orderdate, row count) — the
+# Iceberg manifest-entry shape — then answer a date-range query by
+# pruning the manifest FIRST and reading only the surviving files.
+# Output proves the skipping: files_total vs files_scanned, plus the
+# aggregate over the pruned read (hash-checked against a direct filter
+# of the source — data skipping must never change answers).  At 100 TB
+# this is exactly how a scan touches 6/84 months of a petabyte table;
+# the manifest itself is O(files), read on the driver like a real
+# format's metadata layer.
+
+_MAN_LO, _MAN_HI = "1996-01-01", "1996-07-01"
+
+
+@query(
+    "warehouse_manifest_pruned_scan",
+    oracle=f"""
+WITH months AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+         MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi
+  FROM orders GROUP BY 1),
+pruned AS (
+  SELECT mo FROM months
+  WHERE hi >= DATE '{_MAN_LO}' AND lo < DATE '{_MAN_HI}'),
+agg AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+  FROM orders
+  WHERE o_orderdate >= DATE '{_MAN_LO}' AND o_orderdate < DATE '{_MAN_HI}')
+SELECT CAST((SELECT COUNT(*) FROM months) AS BIGINT) AS files_total,
+       CAST((SELECT COUNT(*) FROM pruned) AS BIGINT) AS files_scanned,
+       CAST(a.n_rows AS BIGINT) AS n_rows,
+       a.total
+FROM agg a
+""",
+)
+def warehouse_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="psvm_manifest_")
+    (
+        o.withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(f"{root}/data")
+    )
+    # manifest build: per-file stats, the Iceberg manifest-entry shape
+    manifest = [
+        {
+            "path": f"{root}/data/o_month={r.mo}",
+            "min_date": str(r.lo),
+            "max_date": str(r.hi),
+            "n_rows": r.n,
+        }
+        for r in (
+            o.groupBy(
+                F.date_trunc("month", "o_orderdate").cast("date").alias("mo")
+            )
+            .agg(
+                F.min("o_orderdate").alias("lo"),
+                F.max("o_orderdate").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+    ]
+    with open(f"{root}/manifest.json", "w") as fh:
+        json.dump(manifest, fh)
+    # prune on the driver from manifest stats alone (the metadata layer)
+    with open(f"{root}/manifest.json") as fh:
+        entries = json.load(fh)
+    keep = [
+        e["path"]
+        for e in entries
+        if e["max_date"] >= _MAN_LO and e["min_date"] < _MAN_HI
+    ]
+    pruned = (
+        spark.read.parquet(*keep)
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_MAN_LO).cast("date"))
+            & (F.col("o_orderdate") < F.lit(_MAN_HI).cast("date"))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    meta = spark.createDataFrame(
+        [(len(entries), len(keep))], "files_total long, files_scanned long"
+    )
+    return F.broadcast(meta).crossJoin(pruned).select(
+        "files_total", "files_scanned", "n_rows", "total"
+    )

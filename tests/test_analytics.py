@@ -495,3 +495,52 @@ class TestDecomposeClassical:
             .count()
         )
         assert len(rows) == n_months - 12
+
+
+class TestEsdOutliers:
+    def test_rounds_remove_distinct_months_with_decreasing_validity(self, spark, sf_dir):
+        """K rounds remove K distinct months; each round's pick is the
+        max-|z| point among the then-remaining series (replayed here
+        independently)."""
+        import math
+
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["ts_esd_outliers"](spark, sf_dir).collect(),
+            key=lambda r: r.round,
+        )
+        assert [r.round for r in rows] == [1, 2, 3, 4, 5]
+        assert len({r.m for r in rows}) == 5
+        pts = {
+            r.m: r.x
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy(
+                ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+                .cast("int")
+                .alias("m")
+            )
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+                ).cast("bigint").alias("x")
+            )
+            .collect()
+        }
+        removed = set()
+        for r in rows:
+            rem = [(m, x) for m, x in sorted(pts.items()) if m not in removed]
+            n = len(rem)
+            s = sum(x for _, x in rem)
+            s2 = sum(x * x for _, x in rem)
+            mu = float(s) / n
+            sd = math.sqrt((float(s2) - float(s) * float(s) / n) / (n - 1))
+            z, m_pick, x_pick = max(
+                ((round(abs(float(x) - mu) / sd, 9), m, x) for m, x in rem),
+                key=lambda t: (t[0], -t[1]),
+            )
+            assert (r.m, r.x_c, r.z) == (m_pick, x_pick, z), r.round
+            removed.add(m_pick)

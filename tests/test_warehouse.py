@@ -20,3 +20,21 @@ class TestWriteAuditPublish:
 
         assert rows["clean"].n_src_rows == load_table(spark, sf_dir, "orders").count()
         assert len(rows["clean"].checksum) == 32
+
+
+class TestManifestPrunedScan:
+    def test_skipping_never_changes_answers(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.warehouse import _MAN_HI, _MAN_LO
+        from psvm_spark.registry import QUERIES
+
+        import pyspark.sql.functions as F
+
+        r = QUERIES["warehouse_manifest_pruned_scan"](spark, sf_dir).collect()[0]
+        o = load_table(spark, sf_dir, "orders")
+        direct = o.filter(
+            (F.col("o_orderdate") >= F.lit(_MAN_LO).cast("date"))
+            & (F.col("o_orderdate") < F.lit(_MAN_HI).cast("date"))
+        ).count()
+        assert r.n_rows == direct
+        assert 0 < r.files_scanned < r.files_total  # pruning actually fired
