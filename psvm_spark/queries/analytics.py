@@ -3885,3 +3885,247 @@ def ts_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append((k, m_pick, x_pick, z))
         removed.add(m_pick)
     return spark.createDataFrame(out, "round int, m int, x_c bigint, z double")
+
+
+# --------------------------------------------------------------------------
+# B249 (round 8) — dynamic time warping between per-region quarterly
+# revenue series: the similarity measure time-series monitoring uses
+# when two series share shape but drift in phase (L1 on aligned
+# quarters punishes a one-quarter lag; DTW does not).  The corpus-
+# sized work is the region x quarter rollup (one map-side-combined
+# shuffle through the customer->nation->region dims, all broadcast);
+# the DP runs per region PAIR via applyInPandas — pairs are
+# independent, so at 100 TB this parallelizes across every (series,
+# series) cell of a monitoring grid while each DP stays a tiny
+# L x L = 27 x 27 integer kernel.  Exactness: series are integer
+# cents on a gapless calendar spine (missing quarters fill 0), costs
+# are |xa-xb| bigints, and the oracle replays the identical DP by
+# anti-diagonals (cells on diagonal d depend only on d-1, d-2) in a
+# recursive CTE — the same integer result with no float anywhere.
+
+_DTW_L = 27  # quarters 1992Q1..1998Q3 — the orders calendar
+_DTW_INF = 1 << 60
+
+
+def _dtw_oracle() -> str:
+    L, INF = _DTW_L, _DTW_INF
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT r.r_name AS rn,
+         CAST((EXTRACT(year FROM o.o_orderdate) - 1992) * 4
+              + (EXTRACT(month FROM o.o_orderdate) - 1) // 3 AS INT) AS q,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2),
+spine AS (
+  SELECT rn, unnest(generate_series(0, {L - 1})) AS q
+  FROM (SELECT DISTINCT rn FROM t)),
+ser AS (
+  SELECT s.rn, list(COALESCE(t.x, 0) ORDER BY s.q) AS xs
+  FROM spine s LEFT JOIN t ON t.rn = s.rn AND t.q = s.q
+  GROUP BY s.rn),
+pr AS (
+  SELECT a.rn AS r1, b.rn AS r2, a.xs AS xa, b.xs AS xb
+  FROM ser a JOIN ser b ON a.rn < b.rn),
+it AS (
+  SELECT r1, r2, xa, xb, 2 AS d,
+         [CASE WHEN i = 1 THEN abs(xa[1] - xb[1])
+               ELSE CAST({INF} AS BIGINT) END
+          FOR i IN generate_series(1, {L})] AS cur,
+         [CAST({INF} AS BIGINT) FOR i IN generate_series(1, {L})] AS prev
+  FROM pr
+  UNION ALL
+  SELECT r1, r2, xa, xb, d + 1,
+         [CASE WHEN d + 1 - i BETWEEN 1 AND {L}
+               THEN abs(xa[i] - xb[d + 1 - i])
+                    + least(CASE WHEN i > 1 THEN cur[i - 1]
+                                 ELSE CAST({INF} AS BIGINT) END,
+                            cur[i],
+                            CASE WHEN i > 1 THEN prev[i - 1]
+                                 ELSE CAST({INF} AS BIGINT) END)
+               ELSE CAST({INF} AS BIGINT) END
+          FOR i IN generate_series(1, {L})] AS cur,
+         cur AS prev
+  FROM it WHERE d < {2 * L})
+SELECT r1, r2, CAST(cur[{L}] AS BIGINT) AS dtw_c
+FROM it WHERE d = {2 * L}
+"""
+
+
+@query("ts_dtw_distance", oracle=_dtw_oracle())
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    t = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("rn"),
+            (
+                (F.year("o_orderdate") - 1992) * 4
+                + F.expr("(month(o_orderdate) - 1) div 3")
+            )
+            .cast("int")
+            .alias("q"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    spine = (
+        t.select("rn")
+        .distinct()
+        .select("rn", F.explode(F.sequence(F.lit(0), F.lit(_DTW_L - 1))).alias("q"))
+    )
+    f = spine.join(t, ["rn", "q"], "left").select(
+        "rn", "q", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    a = f.select(F.col("rn").alias("r1"), "q", F.col("x").alias("xa"))
+    b = f.select(F.col("rn").alias("r2"), "q", F.col("x").alias("xb"))
+    pairs = a.join(b, "q").filter(F.col("r1") < F.col("r2"))
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("q")
+        xa = [int(v) for v in pdf.xa]
+        xb = [int(v) for v in pdf.xb]
+        L = len(xa)
+        inf = _DTW_INF
+        prev = [inf] * (L + 1)
+        prev[0] = 0  # D[0][0]
+        drow = [inf] * (L + 1)
+        for i in range(1, L + 1):
+            cur = [inf] * (L + 1)
+            for j in range(1, L + 1):
+                best = min(prev[j], cur[j - 1], prev[j - 1] if i > 1 or j > 1 else 0)
+                if i == 1 and j == 1:
+                    best = 0
+                cur[j] = abs(xa[i - 1] - xb[j - 1]) + best
+            prev = cur
+            if i == 1:
+                prev[0] = inf  # D[i][0] unreachable past row 0
+        return pd.DataFrame(
+            {"r1": [pdf.r1.iloc[0]], "r2": [pdf.r2.iloc[0]], "dtw_c": [prev[L]]}
+        )
+
+    return pairs.groupBy("r1", "r2").applyInPandas(
+        dtw, "r1 string, r2 string, dtw_c long"
+    )
+
+
+# --------------------------------------------------------------------------
+# B251 (round 8) — 1-D Kalman filter (local-level model) over the
+# monthly revenue series per market segment: predict P+Q, gain
+# K = P/(P+R), update m += K*(z-m) — the recursive state estimator
+# behind every online metric smoother.  Unlike ts_holt_winters (which
+# mirrors double ops literally), this fold is ALL-INTEGER: the gain is
+# fixed-point (k = P*SC div (P+R), operands always non-negative), and
+# the state update uses the positivity-bias floor ((x + BIG*d) div d
+# - BIG) because the innovation z-m is signed — so every iterate is an
+# exact bigint replayed bitwise by the oracle's recursive CTE, with no
+# float at any step.  Distribution: the HW shape — one broadcast dim
+# join + one monthly rollup shuffle, fold executor-side per segment;
+# at 100 TB segments become millions of independent series keys.
+# Bounds: |k*(z-m)| <= SC * |z| ~ 1e6 * 1e12 < 2^63 through sf10.
+
+_KF_SC = 1_000_000  # gain fixed-point scale
+_KF_P0 = 1_000_000  # initial state variance (abstract integer units)
+_KF_Q = 250_000  # process noise per step
+_KF_R = 3_000_000  # observation noise
+_KF_BIG = 1_000_000_000_000  # positivity bias: |k*(z-m)| < BIG * SC
+
+
+@query(
+    "ts_kalman_filter",
+    oracle=f"""
+WITH RECURSIVE monthly AS (
+  SELECT c.c_mktsegment AS seg,
+         (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o.o_orderdate) - 1 AS m,
+         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS z
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+s AS (
+  SELECT seg, list(z ORDER BY m) AS zs, COUNT(*) AS n FROM monthly GROUP BY seg),
+it AS (
+  SELECT seg, 1 AS i, zs[1] AS mstate, CAST({_KF_P0} AS BIGINT) AS p,
+         CAST(0 AS BIGINT) AS k, n, zs
+  FROM s
+  UNION ALL
+  SELECT seg, i + 1,
+         mstate + ((kk * (zs[i + 1] - mstate) + {_KF_BIG} * {_KF_SC})
+                   // {_KF_SC} - {_KF_BIG}),
+         (({_KF_SC} - kk) * pp) // {_KF_SC},
+         kk, n, zs
+  FROM (
+    SELECT seg, i, mstate, p, n, zs,
+           p + {_KF_Q} AS pp,
+           ((p + {_KF_Q}) * {_KF_SC}) // (p + {_KF_Q} + {_KF_R}) AS kk
+    FROM it WHERE i < n) u)
+SELECT seg AS segment, CAST(n AS BIGINT) AS n_months,
+       CAST(mstate AS BIGINT) AS m_c,
+       CAST(p AS BIGINT) AS p_var,
+       CAST(k AS BIGINT) AS gain_fp
+FROM it WHERE i = n
+""",
+)
+def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+            .alias("m"),
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("z")
+        )
+    )
+    series = monthly.groupBy("seg").agg(
+        F.expr("transform(array_sort(collect_list(struct(m, z))), e -> e.z)").alias(
+            "zs"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    kf = F.expr(
+        f"""
+        aggregate(
+          zs,
+          named_struct('m', cast(0 as bigint), 'p', cast({_KF_P0} as bigint),
+                       'k', cast(0 as bigint), 'n', 0),
+          (acc, z) -> IF(acc.n = 0,
+            named_struct('m', z, 'p', cast({_KF_P0} as bigint),
+                         'k', cast(0 as bigint), 'n', 1),
+            named_struct(
+              'm', acc.m + (((acc.p + {_KF_Q}) * {_KF_SC}
+                             div (acc.p + {_KF_Q} + {_KF_R}))
+                            * (z - acc.m) + {_KF_BIG} * cast({_KF_SC} as bigint))
+                           div {_KF_SC} - {_KF_BIG},
+              'p', (({_KF_SC} - (acc.p + {_KF_Q}) * {_KF_SC}
+                               div (acc.p + {_KF_Q} + {_KF_R}))
+                    * (acc.p + {_KF_Q})) div {_KF_SC},
+              'k', (acc.p + {_KF_Q}) * {_KF_SC} div (acc.p + {_KF_Q} + {_KF_R}),
+              'n', acc.n + 1)))
+        """
+    )
+    return series.withColumn("kf", kf).select(
+        F.col("seg").alias("segment"),
+        F.col("n").cast("bigint").alias("n_months"),
+        F.col("kf.m").cast("bigint").alias("m_c"),
+        F.col("kf.p").cast("bigint").alias("p_var"),
+        F.col("kf.k").cast("bigint").alias("gain_fp"),
+    )

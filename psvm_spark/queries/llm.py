@@ -8543,3 +8543,134 @@ def feat_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("iv_term"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B247 (round 8) — URL canonicalization dedup: the CommonCrawl-pipeline
+# step that runs BEFORE any content dedup (a crawl stores the same page
+# under scheme-case / www / default-port / tracking-param / fragment /
+# trailing-slash variants; canonicalizing first removes the cheap bulk
+# of duplicates without touching text).  Messy URLs are synthesized
+# deterministically from document fields (the scalar_url_parse
+# precedent), collapsed by the standard rules — lowercase scheme+host,
+# strip www. and default port, drop the fragment, drop utm_* params,
+# sort surviving params, strip the trailing slash — then deduped by
+# canonical URL with first-occurrence (min doc_id) survival.  Pure
+# string/array HOFs on both engines (zero Python in the row path); the
+# dedup itself is one groupBy on the canonical key — the same
+# digest-shuffle shape as dedup_exact, linear at 100 TB.
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+         || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+         || source || '.Example.COM'
+         || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+         || '/docs/' || lang || '/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&v=' || CAST(doc_id % 3 AS VARCHAR)
+                      || '&ab=1&utm_campaign=x'
+                 ELSE '?v=' || CAST(doc_id % 3 AS VARCHAR) || '&ab=1' END
+         || CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([^:]+)://', 1)) || '://'
+         || regexp_replace(
+              regexp_replace(
+                lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)),
+                '^www\\.', ''),
+              ':443$', '')
+         || regexp_replace(
+              regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1), '/$', '')
+         || CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl
+  FROM (
+    SELECT doc_id, url,
+           array_to_string(
+             list_sort(
+               list_filter(
+                 string_split(
+                   CASE WHEN url NOT LIKE '%?%' THEN ''
+                        ELSE regexp_extract(url, '\\?([^#]*)', 1) END, '&'),
+                 x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q
+    FROM raw) s)
+SELECT curl AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon
+GROUP BY curl
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&v="),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("&ab=1&utm_campaign=x"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?v="), (F.col("doc_id") % 3).cast("string"), F.lit("&ab=1")
+            )
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(
+                    F.when(~F.col("url").contains("?"), F.lit("")).otherwise(
+                        F.regexp_extract("url", r"\?([^#]*)", 1)
+                    ),
+                    "&",
+                ),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = raw.withColumn("q", q).select(
+        "doc_id",
+        F.concat(
+            F.lower(F.regexp_extract("url", r"^([^:]+)://", 1)),
+            F.lit("://"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.regexp_extract("url", r"^[^:]+://([^/?#]+)", 1)),
+                    r"^www\.",
+                    "",
+                ),
+                ":443$",
+                "",
+            ),
+            F.regexp_replace(
+                F.regexp_extract("url", r"^[^:]+://[^/?#]+([^?#]*)", 1), "/$", ""
+            ),
+            F.when(F.col("q") == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.col("q"))
+            ),
+        ).alias("curl"),
+    )
+    return canon.groupBy(F.col("curl").alias("canonical_url")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+    )

@@ -1296,3 +1296,252 @@ def ml_feature_ttest_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_welch"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B250 (round 8) — isotonic regression via pool-adjacent-violators:
+# the standard score-calibration fit (Zadrozny & Elkan 2002) — fit a
+# monotone non-decreasing positive-rate curve over score bins by
+# pooling adjacent bins whenever the empirical rate decreases.  The
+# corpus-sized work is ONE groupBy into {_PAV_B} score bins (map-side
+# combined); PAV then runs on the <= {_PAV_B}-row bin table at rank 0
+# (the psvm serial-solve locus), replayed by the oracle as an
+# event-stepped recursive CTE — each step either PUSHES the next bin
+# onto the block stack or MERGES the top two blocks, so the
+# variable-length inner merge loop becomes a bounded linear recursion
+# (<= 2B steps).  Exactness: block means are exact rationals compared
+# by cross-multiplication (ys[-2] * ns[-1] > ys[-1] * ns[-2]); the
+# fitted rate rounds to 9 only at output.  Scores clamp BEFORE the
+# bucket division so `div`/`//` only ever see non-negative operands
+# (the documented negative-floor-division trap).
+
+_PAV_B = 32  # score bins
+_PAV_CLL, _PAV_CLH = -512, 511  # clamp range: emb[0] concentrates in +-0.5
+_PAV_W = 32  # bin width: (511 + 512 + 1) / 32 -> bins 0..31
+
+
+@query(
+    "ml_isotonic_pav",
+    oracle=f"""
+WITH RECURSIVE q AS (
+  SELECT CAST((least(greatest(list_transform{_KML_Q}[1], {_PAV_CLL}),
+                     {_PAV_CLH}) + {-_PAV_CLL}) // {_PAV_W} AS INT) AS bin,
+         CAST(label < 5 AS INT) AS y
+  FROM embeddings),
+g AS (SELECT bin, COUNT(*) AS n, SUM(y) AS sy FROM q GROUP BY bin),
+arr AS (
+  SELECT list(bin ORDER BY bin) AS bins,
+         list(n ORDER BY bin) AS ns0,
+         list(sy ORDER BY bin) AS ys0,
+         COUNT(*) AS nb
+  FROM g),
+it AS (
+  SELECT 0 AS step, 1 AS i,
+         CAST([] AS BIGINT[]) AS ns, CAST([] AS BIGINT[]) AS ys,
+         CAST([] AS INT[]) AS st, bins, ns0, ys0, nb
+  FROM arr
+  UNION ALL
+  SELECT step + 1,
+         CASE WHEN viol THEN i ELSE i + 1 END,
+         CASE WHEN viol
+              THEN list_append(ns[1:len(ns) - 2], ns[len(ns) - 1] + ns[len(ns)])
+              ELSE list_append(ns, ns0[i]) END,
+         CASE WHEN viol
+              THEN list_append(ys[1:len(ys) - 2], ys[len(ys) - 1] + ys[len(ys)])
+              ELSE list_append(ys, ys0[i]) END,
+         CASE WHEN viol THEN st[1:len(st) - 1] ELSE list_append(st, i) END,
+         bins, ns0, ys0, nb
+  FROM (
+    SELECT *,
+           len(ns) >= 2
+             AND ys[len(ns) - 1] * ns[len(ns)] > ys[len(ns)] * ns[len(ns) - 1]
+             AS viol
+    FROM it) s
+  WHERE viol OR i <= nb),
+fin AS (SELECT * FROM it ORDER BY step DESC LIMIT 1)
+SELECT CAST(bins[j] AS INT) AS bin,
+       CAST(ns0[j] AS BIGINT) AS n,
+       CAST(ys0[j] AS BIGINT) AS y_pos,
+       CAST(ns[k] AS BIGINT) AS blk_n,
+       CAST(ys[k] AS BIGINT) AS blk_y,
+       round(CAST(ys[k] AS DOUBLE) / ns[k], 9) AS fitted
+FROM (
+  SELECT f.*, jj.j, len(list_filter(f.st, s -> s <= jj.j)) AS k
+  FROM fin f, LATERAL (SELECT unnest(generate_series(1, f.nb)) AS j) jj) e
+""",
+)
+def ml_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = F.expr(
+        "cast(floor(cast(embedding[0] as double) * 1000.0 + 0.5) as bigint)"
+    )
+    binned = e.select(
+        (
+            (
+                F.least(F.greatest(s, F.lit(_PAV_CLL)), F.lit(_PAV_CLH))
+                + F.lit(-_PAV_CLL)
+            )
+            / _PAV_W
+        )
+        .cast("int")
+        .alias("bin"),
+        (F.col("label") < 5).cast("int").alias("y"),
+    )
+    g = sorted(
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+        .collect(),
+        key=lambda r: r.bin,
+    )
+    bins = [r.bin for r in g]
+    ns0 = [int(r.n) for r in g]
+    ys0 = [int(r.sy) for r in g]
+    ns: list[int] = []
+    ys: list[int] = []
+    st: list[int] = []
+    i = 1
+    while True:
+        viol = len(ns) >= 2 and ys[-2] * ns[-1] > ys[-1] * ns[-2]
+        if viol:
+            ns = ns[:-2] + [ns[-2] + ns[-1]]
+            ys = ys[:-2] + [ys[-2] + ys[-1]]
+            st = st[:-1]
+        elif i <= len(bins):
+            ns.append(ns0[i - 1])
+            ys.append(ys0[i - 1])
+            st.append(i)
+            i += 1
+        else:
+            break
+    out = []
+    for j in range(1, len(bins) + 1):
+        k = sum(1 for v in st if v <= j)
+        out.append(
+            (
+                bins[j - 1],
+                ns0[j - 1],
+                ys0[j - 1],
+                ns[k - 1],
+                ys[k - 1],
+                round(float(ys[k - 1]) / ns[k - 1], 9),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "bin int, n bigint, y_pos bigint, blk_n bigint, blk_y bigint,"
+        " fitted double",
+    )
+
+
+# --------------------------------------------------------------------------
+# B252 (round 8) — logistic regression by IRLS/Newton on sufficient
+# statistics: the A10 iterative-solver shape (psvm's IPM inner loop)
+# with an EXACT oracle.  The corpus-sized work is ONE shuffle that
+# compresses the data to per-score sufficient statistics (x, n, sum_y)
+# — the clamped integer score domain is <= 2048 values by
+# construction, so the stat table is bounded and the K=3 Newton
+# iterations run at rank 0 on exact integers (the psvm
+# reduce-to-rank-0 + serial-solve decomposition; at 100 TB the scan
+# is the only data-sized cost and each iteration is O(2048)).
+# Exactness contract: probabilities quantize to p_fp = floor(p*1e6
+# + 0.5) computed from t = (w0_fp + w1_fp*x)/1e9 — Python's math.exp
+# and DuckDB's exp() both call the same system libm, so p_fp matches
+# bit-for-bit (the JVM's Math.exp is the one that may differ, which
+# is why the per-iteration probability table is built at the driver,
+# not in a Spark expression); weights re-quantize to a 1e-9 grid
+# after every Newton step, and the 2x2 solve runs in doubles from
+# exact bigint sums with a literally mirrored op sequence.  Overflow:
+# |x| <= 1024, r_fp <= 2.5e5, so S_rxx <= n * 2.6e11 < 2^63 through
+# sf10.
+
+_IRLS_K = 3
+_IRLS_PSC = 1_000_000  # probability fixed-point scale
+_IRLS_WSC = 1_000_000_000  # weight fixed-point scale
+_IRLS_CL = 1024  # score clamp: guarantees the bounded stat domain
+
+
+@query(
+    "ml_logistic_irls",
+    oracle=f"""
+WITH RECURSIVE q AS (
+  SELECT least(greatest(list_transform{_KML_Q}[1], {-_IRLS_CL}),
+               {_IRLS_CL - 1}) AS x,
+         CAST(label < 5 AS INT) AS y
+  FROM embeddings),
+stats AS (SELECT x, COUNT(*) AS n, SUM(y) AS sy FROM q GROUP BY x),
+it AS (
+  SELECT 0 AS k, CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1
+  UNION ALL
+  SELECT it.k + 1,
+         CAST(floor((CAST(it.w0 AS DOUBLE) / {_IRLS_WSC}
+                     + (CAST(s.s_rxx AS DOUBLE) * s.s_yp
+                        - CAST(s.s_rx AS DOUBLE) * s.s_ypx)
+                       / (CAST(s.s_r AS DOUBLE) * s.s_rxx
+                          - CAST(s.s_rx AS DOUBLE) * s.s_rx))
+                    * {_IRLS_WSC} + 0.5) AS BIGINT),
+         CAST(floor((CAST(it.w1 AS DOUBLE) / {_IRLS_WSC}
+                     + (CAST(s.s_r AS DOUBLE) * s.s_ypx
+                        - CAST(s.s_rx AS DOUBLE) * s.s_yp)
+                       / (CAST(s.s_r AS DOUBLE) * s.s_rxx
+                          - CAST(s.s_rx AS DOUBLE) * s.s_rx))
+                    * {_IRLS_WSC} + 0.5) AS BIGINT)
+  FROM it, LATERAL (
+    SELECT SUM(sy * {_IRLS_PSC} - n * p_fp) AS s_yp,
+           SUM(x * (sy * {_IRLS_PSC} - n * p_fp)) AS s_ypx,
+           SUM(n * r_fp) AS s_r,
+           SUM(n * r_fp * x) AS s_rx,
+           SUM(n * r_fp * x * x) AS s_rxx
+    FROM (
+      SELECT x, n, sy, p_fp,
+             (p_fp * ({_IRLS_PSC} - p_fp)) // {_IRLS_PSC} AS r_fp
+      FROM (
+        SELECT x, n, sy,
+               CAST(floor({_IRLS_PSC}
+                          / (1.0 + exp(-(CAST(it.w0 + it.w1 * x AS DOUBLE)
+                                         / {_IRLS_WSC})))
+                          + 0.5) AS BIGINT) AS p_fp
+        FROM stats) p) r) s
+  WHERE it.k < {_IRLS_K})
+SELECT CAST(k AS INT) AS iter, w0 AS w0_fp, w1 AS w1_fp
+FROM it WHERE k >= 1
+""",
+)
+def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s_expr = F.expr(
+        "cast(floor(cast(embedding[0] as double) * 1000.0 + 0.5) as bigint)"
+    )
+    stats = [
+        (int(r.x), int(r.n), int(r.sy))
+        for r in e.select(
+            F.least(
+                F.greatest(s_expr, F.lit(-_IRLS_CL)), F.lit(_IRLS_CL - 1)
+            ).alias("x"),
+            (F.col("label") < 5).cast("int").alias("y"),
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+        .collect()
+    ]
+    w0, w1 = 0, 0  # fixed-point bigints
+    out = []
+    for k in range(1, _IRLS_K + 1):
+        s_yp = s_ypx = s_r = s_rx = s_rxx = 0
+        for x, n, sy in stats:
+            t = float(w0 + w1 * x) / _IRLS_WSC
+            p_fp = int(math.floor(_IRLS_PSC / (1.0 + math.exp(-t)) + 0.5))
+            r_fp = (p_fp * (_IRLS_PSC - p_fp)) // _IRLS_PSC
+            s_yp += sy * _IRLS_PSC - n * p_fp
+            s_ypx += x * (sy * _IRLS_PSC - n * p_fp)
+            s_r += n * r_fp
+            s_rx += n * r_fp * x
+            s_rxx += n * r_fp * x * x
+        det = float(s_r) * s_rxx - float(s_rx) * s_rx
+        d0 = (float(s_rxx) * s_yp - float(s_rx) * s_ypx) / det
+        d1 = (float(s_r) * s_ypx - float(s_rx) * s_yp) / det
+        w0 = int(math.floor((float(w0) / _IRLS_WSC + d0) * _IRLS_WSC + 0.5))
+        w1 = int(math.floor((float(w1) / _IRLS_WSC + d1) * _IRLS_WSC + 0.5))
+        out.append((k, w0, w1))
+    return spark.createDataFrame(out, "iter int, w0_fp bigint, w1_fp bigint")

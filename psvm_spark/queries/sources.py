@@ -363,3 +363,49 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# B248 (round 8) — binaryFile source: Spark's built-in whole-file
+# binary reader (`format("binaryFile")`), the ingestion path for
+# opaque media blobs (images/audio/model shards) that have no row
+# structure.  One file per document is materialized from the fixture
+# text (deterministic bytes), scanned back as (path, length, content),
+# and verified by per-file byte length + md5 digest — the oracle
+# replays both from the source table, so the whole read path
+# (driver listing -> per-file tasks -> binary column) is hash-checked.
+# At 100 TB: binaryFile parallelizes one task per file and never
+# splits a blob, which is exactly right for media objects; pair it
+# with the WebDataset tar scan when files are small enough to need
+# shard-level batching.
+
+_BINF_N = 48  # files per run: enough for multi-task listing, tiny on disk
+
+
+@query(
+    "scan_binary_files",
+    oracle=f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < {_BINF_N}
+""",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="psvm_binfiles_")
+    for r in d.filter(F.col("doc_id") < _BINF_N).select("doc_id", "text").collect():
+        with open(os.path.join(root, f"{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .load(root)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )

@@ -1860,3 +1860,119 @@ def warehouse_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFram
     return F.broadcast(meta).crossJoin(pruned).select(
         "files_total", "files_scanned", "n_rows", "total"
     )
+
+
+# --------------------------------------------------------------------------
+# B246 (round 8) — snapshot isolation + time travel over the manifest
+# layer: the OTHER half of the table-format story (B245 is data
+# skipping).  Commits never rewrite history — they add data files and a
+# new snapshot manifest listing the files that are live AS OF that
+# commit (the Iceberg snapshot model).  Here: commit 1 writes orders
+# month-partitioned (snapshot 1 = all month files); commit 2 is a
+# delete/compaction that REPLACES the 1996-06 file with an urgent-only
+# rewrite (snapshot 2 = every other month's original file + the
+# rewrite).  Querying "AS OF" a snapshot reads exactly that manifest's
+# file list — the old June file still exists on disk, so snapshot 1
+# reproduces the pre-delete answer bit-for-bit.  At 100 TB this is how
+# a reproducible training run pins the corpus version while compaction
+# and GDPR deletes continue to commit on top; the manifests are
+# O(files) JSON read on the driver, the data reads touch only live
+# files.
+
+_TT_RW_MONTH = "1996-06-01"
+_TT_RW_PRIO = "1-URGENT"
+
+
+@query(
+    "warehouse_snapshot_time_travel",
+    oracle=f"""
+WITH months AS (
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo
+  FROM orders),
+s1 AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS tc
+  FROM orders),
+s2 AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS tc
+  FROM orders
+  WHERE NOT (CAST(date_trunc('month', o_orderdate) AS DATE)
+               = DATE '{_TT_RW_MONTH}'
+             AND o_orderpriority <> '{_TT_RW_PRIO}'))
+SELECT CAST(snapshot_id AS INT) AS snapshot_id,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(total_c AS BIGINT) AS total_c
+FROM (
+  SELECT 1 AS snapshot_id, (SELECT COUNT(*) FROM months) AS n_files,
+         n_rows, tc AS total_c
+  FROM s1
+  UNION ALL
+  SELECT 2, (SELECT COUNT(*) FROM months), n_rows, tc FROM s2)
+""",
+)
+def warehouse_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="psvm_timetravel_")
+    # commit 1: initial month-partitioned write + snapshot-1 manifest
+    (
+        o.withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(f"{root}/data")
+    )
+    months = sorted(
+        str(r.mo)
+        for r in o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mo")
+        )
+        .distinct()
+        .collect()
+    )
+    snap1 = [f"{root}/data/o_month={m}" for m in months]
+    with open(f"{root}/snap1.json", "w") as fh:
+        json.dump(snap1, fh)
+    # commit 2: delete/compaction rewrite of the 1996-06 file (urgent
+    # rows survive); history files are never touched
+    rw = f"{root}/rewrite/o_month={_TT_RW_MONTH}"
+    (
+        o.filter(
+            (F.date_trunc("month", "o_orderdate").cast("date")
+             == F.lit(_TT_RW_MONTH).cast("date"))
+            & (F.col("o_orderpriority") == _TT_RW_PRIO)
+        )
+        .write.mode("overwrite")
+        .parquet(rw)
+    )
+    snap2 = [
+        p if not p.endswith(f"o_month={_TT_RW_MONTH}") else rw for p in snap1
+    ]
+    with open(f"{root}/snap2.json", "w") as fh:
+        json.dump(snap2, fh)
+
+    def as_of(snap_path: str, sid: int) -> DataFrame:
+        with open(snap_path) as fh:
+            files = json.load(fh)
+        return (
+            spark.read.parquet(*files)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                    .cast("bigint")
+                )
+                .cast("bigint")
+                .alias("total_c"),
+            )
+            .select(
+                F.lit(sid).cast("int").alias("snapshot_id"),
+                F.lit(len(files)).cast("bigint").alias("n_files"),
+                "n_rows",
+                "total_c",
+            )
+        )
+
+    return as_of(f"{root}/snap1.json", 1).unionAll(as_of(f"{root}/snap2.json", 2))

@@ -544,3 +544,73 @@ class TestEsdOutliers:
             )
             assert (r.m, r.x_c, r.z) == (m_pick, x_pick, z), r.round
             removed.add(m_pick)
+
+
+class TestDtwDistance:
+    def test_dtw_leq_l1_and_symmetric_pairs(self, spark, sf_dir):
+        """DTW with free alignment can never exceed the aligned L1 cost,
+        and every unordered region pair appears exactly once."""
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ts_dtw_distance"](spark, sf_dir).collect()
+        regions = [r.r_name for r in load_table(spark, sf_dir, "region").collect()]
+        assert len(rows) == len(regions) * (len(regions) - 1) // 2
+        assert all(r.r1 < r.r2 for r in rows)
+        # aligned L1 replay for one pair
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        n = load_table(spark, sf_dir, "nation")
+        rg = load_table(spark, sf_dir, "region")
+        t = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .join(rg, n.n_regionkey == rg.r_regionkey)
+            .groupBy(
+                F.col("r_name").alias("rn"),
+                ((F.year("o_orderdate") - 1992) * 4
+                 + F.expr("(month(o_orderdate) - 1) div 3")).cast("int").alias("q"),
+            )
+            .agg(F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                       .cast("bigint")).alias("x"))
+        ).collect()
+        for row in rows:
+            sa = {r.q: int(r.x) for r in t if r.rn == row.r1}
+            sb = {r.q: int(r.x) for r in t if r.rn == row.r2}
+            l1 = sum(abs(sa.get(q, 0) - sb.get(q, 0)) for q in range(27))
+            assert 0 < row.dtw_c <= l1
+
+
+class TestKalmanFilter:
+    def test_state_tracks_series_scale_and_gain_converges(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ts_kalman_filter"](spark, sf_dir).collect()
+        assert len(rows) == 5  # market segments
+        # steady-state gain for P' = (1-K)(P+Q), K = (P+Q)/(P+Q+R) is the
+        # positive root of P^2 + PQ = QR: P* ~ 731k -> K* ~ 0.246
+        for r in rows:
+            assert 0 < r.gain_fp < 1_000_000
+            assert abs(r.gain_fp - 246_500) < 4_000  # converged to steady state
+            assert r.p_var > 0
+        # final state within the observed series envelope per segment
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        monthly = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(
+                F.col("c_mktsegment").alias("seg"),
+                ((F.year("o_orderdate") - 1995) * 12
+                 + F.month("o_orderdate") - 1).alias("m"),
+            )
+            .agg(F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                       .cast("bigint")).alias("z"))
+        ).collect()
+        for r in rows:
+            zs = [int(x.z) for x in monthly if x.seg == r.segment]
+            assert min(zs) <= r.m_c <= max(zs)

@@ -1438,3 +1438,21 @@ class TestWoeEncode:
         for r in rows:
             want = math.log(((r.n_pos + 1) * ng) / ((r.n_neg + 1) * p))
             assert abs(r.woe - want) < 1e-8, (r.bin, r.woe, want)
+
+
+class TestUrlCanonicalDedup:
+    def test_variants_collapse_and_first_occurrence_survives(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        df = QUERIES["dedup_url_canonical"](spark, sf_dir)
+        rows = df.collect()
+        n_docs_total = load_table(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in rows) == n_docs_total  # partition of the corpus
+        assert len(rows) < n_docs_total  # canonicalization actually collapsed variants
+        for r in rows:
+            u = r.canonical_url
+            assert u.startswith("https://")  # lowercased scheme
+            assert "WWW." not in u and ":443" not in u and "#" not in u
+            assert "utm_" not in u
+            assert not u.split("?")[0].endswith("/")

@@ -514,3 +514,58 @@ class TestFeatureTtestScreen:
             t = (m1 - m0) / np.sqrt(v1 / len(a) + v0 / len(b))
             assert abs(r.t_welch - t) < 1e-6, (r.dim, r.t_welch, t)
             assert r.n1 == len(a) and r.n0 == len(b)
+
+
+class TestIsotonicPav:
+    def test_fit_is_monotone_and_blockwise_exact(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["ml_isotonic_pav"](spark, sf_dir).collect(),
+            key=lambda r: r.bin,
+        )
+        assert len(rows) >= 3
+        fits = [r.fitted for r in rows]
+        assert all(a <= b for a, b in zip(fits, fits[1:]))  # isotonic
+        for r in rows:
+            assert r.fitted == round(r.blk_y / r.blk_n, 9)
+        # block totals partition the bin totals
+        blocks = {}
+        for r in rows:
+            blocks.setdefault((r.blk_n, r.blk_y, r.fitted), []).append(r)
+        for (bn, by, _), members in blocks.items():
+            assert sum(m.n for m in members) == bn
+            assert sum(m.y_pos for m in members) == by
+
+
+class TestLogisticIrls:
+    def test_newton_converges_and_beats_majority_class(self, spark, sf_dir):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["ml_logistic_irls"](spark, sf_dir).collect(),
+            key=lambda r: r.iter,
+        )
+        assert [r.iter for r in rows] == [1, 2, 3]
+        # converged: last two iterates agree to ~1e-4 in weight space
+        assert abs(rows[2].w0_fp - rows[1].w0_fp) < 1_000_000
+        assert abs(rows[2].w1_fp - rows[1].w1_fp) < 1_000_000
+        # the fitted model must classify training data at least as well
+        # as the majority class (Newton on a 1-feature logistic cannot
+        # do worse at its own training set)
+        e = load_table(spark, sf_dir, "embeddings")
+        s = F.expr("cast(floor(cast(embedding[0] as double) * 1000.0 + 0.5) as bigint)")
+        data = e.select(
+            F.least(F.greatest(s, F.lit(-1024)), F.lit(1023)).alias("x"),
+            (F.col("label") < 5).cast("int").alias("y"),
+        ).collect()
+        w0, w1 = rows[2].w0_fp, rows[2].w1_fp
+        correct = sum(1 for r in data if (w0 + w1 * r.x > 0) == (r.y == 1))
+        n = len(data)
+        majority = max(sum(r.y for r in data), n - sum(r.y for r in data))
+        assert correct >= majority

@@ -1063,3 +1063,21 @@ class TestLocalClustering:
         for r in loc:
             assert 0 <= r.cc_fp <= 1_000_000
             assert r.n_tri * 2 <= r.deg * (r.deg - 1)
+
+
+class TestBinaryFileScan:
+    def test_digests_match_source_bytes(self, spark, sf_dir):
+        import hashlib
+
+        from psvm_spark.registry import QUERIES
+        from psvm_spark.catalog import load_table
+
+        import pyspark.sql.functions as F
+
+        rows = {r.doc_id: r for r in QUERIES["scan_binary_files"](spark, sf_dir).collect()}
+        src = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).collect()
+        assert len(rows) == len(src) > 0
+        for s in src:
+            b = s.text.encode("utf-8")
+            assert rows[s.doc_id].n_bytes == len(b)
+            assert rows[s.doc_id].content_md5 == hashlib.md5(b).hexdigest()

@@ -38,3 +38,24 @@ class TestManifestPrunedScan:
         ).count()
         assert r.n_rows == direct
         assert 0 < r.files_scanned < r.files_total  # pruning actually fired
+
+
+class TestSnapshotTimeTravel:
+    def test_snapshot1_reproduces_predelete_answer(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        import pyspark.sql.functions as F
+
+        rows = {r.snapshot_id: r for r in
+                QUERIES["warehouse_snapshot_time_travel"](spark, sf_dir).collect()}
+        o = load_table(spark, sf_dir, "orders")
+        assert rows[1].n_rows == o.count()  # as-of s1 == full pre-delete table
+        # the s2 rewrite dropped exactly the non-urgent June rows
+        june = o.filter(
+            F.date_trunc("month", "o_orderdate").cast("date") == F.lit("1996-06-01").cast("date")
+        )
+        dropped = june.filter(F.col("o_orderpriority") != "1-URGENT").count()
+        assert dropped > 0
+        assert rows[1].n_rows - rows[2].n_rows == dropped
+        assert rows[1].n_files == rows[2].n_files  # rewrite replaces, never appends history
