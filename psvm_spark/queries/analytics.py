@@ -4129,3 +4129,85 @@ def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kf.p").cast("bigint").alias("p_var"),
         F.col("kf.k").cast("bigint").alias("gain_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# B254 (round 8) — Haar wavelet decomposition of the monthly revenue
+# series: the multi-resolution energy profile (which timescales carry
+# the variance — month-to-month noise vs quarterly vs annual swings)
+# that seasonality diagnostics read before picking a model.  The
+# UNNORMALIZED Haar cascade (s = a+b, d = a-b per pair, six levels
+# over the first 64 months) is ALL-INTEGER — no sqrt(2) scaling — so
+# every coefficient is exact; inputs downscale to cents div 10000
+# (hundredths of dollars -> whole hundreds) to keep level-6 d^2 sums
+# under 2^63 through 100x amplification.  The corpus-sized work is
+# the monthly rollup; the 64-point cascade replays at rank 0 and in
+# the oracle's recursive CTE (the ESD/boosting driver-replay shape).
+
+_HAAR_N = 64  # months 1992-01 .. 1997-04 (gapless in the fixture)
+_HAAR_LV = 6
+
+
+@query(
+    "ts_haar_wavelet",
+    oracle=f"""
+WITH RECURSIVE monthly AS (
+  SELECT CAST((EXTRACT(year FROM o_orderdate) - 1992) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS m,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+           // 10000 AS x
+  FROM orders GROUP BY 1),
+ser AS (
+  SELECT list(COALESCE(mo.x, 0) ORDER BY g.m) AS a
+  FROM (SELECT unnest(generate_series(0, {_HAAR_N - 1})) AS m) g
+  LEFT JOIN monthly mo ON mo.m = g.m),
+it AS (
+  SELECT 0 AS l, a, CAST(0 AS BIGINT) AS energy, CAST(0 AS BIGINT) AS maxd
+  FROM ser
+  UNION ALL
+  SELECT l + 1,
+         [a[2 * i - 1] + a[2 * i] FOR i IN generate_series(1, len(a) // 2)],
+         CAST(list_sum([(a[2 * i - 1] - a[2 * i]) * (a[2 * i - 1] - a[2 * i])
+                        FOR i IN generate_series(1, len(a) // 2)]) AS BIGINT),
+         CAST(list_max([abs(a[2 * i - 1] - a[2 * i])
+                        FOR i IN generate_series(1, len(a) // 2)]) AS BIGINT)
+  FROM it WHERE l < {_HAAR_LV})
+SELECT CAST(l AS INT) AS level, CAST(len(a) AS INT) AS n_coeffs,
+       energy, maxd AS max_abs_d, CAST(a[1] AS BIGINT) AS first_approx
+FROM it WHERE l >= 1
+""",
+)
+def ts_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = {
+        r.m: int(r.x)
+        for r in o.groupBy(
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+            .cast("int")
+            .alias("m")
+        )
+        # integer `div`, never float `/`: the double quotient of a big
+        # cent sum can round up across an integer boundary before the
+        # cast truncates, off-by-one vs the oracle's exact `//`
+        .agg(
+            F.expr(
+                "sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint))"
+                " div 10000"
+            ).alias("x")
+        )
+        .collect()
+    }
+    a = [monthly.get(m, 0) for m in range(_HAAR_N)]
+    out = []
+    for level in range(1, _HAAR_LV + 1):
+        s = [a[2 * i] + a[2 * i + 1] for i in range(len(a) // 2)]
+        d = [a[2 * i] - a[2 * i + 1] for i in range(len(a) // 2)]
+        out.append(
+            (level, len(s), sum(v * v for v in d), max(abs(v) for v in d), s[0])
+        )
+        a = s
+    return spark.createDataFrame(
+        out,
+        "level int, n_coeffs int, energy bigint, max_abs_d bigint,"
+        " first_approx bigint",
+    )

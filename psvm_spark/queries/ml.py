@@ -1545,3 +1545,143 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         w1 = int(math.floor((float(w1) / _IRLS_WSC + d1) * _IRLS_WSC + 0.5))
         out.append((k, w0, w1))
     return spark.createDataFrame(out, "iter int, w0_fp bigint, w1_fp bigint")
+
+
+# --------------------------------------------------------------------------
+# B253 (round 8) — two-component 1-D Gaussian mixture by EM, on the
+# same sufficient-statistics decomposition as ml_logistic_irls: one
+# shuffle compresses the corpus to (x, n) over the clamped integer
+# score domain (<= 2048 rows by construction), then K=3 EM iterations
+# run at rank 0 and are replayed exactly by the oracle's recursive
+# CTE.  Per-iteration determinism: responsibilities quantize to
+# r_fp = floor(r * 1e6 + 0.5) computed from double densities whose
+# exp/sqrt come from the SAME system libm on both replay engines
+# (Python at the driver, DuckDB in the oracle — the IRLS contract);
+# the M-step moments are then exact integers, and the new
+# (pi, mu, var) re-quantize to fixed grids before the next E-step.
+# At 100 TB the scan is the only data-sized cost; EM never sees rows,
+# only the bounded stat table.
+
+_GMM_K = 3  # EM iterations
+_GMM_RSC = 1_000_000  # responsibility fixed point
+_GMM_MSC = 1_000  # mean fixed point (thousandths of a score unit)
+_GMM_MU1, _GMM_MU2 = -256_000, 256_000  # init means (MSC scale)
+_GMM_V0 = 65_536  # init variance (score units squared)
+
+
+@query(
+    "ml_gmm_em",
+    oracle=f"""
+WITH RECURSIVE q AS (
+  SELECT least(greatest(list_transform{_KML_Q}[1], -1024), 1023) AS x
+  FROM embeddings),
+stats AS (SELECT x, COUNT(*) AS n FROM q GROUP BY x),
+tot AS (SELECT SUM(n) AS nn FROM stats),
+it AS (
+  SELECT 0 AS k,
+         CAST({_GMM_MU1} AS BIGINT) AS mu1, CAST({_GMM_MU2} AS BIGINT) AS mu2,
+         CAST({_GMM_V0} AS BIGINT) AS v1, CAST({_GMM_V0} AS BIGINT) AS v2,
+         CAST(500000 AS BIGINT) AS pi1
+  UNION ALL
+  SELECT it.k + 1,
+         CAST(floor(CAST(s.s1 AS DOUBLE) / s.n1 * {_GMM_MSC} + 0.5) AS BIGINT),
+         CAST(floor(CAST(s.s2 AS DOUBLE) / s.n2 * {_GMM_MSC} + 0.5) AS BIGINT),
+         greatest(CAST(floor(CAST(s.q1 AS DOUBLE) / s.n1
+                             - (CAST(s.s1 AS DOUBLE) / s.n1)
+                               * (CAST(s.s1 AS DOUBLE) / s.n1) + 0.5)
+                       AS BIGINT), 1),
+         greatest(CAST(floor(CAST(s.q2 AS DOUBLE) / s.n2
+                             - (CAST(s.s2 AS DOUBLE) / s.n2)
+                               * (CAST(s.s2 AS DOUBLE) / s.n2) + 0.5)
+                       AS BIGINT), 1),
+         CAST(floor(CAST(s.n1 AS DOUBLE) / (s.n1 + s.n2) * {_GMM_RSC} + 0.5)
+              AS BIGINT)
+  FROM it, LATERAL (
+    SELECT SUM(n * r1) AS n1, SUM(n * ({_GMM_RSC} - r1)) AS n2,
+           SUM(n * r1 * x) AS s1, SUM(n * ({_GMM_RSC} - r1) * x) AS s2,
+           SUM(n * r1 * x * x) AS q1,
+           SUM(n * ({_GMM_RSC} - r1) * x * x) AS q2
+    FROM (
+      SELECT x, n,
+             CAST(floor(p1 / (p1 + p2) * {_GMM_RSC} + 0.5) AS BIGINT) AS r1
+      FROM (
+        SELECT x, n,
+               CAST(it.pi1 AS DOUBLE) / {_GMM_RSC}
+                 * exp(-(x - CAST(it.mu1 AS DOUBLE) / {_GMM_MSC})
+                        * (x - CAST(it.mu1 AS DOUBLE) / {_GMM_MSC})
+                        / (2.0 * it.v1)) / sqrt(CAST(it.v1 AS DOUBLE)) AS p1,
+               (1.0 - CAST(it.pi1 AS DOUBLE) / {_GMM_RSC})
+                 * exp(-(x - CAST(it.mu2 AS DOUBLE) / {_GMM_MSC})
+                        * (x - CAST(it.mu2 AS DOUBLE) / {_GMM_MSC})
+                        / (2.0 * it.v2)) / sqrt(CAST(it.v2 AS DOUBLE)) AS p2
+        FROM stats) d) r) s
+  WHERE it.k < {_GMM_K})
+SELECT CAST(k AS INT) AS iter, mu1 AS mu1_fp, mu2 AS mu2_fp,
+       v1 AS var1, v2 AS var2, pi1 AS pi1_fp
+FROM it WHERE k >= 1
+""",
+)
+def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s_expr = F.expr(
+        "cast(floor(cast(embedding[0] as double) * 1000.0 + 0.5) as bigint)"
+    )
+    stats = [
+        (int(r.x), int(r.n))
+        for r in e.select(
+            F.least(F.greatest(s_expr, F.lit(-1024)), F.lit(1023)).alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    mu1, mu2, v1, v2, pi1 = _GMM_MU1, _GMM_MU2, _GMM_V0, _GMM_V0, 500_000
+    out = []
+    for k in range(1, _GMM_K + 1):
+        n1s = n2s = s1 = s2 = q1 = q2 = 0
+        for x, n in stats:
+            d1 = x - float(mu1) / _GMM_MSC
+            d2 = x - float(mu2) / _GMM_MSC
+            p1 = (
+                float(pi1) / _GMM_RSC
+                * math.exp(-d1 * d1 / (2.0 * v1))
+                / math.sqrt(float(v1))
+            )
+            p2 = (
+                (1.0 - float(pi1) / _GMM_RSC)
+                * math.exp(-d2 * d2 / (2.0 * v2))
+                / math.sqrt(float(v2))
+            )
+            r1 = int(math.floor(p1 / (p1 + p2) * _GMM_RSC + 0.5))
+            n1s += n * r1
+            n2s += n * (_GMM_RSC - r1)
+            s1 += n * r1 * x
+            s2 += n * (_GMM_RSC - r1) * x
+            q1 += n * r1 * x * x
+            q2 += n * (_GMM_RSC - r1) * x * x
+        mu1 = int(math.floor(float(s1) / n1s * _GMM_MSC + 0.5))
+        mu2 = int(math.floor(float(s2) / n2s * _GMM_MSC + 0.5))
+        v1 = max(
+            int(
+                math.floor(
+                    float(q1) / n1s - (float(s1) / n1s) * (float(s1) / n1s) + 0.5
+                )
+            ),
+            1,
+        )
+        v2 = max(
+            int(
+                math.floor(
+                    float(q2) / n2s - (float(s2) / n2s) * (float(s2) / n2s) + 0.5
+                )
+            ),
+            1,
+        )
+        pi1 = int(math.floor(float(n1s) / (n1s + n2s) * _GMM_RSC + 0.5))
+        out.append((k, mu1, mu2, v1, v2, pi1))
+    return spark.createDataFrame(
+        out, "iter int, mu1_fp bigint, mu2_fp bigint, var1 bigint,"
+        " var2 bigint, pi1_fp bigint"
+    )

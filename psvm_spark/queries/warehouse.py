@@ -1976,3 +1976,107 @@ def warehouse_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     return as_of(f"{root}/snap1.json", 1).unionAll(as_of(f"{root}/snap2.json", 2))
+
+
+# --------------------------------------------------------------------------
+# B255 (round 8) — vacuum of unreferenced data files: the third table-
+# format maintenance op (B245 data skipping, B246 time travel).  After
+# the June delete/compaction commit, the ORIGINAL June file is still
+# on disk (snapshot 1 needs it); once the retention policy expires
+# snapshot 1, vacuum walks the physical file listing, keeps every file
+# referenced by the retained manifest, and deletes the rest.  Output
+# proves the invariant that matters: files_removed counts only
+# unreferenced files, and the retained snapshot's answer re-read AFTER
+# the vacuum is unchanged (hash-checked against the source table).
+# At 100 TB vacuum is a driver-side manifest diff (O(files)) plus
+# parallel deletes — it never reads data.
+
+_VAC_RW_MONTH = "1996-06-01"
+_VAC_RW_PRIO = "1-URGENT"
+
+
+@query(
+    "warehouse_vacuum_unreferenced",
+    oracle=f"""
+WITH months AS (
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo
+  FROM orders),
+s2 AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS tc
+  FROM orders
+  WHERE NOT (CAST(date_trunc('month', o_orderdate) AS DATE)
+               = DATE '{_VAC_RW_MONTH}'
+             AND o_orderpriority <> '{_VAC_RW_PRIO}'))
+SELECT CAST((SELECT COUNT(*) FROM months) + 1 AS BIGINT) AS files_before,
+       CAST(1 AS BIGINT) AS files_removed,
+       CAST((SELECT COUNT(*) FROM months) AS BIGINT) AS files_live,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(tc AS BIGINT) AS total_c
+FROM s2
+""",
+)
+def warehouse_vacuum_unreferenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="psvm_vacuum_")
+    (
+        o.withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(f"{root}/data")
+    )
+    months = sorted(
+        str(r.mo)
+        for r in o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mo")
+        )
+        .distinct()
+        .collect()
+    )
+    rw = f"{root}/rewrite/o_month={_VAC_RW_MONTH}"
+    (
+        o.filter(
+            (F.date_trunc("month", "o_orderdate").cast("date")
+             == F.lit(_VAC_RW_MONTH).cast("date"))
+            & (F.col("o_orderpriority") == _VAC_RW_PRIO)
+        )
+        .write.mode("overwrite")
+        .parquet(rw)
+    )
+    # retained manifest = snapshot 2 (snapshot 1 expired by retention)
+    snap2 = [
+        f"{root}/data/o_month={m}" if m != _VAC_RW_MONTH else rw for m in months
+    ]
+    with open(f"{root}/snap2.json", "w") as fh:
+        json.dump(snap2, fh)
+    # vacuum: physical listing diffed against the retained manifest
+    on_disk = sorted(
+        [f"{root}/data/o_month={m}" for m in months] + [rw]
+    )
+    with open(f"{root}/snap2.json") as fh:
+        live = set(json.load(fh))
+    removed = [p for p in on_disk if p not in live]
+    for p in removed:
+        shutil.rmtree(p)
+    # retained snapshot re-read AFTER the vacuum — must be unchanged
+    agg = (
+        spark.read.parquet(*sorted(live))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_c"),
+        )
+    )
+    meta = spark.createDataFrame(
+        [(len(on_disk), len(removed), len(live))],
+        "files_before long, files_removed long, files_live long",
+    )
+    return F.broadcast(meta).crossJoin(agg).select(
+        "files_before", "files_removed", "files_live", "n_rows", "total_c"
+    )

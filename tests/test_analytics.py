@@ -614,3 +614,40 @@ class TestKalmanFilter:
         for r in rows:
             zs = [int(x.z) for x in monthly if x.seg == r.segment]
             assert min(zs) <= r.m_c <= max(zs)
+
+
+class TestHaarWavelet:
+    def test_energy_conservation_and_cascade_shape(self, spark, sf_dir):
+        """Unnormalized Haar: 2*||a_l||^2 = ||s_l||^2 + ||d_l||^2 per
+        level, so the cascade is replayable from the monthly series."""
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["ts_haar_wavelet"](spark, sf_dir).collect(),
+            key=lambda r: r.level,
+        )
+        assert [r.level for r in rows] == [1, 2, 3, 4, 5, 6]
+        assert [r.n_coeffs for r in rows] == [32, 16, 8, 4, 2, 1]
+        monthly = {
+            r.m: int(r.x)
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy(
+                ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+                .cast("int").alias("m")
+            )
+            .agg(F.expr(
+                "sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint))"
+                " div 10000").alias("x"))
+            .collect()
+        }
+        a = [monthly.get(m, 0) for m in range(64)]
+        for r in rows:
+            s = [a[2 * i] + a[2 * i + 1] for i in range(len(a) // 2)]
+            d = [a[2 * i] - a[2 * i + 1] for i in range(len(a) // 2)]
+            assert r.energy == sum(v * v for v in d)
+            assert 2 * sum(v * v for v in a) == sum(v * v for v in s) + r.energy
+            assert r.first_approx == s[0]
+            a = s

@@ -569,3 +569,19 @@ class TestLogisticIrls:
         n = len(data)
         majority = max(sum(r.y for r in data), n - sum(r.y for r in data))
         assert correct >= majority
+
+
+class TestGmmEm:
+    def test_components_separate_and_responsibilities_partition(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["ml_gmm_em"](spark, sf_dir).collect(), key=lambda r: r.iter
+        )
+        assert [r.iter for r in rows] == [1, 2, 3]
+        last = rows[-1]
+        assert last.mu1_fp < 0 < last.mu2_fp  # components keep their sides
+        assert last.var1 >= 1 and last.var2 >= 1
+        assert 0 < last.pi1_fp < 1_000_000
+        # EM from a symmetric-ish init stays near balanced on this corpus
+        assert abs(last.pi1_fp - 500_000) < 200_000

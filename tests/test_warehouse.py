@@ -59,3 +59,24 @@ class TestSnapshotTimeTravel:
         assert dropped > 0
         assert rows[1].n_rows - rows[2].n_rows == dropped
         assert rows[1].n_files == rows[2].n_files  # rewrite replaces, never appends history
+
+
+class TestVacuumUnreferenced:
+    def test_vacuum_removes_only_unreferenced_and_keeps_answers(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        r = QUERIES["warehouse_vacuum_unreferenced"](spark, sf_dir).collect()[0]
+        assert r.files_removed == 1  # exactly the orphaned June original
+        assert r.files_before == r.files_live + r.files_removed
+        o = load_table(spark, sf_dir, "orders")
+        expect = o.filter(
+            ~(
+                (F.date_trunc("month", "o_orderdate").cast("date")
+                 == F.lit("1996-06-01").cast("date"))
+                & (F.col("o_orderpriority") != "1-URGENT")
+            )
+        ).count()
+        assert r.n_rows == expect
