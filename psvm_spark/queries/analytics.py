@@ -4211,3 +4211,127 @@ def ts_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level int, n_coeffs int, energy bigint, max_abs_d bigint,"
         " first_approx bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# B257 (round 8) — Wald sequential probability ratio test (SPRT) per
+# experiment arm: the always-valid sequential alternative to the fixed-
+# horizon z-test (ab_test_proportions) — peek after EVERY observation
+# and stop the moment the log-likelihood ratio crosses a Wald boundary.
+# Fully distributed, no driver loop: because the Bernoulli LLR is
+# llr_n = a*k_n + b*(n - k_n) with constants a = ln(p1/p0),
+# b = ln((1-p1)/(1-p0)), the whole decision path is ONE integer
+# cumulative-sum window over the event stream ordered by event_id.
+# The libm constants are evaluated ONCE at import time (Python) and
+# baked as identical fixed-point literals into both engines, so no
+# runtime float ever crosses engines — every llr_n is an exact bigint.
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.20, 0.25  # H0/H1 purchase rates
+_SPRT_FP = 1_000_000_000
+_SPRT_A = int(_math.floor(_math.log(_SPRT_P1 / _SPRT_P0) * _SPRT_FP + 0.5))
+_SPRT_B = int(
+    _math.floor(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * _SPRT_FP + 0.5)
+)
+# alpha = beta = 0.05 -> boundaries +-ln(19)
+_SPRT_UP = int(_math.floor(_math.log(19.0) * _SPRT_FP + 0.5))
+
+
+@query(
+    "ab_test_sprt",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         CAST(event_type = 'purchase' AS INT) AS y,
+         event_id
+  FROM events),
+c AS (
+  SELECT arm, event_id, y,
+         ROW_NUMBER() OVER w AS n,
+         SUM(y) OVER w AS k,
+         {_SPRT_A} * SUM(y) OVER w
+           + {_SPRT_B} * (ROW_NUMBER() OVER w - SUM(y) OVER w) AS llr
+  FROM s
+  WINDOW w AS (PARTITION BY arm ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING)),
+hit AS (
+  SELECT arm, n, k, llr,
+         ROW_NUMBER() OVER (PARTITION BY arm ORDER BY n) AS rnk
+  FROM c WHERE llr >= {_SPRT_UP} OR llr <= {-_SPRT_UP}),
+last AS (
+  SELECT arm, n, k, llr,
+         ROW_NUMBER() OVER (PARTITION BY arm ORDER BY n DESC) AS rnk
+  FROM c)
+SELECT l.arm,
+       CASE WHEN h.n IS NOT NULL AND h.llr >= {_SPRT_UP} THEN 'accept_h1'
+            WHEN h.n IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       CAST(COALESCE(h.n, l.n) AS BIGINT) AS n_dec,
+       CAST(COALESCE(h.k, l.k) AS BIGINT) AS k_dec,
+       CAST(COALESCE(h.llr, l.llr) AS BIGINT) AS llr_fp
+FROM (SELECT * FROM last WHERE rnk = 1) l
+LEFT JOIN (SELECT * FROM hit WHERE rnk = 1) h ON h.arm = l.arm
+""",
+)
+def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = e.select(
+        "arm",
+        F.row_number()
+        .over(Window.partitionBy("arm").orderBy("event_id"))
+        .alias("n"),
+        F.sum("y").over(w).alias("k"),
+        (
+            F.lit(_SPRT_A) * F.sum("y").over(w)
+            + F.lit(_SPRT_B)
+            * (
+                F.row_number()
+                .over(Window.partitionBy("arm").orderBy("event_id"))
+                - F.sum("y").over(w)
+            )
+        ).alias("llr"),
+    )
+    hit = (
+        c.filter((F.col("llr") >= _SPRT_UP) | (F.col("llr") <= -_SPRT_UP))
+        .withColumn(
+            "rnk", F.row_number().over(Window.partitionBy("arm").orderBy("n"))
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            "arm",
+            F.col("n").alias("hn"),
+            F.col("k").alias("hk"),
+            F.col("llr").alias("hllr"),
+        )
+    )
+    last = (
+        c.withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("arm").orderBy(F.desc("n"))),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("arm", "n", "k", "llr")
+    )
+    return last.join(F.broadcast(hit), "arm", "left").select(
+        "arm",
+        F.when(
+            F.col("hn").isNotNull() & (F.col("hllr") >= _SPRT_UP),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("hn").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.coalesce("hn", "n").cast("bigint").alias("n_dec"),
+        F.coalesce("hk", "k").cast("bigint").alias("k_dec"),
+        F.coalesce("hllr", "llr").cast("bigint").alias("llr_fp"),
+    )

@@ -8683,3 +8683,112 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("keep_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# B258 (round 8) — DoReMi-style domain reweighting (Xie et al. 2023):
+# compute each domain's EXCESS LOSS (mean per-token surprisal under
+# the domain's own unigram LM vs the corpus-global LM, add-one
+# smoothed) and exponentiate it into mixture weights
+# w_d ∝ share_d * exp(eta * excess_d) — domains whose text the global
+# model fits worst get up-weighted, the multiplicative-weights shape
+# DoReMi iterates during proxy training (with a static excess signal,
+# K MW steps collapse to one softmax at eta*K, so one step IS the
+# faithful form here).  Distribution: token-count shuffles produce
+# per-domain sufficient stats; the <= 5-row domain table collects to
+# the driver for the exp/normalize (libm-shared with the oracle), and
+# the normalization folds in LANG-SORTED order on both engines so the
+# double sum is order-pinned.  Exactness: per-token ln terms round9 to
+# decimal (the rho pattern), bigint x decimal products go through
+# double (the documented precision-38 trap).
+
+_DOREMI_ETA = 1.0
+
+
+@query(
+    "select_doremi_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+g AS (SELECT tok, COUNT(*) AS c_g FROM tok GROUP BY tok),
+dm AS (SELECT lang, tok, COUNT(*) AS c_d FROM tok GROUP BY lang, tok),
+v AS (SELECT COUNT(*) AS nv FROM g),
+tg AS (SELECT COUNT(*) AS nt FROM tok),
+td AS (SELECT lang, COUNT(*) AS nt_d FROM tok GROUP BY lang),
+dw AS (
+  SELECT d.lang, d.c_d AS c_d, gg.c_g,
+         CAST(round(ln(d.c_d + 1), 9) AS DECIMAL(18,9))
+           - CAST(round(ln(gg.c_g + 1), 9) AS DECIMAL(18,9)) AS w
+  FROM dm d JOIN g gg ON d.tok = gg.tok),
+sums AS (
+  SELECT t.lang, SUM(dd.w * dd.c_d) AS sum_dw
+  FROM (SELECT DISTINCT lang FROM tok) t
+  JOIN dw dd ON dd.lang = t.lang
+  GROUP BY t.lang),
+ex AS (
+  SELECT s.lang, td.nt_d,
+         round((CAST(s.sum_dw AS DOUBLE)
+                + CAST(td.nt_d AS DOUBLE)
+                  * CAST(CAST(round(ln(tg.nt + v.nv), 9) AS DECIMAL(18,9))
+                         - CAST(round(ln(td.nt_d + v.nv), 9) AS DECIMAL(18,9))
+                         AS DOUBLE)) / td.nt_d, 9) AS excess
+  FROM sums s
+  JOIN td ON td.lang = s.lang
+  CROSS JOIN tg CROSS JOIN v),
+raw AS (
+  SELECT lang, nt_d, excess,
+         CAST(nt_d AS DOUBLE) / (SELECT nt FROM tg)
+           * exp({_DOREMI_ETA} * excess) AS w_raw
+  FROM ex),
+tot AS (SELECT list_sum(list(w_raw ORDER BY lang)) AS t FROM raw)
+SELECT r.lang, CAST(r.nt_d AS BIGINT) AS n_tok, r.excess,
+       round(r.w_raw / tot.t, 9) AS weight
+FROM raw r CROSS JOIN tot
+""",
+)
+def select_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    g = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_g"))
+    dm = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_d"))
+    nv = g.count()
+    nt = tok.count()
+    dw = dm.join(g, "tok").select(
+        "lang",
+        "c_d",
+        (
+            F.round(F.log(F.col("c_d") + 1), 9).cast("decimal(18,9)")
+            - F.round(F.log(F.col("c_g") + 1), 9).cast("decimal(18,9)")
+        ).alias("w"),
+    )
+    stats = sorted(
+        dw.groupBy("lang")
+        .agg(
+            F.sum(F.col("w") * F.col("c_d")).alias("sum_dw"),
+            F.sum("c_d").alias("nt_d"),
+        )
+        .collect(),
+        key=lambda r: r.lang,
+    )
+    lng = round(math.log(nt + nv), 9)
+    rows = []
+    for r in stats:
+        const = float(
+            __import__("decimal").Decimal(str(lng))
+            - __import__("decimal").Decimal(str(round(math.log(int(r.nt_d) + nv), 9)))
+        )
+        excess = round(
+            (float(r.sum_dw) + float(r.nt_d) * const) / int(r.nt_d), 9
+        )
+        w_raw = float(r.nt_d) / nt * math.exp(_DOREMI_ETA * excess)
+        rows.append((r.lang, int(r.nt_d), excess, w_raw))
+    tot = 0.0
+    for _, _, _, w_raw in rows:  # lang-sorted fold, mirrored in the oracle
+        tot += w_raw
+    out = [(l, n, e, round(w / tot, 9)) for l, n, e, w in rows]
+    return spark.createDataFrame(
+        out, "lang string, n_tok bigint, excess double, weight double"
+    )

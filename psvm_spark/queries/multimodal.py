@@ -945,3 +945,94 @@ def mm_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, n_frames int, n_boundaries long, n_shots long,"
         " dist_checksum double",
     )
+
+
+# --------------------------------------------------------------------------
+# B256 (round 8) — ViT-style patch embedding across the binary decode
+# boundary: every image is decoded (pure-NumPy PPM), split into 2x2
+# patches on the 8x6 grid (12 patches), and each patch embeds as its
+# exact per-channel integer pixel sums — the patchify + linear-proj
+# front half of every vision-transformer feature pipeline, minus the
+# learned weights (a deterministic identity "projection" keeps the
+# oracle exact; the real projection is one broadcast matmul away and
+# changes nothing about the Spark plumbing being tested: binary
+# column in, Arrow batch decode, (media, patch) rows out).  The
+# oracle recomputes every patch sum from the digest hex alone, so the
+# whole decode -> patchify -> embed path is hash-checked.  At 100 TB
+# decode runs where the data lives (mapInPandas), one task per input
+# split, no shuffle at all.
+
+_PATCH = 2  # 2x2 patches on the 8x6 PPM grid -> 4 cols x 3 rows
+
+
+def _patch_embed_oracle() -> str:
+    n_cols, n_rows = _PPM_W // _PATCH, _PPM_H // _PATCH
+    sums = {
+        c: " + ".join(
+            _by(f"3*((2*pr + {dy})*{_PPM_W} + (2*pc + {dx}))+{c}")
+            for dy in range(_PATCH)
+            for dx in range(_PATCH)
+        )
+        for c in range(3)
+    }
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE CAST(doc_id % 3 AS INT) = 0),
+g AS (
+  SELECT doc_id AS media_id, h, pr.r AS pr, pc.c AS pc
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, {n_rows - 1})) AS r) pr,
+       LATERAL (SELECT unnest(generate_series(0, {n_cols - 1})) AS c) pc)
+SELECT media_id, CAST(pr AS INT) AS pr, CAST(pc AS INT) AS pc,
+       CAST({sums[0]} AS BIGINT) AS sum_r,
+       CAST({sums[1]} AS BIGINT) AS sum_g,
+       CAST({sums[2]} AS BIGINT) AS sum_b
+FROM g
+"""
+
+
+@query("mm_image_patch_embed", oracle=_patch_embed_oracle())
+def mm_image_patch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    )
+
+    def patchify(batches):
+        def decode_ppm(buf: bytes):
+            if buf[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            parts, idx = [], 2
+            while len(parts) < 3:
+                while buf[idx] in b" \t\r\n":
+                    idx += 1
+                start = idx
+                while buf[idx] not in b" \t\r\n":
+                    idx += 1
+                parts.append(int(buf[start:idx]))
+            idx += 1
+            w, h, _ = parts
+            return np.frombuffer(
+                buf, dtype=np.uint8, count=w * h * 3, offset=idx
+            ).reshape(h, w, 3)
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(bytes(buf)).astype(np.int64)
+                for pr in range(_PPM_H // _PATCH):
+                    for pc in range(_PPM_W // _PATCH):
+                        patch = px[
+                            2 * pr : 2 * pr + _PATCH, 2 * pc : 2 * pc + _PATCH, :
+                        ]
+                        s = patch.sum(axis=(0, 1))
+                        rows.append(
+                            (int(mid), pr, pc, int(s[0]), int(s[1]), int(s[2]))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "pr", "pc", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return m.mapInPandas(
+        patchify,
+        "media_id long, pr int, pc int, sum_r bigint, sum_g bigint, sum_b bigint",
+    )

@@ -2080,3 +2080,131 @@ def warehouse_vacuum_unreferenced(spark: SparkSession, sf_dir: str) -> DataFrame
     return F.broadcast(meta).crossJoin(agg).select(
         "files_before", "files_removed", "files_live", "n_rows", "total_c"
     )
+
+
+# --------------------------------------------------------------------------
+# B259 (round 8) — partition-spec evolution: the Iceberg capability
+# that tables can change their partitioning WITHOUT rewriting history.
+# Pre-1996 commits wrote spec-1 files (partitioned by month); later
+# commits write spec-2 (month x order priority).  The manifest records
+# each file's spec and partition values, so one query plans against
+# BOTH specs: spec-2 files prune on month AND priority at the metadata
+# layer, spec-1 files prune on month only and apply the priority
+# predicate as a row filter — old data never blocks a better layout.
+# Output proves per-spec pruning (files scanned per spec) and that the
+# answer matches a direct filter of the source.  At 100 TB this is how
+# yesterday's layout coexists with today's: re-layout is an economic
+# choice, not a correctness migration.
+
+_PE_LO, _PE_HI = "1995-10-01", "1996-04-01"
+_PE_PRIO = "1-URGENT"
+_PE_SPLIT = "1996-01-01"  # spec-1 before, spec-2 from here on
+
+
+@query(
+    "warehouse_partition_evolution",
+    oracle=f"""
+WITH m1 AS (
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo
+  FROM orders WHERE o_orderdate < DATE '{_PE_SPLIT}'),
+m2 AS (
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderdate >= DATE '{_PE_SPLIT}'),
+agg AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS tc
+  FROM orders
+  WHERE o_orderdate >= DATE '{_PE_LO}' AND o_orderdate < DATE '{_PE_HI}'
+    AND o_orderpriority = '{_PE_PRIO}')
+SELECT CAST((SELECT COUNT(*) FROM m1) + (SELECT COUNT(*) FROM m2) AS BIGINT)
+         AS files_total,
+       CAST((SELECT COUNT(*) FROM m1
+             WHERE mo >= DATE '{_PE_LO}' AND mo < DATE '{_PE_HI}') AS BIGINT)
+         AS files_scanned_spec1,
+       CAST((SELECT COUNT(*) FROM m2
+             WHERE mo >= DATE '{_PE_LO}' AND mo < DATE '{_PE_HI}'
+               AND prio = '{_PE_PRIO}') AS BIGINT) AS files_scanned_spec2,
+       CAST(a.n_rows AS BIGINT) AS n_rows,
+       CAST(a.tc AS BIGINT) AS total_c
+FROM agg a
+""",
+)
+def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_trunc("month", "o_orderdate").cast("date")
+    )
+    root = tempfile.mkdtemp(prefix="psvm_specevo_")
+    split = F.lit(_PE_SPLIT).cast("date")
+    (
+        o.filter(F.col("o_orderdate") < split)
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(f"{root}/spec1")
+    )
+    (
+        o.filter(F.col("o_orderdate") >= split)
+        .withColumn("o_prio", F.col("o_orderpriority"))
+        .write.mode("overwrite")
+        .partitionBy("o_month", "o_prio")
+        .parquet(f"{root}/spec2")
+    )
+    ent1 = [
+        {"spec": 1, "path": f"{root}/spec1/o_month={r.mo}", "month": str(r.mo)}
+        for r in o.filter(F.col("o_orderdate") < split)
+        .select(F.col("o_month").alias("mo"))
+        .distinct()
+        .collect()
+    ]
+    ent2 = [
+        {
+            "spec": 2,
+            "path": f"{root}/spec2/o_month={r.mo}/o_prio={r.prio}",
+            "month": str(r.mo),
+            "prio": r.prio,
+        }
+        for r in o.filter(F.col("o_orderdate") >= split)
+        .select(F.col("o_month").alias("mo"), F.col("o_orderpriority").alias("prio"))
+        .distinct()
+        .collect()
+    ]
+    with open(f"{root}/manifest.json", "w") as fh:
+        json.dump(ent1 + ent2, fh)
+    with open(f"{root}/manifest.json") as fh:
+        entries = json.load(fh)
+    keep1 = [
+        e["path"] for e in entries
+        if e["spec"] == 1 and _PE_LO <= e["month"] < _PE_HI
+    ]
+    keep2 = [
+        e["path"] for e in entries
+        if e["spec"] == 2 and _PE_LO <= e["month"] < _PE_HI
+        and e["prio"] == _PE_PRIO
+    ]
+    pred = (
+        (F.col("o_orderdate") >= F.lit(_PE_LO).cast("date"))
+        & (F.col("o_orderdate") < F.lit(_PE_HI).cast("date"))
+        & (F.col("o_orderpriority") == _PE_PRIO)  # row filter: spec-1 files
+    )
+    agg = (
+        spark.read.parquet(*(keep1 + keep2))
+        .filter(pred)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_c"),
+        )
+    )
+    meta = spark.createDataFrame(
+        [(len(entries), len(keep1), len(keep2))],
+        "files_total long, files_scanned_spec1 long, files_scanned_spec2 long",
+    )
+    return F.broadcast(meta).crossJoin(agg).select(
+        "files_total", "files_scanned_spec1", "files_scanned_spec2",
+        "n_rows", "total_c",
+    )

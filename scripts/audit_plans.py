@@ -97,6 +97,7 @@ WHITELIST = {
     "feat_woe_encode": "(a) 1-row pos/neg-total scalar broadcast for the WOE combine",
     "warehouse_manifest_pruned_scan": "(a) 1-row manifest-counts relation attached to the 1-row pruned aggregate",
     "warehouse_vacuum_unreferenced": "(a) 1-row vacuum-counts relation attached to the 1-row retained-snapshot aggregate",
+    "warehouse_partition_evolution": "(a) 1-row per-spec file-counts relation attached to the 1-row pruned aggregate",
     "sim_mmr_select": "(b) probes broadcast against corpus (sim_topk shape); selection is per-probe grouped-map",
 }
 

@@ -651,3 +651,40 @@ class TestHaarWavelet:
             assert 2 * sum(v * v for v in a) == sum(v * v for v in s) + r.energy
             assert r.first_approx == s[0]
             a = s
+
+
+class TestSprt:
+    def test_llr_is_exact_cumsum_and_decision_consistent(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.analytics import _SPRT_A, _SPRT_B, _SPRT_UP
+        from psvm_spark.registry import QUERIES
+
+        rows = {r.arm: r for r in QUERIES["ab_test_sprt"](spark, sf_dir).collect()}
+        assert set(rows) == {0, 1}
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                (F.col("user_id") % 2).cast("int").alias("arm"),
+                (F.col("event_type") == "purchase").cast("int").alias("y"),
+                "event_id",
+            )
+            .collect()
+        )
+        for arm in (0, 1):
+            stream = sorted((r.event_id, r.y) for r in ev if r.arm == arm)
+            k = 0
+            hit = None
+            for n, (_, y) in enumerate(stream, start=1):
+                k += y
+                llr = _SPRT_A * k + _SPRT_B * (n - k)
+                if abs(llr) >= _SPRT_UP:
+                    hit = (n, k, llr)
+                    break
+            r = rows[arm]
+            if hit:
+                assert (r.n_dec, r.k_dec, r.llr_fp) == hit
+                assert r.decision == ("accept_h1" if hit[2] >= _SPRT_UP else "accept_h0")
+            else:
+                assert r.decision == "continue" and r.n_dec == len(stream)

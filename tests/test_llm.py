@@ -1456,3 +1456,20 @@ class TestUrlCanonicalDedup:
             assert "WWW." not in u and ":443" not in u and "#" not in u
             assert "utm_" not in u
             assert not u.split("?")[0].endswith("/")
+
+
+class TestDoremiWeights:
+    def test_weights_normalize_and_upweight_high_excess(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["select_doremi_weights"](spark, sf_dir).collect(),
+            key=lambda r: r.lang,
+        )
+        assert len(rows) == 5
+        assert abs(sum(r.weight for r in rows) - 1.0) < 1e-6
+        # a domain with higher excess loss than another but no more
+        # tokens must never get a smaller weight-to-share ratio
+        ratios = {r.lang: (r.excess, r.weight / r.n_tok) for r in rows}
+        rs = sorted(ratios.values())
+        assert all(a[1] <= b[1] * (1 + 1e-9) for a, b in zip(rs, rs[1:]))

@@ -251,3 +251,33 @@ class TestShotBoundary:
             assert got.n_boundaries == planted, (d.doc_id, planted)
             assert got.n_shots == planted + 1
             assert got.n_frames == _SHOT_FRAMES
+
+
+class TestImagePatchEmbed:
+    def test_patch_sums_match_numpy_reference(self, spark, sf_dir):
+        import hashlib
+
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["mm_image_patch_embed"](spark, sf_dir).collect()
+        docs = {
+            r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 0)
+            .collect()
+        }
+        assert len(rows) == 12 * len(docs)  # 4x3 patches per image
+        by_key = {(r.media_id, r.pr, r.pc): r for r in rows}
+        some = sorted(docs)[:5]
+        for did in some:
+            digest = hashlib.md5(docs[did].encode("utf-8")).digest()
+            px = np.frombuffer((digest * 9)[:144], dtype=np.uint8).reshape(6, 8, 3)
+            for pr in range(3):
+                for pc in range(4):
+                    s = px[2 * pr : 2 * pr + 2, 2 * pc : 2 * pc + 2, :].astype(int).sum(axis=(0, 1))
+                    r = by_key[(did, pr, pc)]
+                    assert (r.sum_r, r.sum_g, r.sum_b) == (s[0], s[1], s[2])

@@ -80,3 +80,23 @@ class TestVacuumUnreferenced:
             )
         ).count()
         assert r.n_rows == expect
+
+
+class TestPartitionEvolution:
+    def test_both_specs_prune_and_answers_match_direct_filter(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        r = QUERIES["warehouse_partition_evolution"](spark, sf_dir).collect()[0]
+        o = load_table(spark, sf_dir, "orders")
+        direct = o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        ).count()
+        assert r.n_rows == direct
+        assert r.files_scanned_spec1 == 3  # 1995-10..12 (month-only pruning)
+        assert r.files_scanned_spec2 == 3  # 1996-01..03 x one priority
+        assert r.files_total > r.files_scanned_spec1 + r.files_scanned_spec2
