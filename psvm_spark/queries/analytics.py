@@ -4280,26 +4280,56 @@ def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("y"),
         "event_id",
     )
-    w = (
-        Window.partitionBy("arm")
+    # bucketed distributed cumsum (the select_curriculum_order shape):
+    # a plain window PARTITION BY arm funnels each arm's whole stream
+    # through ONE task — the 2-arm fixture would hide a single-reducer
+    # bottleneck at 100 TB.  Instead: per-(arm, bucket) partials, a
+    # broadcast prefix over the tiny bucket table, then bucket-local
+    # windows — identical llr sequence, no global-ordered partition.
+    eb = e.withColumn("bucket", F.expr("event_id div 4096"))
+    off = (
+        eb.groupBy("arm", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("ks"))
+        .select(
+            "arm",
+            "bucket",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.partitionBy("arm")
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("base_n"),
+            F.coalesce(
+                F.sum("ks").over(
+                    Window.partitionBy("arm")
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("base_k"),
+        )
+    )
+    wl = (
+        Window.partitionBy("arm", "bucket")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = e.select(
-        "arm",
-        F.row_number()
-        .over(Window.partitionBy("arm").orderBy("event_id"))
-        .alias("n"),
-        F.sum("y").over(w).alias("k"),
-        (
-            F.lit(_SPRT_A) * F.sum("y").over(w)
-            + F.lit(_SPRT_B)
-            * (
-                F.row_number()
-                .over(Window.partitionBy("arm").orderBy("event_id"))
-                - F.sum("y").over(w)
-            )
-        ).alias("llr"),
+    c = (
+        eb.join(F.broadcast(off), ["arm", "bucket"])
+        .select(
+            "arm",
+            (F.col("base_n")
+             + F.row_number().over(
+                 Window.partitionBy("arm", "bucket").orderBy("event_id")
+             )).alias("n"),
+            (F.col("base_k") + F.sum("y").over(wl)).alias("k"),
+        )
+        .withColumn(
+            "llr",
+            F.lit(_SPRT_A) * F.col("k") + F.lit(_SPRT_B) * (F.col("n") - F.col("k")),
+        )
     )
     hit = (
         c.filter((F.col("llr") >= _SPRT_UP) | (F.col("llr") <= -_SPRT_UP))
