@@ -839,3 +839,67 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B261 (round 8) — per-edge triangle support (the k-truss building
+# block): for every edge (a,b), count the triangles it participates in
+# (|N(a) ∩ N(b)|), histogram the support values, and report the edge
+# set surviving the k=4 truss condition (support >= k-2).  This is the
+# peel criterion of truss decomposition — the standard cohesive-
+# subgraph refinement of triangle counting (denser than k-core, cheaper
+# than cliques).  Shape: adjacency explode + two equi-joins on the
+# shared neighbor (wedge volume, exactly the triangle-count cost), one
+# (a,b) groupBy — never all-pairs; degree skew is bounded by the same
+# hash-derived vertex space every graph key uses.
+
+_TRUSS_K = 4
+
+
+@query(
+    "graph_edge_triangle_support",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+adj AS (
+  SELECT a AS x, b AS n FROM edges
+  UNION ALL
+  SELECT b AS x, a AS n FROM edges),
+sup AS (
+  SELECT e.a, e.b, COUNT(*) AS support
+  FROM edges e
+  JOIN adj na ON na.x = e.a
+  JOIN adj nb ON nb.x = e.b AND nb.n = na.n
+  GROUP BY e.a, e.b),
+allsup AS (
+  SELECT e.a, e.b, COALESCE(s.support, 0) AS support
+  FROM edges e LEFT JOIN sup s ON s.a = e.a AND s.b = e.b)
+SELECT CAST(support AS BIGINT) AS support,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CAST(support >= {_TRUSS_K - 2} AS INT)) AS BIGINT)
+         AS n_truss_edges
+FROM allsup
+GROUP BY support
+""",
+)
+def graph_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    na = adj.select(F.col("x").alias("a"), F.col("n").alias("cn"))
+    nb = adj.select(F.col("x").alias("b"), F.col("n").alias("cn"))
+    sup = (
+        e.join(na, "a")
+        .join(nb, ["b", "cn"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    allsup = e.join(sup, ["a", "b"], "left").select(
+        F.coalesce("support", F.lit(0)).alias("support")
+    )
+    return allsup.groupBy(F.col("support").cast("bigint").alias("support")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum((F.col("support") >= _TRUSS_K - 2).cast("int"))
+        .cast("bigint")
+        .alias("n_truss_edges"),
+    )

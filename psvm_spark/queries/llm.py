@@ -8792,3 +8792,146 @@ def select_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "lang string, n_tok bigint, excess double, weight double"
     )
+
+
+# --------------------------------------------------------------------------
+# B260 (round 8) — WordPiece encoding (Wu et al. 2016): greedy
+# LONGEST-MATCH-FIRST subword tokenization, the BERT-family tokenizer
+# and the third member of the repo's tokenizer suite (vocab_bpe_merges
+# trains, vocab_bpe_encode applies merges; WordPiece applies a vocab
+# by maximal-prefix matching, a genuinely different algorithm).  The
+# vocab derives deterministically from the corpus itself: whole words
+# with count >= {_WP_WORD_MIN}, word-initial prefixes (len 2-3) and
+# continuation substrings (len 1-2, written ##s) from words with
+# count >= {_WP_SUB_MIN}, plus every character as both piece kinds so
+# encoding never needs [UNK].  Distribution: one word-count shuffle
+# builds the Zipf-bounded vocab (collected + shipped in the Arrow
+# closure — the "vocab tables broadcast" house rule); encoding runs
+# over DISTINCT words (mapInPandas, linear) and joins back to docs.
+# The oracle replays the greedy match in a recursive CTE whose step
+# picks max piece length via EXISTS probes against the same vocab
+# CTEs — encode output is digest-compared per doc, so tokenizer AND
+# application are differentially tested end to end.
+
+_WP_WORD_MIN = 4
+_WP_SUB_MIN = 8
+_WP_MAXP = 3  # longest piece tried
+
+
+@query(
+    "vocab_wordpiece_encode",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, u.pos, u.w
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+                       unnest(string_split(text, ' ')) AS w) u
+  WHERE u.w <> ''),
+wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+chars AS (
+  SELECT DISTINCT substr(w, i, 1) AS s
+  FROM wc, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t),
+init_sub AS (
+  SELECT DISTINCT substr(w, 1, l) AS s
+  FROM wc, LATERAL (SELECT unnest([2, 3]) AS l) t
+  WHERE c >= {_WP_SUB_MIN} AND len(w) >= l),
+cont_sub AS (
+  SELECT DISTINCT substr(w, i, l) AS s
+  FROM wc,
+       LATERAL (SELECT unnest(generate_series(2, len(w))) AS i) ti,
+       LATERAL (SELECT unnest([1, 2]) AS l) tl
+  WHERE c >= {_WP_SUB_MIN} AND i + l - 1 <= len(w)),
+vocab0 AS (
+  SELECT s FROM chars UNION SELECT w FROM wc WHERE c >= {_WP_WORD_MIN}
+  UNION SELECT s FROM init_sub),
+vocabc AS (SELECT s FROM chars UNION SELECT s FROM cont_sub),
+words AS (SELECT DISTINCT w FROM toks),
+it AS (
+  SELECT w, 1 AS pos, 0 AS np, '' AS acc FROM words
+  UNION ALL
+  SELECT w, pos + s.bl, np + 1,
+         acc || CASE WHEN pos = 1 THEN '' ELSE '|##' END || substr(w, pos, s.bl)
+  FROM it, LATERAL (
+    SELECT MAX(l) AS bl
+    FROM (SELECT unnest([1, 2, 3]) AS l) t
+    WHERE l <= len(it.w) - it.pos + 1
+      AND CASE WHEN it.pos = 1
+               THEN EXISTS (SELECT 1 FROM vocab0 v
+                            WHERE v.s = substr(it.w, it.pos, l))
+               ELSE EXISTS (SELECT 1 FROM vocabc v
+                            WHERE v.s = substr(it.w, it.pos, l)) END) s
+  WHERE pos <= len(w)),
+enc AS (SELECT w, np, acc FROM it WHERE pos = len(w) + 1)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.np) AS BIGINT) AS n_pieces,
+       md5(string_agg(e.acc, ' ' ORDER BY t.pos)) AS piece_digest
+FROM toks t JOIN enc e ON t.w = e.w
+GROUP BY t.doc_id
+""",
+)
+def vocab_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .filter(F.col("w") != "")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    freq = [(r.w, int(r.c)) for r in wc.collect()]  # Zipf-bounded vocab table
+    vocab0: set[str] = set()
+    vocabc: set[str] = set()
+    for w, c in freq:
+        for ch in set(w):
+            vocab0.add(ch)
+            vocabc.add(ch)
+        if c >= _WP_WORD_MIN:
+            vocab0.add(w)
+        if c >= _WP_SUB_MIN:
+            for L in (2, 3):
+                if len(w) >= L:
+                    vocab0.add(w[:L])
+            for i in range(1, len(w)):
+                for L in (1, 2):
+                    if i + L <= len(w):
+                        vocabc.add(w[i : i + L])
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for w in pdf["w"]:
+                pos, np_, acc = 0, 0, []
+                while pos < len(w):
+                    for L in range(min(_WP_MAXP, len(w) - pos), 0, -1):
+                        cand = w[pos : pos + L]
+                        if (pos == 0 and cand in vocab0) or (
+                            pos > 0 and cand in vocabc
+                        ):
+                            acc.append(cand if pos == 0 else "##" + cand)
+                            pos += L
+                            np_ += 1
+                            break
+                rows.append((w, np_, "|".join(acc)))
+            yield pd.DataFrame(rows, columns=["w", "np", "acc"])
+
+    enc = toks.select("w").distinct().mapInPandas(
+        encode, "w string, np int, acc string"
+    )
+    return (
+        toks.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, acc))),"
+                        " x -> x.acc)"
+                    ),
+                    " ",
+                )
+            ).alias("piece_digest"),
+        )
+    )

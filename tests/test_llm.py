@@ -1473,3 +1473,49 @@ class TestDoremiWeights:
         ratios = {r.lang: (r.excess, r.weight / r.n_tok) for r in rows}
         rs = sorted(ratios.values())
         assert all(a[1] <= b[1] * (1 + 1e-9) for a, b in zip(rs, rs[1:]))
+
+
+class TestWordpieceEncode:
+    def test_greedy_longest_match_replay(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _WP_MAXP, _WP_SUB_MIN, _WP_WORD_MIN
+        from psvm_spark.registry import QUERIES
+
+        out = {r.doc_id: r for r in
+               QUERIES["vocab_wordpiece_encode"](spark, sf_dir).collect()}
+        docs = load_table(spark, sf_dir, "documents").collect()
+        assert len(out) == len(docs)
+        # independent vocab + greedy replay on a few docs
+        from collections import Counter
+
+        wc = Counter(w for d in docs for w in d.text.split(" ") if w)
+        v0, vc = set(), set()
+        for w, c in wc.items():
+            for ch in set(w):
+                v0.add(ch); vc.add(ch)
+            if c >= _WP_WORD_MIN:
+                v0.add(w)
+            if c >= _WP_SUB_MIN:
+                for L in (2, 3):
+                    if len(w) >= L:
+                        v0.add(w[:L])
+                for i in range(1, len(w)):
+                    for L in (1, 2):
+                        if i + L <= len(w):
+                            vc.add(w[i:i + L])
+        for d in docs[:10]:
+            n_pieces = 0
+            for w in d.text.split(" "):
+                if not w:
+                    continue
+                pos = 0
+                while pos < len(w):
+                    for L in range(min(_WP_MAXP, len(w) - pos), 0, -1):
+                        cand = w[pos:pos + L]
+                        if (pos == 0 and cand in v0) or (pos > 0 and cand in vc):
+                            pos += L
+                            n_pieces += 1
+                            break
+            assert out[d.doc_id].n_pieces == n_pieces, d.doc_id

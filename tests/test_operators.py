@@ -1081,3 +1081,17 @@ class TestBinaryFileScan:
             b = s.text.encode("utf-8")
             assert rows[s.doc_id].n_bytes == len(b)
             assert rows[s.doc_id].content_md5 == hashlib.md5(b).hexdigest()
+
+
+class TestEdgeTriangleSupport:
+    def test_support_histogram_consistent_with_triangle_count(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["graph_edge_triangle_support"](spark, sf_dir).collect()
+        tri = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+        # sum over edges of support = 3 * n_triangles (each triangle
+        # contributes to exactly its 3 edges)
+        assert sum(r.support * r.n_edges for r in rows) == 3 * tri.n_triangles
+        assert sum(r.n_edges for r in rows) == tri.n_edges
+        for r in rows:  # truss indicator consistent within a histogram row
+            assert r.n_truss_edges == (r.n_edges if r.support >= 2 else 0)
