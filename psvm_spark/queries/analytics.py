@@ -4365,3 +4365,81 @@ def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("hk", "k").cast("bigint").alias("k_dec"),
         F.coalesce("hllr", "llr").cast("bigint").alias("llr_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# B263 (round 8) — irregular-gap EWMA over event time: production
+# smoothing decays by the ACTUAL gap between observations (a user idle
+# for a day should barely remember last week), not by row count the
+# way ts_ewma does.  Decay weights are EXACT DYADICS — w = 2^-k with
+# k = Δt_seconds div 3600 computed by integer shift (1 << k), zero
+# beyond 62 buckets — so no libm pow/exp crosses engines (the JVM-vs-
+# libm trap that forces IRLS/GMM to the driver does not exist here)
+# and the fold m' = v + (m - v) * w is the same literal double
+# sequence in the Spark aggregate() HOF and the oracle's recursive
+# CTE (the Holt-Winters mirroring contract).  One shuffle on user_id;
+# the fold runs executor-side per user — millions of independent keys
+# at 100 TB.
+
+_EWI_TAU = 3600  # decay half-life bucket, seconds
+
+
+@query(
+    "ts_ewma_irregular",
+    oracle=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS tsec, value
+  FROM events),
+s AS (
+  SELECT user_id,
+         list(tsec ORDER BY tsec, value) AS xs,
+         list(value ORDER BY tsec, value) AS vs,
+         COUNT(*) AS n
+  FROM ev GROUP BY user_id),
+it AS (
+  SELECT user_id, 1 AS i, vs[1] AS m, xs, vs, n FROM s
+  UNION ALL
+  SELECT user_id, i + 1,
+         vs[i + 1] + (m - vs[i + 1])
+           * CASE WHEN (xs[i + 1] - xs[i]) // {_EWI_TAU} > 62 THEN 0e0
+                  ELSE 1e0 / CAST(1 << ((xs[i + 1] - xs[i]) // {_EWI_TAU})
+                                  AS DOUBLE) END,
+         xs, vs, n
+  FROM it WHERE i < n)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, round(m, 9) AS ewma
+FROM it WHERE i = n
+""",
+)
+def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("bigint").alias("tsec"),
+        "value",
+    )
+    series = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(tsec, value))),"
+            " x -> struct(x.tsec as t, x.value as v))"
+        ).alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          sv,
+          named_struct('t', cast(-1 as bigint), 'm', cast(0 as double)),
+          (acc, x) -> IF(acc.t < 0,
+            named_struct('t', x.t, 'm', x.v),
+            named_struct('t', x.t,
+              'm', x.v + (acc.m - x.v)
+                   * IF((x.t - acc.t) div {_EWI_TAU} > 62, 0D,
+                        1D / cast(shiftleft(cast(1 as bigint),
+                                  cast((x.t - acc.t) div {_EWI_TAU} as int))
+                             as double)))))
+        """
+    )
+    return series.withColumn("f", fold).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("f.m"), 9).alias("ewma"),
+    )

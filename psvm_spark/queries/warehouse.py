@@ -2208,3 +2208,66 @@ def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         "files_total", "files_scanned_spec1", "files_scanned_spec2",
         "n_rows", "total_c",
     )
+
+
+# --------------------------------------------------------------------------
+# B262 (round 8) — equality delete files (Iceberg v2 row-level
+# deletes): a DELETE commits a small file of KEY VALUES instead of
+# rewriting data files; readers apply it as an anti-join on the fly,
+# and compaction folds it in later.  This is the mechanism that makes
+# GDPR erasure and CDC deletes O(delete) instead of O(table) — the
+# write-side complement of dq_gdpr_erasure's rewrite path.  Here: June
+# non-urgent orders are deleted by writing their o_orderkey values to
+# a delete file; the read plans data files + BROADCAST anti-join
+# against the (small) delete set.  Output: delete count, surviving
+# rows/total — hash-checked against a direct predicate filter, because
+# a delete file must be indistinguishable from a rewrite.
+
+_EQD_MONTH = "1996-06-01"
+_EQD_PRIO = "1-URGENT"
+
+
+@query(
+    "warehouse_equality_deletes",
+    oracle=f"""
+WITH del AS (
+  SELECT o_orderkey FROM orders
+  WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = DATE '{_EQD_MONTH}'
+    AND o_orderpriority <> '{_EQD_PRIO}'),
+live AS (
+  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del))
+SELECT CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_deletes,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_c
+FROM live
+""",
+)
+def warehouse_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="psvm_eqdel_")
+    o.write.mode("overwrite").parquet(f"{root}/data")
+    # the DELETE commit: key values only, O(delete) not O(table)
+    (
+        o.filter(
+            (F.date_trunc("month", "o_orderdate").cast("date")
+             == F.lit(_EQD_MONTH).cast("date"))
+            & (F.col("o_orderpriority") != _EQD_PRIO)
+        )
+        .select("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(f"{root}/deletes")
+    )
+    data = spark.read.parquet(f"{root}/data")
+    dels = spark.read.parquet(f"{root}/deletes")
+    n_del = dels.count()
+    live = data.join(F.broadcast(dels), "o_orderkey", "left_anti")
+    agg = live.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_c"),
+    )
+    return agg.select(
+        F.lit(n_del).cast("bigint").alias("n_deletes"), "n_rows", "total_c"
+    )

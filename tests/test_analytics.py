@@ -688,3 +688,34 @@ class TestSprt:
                 assert r.decision == ("accept_h1" if hit[2] >= _SPRT_UP else "accept_h0")
             else:
                 assert r.decision == "continue" and r.n_dec == len(stream)
+
+
+class TestEwmaIrregular:
+    def test_fold_replay_and_decay_semantics(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        out = {r.user_id: r for r in
+               QUERIES["ts_ewma_irregular"](spark, sf_dir).collect()}
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", F.col("ts").cast("bigint").alias("t"), "value")
+            .collect()
+        )
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r.user_id, []).append((r.t, r.value))
+        assert set(out) == set(by_user)
+        for uid, sv in sorted(by_user.items())[:20]:
+            sv.sort()
+            m = sv[0][1]
+            prev = sv[0][0]
+            for t, v in sv[1:]:
+                k = (t - prev) // 3600
+                w = 0.0 if k > 62 else 1.0 / (1 << k)
+                m = v + (m - v) * w
+                prev = t
+            assert out[uid].n_events == len(sv)
+            assert out[uid].ewma == round(m, 9), uid

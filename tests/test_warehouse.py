@@ -100,3 +100,21 @@ class TestPartitionEvolution:
         assert r.files_scanned_spec1 == 3  # 1995-10..12 (month-only pruning)
         assert r.files_scanned_spec2 == 3  # 1996-01..03 x one priority
         assert r.files_total > r.files_scanned_spec1 + r.files_scanned_spec2
+
+
+class TestEqualityDeletes:
+    def test_delete_file_indistinguishable_from_rewrite(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        r = QUERIES["warehouse_equality_deletes"](spark, sf_dir).collect()[0]
+        o = load_table(spark, sf_dir, "orders")
+        june_nonurgent = o.filter(
+            (F.date_trunc("month", "o_orderdate").cast("date")
+             == F.lit("1996-06-01").cast("date"))
+            & (F.col("o_orderpriority") != "1-URGENT")
+        ).count()
+        assert r.n_deletes == june_nonurgent > 0
+        assert r.n_rows == o.count() - june_nonurgent
