@@ -1748,3 +1748,62 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hy))
         .select("n_rows", "n_cells", "mi", "h_event", "h_hour")
     )
+
+
+# --------------------------------------------------------------------------
+# B264 (round 8) — HdrHistogram-style log-linear latency histogram:
+# the telemetry-standard mergeable histogram (Gil Tene's HdrHistogram)
+# whose buckets are exponential in magnitude and linear within a
+# magnitude, giving bounded relative error at every scale — what
+# production latency pipelines aggregate instead of raw percentiles.
+# Bucketing is pure integer bit math (floor_log2 via length(bin(x)), then
+# the top _HDR_SUB sub-bucket bits), so the histogram is exact,
+# deterministic, and mergeable by simple addition — the partial-agg
+# shuffle is the whole distributed story at any scale.  Values:
+# lineitem extended prices in cents.
+
+_HDR_SUB = 3  # sub-bucket bits per magnitude (8 linear buckets)
+
+
+@query(
+    "agg_hdr_histogram",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+  FROM lineitem WHERE l_extendedprice > 0),
+b AS (
+  SELECT x,
+         CASE WHEN x < (1 << {_HDR_SUB})
+              THEN x
+              ELSE ((length(bin(x)) - 1 - {_HDR_SUB}) << {_HDR_SUB})
+                   + (x >> (length(bin(x)) - 1 - {_HDR_SUB}))
+              END AS bucket
+  FROM v)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(x) AS BIGINT) AS lo,
+       CAST(MAX(x) AS BIGINT) AS hi
+FROM b GROUP BY bucket
+""",
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    x = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+    # floor_log2 of a positive bigint via length(bin(x)) - 1 — exact
+    # integer string math on both engines, no float log2 edge cases
+    b = li.select(x.alias("x")).withColumn(
+        "m", (F.length(F.bin("x")) - 1).cast("int")
+    ).select(
+        "x",
+        F.when(
+            F.col("x") < (1 << _HDR_SUB), F.col("x")
+        ).otherwise(
+            ((F.col("m") - _HDR_SUB) * (1 << _HDR_SUB)).cast("bigint")
+            + F.expr(f"shiftright(x, m - {_HDR_SUB})")
+        ).alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("x").cast("bigint").alias("lo"),
+        F.max("x").cast("bigint").alias("hi"),
+    )

@@ -4443,3 +4443,117 @@ def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         F.round(F.col("f.m"), 9).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# B266 (round 8) — Croston's method for intermittent demand: the
+# standard forecast for series that are MOSTLY ZERO (spare parts,
+# long-tail SKUs) where plain EWMA collapses toward zero.  Croston
+# smooths two series separately — the nonzero demand SIZES and the
+# INTERVALS between demands — and forecasts size/interval.  Fold per
+# part brand over weekly buckets; alpha = 1/2 is an exact dyadic so
+# the size/interval EWMAs are exact integer fixed-point ((z + s) div
+# 2 in q-units), and the final ratio is fixed-point with positive
+# operands.  Demand = weekly order quantity of one low-volume part
+# subset per brand; weeks with no orders are the zeros (calendar
+# spine).  One rollup shuffle; the fold is executor-side per brand.
+
+_CRO_WEEKS = 340  # ~1992-01..1998-06 weekly spine
+_CRO_FP = 1_000_000
+
+
+@query(
+    "ts_croston_intermittent",
+    oracle=f"""
+WITH RECURSIVE wk AS (
+  SELECT p.p_brand AS brand,
+         CAST(datediff('day', DATE '1992-01-01', l.l_shipdate) // 7 AS INT) AS w,
+         CAST(SUM(CAST(l.l_quantity AS INT)) AS BIGINT) AS z
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_partkey % 50 = 7
+  GROUP BY 1, 2),
+spine AS (
+  SELECT b.brand, g.w, COALESCE(wk.z, 0) AS z
+  FROM (SELECT DISTINCT brand FROM wk) b
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CRO_WEEKS - 1})) AS w) g
+  LEFT JOIN wk ON wk.brand = b.brand AND wk.w = g.w),
+s AS (
+  SELECT brand, list(z ORDER BY w) AS zs, COUNT(*) AS n
+  FROM spine GROUP BY brand),
+it AS (
+  SELECT brand, 0 AS i,
+         CAST(NULL AS BIGINT) AS sz, CAST(NULL AS BIGINT) AS iv,
+         CAST(0 AS BIGINT) AS gap, CAST(0 AS BIGINT) AS n_demand, zs, n
+  FROM s
+  UNION ALL
+  SELECT brand, i + 1,
+         CASE WHEN zs[i + 1] = 0 THEN sz
+              WHEN sz IS NULL THEN zs[i + 1] * {_CRO_FP}
+              ELSE (zs[i + 1] * {_CRO_FP} + sz) // 2 END,
+         CASE WHEN zs[i + 1] = 0 THEN iv
+              WHEN iv IS NULL THEN (gap + 1) * {_CRO_FP}
+              ELSE ((gap + 1) * {_CRO_FP} + iv) // 2 END,
+         CASE WHEN zs[i + 1] = 0 THEN gap + 1 ELSE 0 END,
+         n_demand + CASE WHEN zs[i + 1] = 0 THEN 0 ELSE 1 END,
+         zs, n
+  FROM it WHERE i < n)
+SELECT brand, CAST(n_demand AS BIGINT) AS n_demand,
+       CAST(sz AS BIGINT) AS size_fp, CAST(iv AS BIGINT) AS interval_fp,
+       CAST(CASE WHEN iv IS NULL THEN NULL
+                 ELSE (sz * {_CRO_FP}) // iv END AS BIGINT) AS forecast_fp
+FROM it WHERE i = n
+""",
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 7)
+    p = load_table(spark, sf_dir, "part")
+    wk = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr("datediff(l_shipdate, date '1992-01-01') div 7")
+            .cast("int")
+            .alias("w"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("int")).cast("bigint").alias("z"))
+    )
+    spine = (
+        wk.select("brand")
+        .distinct()
+        .select(
+            "brand",
+            F.explode(F.sequence(F.lit(0), F.lit(_CRO_WEEKS - 1))).alias("w"),
+        )
+        .join(wk, ["brand", "w"], "left")
+        .select("brand", "w", F.coalesce("z", F.lit(0)).cast("bigint").alias("z"))
+    )
+    series = spine.groupBy("brand").agg(
+        F.expr("transform(array_sort(collect_list(struct(w, z))), x -> x.z)")
+        .alias("zs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fp = _CRO_FP
+    fold = F.expr(
+        f"""
+        aggregate(
+          zs,
+          named_struct('sz', cast(null as bigint), 'iv', cast(null as bigint),
+                       'gap', cast(0 as bigint), 'nd', cast(0 as bigint)),
+          (acc, z) -> named_struct(
+            'sz', CASE WHEN z = 0 THEN acc.sz
+                       WHEN acc.sz IS NULL THEN z * {fp}
+                       ELSE (z * {fp} + acc.sz) div 2 END,
+            'iv', CASE WHEN z = 0 THEN acc.iv
+                       WHEN acc.iv IS NULL THEN (acc.gap + 1) * {fp}
+                       ELSE ((acc.gap + 1) * {fp} + acc.iv) div 2 END,
+            'gap', CASE WHEN z = 0 THEN acc.gap + 1 ELSE cast(0 as bigint) END,
+            'nd', acc.nd + CASE WHEN z = 0 THEN 0 ELSE 1 END))
+        """
+    )
+    return series.withColumn("c", fold).select(
+        "brand",
+        F.col("c.nd").cast("bigint").alias("n_demand"),
+        F.col("c.sz").cast("bigint").alias("size_fp"),
+        F.col("c.iv").cast("bigint").alias("interval_fp"),
+        F.expr(f"cast((c.sz * {fp}) div c.iv as bigint)").alias("forecast_fp"),
+    )

@@ -8935,3 +8935,64 @@ def vocab_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("piece_digest"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B265 (round 8) — time-based split with embargo (the "purged" split
+# of financial ML, Lopez de Prado 2018): train strictly before T1,
+# test strictly from T2 = T1 + embargo, the gap DROPPED — because with
+# temporally-correlated signals a contiguous boundary leaks label
+# information across the split even when ids differ.  Complements
+# split_stable_hash (entity-hash split) and dq_split_leakage (id
+# leakage audit): this is the leakage-safe split for time series.
+# Output quantifies what the embargo costs (dropped rows) and what
+# entity overlap remains (users active on both sides — expected for
+# panel data, reported so the modeler sees it).  One scan + two skinny
+# aggregates; the user-overlap semi-join is on the bounded user space.
+
+_TE_T1 = "2024-01-20 00:00:00"
+_TE_T2 = "2024-01-22 00:00:00"  # 2-day embargo
+
+
+@query(
+    "split_time_embargo",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id,
+         CASE WHEN ts < TIMESTAMP '{_TE_T1}' THEN 'train'
+              WHEN ts >= TIMESTAMP '{_TE_T2}' THEN 'test'
+              ELSE 'embargo' END AS part
+  FROM events),
+cnt AS (SELECT part, COUNT(*) AS n FROM tagged GROUP BY part),
+ov AS (
+  SELECT COUNT(*) AS n_overlap FROM (
+    SELECT user_id FROM tagged WHERE part = 'train'
+    INTERSECT
+    SELECT user_id FROM tagged WHERE part = 'test'))
+SELECT c.part, CAST(c.n AS BIGINT) AS n_rows,
+       CAST(o.n_overlap AS BIGINT) AS n_users_overlap
+FROM cnt c CROSS JOIN ov o
+""",
+)
+def split_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        "user_id",
+        F.when(F.col("ts") < F.lit(_TE_T1).cast("timestamp"), "train")
+        .when(F.col("ts") >= F.lit(_TE_T2).cast("timestamp"), "test")
+        .otherwise("embargo")
+        .alias("part"),
+    )
+    cnt = tagged.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    ov = (
+        tagged.filter(F.col("part") == "train")
+        .select("user_id")
+        .distinct()
+        .join(
+            tagged.filter(F.col("part") == "test").select("user_id").distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_overlap"))
+    )
+    return cnt.crossJoin(F.broadcast(ov))

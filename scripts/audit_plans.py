@@ -98,6 +98,7 @@ WHITELIST = {
     "warehouse_manifest_pruned_scan": "(a) 1-row manifest-counts relation attached to the 1-row pruned aggregate",
     "warehouse_vacuum_unreferenced": "(a) 1-row vacuum-counts relation attached to the 1-row retained-snapshot aggregate",
     "warehouse_partition_evolution": "(a) 1-row per-spec file-counts relation attached to the 1-row pruned aggregate",
+    "split_time_embargo": "(a) 1-row user-overlap aggregate attached to the 3-row partition counts",
     "sim_mmr_select": "(b) probes broadcast against corpus (sim_topk shape); selection is per-probe grouped-map",
 }
 

@@ -91,3 +91,34 @@ class TestKmvExactTwin:
         # inclusion-exclusion identities hold exactly on the estimates
         assert row.est_intersect == round(max(row.est_click + row.est_view - row.est_union, 0))
         assert row.est_click_only == max(row.est_click - row.est_intersect, 0)
+
+
+class TestHdrHistogram:
+    def test_buckets_bound_relative_error_and_partition_values(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["agg_hdr_histogram"](spark, sf_dir).collect()
+        li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+        assert sum(r.n for r in rows) == li.count()
+        for r in rows:
+            assert r.lo <= r.hi
+            if r.lo >= 8:  # log-linear zone: bounded relative width
+                assert (r.hi - r.lo) / r.lo <= 1.0 / 8 + 1e-9
+        # buckets are disjoint: ranges never overlap when sorted
+        spans = sorted((r.lo, r.hi) for r in rows)
+        assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+class TestTimeEmbargoSplit:
+    def test_partition_counts_and_embargo_gap(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = {r.part: r for r in QUERIES["split_time_embargo"](spark, sf_dir).collect()}
+        total = load_table(spark, sf_dir, "events").count()
+        assert set(rows) == {"train", "embargo", "test"}
+        assert sum(r.n_rows for r in rows.values()) == total
+        assert rows["embargo"].n_rows > 0  # the gap really drops rows

@@ -719,3 +719,41 @@ class TestEwmaIrregular:
                 prev = t
             assert out[uid].n_events == len(sv)
             assert out[uid].ewma == round(m, 9), uid
+
+
+class TestCroston:
+    def test_fold_replay_on_one_brand(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        out = {r.brand: r for r in
+               QUERIES["ts_croston_intermittent"](spark, sf_dir).collect()}
+        li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 7)
+        p = load_table(spark, sf_dir, "part")
+        wk = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy(
+                F.col("p_brand").alias("brand"),
+                F.expr("datediff(l_shipdate, date '1992-01-01') div 7")
+                .cast("int").alias("w"),
+            )
+            .agg(F.sum(F.col("l_quantity").cast("int")).alias("z"))
+            .collect()
+        )
+        brand = sorted(out)[0]
+        zmap = {r.w: int(r.z) for r in wk if r.brand == brand}
+        sz = iv = None
+        gap = nd = 0
+        for w in range(340):
+            z = zmap.get(w, 0)
+            if z == 0:
+                gap += 1
+                continue
+            sz = z * 10**6 if sz is None else (z * 10**6 + sz) // 2
+            iv = (gap + 1) * 10**6 if iv is None else ((gap + 1) * 10**6 + iv) // 2
+            gap, nd = 0, nd + 1
+        r = out[brand]
+        assert (r.n_demand, r.size_fp, r.interval_fp) == (nd, sz, iv)
+        assert r.forecast_fp == (sz * 10**6) // iv
