@@ -4557,3 +4557,119 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.iv").cast("bigint").alias("interval_fp"),
         F.expr(f"cast((c.sz * {fp}) div c.iv as bigint)").alias("forecast_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# B267 (round 8) — SAX symbolic approximation (Lin et al. 2003): the
+# classic time-series mining representation — Piecewise Aggregate
+# Approximation (mean per fixed window) followed by symbol
+# quantization — which turns numeric series into strings that indexing
+# / motif discovery / anomaly mining can treat as text.  Adapted for
+# exactness: PAA means are integer cents `div` the window width, and
+# the alphabet breakpoints are each series' own exact integer
+# QUARTILES of the PAA values (order-statistic picks, not normal-
+# curve floats), so every symbol is deterministic integer math on
+# both engines.  One rollup shuffle per nation; windows and quartiles
+# are calendar-bounded per series.
+
+_SAX_W = 4  # months per PAA segment
+_SAX_N = 84  # months 1992-01 .. 1998-12 spine
+
+
+@query(
+    "ts_sax_symbols",
+    oracle=f"""
+WITH monthly AS (
+  SELECT n.n_name AS nat,
+         CAST((EXTRACT(year FROM o.o_orderdate) - 1992) * 12
+              + EXTRACT(month FROM o.o_orderdate) - 1 AS INT) AS m,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+spine AS (
+  SELECT b.nat, g.m, COALESCE(mo.x, 0) AS x
+  FROM (SELECT DISTINCT nat FROM monthly) b
+  CROSS JOIN (SELECT unnest(generate_series(0, {_SAX_N - 1})) AS m) g
+  LEFT JOIN monthly mo ON mo.nat = b.nat AND mo.m = g.m),
+paa AS (
+  SELECT nat, m // {_SAX_W} AS seg, SUM(x) // {_SAX_W} AS v
+  FROM spine GROUP BY nat, m // {_SAX_W}),
+qs AS (
+  SELECT nat,
+         (list(v ORDER BY v, seg))[CAST(len(list(v)) * 1 // 4 AS INT)] AS q1,
+         (list(v ORDER BY v, seg))[CAST(len(list(v)) * 2 // 4 AS INT)] AS q2,
+         (list(v ORDER BY v, seg))[CAST(len(list(v)) * 3 // 4 AS INT)] AS q3
+  FROM paa GROUP BY nat),
+sym AS (
+  SELECT p.nat, p.seg,
+         CASE WHEN p.v <= q.q1 THEN 'a'
+              WHEN p.v <= q.q2 THEN 'b'
+              WHEN p.v <= q.q3 THEN 'c'
+              ELSE 'd' END AS s
+  FROM paa p JOIN qs q ON p.nat = q.nat)
+SELECT nat, string_agg(s, '' ORDER BY seg) AS sax,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM sym GROUP BY nat
+""",
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nat"),
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+            .cast("int")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    spine = (
+        monthly.select("nat")
+        .distinct()
+        .select(
+            "nat", F.explode(F.sequence(F.lit(0), F.lit(_SAX_N - 1))).alias("m")
+        )
+        .join(monthly, ["nat", "m"], "left")
+        .select("nat", "m", F.coalesce("x", F.lit(0)).cast("bigint").alias("x"))
+    )
+    paa = spine.groupBy(
+        "nat", F.expr(f"m div {_SAX_W}").alias("seg")
+    ).agg(F.expr(f"sum(x) div {_SAX_W}").alias("v"))
+    # exact integer quartiles as order-statistic picks (1-based list
+    # positions floor(n*k/4), ties broken by seg — mirrored literally)
+    qs = paa.groupBy("nat").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(v, seg))), e -> e.v)"
+        ).alias("sv")
+    ).select(
+        "nat",
+        F.expr("sv[cast(size(sv) * 1 div 4 as int) - 1]").alias("q1"),
+        F.expr("sv[cast(size(sv) * 2 div 4 as int) - 1]").alias("q2"),
+        F.expr("sv[cast(size(sv) * 3 div 4 as int) - 1]").alias("q3"),
+    )
+    sym = paa.join(F.broadcast(qs), "nat").select(
+        "nat",
+        "seg",
+        F.when(F.col("v") <= F.col("q1"), "a")
+        .when(F.col("v") <= F.col("q2"), "b")
+        .when(F.col("v") <= F.col("q3"), "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    return sym.groupBy("nat").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(seg, s))), x -> x.s)"),
+            "",
+        ).alias("sax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+    )

@@ -903,3 +903,79 @@ def graph_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_truss_edges"),
     )
+
+
+# --------------------------------------------------------------------------
+# B268 (round 8) — Adamic–Adar link prediction: score non-adjacent
+# node pairs by sum(1 / ln(deg(z))) over common neighbors z — the
+# classic degree-discounted common-neighbor index (Adamic & Adar
+# 2003), the standard next step after graph_jaccard_neighbors (which
+# weighs all common neighbors equally).  Shape: adjacency self-join
+# on the shared neighbor (wedge volume), anti-join against the edge
+# set to keep only PREDICTED links, per-term round9 decimal ln so the
+# pair sums are exact on both engines, global top-{_AA_TOPK} with a
+# full deterministic tie-break.
+
+_AA_TOPK = 100
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+adj AS (
+  SELECT a AS x, b AS n FROM edges
+  UNION ALL
+  SELECT b AS x, a AS n FROM edges),
+deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x),
+wed AS (
+  SELECT least(a1.x, a2.x) AS u, greatest(a1.x, a2.x) AS v, a1.n AS z
+  FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x),
+pred AS (
+  SELECT w.u, w.v,
+         CAST(SUM(CAST(round(1.0 / ln(d.d), 9) AS DECIMAL(18,9))) AS DOUBLE)
+           AS aa_score,
+         COUNT(*) AS n_common
+  FROM wed w
+  JOIN deg d ON d.x = w.z
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = w.u AND e.b = w.v)
+  GROUP BY w.u, w.v)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       aa_score, CAST(n_common AS BIGINT) AS n_common
+FROM pred
+ORDER BY aa_score DESC, u, v
+LIMIT {_AA_TOPK}
+""",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    a1 = adj.select(F.col("x").alias("x1"), F.col("n").alias("z"))
+    a2 = adj.select(F.col("x").alias("x2"), F.col("n").alias("z"))
+    wed = a1.join(a2, "z").filter(F.col("x1") < F.col("x2")).select(
+        F.least("x1", "x2").alias("u"), F.greatest("x1", "x2").alias("v"), "z"
+    )
+    pred = (
+        wed.join(e, (wed.u == e.a) & (wed.v == e.b), "left_anti")
+        .join(deg.select(F.col("x").alias("z"), "d"), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.sum(F.round(1.0 / F.log(F.col("d")), 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("aa_score"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    return (
+        pred.orderBy(F.desc("aa_score"), "u", "v")
+        .limit(_AA_TOPK)
+        .select(
+            F.col("u").cast("bigint"),
+            F.col("v").cast("bigint"),
+            "aa_score",
+            F.col("n_common").cast("bigint"),
+        )
+    )

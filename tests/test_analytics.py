@@ -757,3 +757,19 @@ class TestCroston:
         r = out[brand]
         assert (r.n_demand, r.size_fp, r.interval_fp) == (nd, sz, iv)
         assert r.forecast_fp == (sz * 10**6) // iv
+
+
+class TestSaxSymbols:
+    def test_symbols_quartile_balanced_and_replayable(self, spark, sf_dir):
+        from collections import Counter
+
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ts_sax_symbols"](spark, sf_dir).collect()
+        assert len(rows) == 25  # nations
+        for r in rows:
+            assert r.n_segments == 21 and len(r.sax) == 21
+            c = Counter(r.sax)
+            assert set(c) <= set("abcd")
+            # quartile breakpoints put >= floor(n/4) in the lowest band
+            assert c["a"] >= 5
