@@ -4673,3 +4673,158 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sax"),
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
     )
+
+
+# --------------------------------------------------------------------------
+# B269 (round 8) — CUPED variance reduction (Deng et al. 2013): the
+# experimentation-platform standard — regress the experiment metric on
+# each user's PRE-PERIOD value and analyze the residualized metric,
+# cutting variance without bias.  Per-user pre (X) and post (Y) sums
+# quantize to exact integer centi-units (floor(v*100+0.5) — the double
+# -> fixed-point map is deterministic), theta = cov(X,Y)/var(X) pools
+# both arms from exact integer moments, and the adjusted means use one
+# literal double sequence on both engines (round9 outputs).  Two
+# shuffles total (user rollup, arm rollup); the moment combine is a
+# 1-row broadcast.
+
+_CUPED_T = "2024-01-15 00:00:00"  # pre/post boundary
+
+
+@query(
+    "ab_test_cuped",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_T}'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_T}'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM u),
+th AS (
+  SELECT n, sx,
+         round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 9)
+           AS theta
+  FROM m),
+a AS (
+  SELECT arm, COUNT(*) AS n_users, SUM(x) AS ax, SUM(y) AS ay FROM u
+  GROUP BY arm)
+SELECT a.arm, CAST(a.n_users AS BIGINT) AS n_users,
+       round(CAST(a.ay AS DOUBLE) / a.n_users, 9) AS mean_y,
+       round(CAST(a.ay AS DOUBLE) / a.n_users
+             - th.theta * (CAST(a.ax AS DOUBLE) / a.n_users
+                           - CAST(th.sx AS DOUBLE) / th.n), 9) AS mean_adj,
+       th.theta
+FROM a CROSS JOIN th
+""",
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    vfp = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    t = F.lit(_CUPED_T).cast("timestamp")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < t, vfp).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= t, vfp).otherwise(F.lit(0))).alias("y"),
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "x", "y")
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    th = m.select(
+        "n",
+        "sx",
+        F.round(
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx")
+               - F.col("sx").cast("double") * F.col("sx")),
+            9,
+        ).alias("theta"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("ax"),
+        F.sum("y").alias("ay"),
+    )
+    return a.crossJoin(F.broadcast(th)).select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("ay").cast("double") / F.col("n_users"), 9).alias("mean_y"),
+        F.round(
+            F.col("ay").cast("double") / F.col("n_users")
+            - F.col("theta")
+            * (
+                F.col("ax").cast("double") / F.col("n_users")
+                - F.col("sx").cast("double") / F.col("n")
+            ),
+            9,
+        ).alias("mean_adj"),
+        "theta",
+    )
+
+
+# --------------------------------------------------------------------------
+# B270 (round 8) — difference-in-differences: the 2x2 natural-
+# experiment estimator — (treated post - treated pre) - (control post
+# - control pre) — that strips out both the group baseline and the
+# common time trend.  All four cell means come from exact integer
+# centi-unit sums; the estimate is one literal double expression
+# rounded to 9.  One rollup shuffle on (arm, period).
+
+@query(
+    "ab_test_diff_in_diff",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         CAST(ts >= TIMESTAMP '{_CUPED_T}' AS INT) AS post,
+         COUNT(*) AS n,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT arm, post, n, s, round(CAST(s AS DOUBLE) / n, 9) AS mean_v FROM c),
+d AS (
+  SELECT round(
+           (MAX(CASE WHEN arm = 1 AND post = 1 THEN mean_v END)
+            - MAX(CASE WHEN arm = 1 AND post = 0 THEN mean_v END))
+           - (MAX(CASE WHEN arm = 0 AND post = 1 THEN mean_v END)
+              - MAX(CASE WHEN arm = 0 AND post = 0 THEN mean_v END)), 9) AS did
+  FROM w)
+SELECT w.arm, w.post, CAST(w.n AS BIGINT) AS n_events, w.mean_v, d.did
+FROM w CROSS JOIN d
+""",
+)
+def ab_test_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.col("ts") >= F.lit(_CUPED_T).cast("timestamp")).cast("int").alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("s"),
+    )
+    w = c.select(
+        "arm", "post", "n", F.round(F.col("s").cast("double") / F.col("n"), 9).alias("mean_v")
+    )
+    d = w.agg(
+        F.round(
+            (
+                F.max(F.when((F.col("arm") == 1) & (F.col("post") == 1), F.col("mean_v")))
+                - F.max(F.when((F.col("arm") == 1) & (F.col("post") == 0), F.col("mean_v")))
+            )
+            - (
+                F.max(F.when((F.col("arm") == 0) & (F.col("post") == 1), F.col("mean_v")))
+                - F.max(F.when((F.col("arm") == 0) & (F.col("post") == 0), F.col("mean_v")))
+            ),
+            9,
+        ).alias("did")
+    )
+    return w.crossJoin(F.broadcast(d)).select(
+        "arm", "post", F.col("n").cast("bigint").alias("n_events"), "mean_v", "did"
+    )

@@ -1036,3 +1036,80 @@ def mm_image_patch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         patchify,
         "media_id long, pr int, pc int, sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# B271 (round 8) — audio downsampling (8 kHz -> 4 kHz) across the
+# binary decode boundary: decimation-by-2 with a 2-tap boxcar anti-
+# alias average — the resample step every speech pipeline runs before
+# feature extraction (the audio analogue of mm_resize_avgpool).  The
+# pairwise average uses the positivity-bias floor ((a + b + BIG*2)
+# div 2 - BIG) because PCM16 samples are signed and engine `div`/`>>`
+# semantics on negatives differ; every output sample is therefore an
+# exact integer, and the per-doc weighted checksum (sum out[i]*(i+1))
+# and peak replay bitwise from the digest hex in the oracle.  Decode
+# runs where the data lives (mapInPandas), zero shuffle.
+
+_ADS_BIG = 1 << 20
+
+
+def _audio_downsample_oracle() -> str:
+    samp = f"{_by('2*i')} + 256*{_by('2*i+1')}"
+    signed = f"(CASE WHEN {samp} >= 32768 THEN {samp} - 65536 ELSE {samp} END)"
+    s_even = signed.replace("2*i", "4*j")
+    s_odd = signed.replace("2*i", "4*j+2")
+    out = f"(({s_even} + {s_odd} + {2 * _ADS_BIG}) // 2 - {_ADS_BIG})"
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE CAST(doc_id % 3 AS INT) = 1),
+o AS (
+  SELECT doc_id AS media_id,
+         [{out} FOR j IN generate_series(0, {_WAV_N // 2 - 1})] AS ys
+  FROM d)
+SELECT media_id,
+       CAST({_WAV_N} AS INT) AS n_in,
+       CAST({_WAV_N // 2} AS INT) AS n_out,
+       CAST(list_sum([ys[j + 1] * (j + 1) FOR j IN generate_series(0, {_WAV_N // 2 - 1})])
+            AS BIGINT) AS checksum,
+       CAST(list_max([abs(y) FOR y IN ys]) AS BIGINT) AS peak
+FROM o
+"""
+
+
+@query("mm_audio_downsample", oracle=_audio_downsample_oracle())
+def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    )
+
+    def downsample(batches):
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(buf)
+                n = int.from_bytes(buf[40:44], "little") // 2
+                smp = np.frombuffer(buf, dtype="<i2", count=n, offset=44).astype(
+                    np.int64
+                )
+                ys = [
+                    (int(smp[2 * j]) + int(smp[2 * j + 1]) + 2 * _ADS_BIG) // 2
+                    - _ADS_BIG
+                    for j in range(n // 2)
+                ]
+                rows.append(
+                    (
+                        int(mid),
+                        n,
+                        n // 2,
+                        sum(y * (j + 1) for j, y in enumerate(ys)),
+                        max(abs(y) for y in ys),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_in", "n_out", "checksum", "peak"]
+            )
+
+    return m.mapInPandas(
+        downsample,
+        "media_id long, n_in int, n_out int, checksum bigint, peak bigint",
+    )

@@ -99,6 +99,8 @@ WHITELIST = {
     "warehouse_vacuum_unreferenced": "(a) 1-row vacuum-counts relation attached to the 1-row retained-snapshot aggregate",
     "warehouse_partition_evolution": "(a) 1-row per-spec file-counts relation attached to the 1-row pruned aggregate",
     "split_time_embargo": "(a) 1-row user-overlap aggregate attached to the 3-row partition counts",
+    "ab_test_cuped": "(a) 1-row pooled-theta relation attached to the 2-row arm aggregate",
+    "ab_test_diff_in_diff": "(a) 1-row DiD estimate attached to the 4-row cell means",
     "sim_mmr_select": "(b) probes broadcast against corpus (sim_topk shape); selection is per-probe grouped-map",
 }
 

@@ -773,3 +773,30 @@ class TestSaxSymbols:
             assert set(c) <= set("abcd")
             # quartile breakpoints put >= floor(n/4) in the lowest band
             assert c["a"] >= 5
+
+
+class TestCuped:
+    def test_adjustment_preserves_grand_mean_and_reduces_nothing_biased(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        rows = {r.arm: r for r in QUERIES["ab_test_cuped"](spark, sf_dir).collect()}
+        assert set(rows) == {0, 1}
+        # the adjustment is mean-zero when weighted by arm sizes:
+        # sum_a n_a * (mean_adj - mean_y) == -theta * sum_a n_a * (x_a - x_bar) == 0
+        tot = sum(r.n_users for r in rows.values())
+        shift = sum(r.n_users * (r.mean_adj - r.mean_y) for r in rows.values()) / tot
+        assert abs(shift) < 1e-6
+        assert rows[0].theta == rows[1].theta
+
+
+class TestDiffInDiff:
+    def test_did_matches_cell_means(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ab_test_diff_in_diff"](spark, sf_dir).collect()
+        cells = {(r.arm, r.post): r.mean_v for r in rows}
+        assert len(cells) == 4
+        expect = round(
+            (cells[(1, 1)] - cells[(1, 0)]) - (cells[(0, 1)] - cells[(0, 0)]), 9
+        )
+        assert all(abs(r.did - expect) < 2e-9 for r in rows)

@@ -281,3 +281,30 @@ class TestImagePatchEmbed:
                     s = px[2 * pr : 2 * pr + 2, 2 * pc : 2 * pc + 2, :].astype(int).sum(axis=(0, 1))
                     r = by_key[(did, pr, pc)]
                     assert (r.sum_r, r.sum_g, r.sum_b) == (s[0], s[1], s[2])
+
+
+class TestAudioDownsample:
+    def test_boxcar_decimation_matches_reference(self, spark, sf_dir):
+        import hashlib
+
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = {r.media_id: r for r in
+                QUERIES["mm_audio_downsample"](spark, sf_dir).collect()}
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 == 1
+        ).collect()
+        assert len(rows) == len(docs)
+        for d in docs[:5]:
+            digest = hashlib.md5(d.text.encode("utf-8")).digest()
+            smp = np.frombuffer((digest * 8)[:128], dtype="<i2").astype(int)
+            ys = [(int(smp[2*j]) + int(smp[2*j+1])) // 2 for j in range(32)]
+            # positivity-bias floor == python floor div for ints
+            r = rows[d.doc_id]
+            assert r.n_in == 64 and r.n_out == 32
+            assert r.checksum == sum(y * (j + 1) for j, y in enumerate(ys))
+            assert r.peak == max(abs(y) for y in ys)
