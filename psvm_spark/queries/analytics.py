@@ -4828,3 +4828,98 @@ def ab_test_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.crossJoin(F.broadcast(d)).select(
         "arm", "post", F.col("n").cast("bigint").alias("n_events"), "mean_v", "did"
     )
+
+
+# --------------------------------------------------------------------------
+# B272 (round 8) — Bollinger bands: the rolling mean +- 2-sigma
+# envelope every monitoring dashboard draws over a metric series.
+# 12-month trailing window per nation, full windows only; the rolling
+# sums are exact integer cents (order-independent), the mean/std/band
+# doubles use one mirrored op sequence with round9 outputs, and the
+# window is calendar-bounded per series key (84 rows — at 100 TB the
+# key space grows, never the per-key window).
+
+_BB_W = 12
+
+
+@query(
+    "ts_bollinger_bands",
+    oracle=f"""
+WITH monthly AS (
+  SELECT n.n_name AS nat,
+         CAST((EXTRACT(year FROM o.o_orderdate) - 1992) * 12
+              + EXTRACT(month FROM o.o_orderdate) - 1 AS INT) AS m,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+w AS (
+  SELECT nat, m, x,
+         ROW_NUMBER() OVER pw AS rn,
+         SUM(x) OVER pw AS s,
+         SUM(x * x) OVER pw AS s2
+  FROM monthly
+  WINDOW pw AS (PARTITION BY nat ORDER BY m
+                ROWS BETWEEN {_BB_W - 1} PRECEDING AND CURRENT ROW))
+SELECT nat, CAST(m AS INT) AS m, CAST(x AS BIGINT) AS x_c,
+       round(CAST(s AS DOUBLE) / {_BB_W}, 0) AS mid,
+       round(CAST(s AS DOUBLE) / {_BB_W}
+             + 2 * sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE) * s / {_BB_W})
+                        / ({_BB_W} - 1)), 0) AS upper,
+       round(CAST(s AS DOUBLE) / {_BB_W}
+             - 2 * sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE) * s / {_BB_W})
+                        / ({_BB_W} - 1)), 0) AS lower
+FROM w WHERE rn >= {_BB_W}
+""",
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nat"),
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+            .cast("int")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    pw = (
+        Window.partitionBy("nat")
+        .orderBy("m")
+        .rowsBetween(-(_BB_W - 1), Window.currentRow)
+    )
+    w = monthly.select(
+        "nat",
+        "m",
+        "x",
+        F.row_number().over(Window.partitionBy("nat").orderBy("m")).alias("rn"),
+        F.sum("x").over(pw).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(pw).alias("s2"),
+    ).filter(F.col("rn") >= _BB_W)
+    mid = F.col("s").cast("double") / _BB_W
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s").cast("double") * F.col("s") / _BB_W)
+        / (_BB_W - 1)
+    )
+    return w.select(
+        "nat",
+        F.col("m").cast("int").alias("m"),
+        F.col("x").cast("bigint").alias("x_c"),
+        # bands sit at cent magnitude ~1e8 where the double ulp is
+        # coarser than a 1e-9 grid (the documented round9 trap) — whole
+        # cents (grid 1 >> ulp, the Holt-Winters rule) is always safe
+        F.round(mid, 0).alias("mid"),
+        F.round(mid + 2 * sd, 0).alias("upper"),
+        F.round(mid - 2 * sd, 0).alias("lower"),
+    )

@@ -800,3 +800,41 @@ class TestDiffInDiff:
             (cells[(1, 1)] - cells[(1, 0)]) - (cells[(0, 1)] - cells[(0, 0)]), 9
         )
         assert all(abs(r.did - expect) < 2e-9 for r in rows)
+
+
+class TestBollingerBands:
+    def test_bands_bracket_mid_and_replay_on_one_nation(self, spark, sf_dir):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["ts_bollinger_bands"](spark, sf_dir).collect()
+        assert all(r.lower <= r.mid <= r.upper for r in rows)
+        nat = sorted({r.nat for r in rows})[0]
+        series = {
+            x.m: int(x.x)
+            for x in load_table(spark, sf_dir, "orders")
+            .join(load_table(spark, sf_dir, "customer"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(load_table(spark, sf_dir, "nation"),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .filter(F.col("n_name") == nat)
+            .groupBy(((F.year("o_orderdate") - 1992) * 12
+                      + F.month("o_orderdate") - 1).cast("int").alias("m"))
+            .agg(F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                       .cast("bigint")).alias("x"))
+            .collect()
+        }
+        ms = sorted(series)
+        got = {r.m: r for r in rows if r.nat == nat}
+        for i in range(11, len(ms)):
+            win = [series[m] for m in ms[i - 11 : i + 1]]
+            s, s2, n = sum(win), sum(v * v for v in win), 12
+            mid = s / n
+            sd = math.sqrt((s2 - s / n * s) / (n - 1))
+            r = got[ms[i]]
+            assert r.mid == round(mid, 0)
+            assert r.upper == round(mid + 2 * sd, 0)
