@@ -4858,7 +4858,7 @@ w AS (
   SELECT nat, m, x,
          ROW_NUMBER() OVER pw AS rn,
          SUM(x) OVER pw AS s,
-         SUM(x * x) OVER pw AS s2
+         SUM(CAST(x AS HUGEINT) * x) OVER pw AS s2
   FROM monthly
   WINDOW pw AS (PARTITION BY nat ORDER BY m
                 ROWS BETWEEN {_BB_W - 1} PRECEDING AND CURRENT ROW))
@@ -4905,7 +4905,12 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.row_number().over(Window.partitionBy("nat").orderBy("m")).alias("rn"),
         F.sum("x").over(pw).alias("s"),
-        F.sum(F.col("x") * F.col("x")).over(pw).alias("s2"),
+        # x ~ 9e8 cents per nation-month at sf0.1: x*x stacks past 2^63
+        # in a 12-row window — sum the squares in DECIMAL(38,0) to
+        # mirror the oracle's HUGEINT headroom (the ts_periodogram rule)
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x")).cast("decimal(38,0)"))
+        .over(pw)
+        .alias("s2"),
     ).filter(F.col("rn") >= _BB_W)
     mid = F.col("s").cast("double") / _BB_W
     sd = F.sqrt(
