@@ -1825,3 +1825,100 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").cast("bigint").alias("lo"),
         F.max("x").cast("bigint").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# B273 (round 8) — Lorenz curve points: the decile-resolution
+# cumulative-share curve behind agg_gini_spend's scalar — "the bottom
+# k/10 of customers hold what share of total spend".  Customers rank
+# by exact integer cent spend (bucketed distributed rank — the
+# select_curriculum_order shape, no single-partition window), decile
+# cut points are floor(n*k/10) ranks, and shares are round9 doubles
+# of exact integer cumulative sums.
+
+@query(
+    "agg_lorenz_curve",
+    oracle="""
+WITH spend AS (
+  SELECT c_custkey,
+         COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)), 0) AS s
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey),
+r AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s, c_custkey) AS rk FROM spend),
+t AS (SELECT COUNT(*) AS n, SUM(s) AS tot FROM r),
+d AS (
+  SELECT CAST(k AS INT) AS decile, (t.n * k) // 10 AS cut, t.n, t.tot
+  FROM (SELECT unnest(generate_series(1, 10)) AS k) ks CROSS JOIN t)
+SELECT d.decile,
+       CAST(d.cut AS BIGINT) AS n_customers,
+       CAST(SUM(r.s) AS BIGINT) AS cum_spend_c,
+       round(CAST(SUM(r.s) AS DOUBLE) / d.tot, 9) AS cum_share
+FROM d JOIN r ON r.rk <= d.cut
+GROUP BY d.decile, d.cut, d.tot
+""",
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                        "bigint"
+                    )
+                ),
+                F.lit(0),
+            ).alias("s")
+        )
+    )
+    # bucketed distributed global rank (no single-partition window)
+    b = spend.withColumn("bucket", F.expr("s div 100000000"))
+    off = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    r = b.join(F.broadcast(off), "bucket").select(
+        "s",
+        (
+            F.col("base")
+            + F.row_number().over(
+                Window.partitionBy("bucket").orderBy("s", "c_custkey")
+            )
+        ).alias("rk"),
+    )
+    t = r.agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("tot"))
+    d = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(t))
+        .select("decile", F.expr("(n * decile) div 10").alias("cut"), "tot")
+    )
+    return (
+        r.join(F.broadcast(d), r.rk <= d.cut)
+        .groupBy("decile", "cut", "tot")
+        .agg(F.sum("s").alias("cum"))
+        .select(
+            "decile",
+            F.col("cut").cast("bigint").alias("n_customers"),
+            F.col("cum").cast("bigint").alias("cum_spend_c"),
+            F.round(F.col("cum").cast("double") / F.col("tot"), 9).alias(
+                "cum_share"
+            ),
+        )
+    )

@@ -979,3 +979,75 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("bigint"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B274 (round 8) — degree assortativity (Newman 2002): the Pearson
+# correlation between the degrees at the two ends of every edge — the
+# one-number answer to "do hubs attach to hubs?" that shapes how this
+# graph will partition (assortative graphs produce hub-heavy shuffle
+# skew).  Each undirected edge contributes both orientations (the
+# standard symmetrization), all moments are exact integer sums over
+# the edge list, and the final r is one mirrored double expression
+# rounded to 9.  Cost: the degree join is the same two-hop adjacency
+# equi-join every graph key pays — no wedges, no pairs.
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+adj AS (
+  SELECT a AS x, b AS n FROM edges
+  UNION ALL
+  SELECT b AS x, a AS n FROM edges),
+deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x),
+de AS (
+  SELECT da.d AS du, db.d AS dv
+  FROM adj e
+  JOIN deg da ON da.x = e.x
+  JOIN deg db ON db.x = e.n),
+m AS (
+  SELECT COUNT(*) AS n, SUM(du) AS su, SUM(dv) AS sv,
+         SUM(du * dv) AS suv, SUM(du * du) AS suu, SUM(dv * dv) AS svv
+  FROM de)
+SELECT CAST(n AS BIGINT) AS n_endpoints,
+       round((CAST(n AS DOUBLE) * suv - CAST(su AS DOUBLE) * sv)
+             / (sqrt(CAST(n AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)
+                * sqrt(CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv)),
+             9) AS assortativity
+FROM m
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    de = (
+        adj.join(deg.select(F.col("x"), F.col("d").alias("du")), "x")
+        .join(
+            deg.select(F.col("x").alias("n"), F.col("d").alias("dv")), "n"
+        )
+        .select("du", "dv")
+    )
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("du").alias("su"),
+        F.sum("dv").alias("sv"),
+        F.sum(F.col("du") * F.col("dv")).alias("suv"),
+        F.sum(F.col("du") * F.col("du")).alias("suu"),
+        F.sum(F.col("dv") * F.col("dv")).alias("svv"),
+    )
+    n = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_endpoints"),
+        F.round(
+            (n * F.col("suv") - F.col("su").cast("double") * F.col("sv"))
+            / (
+                F.sqrt(n * F.col("suu") - F.col("su").cast("double") * F.col("su"))
+                * F.sqrt(n * F.col("svv") - F.col("sv").cast("double") * F.col("sv"))
+            ),
+            9,
+        ).alias("assortativity"),
+    )

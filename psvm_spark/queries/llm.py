@@ -8996,3 +8996,104 @@ def split_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_overlap"))
     )
     return cnt.crossJoin(F.broadcast(ov))
+
+
+# --------------------------------------------------------------------------
+# B275 (round 8) — Zipf exponent fit: regress ln(frequency) on
+# ln(rank) over the corpus vocabulary — the one-number sanity check
+# (slope ~ -1 for natural language) that corpus-QC dashboards track to
+# catch synthetic/degenerate text before it trains.  Ranks come from
+# the bucketed distributed rank (count-keyed buckets, no single-
+# partition window over the Zipf-bounded vocab); ln terms round9 to
+# decimal so the OLS moment sums are exact; the slope/intercept are
+# one mirrored double expression.
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+WITH wc AS (
+  SELECT u.w, COUNT(*) AS c
+  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u
+  WHERE u.w <> ''
+  GROUP BY u.w),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM wc),
+pts AS (
+  SELECT CAST(round(ln(rk), 9) AS DECIMAL(18,9)) AS lx,
+         CAST(round(ln(c), 9) AS DECIMAL(18,9)) AS ly
+  FROM r),
+m AS (
+  SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+  FROM pts)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS zipf_slope,
+       round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept
+FROM m
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bucketed rank keyed on count DESC: bucket = -c groups equal counts
+    off = (
+        wc.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy(F.desc("c")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    r = wc.join(F.broadcast(off), "c").select(
+        "c",
+        (
+            F.col("base")
+            + F.row_number().over(Window.partitionBy("c").orderBy("w"))
+        ).alias("rk"),
+    )
+    pts = r.select(
+        F.round(F.log("rk"), 9).cast("decimal(18,9)").alias("lx"),
+        F.round(F.log("c"), 9).cast("decimal(18,9)").alias("ly"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / n,
+            9,
+        ).alias("intercept"),
+    )

@@ -101,6 +101,7 @@ WHITELIST = {
     "split_time_embargo": "(a) 1-row user-overlap aggregate attached to the 3-row partition counts",
     "ab_test_cuped": "(a) 1-row pooled-theta relation attached to the 2-row arm aggregate",
     "ab_test_diff_in_diff": "(a) 1-row DiD estimate attached to the 4-row cell means",
+    "agg_lorenz_curve": "(b) 10-row decile-cut relation broadcast against ranks (rk <= cut range predicate)",
     "sim_mmr_select": "(b) probes broadcast against corpus (sim_topk shape); selection is per-probe grouped-map",
 }
 

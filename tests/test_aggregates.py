@@ -122,3 +122,20 @@ class TestTimeEmbargoSplit:
         assert set(rows) == {"train", "embargo", "test"}
         assert sum(r.n_rows for r in rows.values()) == total
         assert rows["embargo"].n_rows > 0  # the gap really drops rows
+
+
+class TestLorenzCurve:
+    def test_monotone_convex_and_terminal_one(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["agg_lorenz_curve"](spark, sf_dir).collect(),
+            key=lambda r: r.decile,
+        )
+        assert [r.decile for r in rows] == list(range(1, 11))
+        shares = [r.cum_share for r in rows]
+        assert all(a <= b for a, b in zip(shares, shares[1:]))  # monotone
+        assert abs(shares[-1] - 1.0) < 1e-9  # all spend covered
+        # Lorenz curve lies under the diagonal (sorted ascending)
+        for r in rows[:-1]:
+            assert r.cum_share <= r.decile / 10 + 1e-9

@@ -1519,3 +1519,31 @@ class TestWordpieceEncode:
                             n_pieces += 1
                             break
             assert out[d.doc_id].n_pieces == n_pieces, d.doc_id
+
+
+class TestZipfFit:
+    def test_slope_negative_and_replayable(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        r = QUERIES["text_zipf_fit"](spark, sf_dir).collect()[0]
+        docs = load_table(spark, sf_dir, "documents").collect()
+        wc = Counter(w for d in docs for w in d.text.split(" ") if w)
+        assert r.n_vocab == len(wc)
+        assert r.zipf_slope < 0  # frequency falls with rank
+        # OLS replay on round9 decimal terms
+        from decimal import Decimal
+
+        ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        sx = sy = sxy = sxx = Decimal(0)
+        for i, (_, c) in enumerate(ranked, start=1):
+            lx = Decimal(str(round(math.log(i), 9)))
+            ly = Decimal(str(round(math.log(c), 9)))
+            sx += lx; sy += ly; sxy += lx * ly; sxx += lx * lx
+        n = float(len(ranked))
+        slope = (n * float(sxy) - float(sx) * float(sy)) / (
+            n * float(sxx) - float(sx) * float(sx))
+        assert abs(r.zipf_slope - round(slope, 9)) < 2e-9

@@ -1123,3 +1123,14 @@ class TestAdamicAdar:
             assert len(common) == r.n_common > 0
             expect = sum(round(1.0 / math.log(deg[z]), 9) for z in common)
             assert abs(r.aa_score - expect) < 1e-9
+
+
+class TestAssortativity:
+    def test_pearson_over_edge_degrees_in_range(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+        from psvm_spark.queries.graph import edge_set
+
+        r = QUERIES["graph_degree_assortativity"](spark, sf_dir).collect()[0]
+        n_edges = edge_set(spark, sf_dir).count()
+        assert r.n_endpoints == 2 * n_edges
+        assert -1.0 <= r.assortativity <= 1.0
