@@ -4928,3 +4928,153 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mid + 2 * sd, 0).alias("upper"),
         F.round(mid - 2 * sd, 0).alias("lower"),
     )
+
+
+# --------------------------------------------------------------------------
+# B276 (round 8) — control-chart rules (Western Electric): the SPC
+# layer a metrics platform runs on every monitored series — rule 1
+# (one point beyond 3 sigma), rule 2 (2 of 3 consecutive beyond
+# 2 sigma, same side), rule 4 (8 consecutive on one side of center).
+# Center/sigma come from exact integer moments of each nation's
+# monthly series (population sigma, round9 once); the rule tests are
+# integer comparisons against fixed-point control limits, and the
+# consecutive-run logic is lag windows over the calendar-bounded
+# per-series key — no cross-series state.
+
+_SPC_FP = 1_000_000
+
+
+@query(
+    "ts_control_rules",
+    oracle=f"""
+WITH monthly AS (
+  SELECT n.n_name AS nat,
+         CAST((EXTRACT(year FROM o.o_orderdate) - 1992) * 12
+              + EXTRACT(month FROM o.o_orderdate) - 1 AS INT) AS m,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+st AS (
+  SELECT nat, COUNT(*) AS n, SUM(x) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS s2
+  FROM monthly GROUP BY nat),
+lim AS (
+  SELECT nat,
+         CAST(s AS DOUBLE) / n AS mu,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS sg
+  FROM st),
+z AS (
+  SELECT m.nat, m.m, m.x,
+         CASE WHEN m.x > l.mu + 3 * l.sg OR m.x < l.mu - 3 * l.sg
+              THEN 1 ELSE 0 END AS r1,
+         CASE WHEN m.x > l.mu + 2 * l.sg THEN 1
+              WHEN m.x < l.mu - 2 * l.sg THEN -1 ELSE 0 END AS z2,
+         CASE WHEN CAST(m.x AS DOUBLE) > l.mu THEN 1 ELSE -1 END AS side
+  FROM monthly m JOIN lim l ON l.nat = m.nat),
+w AS (
+  SELECT nat, m, r1,
+         CASE WHEN (z2 = 1 AND ((LAG(z2, 1) OVER pw = 1 AND LAG(z2, 2) OVER pw <> 1)
+                                 OR (LAG(z2, 1) OVER pw <> 1 AND LAG(z2, 2) OVER pw = 1)
+                                 OR (LAG(z2, 1) OVER pw = 1 AND LAG(z2, 2) OVER pw = 1)))
+                OR (z2 = -1 AND ((LAG(z2, 1) OVER pw = -1 AND LAG(z2, 2) OVER pw <> -1)
+                                  OR (LAG(z2, 1) OVER pw <> -1 AND LAG(z2, 2) OVER pw = -1)
+                                  OR (LAG(z2, 1) OVER pw = -1 AND LAG(z2, 2) OVER pw = -1)))
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN side = LAG(side, 1) OVER pw AND side = LAG(side, 2) OVER pw
+                   AND side = LAG(side, 3) OVER pw AND side = LAG(side, 4) OVER pw
+                   AND side = LAG(side, 5) OVER pw AND side = LAG(side, 6) OVER pw
+                   AND side = LAG(side, 7) OVER pw
+              THEN 1 ELSE 0 END AS r4
+  FROM z
+  WINDOW pw AS (PARTITION BY nat ORDER BY m))
+SELECT nat, CAST(SUM(r1) AS BIGINT) AS n_rule1,
+       CAST(SUM(r2) AS BIGINT) AS n_rule2,
+       CAST(SUM(r4) AS BIGINT) AS n_rule4
+FROM w GROUP BY nat
+""",
+)
+def ts_control_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nat"),
+            ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+            .cast("int")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    st = monthly.groupBy("nat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x")).cast("decimal(38,0)"))
+        .alias("s2"),
+    )
+    lim = st.select(
+        "nat",
+        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2").cast("double")
+             - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            / F.col("n")
+        ).alias("sg"),
+    )
+    z = monthly.join(F.broadcast(lim), "nat").select(
+        "nat",
+        "m",
+        F.when(
+            (F.col("x") > F.col("mu") + 3 * F.col("sg"))
+            | (F.col("x") < F.col("mu") - 3 * F.col("sg")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r1"),
+        F.when(F.col("x") > F.col("mu") + 2 * F.col("sg"), 1)
+        .when(F.col("x") < F.col("mu") - 2 * F.col("sg"), -1)
+        .otherwise(0)
+        .alias("z2"),
+        F.when(F.col("x").cast("double") > F.col("mu"), 1)
+        .otherwise(-1)
+        .alias("side"),
+    )
+    pw = Window.partitionBy("nat").orderBy("m")
+    l1, l2 = F.lag("z2", 1).over(pw), F.lag("z2", 2).over(pw)
+
+    def two_of_three(sign: int):
+        a, b = l1 == sign, l2 == sign
+        return (F.col("z2") == sign) & (
+            (a & (l2 != sign)) | ((l1 != sign) & b) | (a & b)
+        )
+
+    side_run = F.when(
+        sum(
+            [
+                (F.lag("side", i).over(pw) == F.col("side")).cast("int")
+                for i in range(1, 8)
+            ],
+            F.lit(0),
+        )
+        == 7,
+        1,
+    ).otherwise(0)
+    w = z.select(
+        "nat",
+        "r1",
+        F.when(two_of_three(1) | two_of_three(-1), 1).otherwise(0).alias("r2"),
+        side_run.alias("r4"),
+    )
+    return w.groupBy("nat").agg(
+        F.sum("r1").cast("bigint").alias("n_rule1"),
+        F.sum("r2").cast("bigint").alias("n_rule2"),
+        F.sum("r4").cast("bigint").alias("n_rule4"),
+    )

@@ -9097,3 +9097,78 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# B277 (round 8) — readability scoring (Flesch reading ease): the
+# document-quality signal curation stacks keep alongside Gopher rules
+# — too-hard and too-easy tails both correlate with junk.  Adapted to
+# the fixture corpus the way RAKE derives its delimiters: the corpus
+# has no sentence punctuation, so sentences proxy as fixed 12-word
+# windows (ceil(words/12), exact integer), and syllables proxy as
+# vowel runs per word (min 1, regexp_extract_all on both engines).
+# All per-doc inputs are integers; the Flesch formula is one mirrored
+# double expression rounded to 9 per doc, then summed as exact
+# decimals for the per-lang means.
+
+_FRE_WPS = 12  # words per proxy sentence
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, u.w,
+         greatest(len(regexp_extract_all(u.w, '[aeiou]+')), 1) AS syl
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u
+  WHERE u.w <> ''),
+d AS (
+  SELECT doc_id, lang, COUNT(*) AS n_words, SUM(syl) AS n_syl,
+         (COUNT(*) + {_FRE_WPS - 1}) // {_FRE_WPS} AS n_sent
+  FROM w GROUP BY doc_id, lang),
+f AS (
+  SELECT doc_id, lang, n_words,
+         CAST(round(206.835
+                    - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                    - 84.6 * (CAST(n_syl AS DOUBLE) / n_words), 9)
+              AS DECIMAL(18,9)) AS fre
+  FROM d)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(fre) AS DOUBLE) / COUNT(*), 6) AS mean_flesch
+FROM f GROUP BY lang
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .withColumn(
+            "syl",
+            F.greatest(
+                F.expr("size(regexp_extract_all(w, '[aeiou]+', 0))"), F.lit(1)
+            ),
+        )
+    )
+    d = w.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("syl").alias("n_syl"),
+    ).withColumn("n_sent", F.expr(f"(n_words + {_FRE_WPS - 1}) div {_FRE_WPS}"))
+    f = d.select(
+        "lang",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sent"))
+            - 84.6 * (F.col("n_syl").cast("double") / F.col("n_words")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("fre"),
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum("fre").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_flesch"
+        ),
+    )

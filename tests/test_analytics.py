@@ -838,3 +838,47 @@ class TestBollingerBands:
             r = got[ms[i]]
             assert r.mid == round(mid, 0)
             assert r.upper == round(mid + 2 * sd, 0)
+
+
+class TestControlRules:
+    def test_rule_counts_replay_on_one_nation(self, spark, sf_dir):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        out = {r.nat: r for r in QUERIES["ts_control_rules"](spark, sf_dir).collect()}
+        monthly = (
+            load_table(spark, sf_dir, "orders")
+            .join(load_table(spark, sf_dir, "customer"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(load_table(spark, sf_dir, "nation"),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nat"),
+                     ((F.year("o_orderdate") - 1992) * 12
+                      + F.month("o_orderdate") - 1).cast("int").alias("m"))
+            .agg(F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                       .cast("bigint")).alias("x"))
+            .collect()
+        )
+        nat = sorted(out)[0]
+        xs = [int(r.x) for r in sorted(
+            (r for r in monthly if r.nat == nat), key=lambda r: r.m)]
+        n = len(xs)
+        mu = sum(xs) / n
+        sg = math.sqrt((sum(v * v for v in xs) - sum(xs) / n * sum(xs)) / n)
+        r1 = sum(1 for v in xs if v > mu + 3 * sg or v < mu - 3 * sg)
+        z2 = [1 if v > mu + 2 * sg else -1 if v < mu - 2 * sg else 0 for v in xs]
+        r2 = sum(
+            1 for i, z in enumerate(z2)
+            if z != 0 and i >= 1 and (z2[i-1] == z or (i >= 2 and z2[i-2] == z))
+        )
+        side = [1 if v > mu else -1 for v in xs]
+        r4 = sum(
+            1 for i in range(7, n) if all(side[i-j] == side[i] for j in range(1, 8))
+        )
+        got = out[nat]
+        assert (got.n_rule1, got.n_rule4) == (r1, r4)
+        assert got.n_rule2 == r2

@@ -1547,3 +1547,29 @@ class TestZipfFit:
         slope = (n * float(sxy) - float(sx) * float(sy)) / (
             n * float(sxx) - float(sx) * float(sx))
         assert abs(r.zipf_slope - round(slope, 9)) < 2e-9
+
+
+class TestReadability:
+    def test_flesch_replay_per_lang(self, spark, sf_dir):
+        from collections import defaultdict
+        from decimal import Decimal
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        import re
+
+        out = {r.lang: r for r in QUERIES["text_readability"](spark, sf_dir).collect()}
+        docs = load_table(spark, sf_dir, "documents").collect()
+        agg = defaultdict(lambda: [0, Decimal(0)])
+        for d in docs:
+            words = [w for w in d.text.split(" ") if w]
+            syl = sum(max(len(re.findall(r"[aeiou]+", w)), 1) for w in words)
+            sent = (len(words) + 11) // 12
+            fre = round(206.835 - 1.015 * (len(words) / sent)
+                        - 84.6 * (syl / len(words)), 9)
+            agg[d.lang][0] += 1
+            agg[d.lang][1] += Decimal(str(fre))
+        for lang, (n, s) in agg.items():
+            assert out[lang].n_docs == n
+            assert abs(out[lang].mean_flesch - round(float(s) / n, 6)) < 2e-6
