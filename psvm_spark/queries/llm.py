@@ -9172,3 +9172,143 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_flesch"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B278 (round 8) — TextRank keyword extraction (Mihalcea & Tarau
+# 2004): PageRank over the word co-occurrence graph — the graph-based
+# complement to RAKE (degree scores) and TF-IDF (frequency scores).
+# Nodes are corpus words with count >= {_TR_MIN} per language, edges
+# are adjacent-token co-occurrences (the standard window-2 graph),
+# and the rank iteration reuses graph_pagerank's EXACT fixed-point
+# recipe verbatim: mass at 1e15, per-edge contribution rank div
+# outdeg, damping (17 * inflow) div 20 + (3 * SCALE) div (20 * n_lang)
+# — every step exact commutative integer math, replayed by the
+# oracle's recursive CTE with the same GROUP BY recursion.  One
+# token-pair shuffle builds the graph; each of the {_TR_ITERS}
+# iterations is a co-partitioned join on the word key.
+
+_TR_MIN = 8
+_TR_ITERS = 4
+_TR_SCALE = 10**15
+_TR_TOPK = 10
+
+
+@query(
+    "text_textrank_keywords",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, u.pos, u.w
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+                       unnest(string_split(text, ' ')) AS w) u
+  WHERE u.w <> ''),
+vocab AS (
+  SELECT lang, w FROM toks GROUP BY lang, w HAVING COUNT(*) >= {_TR_MIN}),
+pairs AS (
+  SELECT DISTINCT a.lang, least(a.w, b.w) AS x, greatest(a.w, b.w) AS y
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN vocab va ON va.lang = a.lang AND va.w = a.w
+  JOIN vocab vb ON vb.lang = b.lang AND vb.w = b.w
+  WHERE a.w <> b.w),
+oe AS (
+  SELECT lang, x AS src, y AS dst FROM pairs
+  UNION ALL
+  SELECT lang, y AS src, x AS dst FROM pairs),
+deg AS (SELECT lang, src, COUNT(*) AS outdeg FROM oe GROUP BY lang, src),
+nv AS (SELECT lang, COUNT(*) AS n FROM deg GROUP BY lang),
+it AS (
+  SELECT 0 AS step, d.lang, d.src,
+         CAST({_TR_SCALE} // nv.n AS BIGINT) AS rank
+  FROM deg d JOIN nv ON nv.lang = d.lang
+  UNION ALL
+  SELECT r.step + 1, o.lang, o.dst AS src,
+         CAST((3 * {_TR_SCALE}) // (20 * ANY_VALUE(nv.n))
+              + (17 * SUM(r.rank // d.outdeg)) // 20 AS BIGINT) AS rank
+  FROM it r
+  JOIN deg d ON d.lang = r.lang AND d.src = r.src
+  JOIN oe o ON o.lang = r.lang AND o.src = r.src
+  JOIN nv ON nv.lang = o.lang
+  WHERE r.step < {_TR_ITERS}
+  GROUP BY r.step + 1, o.lang, o.dst
+),
+fin AS (
+  SELECT lang, src AS word, rank,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rank DESC, src) AS rk
+  FROM it WHERE step = {_TR_ITERS})
+SELECT lang, word, round(CAST(rank AS DOUBLE) / 1e15, 9) AS score,
+       CAST(rk AS INT) AS rk
+FROM fin WHERE rk <= {_TR_TOPK}
+""",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        toks.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _TR_MIN)
+        .select("lang", "w")
+    )
+    a = toks.select("doc_id", "lang", "pos", F.col("w").alias("wa"))
+    b = toks.select(
+        "doc_id", "lang", (F.col("pos") - 1).alias("pos"), F.col("w").alias("wb")
+    )
+    pairs = (
+        a.join(b, ["doc_id", "lang", "pos"])
+        .filter(F.col("wa") != F.col("wb"))
+        .join(vocab.withColumnRenamed("w", "wa"), ["lang", "wa"], "left_semi")
+        .join(vocab.withColumnRenamed("w", "wb"), ["lang", "wb"], "left_semi")
+        .select(
+            "lang",
+            F.least("wa", "wb").alias("x"),
+            F.greatest("wa", "wb").alias("y"),
+        )
+        .distinct()
+    )
+    oe = pairs.select("lang", F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        pairs.select("lang", F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = oe.groupBy("lang", "src").agg(F.count(F.lit(1)).alias("outdeg"))
+    links = oe.join(deg, ["lang", "src"]).localCheckpoint(eager=True)
+    nv = deg.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.join(F.broadcast(nv), "lang").select(
+        "lang", "src", F.expr(f"cast({_TR_SCALE} div n as bigint)").alias("rank")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            links.join(ranks, ["lang", "src"])
+            .select(
+                "lang",
+                F.col("dst").alias("src"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("lang", "src")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = contrib.join(F.broadcast(nv), "lang").select(
+            "lang",
+            "src",
+            F.expr(
+                f"cast((3 * {_TR_SCALE}) div (20 * n)"
+                f" + (17 * inflow) div 20 as bigint)"
+            ).alias("rank"),
+        )
+    fin = ranks.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("rank"), "src")
+        ),
+    ).filter(F.col("rk") <= _TR_TOPK)
+    return fin.select(
+        "lang",
+        F.col("src").alias("word"),
+        F.round(F.col("rank").cast("double") / 1e15, 9).alias("score"),
+        F.col("rk").cast("int").alias("rk"),
+    )

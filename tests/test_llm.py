@@ -1573,3 +1573,20 @@ class TestReadability:
         for lang, (n, s) in agg.items():
             assert out[lang].n_docs == n
             assert abs(out[lang].mean_flesch - round(float(s) / n, 6)) < 2e-6
+
+
+class TestTextrankKeywords:
+    def test_topk_shape_and_rank_mass_sanity(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["text_textrank_keywords"](spark, sf_dir).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rs in by_lang.items():
+            rs.sort(key=lambda r: r.rk)
+            assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= 10
+            scores = [r.score for r in rs]
+            assert all(a >= b for a, b in zip(scores, scores[1:]))
+            assert all(s > 0 for s in scores)
