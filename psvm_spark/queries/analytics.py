@@ -5078,3 +5078,45 @@ def ts_control_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r2").cast("bigint").alias("n_rule2"),
         F.sum("r4").cast("bigint").alias("n_rule4"),
     )
+
+
+# --------------------------------------------------------------------------
+# B279 (round 8) — user-path trigrams: the top 3-step behavioral
+# paths (event_transitions' bigram matrix extended one step) — what
+# journey-analysis dashboards rank to find the dominant flows.  Lag
+# windows per user ordered by (ts, event_id) — per-user state only,
+# exact counts, deterministic global top-{_PT_TOPK} with a full
+# tie-break.
+
+_PT_TOPK = 20
+
+
+@query(
+    "seq_path_trigrams",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS p1,
+         LAG(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+  SELECT p2 || '>' || p1 || '>' || event_type AS path, COUNT(*) AS n
+  FROM s WHERE p2 IS NOT NULL
+  GROUP BY 1)
+SELECT path, CAST(n AS BIGINT) AS n
+FROM t ORDER BY n DESC, path LIMIT {_PT_TOPK}
+""",
+)
+def seq_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    t = s.groupBy(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return t.orderBy(F.desc("n"), "path").limit(_PT_TOPK)

@@ -882,3 +882,28 @@ class TestControlRules:
         got = out[nat]
         assert (got.n_rule1, got.n_rule4) == (r1, r4)
         assert got.n_rule2 == r2
+
+
+class TestPathTrigrams:
+    def test_counts_replay(self, spark, sf_dir):
+        from collections import Counter
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["seq_path_trigrams"](spark, sf_dir).collect()
+        assert 0 < len(rows) <= 20
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        ).collect()
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+        c = Counter()
+        for sv in by_user.values():
+            sv.sort()
+            for i in range(2, len(sv)):
+                c[f"{sv[i-2][2]}>{sv[i-1][2]}>{sv[i][2]}"] += 1
+        expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert [(r.path, r.n) for r in rows] == expect or \
+               sorted((r.path, r.n) for r in rows) == sorted(expect)
