@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (union of CORRECTNESS_r01..r07.json).  load_all() fronts everything NOT
 # in this set so each round's sample lands on fresh keys.  Append each
 # round's newly sampled keys here when rotating.
-_DRIVER_SAMPLED_R1_R7: frozenset[str] = frozenset({
+_DRIVER_SAMPLED_R1_R8: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentile", "agg_bitmap_distinct",
     "agg_chi2_independence", "agg_cms_heavy_hitters", "agg_collect",
     "agg_cube", "agg_distinct", "agg_equidepth_bins", "agg_filtered",
@@ -145,6 +145,28 @@ _DRIVER_SAMPLED_R1_R7: frozenset[str] = frozenset({
     "ts_changepoint_sse", "ts_periodogram", "ts_theil_sen",
     "vec_centroid_dist", "vec_group_stats", "vocab_encode",
     "warehouse_bitemporal_asof", "warehouse_write_audit_publish",
+    # -- round 8 sample (CORRECTNESS_r08.json; 50/50 hash-green, all drawn
+    #    from the never-before-sampled pool after the r7 rotation) --
+    "ab_test_cuped", "ab_test_diff_in_diff", "ab_test_sprt",
+    "agg_hdr_histogram", "agg_lorenz_curve", "agg_mutual_information",
+    "decontaminate_containment", "dedup_chunk_corpus",
+    "feat_target_encode_loo", "graph_adamic_adar",
+    "graph_degree_assortativity", "graph_edge_triangle_support",
+    "graph_local_clustering", "ml_boosting_two_rounds",
+    "ml_calibration_bins", "ml_confusion_matrix",
+    "ml_feature_ttest_screen", "ml_gmm_em", "ml_icf_factor",
+    "ml_isotonic_pav", "ml_kmeans_lloyd_exact", "ml_logistic_irls",
+    "ml_pca_power_iteration", "ml_roc_auc", "ml_stump_split",
+    "mm_audio_downsample", "mm_image_patch_embed", "mm_shot_boundary",
+    "seq_path_trigrams", "sim_ivf_kmeans", "sim_pq_adc_topk",
+    "sim_pq_encode", "text_bm25_rank", "text_inverted_index",
+    "ts_bollinger_bands", "ts_control_rules",
+    "ts_croston_intermittent", "ts_decompose_classical",
+    "ts_dtw_distance", "ts_esd_outliers", "ts_ewma_irregular",
+    "ts_haar_wavelet", "ts_holt_winters_seasonal", "ts_kalman_filter",
+    "ts_sax_symbols", "warehouse_equality_deletes",
+    "warehouse_manifest_pruned_scan", "warehouse_partition_evolution",
+    "warehouse_snapshot_time_travel", "warehouse_vacuum_unreferenced",
 })
 
 
@@ -190,12 +212,12 @@ def load_all() -> None:
     )
 
     fresh_oracle = [
-        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R7 and k in ORACLES
+        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R8 and k in ORACLES
     ]
     fresh_rows = [
-        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R7 and k not in ORACLES
+        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R8 and k not in ORACLES
     ]
-    seen = [k for k in QUERIES if k in _DRIVER_SAMPLED_R1_R7]
+    seen = [k for k in QUERIES if k in _DRIVER_SAMPLED_R1_R8]
     ordered = {k: QUERIES[k] for k in fresh_oracle + fresh_rows + seen}
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -57,18 +57,18 @@ class TestRegistrationRotation:
         n_fresh_oracle = sum(
             1
             for k in keys
-            if k not in registry._DRIVER_SAMPLED_R1_R7 and k in registry.ORACLES
+            if k not in registry._DRIVER_SAMPLED_R1_R8 and k in registry.ORACLES
         )
         for k in first50[: min(50, n_fresh_oracle)]:
-            assert k not in registry._DRIVER_SAMPLED_R1_R7, k
+            assert k not in registry._DRIVER_SAMPLED_R1_R8, k
             assert k in registry.ORACLES, k
         # group order is total: fresh+oracle, fresh rows-only, sampled
         rank = {
             k: (
                 0
-                if k not in registry._DRIVER_SAMPLED_R1_R7 and k in registry.ORACLES
+                if k not in registry._DRIVER_SAMPLED_R1_R8 and k in registry.ORACLES
                 else 1
-                if k not in registry._DRIVER_SAMPLED_R1_R7
+                if k not in registry._DRIVER_SAMPLED_R1_R8
                 else 2
             )
             for k in keys
