@@ -15,9 +15,9 @@ is deterministic and independent of the session's warehouse dir.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
+
+from psvm_spark.queries._util import scratch_dir
 
 
 def write_bucketed(
@@ -37,7 +37,7 @@ def write_bucketed(
         .sortBy(key)
     )
     if path is None:
-        path = tempfile.mkdtemp(prefix=f"psvm_bucketed_{table}_")
+        path = scratch_dir(f"psvm_bucketed_{table}_")
     writer.option("path", path).saveAsTable(table)
 
 

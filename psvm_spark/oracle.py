@@ -89,6 +89,18 @@ def compare_query(
     from psvm_spark import registry
 
     registry.load_all()
+    # Probe-family oracles (sim_*/ml_knn_classify/...) pin the DEFAULT
+    # ``psvm.sim.probe_modulo`` of 50; a raised modulus is the scale
+    # harness's amplification knob and its output is NOT what the
+    # oracles describe.  Fail loudly rather than let an amplified run
+    # masquerade as a parity check (ADVICE r8).
+    pm = spark.conf.get("psvm.sim.probe_modulo", "50")
+    if pm != "50":
+        raise AssertionError(
+            f"oracle-parity run with psvm.sim.probe_modulo={pm}: the "
+            "probe-family oracles pin the default modulus 50 — reset "
+            "the conf before comparing against oracles"
+        )
     sdf = registry.QUERIES[name](spark, sf_dir)
     spdf = sdf.toPandas()
     own_con = con is None

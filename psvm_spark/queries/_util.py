@@ -87,3 +87,33 @@ def fan_out(df, spark):
     except Exception:
         nfiles = 0
     return df.repartition(want) if nfiles < want else df
+
+
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _cleanup_scratch() -> None:  # pragma: no cover - exercised at exit
+    import shutil
+
+    for d in _SCRATCH_ROOTS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def scratch_dir(prefix: str) -> str:
+    """``mkdtemp`` that self-cleans at interpreter exit.
+
+    Sink / table-format queries write real files (the write IS the
+    operator under test), but the pre-round-9 pattern leaked every
+    temp copy: repeated sf1 bench runs accumulated gigabytes under
+    /tmp (ADVICE r8).  Every scratch root is tracked and removed
+    best-effort at process exit — result DataFrames are always fully
+    consumed before exit, so no read outlives its backing files.
+    """
+    import atexit
+    import tempfile
+
+    if not _SCRATCH_ROOTS:
+        atexit.register(_cleanup_scratch)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_ROOTS.append(d)
+    return d

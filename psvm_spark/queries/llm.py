@@ -1734,10 +1734,16 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
     vc = pos.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # Top-K FIRST via orderBy().limit() — TakeOrderedAndProject, a
+    # distributed per-partition top-K + driver merge — then rank the
+    # K survivors.  The pre-round-9 global row_number ran a single-
+    # partition WindowExec over the FULL distinct-token table, which
+    # at 100 TB is billions of rows through one task (VERDICT r8 #1).
     wv = Window.orderBy(F.col("n").desc(), F.col("w").asc())
     vocab = (
-        vc.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= _VOCAB_K)
+        vc.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(_VOCAB_K)
+        .withColumn("rn", F.row_number().over(wv))
         .select("w", (F.col("rn").cast("bigint") - 1).alias("tid"))
     )
     enc = pos.join(F.broadcast(vocab), "w", "left").select(
@@ -2167,10 +2173,15 @@ def text_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # Top-K before ranking (TakeOrderedAndProject) — the pre-round-9
+    # global row_number pushed EVERY scored bigram pair through one
+    # WindowExec task (VERDICT r8 #1); (pmi, w1, w2) is a total order
+    # so the limited set and the ranks are deterministic.
     w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= _PMI_TOPK)
+        scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(_PMI_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
 
 
@@ -3836,9 +3847,9 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the output is bucketed counts plus the corpus mean ratio.
 # ORACLE-EXACT since round 8 (verdict item 2): DuckDB has no zlib, so
 # the oracle replays an INDEPENDENTLY computed digest-keyed ratio table
-# (plain pyarrow + zlib over the fixture parquet at registration time —
-# no Spark anywhere in that path) embedded as a VALUES CTE and joined
-# on md5(text).  Ratios are integer fixed-point ((comp_len * 1e9) div
+# (plain pyarrow + zlib over the fixture parquet, built lazily on first
+# oracle read and memoized — no Spark anywhere in that path) embedded
+# as a VALUES CTE and joined on md5(text).  Ratios are integer fixed-point ((comp_len * 1e9) div
 # raw_len), so bucketing and the decile means are bit-exact.  The
 # embedded table covers the correctness-gate fixtures (sf0.001 +
 # sf0.01, ~1000 digests — the digest-replay budget mm_audio_vad_frames
@@ -3857,8 +3868,39 @@ def _zlib_ratio_fp(raw: bytes) -> int:
     return (len(zlib.compress(raw, 6)) * _ZLIB_FP) // len(raw)
 
 
-def _zlib_ratio_values() -> str | None:
-    """Digest-keyed fixed-point zlib ratios for the gate fixtures."""
+def _zlib_fixture_parquets() -> list[str]:
+    """documents.parquet paths for the correctness-gate fixtures.
+
+    The gate runs at sf0.001 (driver smoke) and sf0.01 (oracle compare);
+    the testdata ROOT is derived from SPARK_GRAFT_SF_DIR when set
+    (ADVICE r8 — no hard-coded /root/testdata on foreign deployments),
+    falling back to the container default.
+    """
+    import os
+
+    roots: list[str] = []
+    env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env:
+        roots.append(os.path.dirname(os.path.abspath(env.rstrip("/"))))
+    if "/root/testdata" not in roots:
+        roots.append("/root/testdata")
+    return [
+        os.path.join(r, sf, "documents.parquet")
+        for r in roots
+        for sf in ("sf0.001", "sf0.01")
+    ]
+
+
+def _zlib_oracle_sql() -> str | None:
+    """Deferred oracle builder: digest-keyed fixed-point zlib ratios.
+
+    Runs on FIRST ORACLE READ, never at module import (ADVICE r8: the
+    eager version added ~1000 zlib compressions to every
+    ``import psvm_spark.queries.llm``).  The registry memoizes the
+    result, so the cost is paid at most once per process — and only by
+    processes that actually consult the oracle (parity checks), not by
+    bench runs or plan audits.
+    """
     import hashlib
     import os
 
@@ -3867,8 +3909,7 @@ def _zlib_ratio_values() -> str | None:
     except ImportError:  # pragma: no cover - pyarrow is baked in
         return None
     rows: dict[str, int] = {}
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        p = os.path.join(sf, "documents.parquet")
+    for p in _zlib_fixture_parquets():
         if not os.path.exists(p):
             continue
         for txt in pq.read_table(p, columns=["text"]).column("text").to_pylist():
@@ -3876,16 +3917,9 @@ def _zlib_ratio_values() -> str | None:
             rows[hashlib.md5(raw).hexdigest()] = _zlib_ratio_fp(raw)
     if not rows:
         return None
-    return ", ".join(f"('{d}', {v})" for d, v in sorted(rows.items()))
-
-
-_ZLIB_VALUES = _zlib_ratio_values()
-
-_ZLIB_ORACLE = (
-    None
-    if _ZLIB_VALUES is None
-    else f"""
-WITH cache(digest, ratio_fp) AS (VALUES {_ZLIB_VALUES}),
+    values = ", ".join(f"('{d}', {v})" for d, v in sorted(rows.items()))
+    return f"""
+WITH cache(digest, ratio_fp) AS (VALUES {values}),
 scored AS (
   SELECT d.doc_id, c.ratio_fp
   FROM documents d JOIN cache c ON md5(d.text) = c.digest)
@@ -3895,10 +3929,19 @@ SELECT CAST(LEAST(ratio_fp // {_ZLIB_FP // 10}, 9) AS INT) AS ratio_decile,
        CAST(SUM(ratio_fp) AS DOUBLE) / COUNT(*) / {_ZLIB_FP}.0 AS mean_ratio
 FROM scored GROUP BY 1
 """
+
+
+def _zlib_oracle_available() -> bool:
+    """Cheap membership probe (existence only; no reads, no zlib)."""
+    import os
+
+    return any(os.path.exists(p) for p in _zlib_fixture_parquets())
+
+
+@query(
+    "text_compression_ratio",
+    oracle=_zlib_oracle_sql if _zlib_oracle_available() else None,
 )
-
-
-@query("text_compression_ratio", oracle=_ZLIB_ORACLE)
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
@@ -5936,13 +5979,15 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # Top-K via orderBy().limit() (TakeOrderedAndProject) — the
+    # pre-round-9 global row_number was a single-partition WindowExec
+    # over the FULL vocabulary (VERDICT r8 #1); ranks are not needed
+    # here, only membership, so no re-rank after the limit.
     top = (
         wc.groupBy("w")
         .agg(F.sum("c").alias("tc"))
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.col("tc").desc(), F.col("w").asc()))
-        )
-        .filter(F.col("rk") <= _GOPHER_STOP_K)
+        .orderBy(F.col("tc").desc(), F.col("w").asc())
+        .limit(_GOPHER_STOP_K)
         .select("w")
     )
     per_doc = (
@@ -6142,18 +6187,75 @@ FROM pos p JOIN grank g ON p.gi = g.grn
 )
 def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    src = d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    # Bucketed distributed ranks (the agg_lorenz_curve recipe) replace
+    # the pre-round-9 single-partition windows (VERDICT r8 #1): rows
+    # bucket by value range, per-bucket counts prefix-sum into base
+    # offsets (a BOUNDED window over the bucket-count table), and the
+    # full-table row_number runs per (bucket) / (source, bucket)
+    # partition — (bucket, n_chars, doc_id) sorts identically to
+    # (n_chars, doc_id), so base + within-bucket rank IS the exact
+    # global rank, with no all-to-one-task WindowExec anywhere.
+    _QN_W = 64  # n_chars bucket width
+    keyed = d.select("doc_id", "source", "n_chars").withColumn(
+        "bkt", F.expr(f"n_chars div {_QN_W}")
     )
-    glob = d.select(
+    goff = (
+        keyed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "base")
+    )
+    glob = keyed.join(F.broadcast(goff), "bkt").select(
         F.col("n_chars").alias("qn_chars"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("grn"),
+        (
+            F.col("base")
+            + F.row_number().over(
+                Window.partitionBy("bkt").orderBy("n_chars", "doc_id")
+            )
+        ).alias("grn"),
+    )
+    soff = (
+        keyed.groupBy("source", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.partitionBy("source")
+                    .orderBy("bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    ns = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    src = (
+        keyed.join(F.broadcast(soff.select("source", "bkt", "base")), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (
+                F.col("base")
+                + F.row_number().over(
+                    Window.partitionBy("source", "bkt").orderBy(
+                        "n_chars", "doc_id"
+                    )
+                )
+            ).alias("rn"),
+        )
+        .join(F.broadcast(ns), "source")
     )
     total = d.count()
     pos = src.select(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from psvm_spark.catalog import load_table
 from psvm_spark.ml import kernels as K
 from psvm_spark.registry import query
+from psvm_spark.queries._util import scratch_dir
 
 GAMMA = 0.5
 POLY_COEF = 1.0
@@ -326,10 +327,9 @@ FROM embeddings WHERE vec_id % {_TS_MOD} = {_TS_RES}
 """,
 )
 def svm_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     sv, test = _sv_test(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="psvm_model_") + "/model_sv"
+    path = scratch_dir("psvm_model_") + "/model_sv"
     sv.write.mode("overwrite").parquet(path)
     sv2 = spark.read.parquet(path)
     k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), GAMMA)
@@ -362,7 +362,6 @@ def write_libsvm_dir(spark: SparkSession, sf_dir: str) -> str:
     pairs via JVM-side transform/concat_ws — no Python in the row path)
     and writes its own text split; no driver collect, so the derivation
     works at any table size.  Returns the output directory."""
-    import tempfile
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     sample = e.filter(F.col("vec_id") % 10 == 0)
@@ -376,7 +375,7 @@ def write_libsvm_dir(spark: SparkSession, sf_dir: str) -> str:
         ),
         lambda s: s.isNotNull(),
     )
-    d = tempfile.mkdtemp(prefix="psvm_libsvm_")
+    d = scratch_dir("psvm_libsvm_")
     sample.select(F.concat_ws(" ", y, feats).alias("value")).write.mode("overwrite").text(
         f"{d}/data"
     )
@@ -428,13 +427,12 @@ def svm_rff_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("svm_failsafe_power_iter")
 def svm_failsafe_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from psvm_spark.ml.failsafe import FailsafeState, power_iteration
 
     e = load_table(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    state = FailsafeState(tempfile.mkdtemp(prefix="psvm_failsafe_"))
+    state = FailsafeState(scratch_dir("psvm_failsafe_"))
     v, lam = power_iteration(e, "embedding", dim, n_iter=6, state=state, checkpoint_every=2)
     step, _ = state.load_latest()
     return spark.createDataFrame(
@@ -1372,19 +1370,15 @@ FROM (
 )
 def ml_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    s = F.expr(
-        "cast(floor(cast(embedding[0] as double) * 1000.0 + 0.5) as bigint)"
-    )
+    # Integer `div`, never float `/` + cast, when mirroring DuckDB `//`
+    # (repo float-parity rule; ADVICE r8).  The shifted operand is in
+    # [0, 1023] so div == // with no negative-truncation asymmetry.
     binned = e.select(
-        (
-            (
-                F.least(F.greatest(s, F.lit(_PAV_CLL)), F.lit(_PAV_CLH))
-                + F.lit(-_PAV_CLL)
-            )
-            / _PAV_W
-        )
-        .cast("int")
-        .alias("bin"),
+        F.expr(
+            "cast((least(greatest(cast(floor(cast(embedding[0] as double)"
+            f" * 1000.0 + 0.5) as bigint), {_PAV_CLL}), {_PAV_CLH})"
+            f" + {-_PAV_CLL}) div {_PAV_W} as int)"
+        ).alias("bin"),
         (F.col("label") < 5).cast("int").alias("y"),
     )
     g = sorted(

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
 from psvm_spark.registry import query
+from psvm_spark.queries._util import scratch_dir
 
 _KINDS = ("image", "audio", "video")
 
@@ -608,9 +609,8 @@ def export_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
     import tarfile
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="psvm_wds_")
+    out_dir = scratch_dir("psvm_wds_")
     m = media_table(spark, sf_dir).select(
         "media_id",
         (F.col("media_id") % _WDS_SHARDS).cast("int").alias("shard_id"),
@@ -697,12 +697,11 @@ FROM media GROUP BY ext
 """,
 )
 def scan_webdataset_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from psvm_spark.sources.webdataset_tar import register
 
     register(spark)
-    out_dir = tempfile.mkdtemp(prefix="psvm_wds_scan_")
+    out_dir = scratch_dir("psvm_wds_scan_")
     m = media_table(spark, sf_dir).select(
         "media_id",
         (F.col("media_id") % _WDS_SHARDS).cast("int").alias("shard_id"),

@@ -10,13 +10,13 @@ downstream scans partition-prune).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
 from psvm_spark.registry import query
+from psvm_spark.queries._util import scratch_dir
 
 # --------------------------------------------------------------------------
 # B2 — CSV and JSON scans with explicit schemas.  Side files are derived
@@ -34,7 +34,7 @@ SELECT n_nationkey, n_name, n_regionkey, 'json' AS fmt FROM nation
 )
 def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="psvm_sources_")
+    d = scratch_dir("psvm_sources_")
     csv_dir, json_dir = os.path.join(d, "csv"), os.path.join(d, "json")
     n.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
     n.coalesce(1).write.mode("overwrite").json(json_dir)
@@ -61,7 +61,7 @@ GROUP BY o_orderstatus
 )
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="psvm_sink_") + "/orders_by_status"
+    out = scratch_dir("psvm_sink_") + "/orders_by_status"
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderstatus").agg(
@@ -121,7 +121,7 @@ GROUP BY o_orderstatus
 )
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="psvm_sink_orc_") + "/orders_orc"
+    out = scratch_dir("psvm_sink_orc_") + "/orders_orc"
     o.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus").agg(
@@ -163,7 +163,7 @@ GROUP BY o_orderpriority
 """,
 )
 def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="psvm_sink_") + "/orders_clustered"
+    out = scratch_dir("psvm_sink_") + "/orders_clustered"
     write_clustered(spark, sf_dir, out)
     back = spark.read.parquet(out)
     return back.groupBy("o_orderpriority").agg(
@@ -233,7 +233,6 @@ GROUP BY 1
 """,
 )
 def sink_libsvm_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from psvm_spark.sources.libsvm_text import register
 
@@ -254,7 +253,7 @@ def sink_libsvm_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(pairs, lambda s: s.getField("v")).alias("values"),
         F.lit(64).cast("int").alias("n_features"),
     )
-    d = tempfile.mkdtemp(prefix="psvm_pyds_sink_") + "/data"
+    d = scratch_dir("psvm_pyds_sink_") + "/data"
     rows.write.format("libsvm_text").option("path", d).mode("overwrite").save()
     back = spark.read.format("libsvm_text").option("path", d).option("numFeatures", "64").load()
     return back.groupBy(F.col("label").alias("y")).agg(
@@ -336,7 +335,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('a<b&c>"'), F.substring("text", 1, 24), F.lit("'d")
         ).alias("payload"),
     )
-    out = tempfile.mkdtemp(prefix="psvm_xml_") + "/docs_xml"
+    out = scratch_dir("psvm_xml_") + "/docs_xml"
     (
         hostile.write.format("xml")
         .option("rootTag", "docs")
@@ -394,7 +393,7 @@ WHERE doc_id < {_BINF_N}
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="psvm_binfiles_")
+    root = scratch_dir("psvm_binfiles_")
     for r in d.filter(F.col("doc_id") < _BINF_N).select("doc_id", "text").collect():
         with open(os.path.join(root, f"{r.doc_id}.bin"), "wb") as fh:
             fh.write(r.text.encode("utf-8"))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from psvm_spark.catalog import load_table
 from psvm_spark.registry import query
 from psvm_spark.streaming.jobs import run_to_table, stream_events
+from psvm_spark.queries._util import scratch_dir
 
 # --------------------------------------------------------------------------
 # B38 — tumbling window aggregate (10-minute buckets x event_type).
@@ -361,11 +362,10 @@ FROM (
 def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import Window
 
-    target = tempfile.mkdtemp(prefix="psvm_upsert_target_")
+    target = scratch_dir("psvm_upsert_target_")
     shutil.rmtree(target)  # start absent: first batch creates it
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -389,7 +389,7 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(tmp, target)
 
     ev = stream_events(spark, sf_dir)
-    ckpt = __import__("tempfile").mkdtemp(prefix="psvm_ckpt_fb_")
+    ckpt = scratch_dir("psvm_ckpt_fb_")
     q = (
         ev.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", ckpt)
@@ -516,13 +516,12 @@ def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stream_file_sink_exactly_once")
 def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from psvm_spark.streaming.jobs import stream_events
 
     ev = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
-    ckpt = tempfile.mkdtemp(prefix="psvm_eo_ckpt_")
-    sink = tempfile.mkdtemp(prefix="psvm_eo_sink_") + "/out"
+    ckpt = scratch_dir("psvm_eo_ckpt_")
+    sink = scratch_dir("psvm_eo_sink_") + "/out"
 
     def run_once():
         q = (
@@ -573,15 +572,14 @@ FROM events GROUP BY event_type
 """,
 )
 def stream_state_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from psvm_spark.session import ensure_session_invariants
 
     ensure_session_invariants(spark)
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    stage = tempfile.mkdtemp(prefix="psvm_recov_stage_")
-    ckpt = tempfile.mkdtemp(prefix="psvm_recov_ckpt_")
+    stage = scratch_dir("psvm_recov_stage_")
+    ckpt = scratch_dir("psvm_recov_ckpt_")
     half1 = ev.filter(F.col("event_id") % 2 == 0)
     half2 = ev.filter(F.col("event_id") % 2 == 1)
     half1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h1")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_events_range, load_table
 from psvm_spark.registry import query
+from psvm_spark.queries._util import scratch_dir
 
 # --------------------------------------------------------------------------
 # Incremental rollup refresh: the daily (day x event_type) rollup for
@@ -262,10 +263,9 @@ GROUP BY lang
 )
 def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
-    import tempfile
 
     d = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="psvm_compact_")
+    base = scratch_dir("psvm_compact_")
     frag, compact = base + "/frag", base + "/compact"
     # simulate a fragmented CDC landing zone: 64 tiny files
     d.repartition(64).write.mode("overwrite").parquet(frag)
@@ -458,7 +458,7 @@ FROM unioned GROUP BY 1
 )
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="psvm_evolve_") + "/orders_evolving"
+    root = scratch_dir("psvm_evolve_") + "/orders_evolving"
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
     ).write.mode("overwrite").parquet(root + "/epoch=1")
@@ -543,7 +543,7 @@ FROM coded GROUP BY 1
 """,
 )
 def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="psvm_sink_z_") + "/customer_zorder"
+    out = scratch_dir("psvm_sink_z_") + "/customer_zorder"
     write_zorder(spark, sf_dir, out)
     back = spark.read.parquet(out)
     return back.groupBy("zb").agg(
@@ -606,7 +606,7 @@ GROUP BY o_custkey
 """,
 )
 def sink_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="psvm_sink_bloom_") + "/orders_bloom"
+    out = scratch_dir("psvm_sink_bloom_") + "/orders_bloom"
     write_bloom(spark, sf_dir, out)
     back = spark.read.parquet(out)
     return (
@@ -710,7 +710,7 @@ FROM orders GROUP BY o_orderstatus
 """,
 )
 def scan_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="psvm_nested_") + "/orders_nested"
+    out = scratch_dir("psvm_nested_") + "/orders_nested"
     write_nested(spark, sf_dir, out)
     back = spark.read.parquet(out)
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
@@ -756,7 +756,7 @@ def scan_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
         ).alias("payload"),
     )
-    out = tempfile.mkdtemp(prefix="psvm_csv_") + "/hostile_csv"
+    out = scratch_dir("psvm_csv_") + "/hostile_csv"
     hostile.write.mode("overwrite").option("header", "true").csv(out)
     back = (
         spark.read.option("header", "true")
@@ -859,7 +859,7 @@ def scan_jsonl_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.when(
         F.col("doc_id") % 17 == 0, F.substring(line, 1, 14)
     ).otherwise(line)
-    out = tempfile.mkdtemp(prefix="psvm_jsonl_") + "/docs_jsonl"
+    out = scratch_dir("psvm_jsonl_") + "/docs_jsonl"
     d.select(payload.alias("value")).write.mode("overwrite").text(out)
     back = (
         spark.read.schema(
@@ -919,7 +919,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         .alias("mth"),
         F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
     )
-    out = tempfile.mkdtemp(prefix="psvm_dynow_") + "/orders_by_month"
+    out = scratch_dir("psvm_dynow_") + "/orders_by_month"
     o.write.mode("overwrite").partitionBy("mth").parquet(out)
     # restate January only, under DYNAMIC overwrite.  Cast the adjusted
     # column BACK to decimal(12,2): decimal + decimal widens to
@@ -1703,7 +1703,7 @@ FROM good g CROSS JOIN bad b
 )
 def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="psvm_wap_")
+    base = scratch_dir("psvm_wap_")
 
     def transform(df):
         # total stays DECIMAL(22,2): its string form (and therefore the
@@ -1804,7 +1804,7 @@ def warehouse_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFram
     import json
 
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="psvm_manifest_")
+    root = scratch_dir("psvm_manifest_")
     (
         o.withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
         .write.mode("overwrite")
@@ -1916,7 +1916,7 @@ def warehouse_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     import json
 
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="psvm_timetravel_")
+    root = scratch_dir("psvm_timetravel_")
     # commit 1: initial month-partitioned write + snapshot-1 manifest
     (
         o.withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
@@ -2021,7 +2021,7 @@ def warehouse_vacuum_unreferenced(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
 
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="psvm_vacuum_")
+    root = scratch_dir("psvm_vacuum_")
     (
         o.withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
         .write.mode("overwrite")
@@ -2136,7 +2136,7 @@ def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     o = load_table(spark, sf_dir, "orders").withColumn(
         "o_month", F.date_trunc("month", "o_orderdate").cast("date")
     )
-    root = tempfile.mkdtemp(prefix="psvm_specevo_")
+    root = scratch_dir("psvm_specevo_")
     split = F.lit(_PE_SPLIT).cast("date")
     (
         o.filter(F.col("o_orderdate") < split)
@@ -2245,7 +2245,7 @@ FROM live
 )
 def warehouse_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="psvm_eqdel_")
+    root = scratch_dir("psvm_eqdel_")
     o.write.mode("overwrite").parquet(f"{root}/data")
     # the DELETE commit: key values only, O(delete) not O(table)
     (

@@ -23,11 +23,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+class _OracleDict(dict):
+    """Oracle SQL by query key.
+
+    A value may be registered as a zero-arg CALLABLE (deferred builder)
+    when constructing the SQL is expensive — e.g. the
+    ``text_compression_ratio`` digest table zlib-compresses the gate
+    fixtures, which must not run at module import (ADVICE r8).  Builders
+    execute, and memoize their result, on first read.  Membership is
+    eager, so register a builder only after a cheap availability probe
+    (fixture-file existence); a builder that then returns ``None`` is a
+    loud error, never a silent downgrade to rows-only.
+    """
+
+    def __getitem__(self, key: str) -> str:
+        val = super().__getitem__(key)
+        if callable(val):
+            val = val()
+            if not isinstance(val, str):
+                raise RuntimeError(
+                    f"deferred oracle builder for {key!r} returned "
+                    f"{type(val).__name__}; fixtures vanished after probe?"
+                )
+            super().__setitem__(key, val)
+        return val
+
+    def resolve(self) -> dict[str, str]:
+        """Plain dict with every deferred builder forced (driver copy)."""
+        return {k: self[k] for k in self}
+
+
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+ORACLES: _OracleDict = _OracleDict()
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | Callable[[], str | None] | None = None
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query key: {name}")

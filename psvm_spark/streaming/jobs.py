@@ -18,12 +18,12 @@ state stores shard by the grouping key across executors.
 from __future__ import annotations
 
 import itertools
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import normalize_event_ts
+from psvm_spark.queries._util import scratch_dir
 from psvm_spark.session import ensure_session_invariants
 
 _counter = itertools.count()
@@ -80,7 +80,7 @@ def run_to_table(
     """
     spark = df.sparkSession
     name = f"psvm_stream_{next(_counter)}"
-    ckpt = tempfile.mkdtemp(prefix="psvm_ckpt_")
+    ckpt = scratch_dir("psvm_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         if state_partitions is not None:

@@ -105,6 +105,63 @@ WHITELIST = {
     "sim_mmr_select": "(b) probes broadcast against corpus (sim_topk shape); selection is per-probe grouped-map",
 }
 
+# Unpartitioned (global) Window nodes are the OTHER canonical 100 TB
+# anti-plan: Spark executes them as ONE task holding the entire input
+# (the `WindowExec: No Partition Defined` warning; VERDICT r8 #1).
+# The audit fails any plan containing a Window with an empty
+# partitionSpec UNLESS (a) a Limit sits below it in the same subtree —
+# the rank-after-limit pattern, where the window input is at most K
+# rows — or (b) the key is listed here with the reason its window
+# input is a BOUNDED pre-aggregation (cardinality fixed by a value
+# grid / bucket range / category set, independent of corpus size).
+WINDOW_WHITELIST = {
+    "agg_equidepth_bins": "prefix-sum over the cents-range bucket-count table (~60 rows at any corpus size)",
+    "agg_lorenz_curve": "prefix-sum over the spend-range bucket-count table (value-range bounded)",
+    "agg_median_two_pass": "running sum over the <=1024-bucket cumulative histogram",
+    "agg_raking_ipf": "IPF scaling over the 25x5 (nation x priority) cell table",
+    "agg_skyline_2d": "global pass over per-bucket frontier survivors (bounded: buckets x local frontier)",
+    "feat_quantile_normalize": "prefix-sum over the n_chars-range bucket-count table",
+    "ids_contiguous": "prefix-sum over the doc_id block-count table (1024x reduction of the corpus)",
+    "metric_adoption_curve": "cumulative sum over per-week first-seen counts (calendar-bounded)",
+    "ml_ks_statistic": "cumulative sums over the distinct fixed-point score grid",
+    "ml_lift_deciles": "cumulative sums over the distinct fixed-point score grid",
+    "ml_pr_curve": "cumulative sums over the distinct fixed-point score grid",
+    "ml_roc_auc": "cumulative sums over the distinct fixed-point score grid",
+    "ml_survival_km": "KM product over the distinct event-time grid",
+    "ml_threshold_f1max": "cumulative sums over the distinct fixed-point score grid",
+    "sample_neyman_allocation": "allocation over the per-stratum aggregate table (bounded strata)",
+    "sample_unimax_budget": "water-level search over the per-stratum aggregate table (bounded strata)",
+    "select_curriculum_order": "prefix-sum over the score-bucket count table",
+    "select_rho_excess_loss": "prefix-sum over the score-bucket count table",
+    "text_zipf_fit": "prefix-sum over the frequency-bucket count table",
+    "ts_changepoint_sse": "SSE scan over the monthly aggregate (calendar-bounded)",
+    "ts_decompose_classical": "seasonal index over the monthly aggregate (calendar-bounded)",
+}
+
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def unguarded_global_windows(df) -> int:
+    """Count unpartitioned Window nodes with no Limit below them."""
+    root = df._jdf.queryExecution().optimizedPlan()
+    n = 0
+    for node in _walk(root):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            below = (
+                c.getClass().getSimpleName() for c in _walk(node)
+            )
+            if not any(x in ("GlobalLimit", "LocalLimit") for x in below):
+                n += 1
+    return n
+
 
 def main() -> int:
     args = sys.argv[1:]
@@ -162,6 +219,13 @@ def main() -> int:
         ]
         if hits and name not in WHITELIST:
             bad.append((name, "+".join(hits)))
+        try:
+            n_gw = unguarded_global_windows(df)
+        except Exception as exc:  # noqa: BLE001
+            errs.append((name, f"window-walk: {str(exc)[:120]}"))
+            n_gw = 0
+        if n_gw and name not in WINDOW_WHITELIST:
+            bad.append((name, f"global-window:{n_gw}"))
         # Oracle-backed outputs must be driver-canonicalizable: the
         # driver's pandas sort_values throws on array/map cells (r6's
         # mm_resize_avgpool failure), so no top-level complex column may
@@ -180,6 +244,7 @@ def main() -> int:
         print(f"ERR      {name}  {detail}")
     unused = (
         [k for k in WHITELIST if k not in QUERIES]
+        + [k for k in WINDOW_WHITELIST if k not in QUERIES]
         if only is None and shard is None
         else []
     )

@@ -1134,3 +1134,71 @@ class TestAssortativity:
         n_edges = edge_set(spark, sf_dir).count()
         assert r.n_endpoints == 2 * n_edges
         assert -1.0 <= r.assortativity <= 1.0
+
+
+class TestGlobalWindowGuard:
+    """Round-9 VERDICT #1: no single-partition WindowExec over an
+    unbounded intermediate.  The five flagged keys were rewritten with
+    the rank-after-limit / bucketed-rank recipes; pin the plan shape so
+    a refactor can't silently reintroduce the all-to-one-task window."""
+
+    FIXED = [
+        "vocab_encode",
+        "text_pmi_top",
+        "text_gopher_rules",
+        "feat_quantile_normalize",
+        "agg_equidepth_bins",
+    ]
+
+    def test_fixed_keys_have_no_unguarded_global_window(self, spark, sf_dir):
+        import os
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"),
+        )
+        from audit_plans import WINDOW_WHITELIST, unguarded_global_windows
+
+        from psvm_spark import registry
+
+        registry.load_all()
+        for name in self.FIXED:
+            df = registry.QUERIES[name](spark, sf_dir)
+            n = unguarded_global_windows(df)
+            if name in WINDOW_WHITELIST:
+                # whitelisted = window input is a bounded pre-aggregation
+                # (bucket-count prefix table); the raw-table window is gone
+                continue
+            assert n == 0, (name, n)
+
+
+class TestAdamicAdarHubCap:
+    """Round-9 VERDICT #2: the wedge stage must bound hub blowup.  A
+    planted hub of degree H >> cap contributes at most cap wedge-
+    generating adjacency rows, so wedge volume is cap^2 * V, never
+    sum(deg^2)."""
+
+    def test_planted_hub_is_capped_deterministically(self, spark):
+        from psvm_spark.queries.graph import _AA_DEG_CAP, capped_adjacency
+
+        hub_edges = [(0, i) for i in range(1, 501)]  # hub 0, degree 500
+        tail = [(601, 602), (603, 604)]
+        e = spark.createDataFrame(hub_edges + tail, "a long, b long")
+        adj = e.selectExpr("a as x", "b as n").unionAll(
+            e.selectExpr("b as x", "a as n")
+        )
+        capped = capped_adjacency(adj)
+        per_z = {
+            r.n: r.c
+            for r in capped.groupBy("n").count().withColumnRenamed("count", "c").collect()
+        }
+        # the hub's neighbor list (n=0 side) is capped; small groups intact
+        assert per_z[0] == _AA_DEG_CAP
+        assert per_z[602] == 1 and per_z[604] == 1
+        # deterministic: a second run selects the identical sample
+        s1 = sorted(capped.filter("n = 0").select("x").toPandas().x.tolist())
+        s2 = sorted(
+            capped_adjacency(adj).filter("n = 0").select("x").toPandas().x.tolist()
+        )
+        assert s1 == s2 and len(s1) == _AA_DEG_CAP

@@ -74,3 +74,70 @@ class TestRegistrationRotation:
             for k in keys
         }
         assert [rank[k] for k in keys] == sorted(rank[k] for k in keys)
+
+
+class TestLazyOracles:
+    """Round-9 ADVICE fixes: deferred oracle builders + probe-mod guard."""
+
+    def test_zlib_oracle_is_lazy_and_memoized(self):
+        from psvm_spark import registry
+
+        registry.load_all()
+        key = "text_compression_ratio"
+        assert key in registry.ORACLES  # membership is eager (cheap probe)
+        sql1 = registry.ORACLES[key]
+        assert isinstance(sql1, str) and "zlib" not in sql1  # resolved SQL
+        assert "VALUES" in sql1
+        # memoized: second read returns the identical resolved object
+        assert registry.ORACLES[key] is sql1
+        # resolve() hands the driver only plain strings
+        resolved = registry.ORACLES.resolve()
+        assert all(isinstance(v, str) for v in resolved.values())
+
+    def test_llm_import_does_not_precompute_zlib_table(self):
+        """The digest table must not be built at module import (ADVICE
+        r8): a fresh interpreter importing the module stores a CALLABLE
+        until first oracle read.  Simulated here by re-running the
+        builder registration logic rather than forking a process."""
+        from psvm_spark.queries.llm import (
+            _zlib_fixture_parquets,
+            _zlib_oracle_available,
+            _zlib_oracle_sql,
+        )
+
+        assert _zlib_oracle_available()  # container fixtures present
+        paths = _zlib_fixture_parquets()
+        assert any("sf0.001" in p for p in paths)
+        assert any("sf0.01" in p for p in paths)
+        sql = _zlib_oracle_sql()
+        assert sql is not None and "md5(d.text)" in sql
+
+    def test_probe_modulo_guard_blocks_parity_compare(self, spark, sf_dir):
+        import pytest
+
+        from psvm_spark.oracle import compare_query
+
+        spark.conf.set("psvm.sim.probe_modulo", "100")
+        try:
+            with pytest.raises(AssertionError, match="probe_modulo=100"):
+                compare_query(spark, sf_dir, "sim_topk_cosine")
+        finally:
+            spark.conf.unset("psvm.sim.probe_modulo")
+        # default conf: compare proceeds (and passes)
+        assert compare_query(spark, sf_dir, "sim_topk_cosine").ok
+
+
+class TestScratchDirCleanup:
+    def test_scratch_dirs_tracked_for_atexit_removal(self):
+        import os
+
+        from psvm_spark.queries._util import _SCRATCH_ROOTS, scratch_dir
+
+        d = scratch_dir("psvm_test_scratch_")
+        assert os.path.isdir(d)
+        assert d in _SCRATCH_ROOTS
+        # cleanup is registered at exit; simulate it for this dir
+        from psvm_spark.queries import _util
+
+        _util._cleanup_scratch()
+        assert not os.path.exists(d)
