@@ -5120,3 +5120,139 @@ def seq_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", "p2", "p1", "event_type").alias("path")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return t.orderBy(F.desc("n"), "path").limit(_PT_TOPK)
+
+
+# --------------------------------------------------------------------------
+# B280 (round 9) — Ljung–Box portmanteau test: is the monthly revenue
+# series white noise, or does it carry autocorrelation a forecaster
+# must model?  Q = n(n+2) * sum_{k=1..6} rho_k^2 / (n-k), with the
+# STANDARD sample ACF (global mean, full-series denominator) — the
+# diagnostic every ts_holt_* / ts_decompose_* consumer runs first.
+# Exactness: the monthly series is exact integer cents; rho_k's
+# numerator and denominator are scaled by n^2 so the mean never
+# appears as a fraction — n^2*num_k = n^2*Sxy_k - n*S*(Sa_k+Sb_k) +
+# (n-k)*S^2 and n^2*den = n^2*Sxx - n*S^2, all DECIMAL(38,0) integer
+# sums (cent squares overflow BIGINT at sf0.1 — the ts_bollinger
+# lesson).  One double division per lag, each term rounded to 9 and
+# summed as DECIMAL — bit-identical cross-engine.  Shape at 100 TB:
+# ONE calendar-bounded monthly rollup over orders is the only pass
+# over raw data; the 6 lag joins run on the ~84-row month table.
+
+_LB_LAGS = 6
+
+
+@query(
+    "ts_ljung_box",
+    oracle=f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS DECIMAL(38,0)) AS v
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY mo) AS i, COUNT(*) OVER () AS n
+  FROM monthly),
+tot AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(v) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+  FROM idx),
+lagsums AS (
+  SELECT l.k,
+         COUNT(*) AS npair,
+         CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(a.v) AS DECIMAL(38,0)) AS sa,
+         CAST(SUM(b.v) AS DECIMAL(38,0)) AS sb
+  FROM (SELECT unnest(generate_series(1, {_LB_LAGS})) AS k) l
+  JOIN idx a ON true
+  JOIN idx b ON b.i = a.i + l.k
+  GROUP BY l.k),
+rho AS (
+  SELECT ls.k,
+         round((CAST(t.n AS DOUBLE) * t.n * CAST(ls.sxy AS DOUBLE)
+                - CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)
+                  * (CAST(ls.sa AS DOUBLE) + CAST(ls.sb AS DOUBLE))
+                + (t.n - ls.k) * CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * t.n * CAST(t.sxx AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)
+                    * CAST(t.s AS DOUBLE)), 9) AS r,
+         t.n AS n
+  FROM lagsums ls CROSS JOIN tot t)
+SELECT CAST(MAX(n) AS BIGINT) AS n_months,
+       CAST({_LB_LAGS} AS INT) AS h_lags,
+       CAST(SUM(CAST(round(r * r / (n - k), 9) AS DECIMAL(18,9))) AS DOUBLE)
+         * MAX(n) * (MAX(n) + 2) AS q_stat
+FROM rho
+""",
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mo")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("v")
+    )
+    # month index over the calendar-bounded rollup (~84 rows): the
+    # unpartitioned window runs over a bounded pre-aggregation, same
+    # class as ts_decompose_classical (WINDOW_WHITELIST).
+    idx = monthly.select(
+        "v",
+        F.row_number().over(Window.orderBy("mo")).alias("i"),
+    )
+    tot = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    lags = F.explode(F.expr(f"sequence(1, {_LB_LAGS})")).alias("k")
+    a = idx.select(F.col("v").alias("va"), F.col("i").alias("ia"), lags)
+    b = idx.select(F.col("v").alias("vb"), F.col("i").alias("ib"))
+    lagsums = (
+        a.join(b, F.col("ib") == F.col("ia") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("npair"),
+            F.sum((F.col("va") * F.col("vb")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum("va").cast("decimal(38,0)").alias("sa"),
+            F.sum("vb").cast("decimal(38,0)").alias("sb"),
+        )
+    )
+    t = F.broadcast(tot)
+    nn = F.col("n").cast("double")
+    rho = lagsums.crossJoin(t).select(
+        "k",
+        "n",
+        F.round(
+            (
+                nn * F.col("n") * F.col("sxy").cast("double")
+                - nn
+                * F.col("s").cast("double")
+                * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+                + (F.col("n") - F.col("k")) * F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / (
+                nn * F.col("n") * F.col("sxx").cast("double")
+                - nn * F.col("s").cast("double") * F.col("s").cast("double")
+            ),
+            9,
+        ).alias("r"),
+    )
+    return rho.agg(
+        F.max("n").cast("bigint").alias("n_months"),
+        F.lit(_LB_LAGS).cast("int").alias("h_lags"),
+        (
+            F.sum(
+                F.round(F.col("r") * F.col("r") / (F.col("n") - F.col("k")), 9).cast(
+                    "decimal(18,9)"
+                )
+            ).cast("double")
+            * F.max("n")
+            * (F.max("n") + 2)
+        ).alias("q_stat"),
+    )

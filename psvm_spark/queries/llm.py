@@ -9414,3 +9414,433 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rank").cast("double") / 1e15, 9).alias("score"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+# --------------------------------------------------------------------------
+# B281 (round 9) — Spearman rank correlation between customer account
+# balance and realized spend: the standard monotone-association check
+# (feature screening, drift vs a target) where Pearson misleads.
+# rho = Pearson over AVERAGE ranks (the tie-correct definition: both
+# variables tie heavily — every no-order customer has spend 0).
+# Exactness: average rank x2 is an INTEGER (2*n_lt + cnt + 1), so all
+# five power sums are exact DECIMAL; one double expression rounded 9.
+# Scale: ranks come from the bucketed distributed-rank recipe (value-
+# range buckets, prefix-summed offsets — the agg_lorenz_curve shape),
+# never a single-partition window; rows join their rank by value
+# (sort-merge on the distinct-value table).
+
+_SPEAR_SHIFT = 1_000_000  # c_acctbal cents >= -99999: shift keeps div exact
+
+
+def _avg_rank2(df: DataFrame, col: str, width: int) -> DataFrame:
+    """(value, r2) with r2 = 2 * average-rank: 2*n_lt + cnt + 1."""
+    vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    vcb = vc.withColumn("bkt", F.expr(f"({col} + {_SPEAR_SHIFT}) div {width}"))
+    off = (
+        vcb.groupBy("bkt")
+        .agg(F.sum("cnt").alias("bc"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("bc").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "base")
+    )
+    wv = (
+        Window.partitionBy("bkt")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        vcb.join(F.broadcast(off), "bkt")
+        .select(
+            col,
+            "cnt",
+            (F.col("base") + F.coalesce(F.sum("cnt").over(wv), F.lit(0))).alias(
+                "n_lt"
+            ),
+        )
+        .select(col, (2 * F.col("n_lt") + F.col("cnt") + 1).alias("r2"))
+    )
+
+
+@query(
+    "ml_spearman_rho",
+    oracle="""
+WITH spend AS (
+  SELECT c_custkey,
+         ANY_VALUE(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS bal_c,
+         COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)), 0) AS sp_c
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey),
+ra AS (
+  SELECT bal_c, COUNT(*) AS cnt,
+         2 * (SUM(COUNT(*)) OVER (ORDER BY bal_c) - COUNT(*)) + COUNT(*) + 1 AS r2
+  FROM spend GROUP BY bal_c),
+rb AS (
+  SELECT sp_c, COUNT(*) AS cnt,
+         2 * (SUM(COUNT(*)) OVER (ORDER BY sp_c) - COUNT(*)) + COUNT(*) + 1 AS r2
+  FROM spend GROUP BY sp_c),
+pr AS (
+  SELECT ra.r2 AS x, rb.r2 AS y
+  FROM spend s JOIN ra ON s.bal_c = ra.bal_c JOIN rb ON s.sp_c = rb.sp_c),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS syy
+  FROM pr)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         AS rho_spearman
+FROM m
+""",
+)
+def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.first((F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint"))
+            .alias("bal_c"),
+            F.coalesce(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+                ),
+                F.lit(0),
+            ).alias("sp_c"),
+        )
+    )
+    ra = _avg_rank2(spend, "bal_c", 16384).withColumnRenamed("r2", "x")
+    rb = _avg_rank2(spend, "sp_c", 1 << 24).withColumnRenamed("r2", "y")
+    pr = spend.join(ra, "bal_c").join(rb, "sp_c")
+    d18 = lambda cc: F.col(cc).cast("decimal(18,0)")  # noqa: E731
+    m = pr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d18("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(d18("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d18("x") * d18("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d18("x") * d18("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d18("y") * d18("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            (nn * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (
+                F.sqrt(nn * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                * F.sqrt(nn * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            ),
+            9,
+        ).alias("rho_spearman"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B282 (round 9) — Bloom-filter ingest prefilter: the incremental-
+# dedup gate a 100 TB pipeline runs on every NEW batch before touching
+# the corpus.  The corpus (doc_id % 10 != 0) publishes an m-bit Bloom
+# set (k=3 md5-derived positions per doc digest) as a <= m-row
+# distinct-positions table; a new batch (doc_id % 10 == 0) tests its
+# k positions against the BROADCAST bit set — definite-new docs never
+# join the corpus at all, and only Bloom-passing candidates pay the
+# exact digest equi-join that separates true duplicates from false
+# positives.  m = 2048 is sized so the fixture corpus fills ~half the
+# bits and the FP path is actually exercised (a production filter
+# sizes m for ~1% FP; the MECHANISM is identical).  Everything is
+# deterministic integer md5 math — no BloomFilter library, both
+# engines replay the same bits.
+
+_BLOOM_M, _BLOOM_K = 2048, 3
+
+
+def _bloom_pos_duck(j: int) -> str:
+    return f"(('0x' || substr(md5('bf{j}:' || text), 1, 8))::BIGINT % {_BLOOM_M})"
+
+
+def _bloom_pos_spark(j: int):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{j}:"), F.col("text"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % _BLOOM_M
+    )
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT {_bloom_pos_duck(1)} AS p FROM corpus
+    UNION ALL SELECT {_bloom_pos_duck(2)} FROM corpus
+    UNION ALL SELECT {_bloom_pos_duck(3)} FROM corpus)),
+bpos AS (
+  SELECT doc_id, {_bloom_pos_duck(1)} AS p FROM batch
+  UNION ALL SELECT doc_id, {_bloom_pos_duck(2)} FROM batch
+  UNION ALL SELECT doc_id, {_bloom_pos_duck(3)} FROM batch),
+cand AS (
+  SELECT doc_id FROM bpos JOIN bits USING (p)
+  GROUP BY doc_id HAVING COUNT(*) = {_BLOOM_K}),
+cdg AS (SELECT DISTINCT md5(text) AS dg FROM corpus),
+truedup AS (
+  SELECT b.doc_id FROM batch b JOIN cand USING (doc_id)
+  WHERE md5(b.text) IN (SELECT dg FROM cdg))
+SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_bloom_pass,
+       CAST((SELECT COUNT(*) FROM truedup) AS BIGINT) AS n_true_dup,
+       CAST((SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM truedup)
+            AS BIGINT) AS n_false_pos,
+       CAST((SELECT COUNT(*) FROM batch) - (SELECT COUNT(*) FROM cand)
+            AS BIGINT) AS n_definite_new
+""",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select("text")
+    batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    bits = (
+        corpus.select(
+            F.explode(
+                F.array(*[_bloom_pos_spark(j) for j in range(1, _BLOOM_K + 1)])
+            ).alias("p")
+        ).distinct()
+    )
+    bpos = batch.select(
+        "doc_id",
+        F.explode(
+            F.array(*[_bloom_pos_spark(j) for j in range(1, _BLOOM_K + 1)])
+        ).alias("p"),
+    )
+    cand = (
+        bpos.join(F.broadcast(bits), "p")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == _BLOOM_K)
+        .select("doc_id")
+    )
+    cdg = corpus.select(F.md5("text").alias("dg")).distinct()
+    truedup = (
+        batch.join(cand, "doc_id")
+        .select("doc_id", F.md5("text").alias("dg"))
+        .join(cdg, "dg", "left_semi")
+        .select("doc_id")
+    )
+    nb = batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_bloom_pass"))
+    nt = truedup.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_dup"))
+    return (
+        F.broadcast(nb)
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_batch",
+            "n_bloom_pass",
+            "n_true_dup",
+            (F.col("n_bloom_pass") - F.col("n_true_dup")).alias("n_false_pos"),
+            (F.col("n_batch") - F.col("n_bloom_pass")).alias("n_definite_new"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B283 (round 9) — Kneser–Ney smoothed bigram LM scoring: the standard
+# LM-quality signal (CCNet/Gopher filter corpora with exactly this
+# model family).  Train on doc_id % 5 != 0, score held-out docs
+# (doc_id % 5 = 0) with interpolated KN (absolute discount D = 0.75):
+#   P(w2|w1) = max(c(w1w2) - D, 0)/c(w1)
+#            + (D * N1+(w1,.)/c(w1)) * (N1+(.,w2)/N1+(..))
+# where N1+ are DISTINCT-continuation counts — the KN insight that
+# "Francisco" is frequent but follows only "San".  All counts are
+# exact integers; the probability is one fixed-shape double expression
+# and ln(p) is rounded to 9 and summed as DECIMAL (the text_pmi_top /
+# text_entropy precedent), so per-doc scores hash bitwise.  A bigram
+# is scored iff its context w1 and continuation w2 are both known to
+# the train split; unknowns are reported per doc as n_oov.  At 100 TB
+# every count table is vocabulary/bigram-type bounded (Zipf), the eval
+# joins are sort-merge on w1 / (w1, w2), and the type total is a 1-row
+# broadcast.
+
+_KN_D = 0.75
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest([{{'w1': t[i], 'w2': t[i+1]}} FOR i IN range(1, len(t))]) AS bg
+  FROM toks),
+pairs AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+trn AS (SELECT w1, w2 FROM pairs WHERE doc_id % 5 <> 0),
+c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM trn GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY w1),
+bw AS (SELECT w2, COUNT(*) AS n1b FROM c2 GROUP BY w2),
+nt AS (SELECT COUNT(*) AS ntypes FROM c2),
+ev AS (SELECT doc_id, w1, w2 FROM pairs WHERE doc_id % 5 = 0),
+scored AS (
+  SELECT e.doc_id,
+         CASE WHEN c1.c1 IS NOT NULL AND bw.n1b IS NOT NULL THEN 1 ELSE 0 END
+           AS ok,
+         CASE WHEN c1.c1 IS NOT NULL AND bw.n1b IS NOT NULL THEN
+           round(ln(greatest(COALESCE(c2.c12, 0) - {_KN_D}, 0.0)
+                      / CAST(c1.c1 AS DOUBLE)
+                    + ({_KN_D} * c1.n1f / CAST(c1.c1 AS DOUBLE))
+                      * (bw.n1b / CAST(nt.ntypes AS DOUBLE))), 9)
+         ELSE 0.0 END AS lp
+  FROM ev e
+  LEFT JOIN c2 ON c2.w1 = e.w1 AND c2.w2 = e.w2
+  LEFT JOIN c1 ON c1.w1 = e.w1
+  LEFT JOIN bw ON bw.w2 = e.w2
+  CROSS JOIN nt)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) - SUM(ok) AS BIGINT) AS n_oov,
+       CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) AS logp_sum
+FROM scored GROUP BY doc_id
+""",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    trn = pairs.filter(F.col("doc_id") % 5 != 0).select("w1", "w2")
+    c2 = trn.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    bw = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    nt = c2.agg(F.count(F.lit(1)).alias("ntypes"))
+    ev = pairs.filter(F.col("doc_id") % 5 == 0)
+    known = F.col("c1").isNotNull() & F.col("n1b").isNotNull()
+    p = (
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - _KN_D, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (_KN_D * F.col("n1f") / F.col("c1").cast("double"))
+        * (F.col("n1b") / F.col("ntypes").cast("double"))
+    )
+    scored = (
+        ev.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(bw, "w2", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            F.when(known, 1).otherwise(0).alias("ok"),
+            F.when(known, F.round(F.log(p), 9)).otherwise(F.lit(0.0)).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.count(F.lit(1)) - F.sum("ok")).cast("bigint").alias("n_oov"),
+        F.sum(F.col("lp").cast("decimal(18,9)")).cast("double").alias("logp_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B284 (round 9) — inter-rater agreement: Cohen's kappa and Matthews
+# correlation between two deterministic quality classifiers (a length
+# rule and a lexical-diversity rule) over the corpus — the metric pair
+# every labeling/filter-calibration pipeline reports when two cheap
+# heuristics (or a heuristic and a model) must be reconciled.  Both
+# classifiers are exact integer predicates, the 2x2 table is one
+# map-side-combined aggregation, and kappa/MCC are single double
+# expressions over the four integers, rounded to 9 — bitwise parity.
+# At 100 TB this is one narrow scan + a 4-integer reduce.
+
+
+@query(
+    "ml_agreement_stats",
+    oracle="""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                   >= len(string_split(text, ' ')) THEN 1 ELSE 0 END AS b
+  FROM documents),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(a * b) AS tp,
+         SUM(a * (1 - b)) AS fp,
+         SUM((1 - a) * b) AS fn,
+         SUM((1 - a) * (1 - b)) AS tn
+  FROM flags)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       round(((tp + tn) / CAST(n AS DOUBLE)
+              - ((tp + fp) * (tp + fn) + (tn + fp) * (tn + fn))
+                / (CAST(n AS DOUBLE) * n))
+             / (1.0 - ((tp + fp) * (tp + fn) + (tn + fp) * (tn + fn))
+                      / (CAST(n AS DOUBLE) * n)), 9) AS kappa,
+       round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                    * (tn + fp) * (tn + fn)), 9) AS mcc
+FROM m
+""",
+)
+def ml_agreement_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    b = F.when(
+        2 * F.size(F.array_distinct(F.split("text", " ")))
+        >= F.size(F.split("text", " ")),
+        1,
+    ).otherwise(0)
+    m = d.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("tp"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("fp"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("fn"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("tn"),
+    )
+    nn = F.col("n").cast("double")
+    pe = (
+        (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))
+        + (F.col("tn") + F.col("fp")) * (F.col("tn") + F.col("fn"))
+    ) / (nn * F.col("n"))
+    po = (F.col("tp") + F.col("tn")) / nn
+    mcc = (
+        F.col("tp").cast("double") * F.col("tn")
+        - F.col("fp").cast("double") * F.col("fn")
+    ) / F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
+        F.round(mcc, 9).alias("mcc"),
+    )

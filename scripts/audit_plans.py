@@ -103,6 +103,9 @@ WHITELIST = {
     "ab_test_diff_in_diff": "(a) 1-row DiD estimate attached to the 4-row cell means",
     "agg_lorenz_curve": "(b) 10-row decile-cut relation broadcast against ranks (rk <= cut range predicate)",
     "sim_mmr_select": "(b) probes broadcast against corpus (sim_topk shape); selection is per-probe grouped-map",
+    "ts_ljung_box": "(a) 1-row series-totals scalar broadcast for the per-lag rho combine",
+    "dedup_bloom_prefilter": "(a) 1x1x1 crossJoin of batch/candidate/dup count rows; the bit test is a broadcast equi-join",
+    "text_kneser_ney_bigram": "(a) 1-row bigram-type-total scalar broadcast; the count joins are equi on w1/(w1,w2)",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB
@@ -127,6 +130,7 @@ WINDOW_WHITELIST = {
     "ml_lift_deciles": "cumulative sums over the distinct fixed-point score grid",
     "ml_pr_curve": "cumulative sums over the distinct fixed-point score grid",
     "ml_roc_auc": "cumulative sums over the distinct fixed-point score grid",
+    "ml_spearman_rho": "prefix-sum over the value-range bucket-count tables (bounded buckets)",
     "ml_survival_km": "KM product over the distinct event-time grid",
     "ml_threshold_f1max": "cumulative sums over the distinct fixed-point score grid",
     "sample_neyman_allocation": "allocation over the per-stratum aggregate table (bounded strata)",
@@ -135,6 +139,7 @@ WINDOW_WHITELIST = {
     "select_rho_excess_loss": "prefix-sum over the score-bucket count table",
     "text_zipf_fit": "prefix-sum over the frequency-bucket count table",
     "ts_changepoint_sse": "SSE scan over the monthly aggregate (calendar-bounded)",
+    "ts_ljung_box": "month index over the monthly rollup (calendar-bounded ~84 rows)",
     "ts_decompose_classical": "seasonal index over the monthly aggregate (calendar-bounded)",
 }
 

@@ -907,3 +907,42 @@ class TestPathTrigrams:
         expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
         assert [(r.path, r.n) for r in rows] == expect or \
                sorted((r.path, r.n) for r in rows) == sorted(expect)
+
+
+class TestLjungBox:
+    def test_q_matches_numpy_acf(self, spark, sf_dir):
+        """Q recomputed from the raw monthly series with numpy must
+        match the engine's decimal-exact pipeline to float tolerance."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ts_ljung_box"](spark, sf_dir).collect()[0]
+        o = load_table(spark, sf_dir, "orders")
+        monthly = (
+            o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                        "bigint"
+                    )
+                ).alias("v")
+            )
+            .orderBy("mo")
+            .collect()
+        )
+        x = np.array([float(r.v) for r in monthly])
+        n = len(x)
+        xc = x - x.mean()
+        den = (xc * xc).sum()
+        q = 0.0
+        for k in range(1, 7):
+            rho = (xc[:-k] * xc[k:]).sum() / den
+            q += rho * rho / (n - k)
+        q *= n * (n + 2)
+        assert row.n_months == n
+        assert abs(row.q_stat - q) < 1e-4

@@ -1590,3 +1590,98 @@ class TestTextrankKeywords:
             scores = [r.score for r in rs]
             assert all(a >= b for a, b in zip(scores, scores[1:]))
             assert all(s > 0 for s in scores)
+
+
+class TestRound9LlmKeys:
+    def test_spearman_rho_bounds_and_tie_correctness(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ml_spearman_rho"](spark, sf_dir).collect()[0]
+        assert -1.0 <= row.rho_spearman <= 1.0
+        # tie-correct average ranks: 2*avg-rank over n values sums to
+        # n*(n+1) exactly; verify via the helper on a tied column
+        from pyspark.sql import functions as F
+
+        from psvm_spark.queries.llm import _avg_rank2
+
+        df = spark.createDataFrame(
+            [(v,) for v in [10, 10, 20, 20, 20, 30]], "v long"
+        )
+        r2 = _avg_rank2(df, "v", 16)
+        joined = df.join(r2, "v")
+        total = joined.agg(F.sum("r2")).collect()[0][0]
+        n = 6
+        assert total == n * (n + 1)  # sum of 2*ranks == 2 * n(n+1)/2
+        vals = {r.v: r.r2 for r in r2.collect()}
+        assert vals[10] == 3  # avg rank 1.5 -> 3
+        assert vals[20] == 8  # avg rank 4 -> 8
+        assert vals[30] == 12  # avg rank 6 -> 12
+
+    def test_bloom_prefilter_count_identities(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["dedup_bloom_prefilter"](spark, sf_dir).collect()[0]
+        assert row.n_batch == row.n_bloom_pass + row.n_definite_new
+        assert row.n_bloom_pass == row.n_true_dup + row.n_false_pos
+        # NO false negatives by Bloom construction: every true corpus
+        # duplicate must pass the filter (its k positions are all set)
+        assert row.n_true_dup >= 0 and row.n_false_pos >= 0
+
+    def test_kneser_ney_probabilities_sum_to_one(self, spark, sf_dir):
+        """For any trained context w1, sum_w2 Pkn(w2|w1) over all known
+        continuations w2 must be 1 (interpolated KN is a proper
+        conditional distribution)."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _KN_D
+
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("t")
+        )
+        pairs = d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+        trn = pairs.filter(F.col("doc_id") % 5 != 0).select("w1", "w2")
+        c2 = trn.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = c2.groupBy("w1").agg(
+            F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+        )
+        bw = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+        nt = c2.count()
+        # pick the most frequent context
+        w1 = c1.orderBy(F.desc("c1")).limit(1).collect()[0].w1
+        rows = (
+            c1.filter(F.col("w1") == w1)
+            .crossJoin(bw.withColumnRenamed("w2", "cw2"))
+            .join(
+                c2.filter(F.col("w1") == w1).select(
+                    F.col("w2").alias("cw2"), "c12"
+                ),
+                "cw2",
+                "left",
+            )
+            .collect()
+        )
+        total = sum(
+            max((r.c12 or 0) - _KN_D, 0.0) / r.c1
+            + (_KN_D * r.n1f / r.c1) * (r.n1b / nt)
+            for r in rows
+        )
+        assert abs(total - 1.0) < 1e-9
+
+    def test_agreement_stats_identities(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ml_agreement_stats"](spark, sf_dir).collect()[0]
+        assert row.n_docs == row.tp + row.fp + row.fn + row.tn
+        assert -1.0 <= row.kappa <= 1.0 and -1.0 <= row.mcc <= 1.0
