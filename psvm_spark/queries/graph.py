@@ -1086,3 +1086,122 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# B287 (round 9) — one synchronous Louvain round + modularity: from
+# singleton communities, every node u moves to the community of the
+# neighbor v with the best modularity gain dQ = 1/m - k_u*k_v/(2m^2),
+# eligible iff dQ > 0 — which reduces to the INTEGER test
+# 2m > k_u * k_v (the whole gain calculus is exact).  The argmax is
+# the minimum-degree neighbor (dQ is decreasing in k_v), tie-broken
+# on vertex id via the integer encoding min(k_v * 2^20 + v).  The
+# resulting partition's modularity Q = W/m - sum_c D_c^2 / (4 m^2)
+# is two integer sums and one rounded double.  Subsequent Louvain
+# rounds iterate exactly like graph_label_propagation's synchronous
+# recipe; one round is the oracle-replayable unit.  Shape: adjacency
+# + degree equi-joins, one per-node min reduce, one label join — the
+# same two-hop cost every graph key pays, no wedges.
+
+
+@query(
+    "graph_louvain_round",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+adj AS (
+  SELECT a AS x, b AS n FROM edges
+  UNION ALL
+  SELECT b AS x, a AS n FROM edges),
+deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x),
+m AS (SELECT COUNT(*) AS m FROM edges),
+best AS (
+  SELECT a.x,
+         MIN(dn.d * 1048576 + a.n) % 1048576 AS move_to
+  FROM adj a
+  JOIN deg du ON du.x = a.x
+  JOIN deg dn ON dn.x = a.n
+  CROSS JOIN m
+  WHERE 2 * m.m > du.d * dn.d
+  GROUP BY a.x),
+lab AS (
+  SELECT d.x, COALESCE(b.move_to, d.x) AS c
+  FROM deg d LEFT JOIN best b ON b.x = d.x),
+within AS (
+  SELECT COUNT(*) AS w
+  FROM edges e JOIN lab la ON la.x = e.a JOIN lab lb ON lb.x = e.b
+  WHERE la.c = lb.c),
+dsum AS (
+  SELECT CAST(SUM(CAST(dc AS DECIMAL(19,0)) * dc) AS DECIMAL(38,0)) AS sd2,
+         COUNT(*) AS n_comm
+  FROM (SELECT l.c, SUM(d.d) AS dc
+        FROM lab l JOIN deg d ON d.x = l.x GROUP BY l.c)),
+moved AS (SELECT COUNT(*) AS n_moved FROM lab WHERE c <> x)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(moved.n_moved AS BIGINT) AS n_moved,
+       CAST(dsum.n_comm AS BIGINT) AS n_communities,
+       round(CAST(within.w AS DOUBLE) / m.m
+             - CAST(dsum.sd2 AS DOUBLE)
+               / (4.0 * CAST(m.m AS DOUBLE) * m.m), 9) AS modularity
+FROM within, dsum, moved, m
+""",
+)
+def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    du = deg.select(F.col("x").alias("x"), F.col("d").alias("du"))
+    dn = deg.select(F.col("x").alias("n"), F.col("d").alias("dn"))
+    best = (
+        adj.join(du, "x")
+        .join(dn, "n")
+        .crossJoin(F.broadcast(m))
+        .filter(2 * F.col("m") > F.col("du") * F.col("dn"))
+        .groupBy("x")
+        .agg((F.min(F.col("dn") * 1048576 + F.col("n")) % 1048576).alias("move_to"))
+    )
+    lab = deg.join(best, "x", "left").select(
+        "x", "d", F.coalesce("move_to", F.col("x")).alias("c")
+    )
+    la = lab.select(F.col("x").alias("a"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("x").alias("b"), F.col("c").alias("cb"))
+    within = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    dsum = (
+        lab.groupBy("c")
+        .agg(F.sum("d").alias("dc"))
+        .agg(
+            F.sum(F.col("dc").cast("decimal(19,0)") * F.col("dc"))
+            .cast("decimal(38,0)")
+            .alias("sd2"),
+            F.count(F.lit(1)).alias("n_comm"),
+        )
+    )
+    moved = lab.filter(F.col("c") != F.col("x")).agg(
+        F.count(F.lit(1)).alias("n_moved")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        F.broadcast(nn)
+        .crossJoin(F.broadcast(moved))
+        .crossJoin(F.broadcast(dsum))
+        .crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_moved").cast("bigint").alias("n_moved"),
+            F.col("n_comm").cast("bigint").alias("n_communities"),
+            F.round(
+                F.col("w").cast("double") / F.col("m")
+                - F.col("sd2").cast("double")
+                / (4.0 * F.col("m").cast("double") * F.col("m")),
+                9,
+            ).alias("modularity"),
+        )
+    )

@@ -2271,3 +2271,124 @@ def warehouse_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.lit(n_del).cast("bigint").alias("n_deletes"), "n_rows", "total_c"
     )
+
+
+# --------------------------------------------------------------------------
+# B285 (round 9) — POSITION deletion vectors (Delta DVs / Iceberg
+# position deletes): the merge-on-read complement of B262's equality
+# deletes.  A DELETE commits a small (file_path, row_index) vector —
+# REAL physical positions from Spark's `_metadata` hidden column, the
+# exact mechanism a table format's DV encodes as a roaring bitmap —
+# and readers subtract it with a broadcast anti-join on (file, pos);
+# no data file is rewritten.  Deleted-set definition is a predicate
+# (low-value June orders), so the OUTPUT is layout-independent and
+# hash-checked against a direct filter: a DV read must be
+# indistinguishable from copy-on-write.  At 100 TB the DV is
+# O(deleted) and per-file — compaction folds it in lazily while GDPR
+# deletes stay cheap.
+
+_DV_MONTH = "1996-06-01"
+_DV_CENTS = 500_000  # delete orders under $5k in the target month
+
+
+@query(
+    "warehouse_deletion_vectors",
+    oracle=f"""
+WITH del AS (
+  SELECT o_orderkey FROM orders
+  WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = DATE '{_DV_MONTH}'
+    AND CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) < {_DV_CENTS}),
+live AS (
+  SELECT * FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del))
+SELECT CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_dv_entries,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_live,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_c
+FROM live
+""",
+)
+def warehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    root = scratch_dir("psvm_dv_")
+    o.write.mode("overwrite").parquet(f"{root}/data")
+    data = spark.read.parquet(f"{root}/data").select(
+        "*",
+        F.col("_metadata.file_path").alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    # the DELETE commit: physical positions only, O(deleted) not O(table)
+    dv = data.filter(
+        (F.date_trunc("month", "o_orderdate").cast("date")
+         == F.lit(_DV_MONTH).cast("date"))
+        & ((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+           < _DV_CENTS)
+    ).select("_file", "_pos")
+    dv.write.mode("overwrite").parquet(f"{root}/dv")
+    vec = spark.read.parquet(f"{root}/dv")
+    n_dv = vec.count()
+    live = data.join(F.broadcast(vec), ["_file", "_pos"], "left_anti")
+    agg = live.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_live"),
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_c"),
+    )
+    return agg.select(
+        F.lit(n_dv).cast("bigint").alias("n_dv_entries"), "n_rows_live", "total_c"
+    )
+
+
+# --------------------------------------------------------------------------
+# B286 (round 9) — compaction planner: turn a month-partitioned
+# table's manifest (per-file row counts — the metadata layer, O(files))
+# into target-sized compaction groups in clustering order, the
+# OPTIMIZE/rewrite_data_files planning step every table format runs.
+# Grouping is the deterministic rolling rule group = prefix_rows div
+# target (contiguous in month order, so the rewrite preserves the
+# table's clustering); all arithmetic is integer.  The planner reads
+# NO data rows — the manifest aggregate is the only corpus pass, and
+# the plan itself is bounded by file count.
+
+_COMPACT_TARGET = 2_000  # rows per compaction group
+
+
+@query(
+    "warehouse_compaction_planner",
+    oracle=f"""
+WITH manifest AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+         COUNT(*) AS n_rows
+  FROM orders GROUP BY 1),
+planned AS (
+  SELECT mo, n_rows,
+         (SUM(n_rows) OVER (ORDER BY mo) - n_rows) // {_COMPACT_TARGET} AS grp
+  FROM manifest)
+SELECT CAST(grp AS BIGINT) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(MIN(mo) AS VARCHAR) AS mo_lo, CAST(MAX(mo) AS VARCHAR) AS mo_hi
+FROM planned GROUP BY grp
+""",
+)
+def warehouse_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    manifest = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mo")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    # prefix over the calendar-bounded manifest (~84 rows): the
+    # bounded-pre-aggregation window class (WINDOW_WHITELIST).
+    w = Window.orderBy("mo").rowsBetween(Window.unboundedPreceding, 0)
+    planned = manifest.select(
+        "mo",
+        "n_rows",
+        F.expr(f"(sum(n_rows) over (order by mo rows between unbounded"
+               f" preceding and current row) - n_rows) div {_COMPACT_TARGET}"
+               ).alias("grp"),
+    )
+    return planned.groupBy(F.col("grp").cast("bigint").alias("group_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.min("mo").cast("string").alias("mo_lo"),
+        F.max("mo").cast("string").alias("mo_hi"),
+    )

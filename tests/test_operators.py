@@ -1202,3 +1202,42 @@ class TestAdamicAdarHubCap:
             capped_adjacency(adj).filter("n = 0").select("x").toPandas().x.tolist()
         )
         assert s1 == s2 and len(s1) == _AA_DEG_CAP
+
+
+class TestLouvainRound:
+    def test_gain_test_and_modularity_consistency(self, spark, sf_dir):
+        """Every move must satisfy the integer gain test 2m > k_u*k_v,
+        and the reported modularity must match a recomputation from the
+        same labels."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.queries.graph import edge_set
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["graph_louvain_round"](spark, sf_dir).collect()[0]
+        e = edge_set(spark, sf_dir, materialize=True)
+        m = e.count()
+        adj = e.selectExpr("a as x", "b as n").unionAll(
+            e.selectExpr("b as x", "a as n")
+        )
+        deg = {r.x: r.d for r in adj.groupBy("x").agg(F.count(F.lit(1)).alias("d")).collect()}
+        # replay the synchronous round in python
+        import collections
+
+        neigh = collections.defaultdict(list)
+        for r in adj.collect():
+            neigh[r.x].append(r.n)
+        lab = {}
+        for u, ns in neigh.items():
+            elig = [(deg[v], v) for v in ns if 2 * m > deg[u] * deg[v]]
+            lab[u] = min(elig)[1] if elig else u
+        assert row.n_nodes == len(deg)
+        assert row.n_moved == sum(1 for u, c in lab.items() if c != u)
+        assert row.n_communities == len(set(lab.values()))
+        within = sum(1 for r in e.collect() if lab[r.a] == lab[r.b])
+        dc = collections.Counter()
+        for u, c in lab.items():
+            dc[c] += deg[u]
+        q = within / m - sum(v * v for v in dc.values()) / (4.0 * m * m)
+        assert abs(row.modularity - q) < 1e-8

@@ -118,3 +118,75 @@ class TestEqualityDeletes:
         ).count()
         assert r.n_deletes == june_nonurgent > 0
         assert r.n_rows == o.count() - june_nonurgent
+
+
+class TestDeletionVectors:
+    def test_dv_read_equals_copy_on_write(self, spark, sf_dir):
+        """A DV merge-on-read scan must be indistinguishable from the
+        equivalent rewrite: compare against a direct predicate filter."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.warehouse import _DV_CENTS, _DV_MONTH
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["warehouse_deletion_vectors"](spark, sf_dir).collect()[0]
+        o = load_table(spark, sf_dir, "orders")
+        pred = (
+            F.date_trunc("month", "o_orderdate").cast("date")
+            == F.lit(_DV_MONTH).cast("date")
+        ) & (
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            < _DV_CENTS
+        )
+        direct = o.filter(~pred).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("c"),
+        ).collect()[0]
+        n_del = o.filter(pred).count()
+        assert row.n_dv_entries == n_del
+        assert row.n_rows_live == direct.n
+        assert row.total_c == direct.c
+
+
+class TestCompactionPlanner:
+    def test_groups_are_contiguous_and_cover_all_files(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = sorted(
+            QUERIES["warehouse_compaction_planner"](spark, sf_dir).collect(),
+            key=lambda r: r.group_id,
+        )
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.warehouse import _COMPACT_TARGET
+
+        o = load_table(spark, sf_dir, "orders")
+        n_months = o.select(
+            F.date_trunc("month", "o_orderdate").alias("m")
+        ).distinct().count()
+        n_orders = o.count()
+        # the plan covers every month file exactly once and every row
+        assert sum(r.n_files for r in rows) == n_months
+        assert sum(r.rows_total for r in rows) == n_orders
+        # contiguous in month order: clustering preserved by the rewrite
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev.mo_hi < cur.mo_lo
+        # rolling rule: replay group = prefix_before div target
+        manifest = sorted(
+            o.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+            .count()
+            .collect(),
+            key=lambda r: r.m,
+        )
+        prefix, expect = 0, {}
+        for r in manifest:
+            g = prefix // _COMPACT_TARGET
+            expect[g] = expect.get(g, 0) + 1
+            prefix += r["count"]
+        assert {r.group_id: r.n_files for r in rows} == expect
