@@ -5256,3 +5256,142 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.max("n") + 2)
         ).alias("q_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# B288 (round 9) — Granger causality (lag 1): do VIEW counts help
+# predict next-hour PURCHASE counts beyond purchases' own history?
+# The F-test compares the restricted OLS y_t ~ (1, y_{t-1}) against
+# the unrestricted y_t ~ (1, y_{t-1}, x_{t-1}):
+#   F = (SSE_r - SSE_u) / (SSE_u / (n - 3)).
+# Exactness: both series are INTEGER counts on a dense hour spine
+# (missing hours are real zeros — generated, not dropped, or the lag
+# pairs would silently skip gaps), every raw moment is an exact
+# DECIMAL(38,0) sum, and the centered moments / Cramer solve / F are
+# ONE fixed-shape double expression rounded to 9 — bit-identical
+# cross-engine.  Shape at 100 TB: one hourly rollup is the only pass
+# over events; the spine, lag join, and 10-sum reduce are all
+# calendar-bounded.
+
+
+@query(
+    "ts_granger_lag1",
+    oracle="""
+WITH ev AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+         event_type
+  FROM events WHERE event_type IN ('view', 'purchase')),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+spine AS (
+  SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM bounds b),
+cnt AS (
+  SELECT h,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM ev GROUP BY h),
+series AS (
+  SELECT s.h, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+  FROM spine s LEFT JOIN cnt c ON c.h = s.h),
+pairs AS (
+  SELECT cur.y AS y, prev.y AS u, prev.x AS v
+  FROM series cur JOIN series prev ON prev.h = cur.h - 1),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(u) AS DECIMAL(38,0)) AS su,
+         CAST(SUM(v) AS DECIMAL(38,0)) AS sv,
+         CAST(SUM(CAST(y AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(u AS DECIMAL(18,0)) * u) AS DECIMAL(38,0)) AS suu,
+         CAST(SUM(CAST(v AS DECIMAL(18,0)) * v) AS DECIMAL(38,0)) AS svv,
+         CAST(SUM(CAST(u AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS suy,
+         CAST(SUM(CAST(v AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS svy,
+         CAST(SUM(CAST(u AS DECIMAL(18,0)) * v) AS DECIMAL(38,0)) AS suv
+  FROM pairs),
+c AS (
+  SELECT n,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cyy,
+         CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) / n AS cuu,
+         CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n AS cvv,
+         CAST(suy AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cuy,
+         CAST(svy AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cvy,
+         CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE) / n AS cuv
+  FROM m),
+f AS (
+  SELECT n,
+         cyy - cuy * cuy / cuu AS sse_r,
+         cyy - ((cuy * cvv - cvy * cuv) / (cuu * cvv - cuv * cuv)) * cuy
+             - ((cvy * cuu - cuy * cuv) / (cuu * cvv - cuv * cuv)) * cvy
+           AS sse_u
+  FROM c)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round(sse_r, 9) AS sse_r,
+       round(sse_u, 9) AS sse_u,
+       round((sse_r - sse_u) / (sse_u / (n - 3)), 9) AS f_stat
+FROM f
+""",
+)
+def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("bigint")
+            .alias("h"),
+            "event_type",
+        )
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cnt = ev.groupBy("h").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    series = spine.join(cnt, "h", "left").select(
+        "h",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    prev = series.select(
+        (F.col("h") + 1).alias("h"), F.col("y").alias("u"), F.col("x").alias("v")
+    )
+    pairs = series.select("h", "y").join(prev, "h")
+    d18 = lambda cc: F.col(cc).cast("decimal(18,0)")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("u").cast("decimal(38,0)").alias("su"),
+        F.sum("v").cast("decimal(38,0)").alias("sv"),
+        F.sum(d18("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(d18("u") * F.col("u")).cast("decimal(38,0)").alias("suu"),
+        F.sum(d18("v") * F.col("v")).cast("decimal(38,0)").alias("svv"),
+        F.sum(d18("u") * F.col("y")).cast("decimal(38,0)").alias("suy"),
+        F.sum(d18("v") * F.col("y")).cast("decimal(38,0)").alias("svy"),
+        F.sum(d18("u") * F.col("v")).cast("decimal(38,0)").alias("suv"),
+    )
+    nn = F.col("n")
+    cen = m.select(
+        "n",
+        (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double") / nn).alias("cyy"),
+        (F.col("suu").cast("double") - F.col("su").cast("double") * F.col("su").cast("double") / nn).alias("cuu"),
+        (F.col("svv").cast("double") - F.col("sv").cast("double") * F.col("sv").cast("double") / nn).alias("cvv"),
+        (F.col("suy").cast("double") - F.col("su").cast("double") * F.col("sy").cast("double") / nn).alias("cuy"),
+        (F.col("svy").cast("double") - F.col("sv").cast("double") * F.col("sy").cast("double") / nn).alias("cvy"),
+        (F.col("suv").cast("double") - F.col("su").cast("double") * F.col("sv").cast("double") / nn).alias("cuv"),
+    )
+    det = F.col("cuu") * F.col("cvv") - F.col("cuv") * F.col("cuv")
+    sse_r = F.col("cyy") - F.col("cuy") * F.col("cuy") / F.col("cuu")
+    sse_u = (
+        F.col("cyy")
+        - ((F.col("cuy") * F.col("cvv") - F.col("cvy") * F.col("cuv")) / det) * F.col("cuy")
+        - ((F.col("cvy") * F.col("cuu") - F.col("cuy") * F.col("cuv")) / det) * F.col("cvy")
+    )
+    out = cen.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(sse_r, 9).alias("sse_r"),
+        F.round(sse_u, 9).alias("sse_u"),
+        F.round((sse_r - sse_u) / (sse_u / (F.col("n") - 3)), 9).alias("f_stat"),
+    )
+    return out

@@ -9844,3 +9844,47 @@ def ml_agreement_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
         F.round(mcc, 9).alias("mcc"),
     )
+
+
+# --------------------------------------------------------------------------
+# B290 (round 9) — robust (median/IQR) feature scaling per source:
+# the outlier-insensitive alternative to z-scoring (grouped_map_zscore)
+# for heavy-tailed features, standard before mixing corpora whose
+# length distributions differ.  Exact per-source median/quartiles over
+# the integer n_chars (Spark `percentile` == DuckDB `quantile_cont`,
+# the agg_percentile precedent); the scaled value is one double
+# division rounded to 9.  The source dimension is small and bounded,
+# so the exact-percentile buffering per group is metadata-sized; the
+# doc-side apply is a broadcast join + narrow map.
+
+
+@query(
+    "feat_robust_scaler",
+    oracle="""
+WITH st AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.50) AS med,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       round((d.n_chars - st.med) / (st.q3 - st.q1), 9) AS scaled
+FROM documents d JOIN st USING (source)
+""",
+)
+def feat_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.50)").alias("med"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    return d.join(F.broadcast(st), "source").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(
+            (F.col("n_chars") - F.col("med")) / (F.col("q3") - F.col("q1")), 9
+        ).alias("scaled"),
+    )

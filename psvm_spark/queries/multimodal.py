@@ -1112,3 +1112,80 @@ def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         downsample,
         "media_id long, n_in int, n_out int, checksum bigint, peak bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# B289 (round 9) — per-channel color histogram across the binary
+# decode boundary: every image decodes (pure-NumPy PPM) into 4
+# brightness bins per RGB channel (bin = pixel div 64) — the cheap
+# color-statistics feature every vision-data QC pass extracts (over-
+# dark / blown-out / single-hue detection before training).  The
+# oracle replays every bin count from the digest hex alone, so the
+# decode -> bincount path is hash-checked end to end.  Zero-count
+# bins are omitted on BOTH sides (GROUP BY semantics).  At 100 TB
+# decode runs where the data lives (mapInPandas, Arrow batches), one
+# task per split, no shuffle before the skinny (media, channel, bin)
+# rollup.
+
+_CH_BINS = 4  # pixel div 64
+
+
+def _channel_hist_oracle() -> str:
+    byte = _by("3*p + c")
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE CAST(doc_id % 3 AS INT) = 0),
+px AS (
+  SELECT doc_id AS media_id, c.c AS channel,
+         CAST({byte} // 64 AS INT) AS bin
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, {_PPM_W * _PPM_H - 1})) AS p) pp,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS c) c)
+SELECT media_id, CAST(channel AS INT) AS channel, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px GROUP BY media_id, channel, bin
+"""
+
+
+@query("mm_image_channel_hist", oracle=_channel_hist_oracle())
+def mm_image_channel_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    )
+
+    def hist(batches):
+        def decode_ppm(buf: bytes):
+            if buf[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            parts, idx = [], 2
+            while len(parts) < 3:
+                while buf[idx] in b" \t\r\n":
+                    idx += 1
+                start = idx
+                while buf[idx] not in b" \t\r\n":
+                    idx += 1
+                parts.append(int(buf[start:idx]))
+            idx += 1
+            w, h, _ = parts
+            return np.frombuffer(
+                buf, dtype=np.uint8, count=w * h * 3, offset=idx
+            ).reshape(h, w, 3)
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(bytes(buf))
+                for c in range(3):
+                    counts = np.bincount(
+                        px[:, :, c].ravel() >> 6, minlength=_CH_BINS
+                    )
+                    for b, n in enumerate(counts):
+                        if n:
+                            rows.append((int(mid), c, b, int(n)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "channel", "bin", "n_px"]
+            )
+
+    return m.mapInPandas(
+        hist, "media_id long, channel int, bin int, n_px bigint"
+    )

@@ -946,3 +946,53 @@ class TestLjungBox:
         q *= n * (n + 2)
         assert row.n_months == n
         assert abs(row.q_stat - q) < 1e-4
+
+
+class TestGrangerLag1:
+    def test_f_matches_numpy_ols(self, spark, sf_dir):
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ts_granger_lag1"](spark, sf_dir).collect()[0]
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("view", "purchase"))
+            .select(
+                (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+                .cast("bigint")
+                .alias("h"),
+                "event_type",
+            )
+            .collect()
+        )
+        import collections
+
+        cx, cy = collections.Counter(), collections.Counter()
+        for r in ev:
+            (cx if r.event_type == "view" else cy)[r.h] += 1
+        h0 = min(min(cx), min(cy))
+        h1 = max(max(cx), max(cy))
+        hours = list(range(h0, h1 + 1))
+        x = np.array([cx.get(h, 0) for h in hours], dtype=float)
+        y = np.array([cy.get(h, 0) for h in hours], dtype=float)
+        yy, u, v = y[1:], y[:-1], x[:-1]
+        n = len(yy)
+
+        def sse(X):
+            b, res, *_ = np.linalg.lstsq(X, yy, rcond=None)
+            r = yy - X @ b
+            return float(r @ r)
+
+        one = np.ones(n)
+        sse_r = sse(np.column_stack([one, u]))
+        sse_u = sse(np.column_stack([one, u, v]))
+        f = (sse_r - sse_u) / (sse_u / (n - 3))
+        assert row.n_pairs == n
+        assert abs(row.sse_r - sse_r) < 1e-4
+        assert abs(row.sse_u - sse_u) < 1e-4
+        assert abs(row.f_stat - f) < 1e-4

@@ -1685,3 +1685,20 @@ class TestRound9LlmKeys:
         row = QUERIES["ml_agreement_stats"](spark, sf_dir).collect()[0]
         assert row.n_docs == row.tp + row.fp + row.fn + row.tn
         assert -1.0 <= row.kappa <= 1.0 and -1.0 <= row.mcc <= 1.0
+
+
+class TestRobustScaler:
+    def test_scaled_median_is_zero_per_source(self, spark, sf_dir):
+        """Median of the scaled feature must be ~0 within every source
+        (the defining property of median/IQR scaling)."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        df = QUERIES["feat_robust_scaler"](spark, sf_dir)
+        med = df.groupBy("source").agg(
+            F.expr("percentile(scaled, 0.5)").alias("m")
+        )
+        for r in med.collect():
+            assert abs(r.m) < 1e-9, r

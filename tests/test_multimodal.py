@@ -308,3 +308,22 @@ class TestAudioDownsample:
             assert r.n_in == 64 and r.n_out == 32
             assert r.checksum == sum(y * (j + 1) for j, y in enumerate(ys))
             assert r.peak == max(abs(y) for y in ys)
+
+
+class TestChannelHist:
+    def test_bins_partition_all_pixels(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.queries.multimodal import _PPM_H, _PPM_W
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        df = QUERIES["mm_image_channel_hist"](spark, sf_dir)
+        per_ch = df.groupBy("media_id", "channel").agg(
+            F.sum("n_px").alias("t")
+        )
+        rows = per_ch.collect()
+        assert rows
+        assert all(r.t == _PPM_W * _PPM_H for r in rows)
+        bins = {r.bin for r in df.select("bin").distinct().collect()}
+        assert bins <= {0, 1, 2, 3}
