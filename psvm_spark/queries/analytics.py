@@ -5395,3 +5395,157 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sse_r - sse_u) / (sse_u / (F.col("n") - 3)), 9).alias("f_stat"),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# B292 (round 9) — partial autocorrelation (PACF) at lags 1..3 over
+# the monthly revenue series: the AR-order selection diagnostic that
+# pairs with ts_autocorrelation/ts_ljung_box (ACF says "correlated",
+# PACF says "how many AR terms").  Durbin–Levinson unrolled three
+# steps over the STANDARD sample ACF:
+#   phi11 = r1
+#   phi22 = (r2 - r1^2) / (1 - r1^2)
+#   phi21 = r1 * (1 - phi22)
+#   phi33 = (r3 - phi21 r2 - phi22 r1) / (1 - phi21 r1 - phi22 r2)
+# The rho_k come from the same n^2-scaled DECIMAL(38,0) moment sums
+# as ts_ljung_box (exact integer cents; one rounded double per lag),
+# and every phi is a fixed-shape double expression over the rounded
+# r's — bit-identical cross-engine.  One calendar-bounded monthly
+# rollup is the only pass over raw data.
+
+
+@query(
+    "ts_pacf",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS DECIMAL(38,0)) AS v
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY mo) AS i FROM monthly),
+tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(v) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+  FROM idx),
+lagsums AS (
+  SELECT l.k, COUNT(*) AS npair,
+         CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(a.v) AS DECIMAL(38,0)) AS sa,
+         CAST(SUM(b.v) AS DECIMAL(38,0)) AS sb
+  FROM (SELECT unnest(generate_series(1, 3)) AS k) l
+  JOIN idx a ON true
+  JOIN idx b ON b.i = a.i + l.k
+  GROUP BY l.k),
+rho AS (
+  SELECT ls.k,
+         round((CAST(t.n AS DOUBLE) * t.n * CAST(ls.sxy AS DOUBLE)
+                - CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)
+                  * (CAST(ls.sa AS DOUBLE) + CAST(ls.sb AS DOUBLE))
+                + (t.n - ls.k) * CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) * t.n * CAST(t.sxx AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)
+                    * CAST(t.s AS DOUBLE)), 9) AS r,
+         t.n AS n
+  FROM lagsums ls CROSS JOIN tot t),
+piv AS (
+  SELECT MAX(n) AS n,
+         MAX(CASE WHEN k = 1 THEN r END) AS r1,
+         MAX(CASE WHEN k = 2 THEN r END) AS r2,
+         MAX(CASE WHEN k = 3 THEN r END) AS r3
+  FROM rho),
+dl AS (
+  SELECT n, r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+  FROM piv),
+dl2 AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM dl)
+SELECT CAST(n AS BIGINT) AS n_months,
+       round(r1, 9) AS pacf1,
+       round(p22, 9) AS pacf2,
+       round((r3 - p21 * r2 - p22 * r1)
+             / (1.0 - p21 * r1 - p22 * r2), 9) AS pacf3
+FROM dl2
+""",
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mo")
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("v")
+    )
+    idx = monthly.select(
+        "v", F.row_number().over(Window.orderBy("mo")).alias("i")
+    )
+    tot = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    lags = F.explode(F.expr("sequence(1, 3)")).alias("k")
+    a = idx.select(F.col("v").alias("va"), F.col("i").alias("ia"), lags)
+    b = idx.select(F.col("v").alias("vb"), F.col("i").alias("ib"))
+    lagsums = (
+        a.join(b, F.col("ib") == F.col("ia") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("va") * F.col("vb")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum("va").cast("decimal(38,0)").alias("sa"),
+            F.sum("vb").cast("decimal(38,0)").alias("sb"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    rho = lagsums.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n",
+        F.round(
+            (
+                nn * F.col("n") * F.col("sxy").cast("double")
+                - nn
+                * F.col("s").cast("double")
+                * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+                + (F.col("n") - F.col("k"))
+                * F.col("s").cast("double")
+                * F.col("s").cast("double")
+            )
+            / (
+                nn * F.col("n") * F.col("sxx").cast("double")
+                - nn * F.col("s").cast("double") * F.col("s").cast("double")
+            ),
+            9,
+        ).alias("r"),
+    )
+    piv = rho.agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("k") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("r"))).alias("r3"),
+    )
+    p22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        F.lit(1.0) - F.col("r1") * F.col("r1")
+    )
+    dl = piv.select("n", "r1", "r2", "r3", p22.alias("p22"))
+    dl2 = dl.select(
+        "*", (F.col("r1") * (F.lit(1.0) - F.col("p22"))).alias("p21")
+    )
+    return dl2.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(F.col("r1"), 9).alias("pacf1"),
+        F.round(F.col("p22"), 9).alias("pacf2"),
+        F.round(
+            (F.col("r3") - F.col("p21") * F.col("r2") - F.col("p22") * F.col("r1"))
+            / (
+                F.lit(1.0)
+                - F.col("p21") * F.col("r1")
+                - F.col("p22") * F.col("r2")
+            ),
+            9,
+        ).alias("pacf3"),
+    )

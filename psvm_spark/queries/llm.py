@@ -9888,3 +9888,66 @@ def feat_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") - F.col("med")) / (F.col("q3") - F.col("q1")), 9
         ).alias("scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# B293 (round 9) — term burstiness (index of dispersion): for the
+# corpus's top-20 terms, the variance-to-mean ratio of per-document
+# counts (zeros included) — VMR ~ 1 is Poisson background vocabulary,
+# VMR >> 1 is bursty/topical content (Church & Gale; the signal
+# separating function words from content words and template spam from
+# organic text).  Zero-count docs enter through N alone:
+#   mean = Sc/N,  var = Sc2/N - mean^2,  vmr = var/mean
+# with Sc, Sc2 exact integer sums over (doc, term) counts and N the
+# 1-row corpus size — a fixed-shape double expression rounded to 9.
+# Top-20 selection is orderBy().limit() (TakeOrderedAndProject, the
+# round-9 global-window rule), and at 100 TB the (doc, term) count
+# shuffle is the only corpus-sized stage.
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+cnt AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w),
+term AS (
+  SELECT w, COUNT(*) AS df, SUM(c) AS sc, SUM(c * c) AS sc2
+  FROM cnt GROUP BY w),
+top AS (
+  SELECT w, df, sc, sc2,
+         ROW_NUMBER() OVER (ORDER BY sc DESC, w) AS rk
+  FROM term QUALIFY rk <= 20)
+SELECT w, CAST(df AS BIGINT) AS df, CAST(sc AS BIGINT) AS total,
+       round((CAST(sc2 AS DOUBLE) / n.nd
+              - (CAST(sc AS DOUBLE) / n.nd) * (CAST(sc AS DOUBLE) / n.nd))
+             / (CAST(sc AS DOUBLE) / n.nd), 9) AS vmr
+FROM top CROSS JOIN n
+""",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = cnt.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    top = term.orderBy(F.desc("sc"), "w").limit(20)
+    ndd = F.col("nd").cast("double")
+    mean = F.col("sc").cast("double") / ndd
+    return top.crossJoin(F.broadcast(nd)).select(
+        "w",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("sc").cast("bigint").alias("total"),
+        F.round(
+            (F.col("sc2").cast("double") / ndd - mean * mean) / mean, 9
+        ).alias("vmr"),
+    )

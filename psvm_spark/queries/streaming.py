@@ -10,7 +10,7 @@ mode finals being independent of batch slicing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
@@ -363,8 +363,6 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from pyspark.sql import Window
-
     target = scratch_dir("psvm_upsert_target_")
     shutil.rmtree(target)  # start absent: first batch creates it
 
@@ -607,3 +605,46 @@ def stream_state_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     half2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h2")
     run_once()  # restart: new input is ONLY half 2; state must recover
     return spark.table(sink).select("event_type", F.col("n").cast("bigint").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# B291 (round 9) — streaming per-window top-k: the live "trending
+# event types" board — a sliding windowed count in Structured
+# Streaming, then a rank over the FINISHED result (ranking is not an
+# incremental aggregate, so the idiomatic split is stream-aggregate
+# -> post-rank, exactly how a dashboard query reads a streaming
+# sink).  The per-window rank partitions by window start — bounded
+# rows per partition (one per event type), fully parallel.  Oracle:
+# the two shifted 5-minute buckets + QUALIFY rank <= 3.
+
+
+@query(
+    "stream_sliding_topk",
+    oracle="""
+WITH contrib AS (
+  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS win_start,
+         event_type
+  FROM events),
+cnt AS (
+  SELECT win_start, event_type, COUNT(*) AS n
+  FROM contrib GROUP BY 1, 2)
+SELECT win_start, event_type, CAST(n AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY win_start
+                               ORDER BY n DESC, event_type) AS INT) AS rk
+FROM cnt
+QUALIFY rk <= 3
+""",
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    done = run_to_table(agg, "complete", state_partitions=8).select(
+        F.col("w.start").alias("win_start"), "event_type", F.col("n").cast("bigint").alias("n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return done.withColumn("rk", rk.cast("int")).filter(F.col("rk") <= 3)

@@ -107,6 +107,8 @@ WHITELIST = {
     "dedup_bloom_prefilter": "(a) 1x1x1 crossJoin of batch/candidate/dup count rows; the bit test is a broadcast equi-join",
     "text_kneser_ney_bigram": "(a) 1-row bigram-type-total scalar broadcast; the count joins are equi on w1/(w1,w2)",
     "graph_louvain_round": "(a) 1-row edge-count scalar broadcast for the gain test + 1x1x1x1 stat combine; adjacency/degree/label joins are equi",
+    "ts_pacf": "(a) 1-row series-totals scalar broadcast for the per-lag rho combine (the ts_ljung_box shape)",
+    "text_burstiness": "(a) 1-row corpus-size scalar broadcast attached to the top-20 term table",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB
@@ -141,6 +143,7 @@ WINDOW_WHITELIST = {
     "text_zipf_fit": "prefix-sum over the frequency-bucket count table",
     "ts_changepoint_sse": "SSE scan over the monthly aggregate (calendar-bounded)",
     "ts_ljung_box": "month index over the monthly rollup (calendar-bounded ~84 rows)",
+    "ts_pacf": "month index over the monthly rollup (calendar-bounded ~84 rows)",
     "warehouse_compaction_planner": "prefix-sum over the per-month manifest (O(files), calendar-bounded)",
     "ts_decompose_classical": "seasonal index over the monthly aggregate (calendar-bounded)",
 }

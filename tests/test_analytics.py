@@ -996,3 +996,43 @@ class TestGrangerLag1:
         assert abs(row.sse_r - sse_r) < 1e-4
         assert abs(row.sse_u - sse_u) < 1e-4
         assert abs(row.f_stat - f) < 1e-4
+
+
+class TestPacf:
+    def test_durbin_levinson_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ts_pacf"](spark, sf_dir).collect()[0]
+        o = load_table(spark, sf_dir, "orders")
+        monthly = (
+            o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                        "bigint"
+                    )
+                ).alias("v")
+            )
+            .orderBy("mo")
+            .collect()
+        )
+        x = np.array([float(r.v) for r in monthly])
+        n = len(x)
+        xc = x - x.mean()
+        den = (xc * xc).sum()
+        r = [1.0] + [(xc[:-k] * xc[k:]).sum() / den for k in (1, 2, 3)]
+        # Durbin-Levinson
+        p11 = r[1]
+        p22 = (r[2] - r[1] ** 2) / (1 - r[1] ** 2)
+        p21 = r[1] * (1 - p22)
+        p33 = (r[3] - p21 * r[2] - p22 * r[1]) / (1 - p21 * r[1] - p22 * r[2])
+        assert row.n_months == n
+        assert abs(row.pacf1 - p11) < 1e-6
+        assert abs(row.pacf2 - p22) < 1e-6
+        assert abs(row.pacf3 - p33) < 1e-6

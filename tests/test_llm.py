@@ -1702,3 +1702,25 @@ class TestRobustScaler:
         )
         for r in med.collect():
             assert abs(r.m) < 1e-9, r
+
+
+class TestBurstiness:
+    def test_vmr_matches_python_with_zero_docs(self, spark, sf_dir):
+        """The VMR must include zero-count documents (only N enters,
+        never a dense zero-filled table): recompute one term in python."""
+        import collections
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["text_burstiness"](spark, sf_dir).collect()
+        assert len(rows) == 20
+        top = max(rows, key=lambda r: r.total)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        n = len(docs)
+        counts = [collections.Counter(d.text.split(" "))[top.w] for d in docs]
+        mean = sum(counts) / n
+        var = sum(c * c for c in counts) / n - mean * mean
+        assert abs(top.vmr - var / mean) < 1e-6
+        assert top.df == sum(1 for c in counts if c)

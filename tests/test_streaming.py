@@ -343,3 +343,41 @@ class TestStateRecovery:
             .collect()
         }
         assert got == want
+
+
+class TestSlidingTopK:
+    def test_topk_matches_batch_rank(self, spark, sf_dir):
+        """Stream/batch equivalence: the streaming windowed counts plus
+        post-rank must equal the same computation done fully in batch."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table, normalize_event_ts
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = sorted(
+            map(
+                tuple,
+                QUERIES["stream_sliding_topk"](spark, sf_dir)
+                .select("win_start", "event_type", "n", "rk")
+                .collect(),
+            )
+        )
+        ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+        batch = ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        rk = F.row_number().over(
+            Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+        )
+        want = sorted(
+            map(
+                tuple,
+                batch.withColumn("rk", rk.cast("int"))
+                .filter(F.col("rk") <= 3)
+                .select(F.col("w.start").alias("win_start"), "event_type", "n", "rk")
+                .collect(),
+            )
+        )
+        assert got == want
