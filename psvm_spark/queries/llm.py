@@ -9951,3 +9951,141 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sc2").cast("double") / ndd - mean * mean) / mean, 9
         ).alias("vmr"),
     )
+
+
+# --------------------------------------------------------------------------
+# B294 (round 9) — Local Outlier Factor (k=3): density-based outlier
+# scoring over an embedding sample — the vector-QC step that catches
+# points whose LOCAL density is anomalous even when global norms look
+# fine (Breunig et al. 2000), complementing vec_norm_histogram (global)
+# and sim_semdedup (cluster-level).  Ground set = the deterministic
+# vec_id % 10 sample (the select_facility_location convention: LOF is
+# pairwise over its ground set by definition; the sample IS the
+# operator's input, the corpus-scale path blocks candidates first).
+# Exactness: squared-L2 distances are left-to-right folds (bit-exact
+# cross-engine), every k-term sum (reachability, lrd) is a round9
+# DECIMAL sum, and neighbor sets are exact-k by the (d2, j) total
+# order.  Output: top-20 LOF scores.
+
+_LOF_K = 3
+_LOF_TOPK = 20
+
+
+@query(
+    "ml_lof_outlier",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+pd AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         round({K.sql_sq_l2('a.embedding', 'b.embedding')}, 9) AS d2
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+rk AS (
+  SELECT i, j, d2,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY d2, j) AS r
+  FROM pd),
+kd AS (SELECT i, d2 AS kdist FROM rk WHERE r = {_LOF_K}),
+knn AS (SELECT i, j, d2 FROM rk WHERE r <= {_LOF_K}),
+reach AS (
+  SELECT n.i, n.j,
+         round(greatest(kj.kdist, n.d2), 9) AS rd
+  FROM knn n JOIN kd kj ON kj.i = n.j),
+lrd AS (
+  SELECT i,
+         round({_LOF_K} / CAST(SUM(CAST(rd AS DECIMAL(18,9))) AS DOUBLE), 9)
+           AS lrd
+  FROM reach GROUP BY i),
+lof AS (
+  SELECT n.i,
+         round(CAST(SUM(CAST(lj.lrd AS DECIMAL(18,9))) AS DOUBLE)
+               / ({_LOF_K} * li.lrd), 9) AS lof
+  FROM knn n
+  JOIN lrd lj ON lj.i = n.j
+  JOIN lrd li ON li.i = n.i
+  GROUP BY n.i, li.lrd)
+SELECT CAST(l.i AS BIGINT) AS vec_id, l.lof, kd.kdist
+FROM lof l JOIN kd ON kd.i = l.i
+ORDER BY l.lof DESC, l.i
+LIMIT {_LOF_TOPK}
+""",
+)
+def ml_lof_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    a = s.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    pd_ = (
+        a.crossJoin(b)
+        .filter(F.col("i") != F.col("j"))
+        .select("i", "j", F.round(K.sq_l2(F.col("ea"), F.col("eb")), 9).alias("d2"))
+    )
+    rk = pd_.withColumn(
+        "r", F.row_number().over(Window.partitionBy("i").orderBy("d2", "j"))
+    )
+    kd = rk.filter(F.col("r") == _LOF_K).select("i", F.col("d2").alias("kdist"))
+    knn = rk.filter(F.col("r") <= _LOF_K).select("i", "j", "d2")
+    reach = knn.join(
+        kd.select(F.col("i").alias("j"), F.col("kdist").alias("kdist_j")), "j"
+    ).select("i", "j", F.round(F.greatest("kdist_j", "d2"), 9).alias("rd"))
+    lrd = reach.groupBy("i").agg(
+        F.round(
+            F.lit(_LOF_K)
+            / F.sum(F.col("rd").cast("decimal(18,9)")).cast("double"),
+            9,
+        ).alias("lrd")
+    )
+    lof = (
+        knn.join(lrd.select(F.col("i").alias("j"), F.col("lrd").alias("lrd_j")), "j")
+        .join(lrd, "i")
+        .groupBy("i", "lrd")
+        .agg(
+            F.round(
+                F.sum(F.col("lrd_j").cast("decimal(18,9)")).cast("double")
+                / (_LOF_K * F.col("lrd")),
+                9,
+            ).alias("lof")
+        )
+    )
+    return (
+        lof.join(kd, "i")
+        .orderBy(F.desc("lof"), "i")
+        .limit(_LOF_TOPK)
+        .select(F.col("i").cast("bigint").alias("vec_id"), "lof", "kdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# B295 (round 9) — exact-K uniform sample without replacement: order
+# by a salted md5 of the key and keep the first K — the trick that
+# yields EXACTLY K rows (df.sample() is Bernoulli: K only in
+# expectation) as a TakeOrderedAndProject, i.e. per-partition top-K +
+# driver merge of K-row heaps, never a global sort.  Deterministic,
+# reproducible from the data alone (retry-stable), and the standard
+# way to cut eval panels / human-review batches from a 100 TB corpus.
+
+_EXK_K = 100
+
+
+@query(
+    "sample_exact_k",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5('exk:' || doc_id), doc_id) AS INT)
+         AS sample_rank
+FROM documents
+QUALIFY sample_rank <= {_EXK_K}
+""",
+)
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("exk:"), F.col("doc_id").cast("string")))
+    top = (
+        d.select("doc_id", "lang", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(_EXK_K)
+    )
+    return top.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(Window.orderBy("k", "doc_id")).cast("int").alias("sample_rank"),
+    )

@@ -109,6 +109,7 @@ WHITELIST = {
     "graph_louvain_round": "(a) 1-row edge-count scalar broadcast for the gain test + 1x1x1x1 stat combine; adjacency/degree/label joins are equi",
     "ts_pacf": "(a) 1-row series-totals scalar broadcast for the per-lag rho combine (the ts_ljung_box shape)",
     "text_burstiness": "(a) 1-row corpus-size scalar broadcast attached to the top-20 term table",
+    "ml_lof_outlier": "(c) bounded ground-set pair matrix (vec_id % 10 deterministic sample) — LOF is pairwise over its ground set by definition; the select_facility_location precedent",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB

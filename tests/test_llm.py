@@ -1724,3 +1724,58 @@ class TestBurstiness:
         var = sum(c * c for c in counts) / n - mean * mean
         assert abs(top.vmr - var / mean) < 1e-6
         assert top.df == sum(1 for c in counts if c)
+
+
+class TestLofOutlier:
+    def test_matches_sklearn_free_reference(self, spark, sf_dir):
+        """Recompute LOF in pure python/numpy over the same ground set
+        and k; the engine's top-20 must match scores to 1e-6."""
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _LOF_K
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["ml_lof_outlier"](spark, sf_dir).collect()
+        e = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter("vec_id % 10 = 0")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = [r.vec_id for r in e]
+        X = np.array([r.embedding for r in e], dtype=np.float64)
+        n = len(ids)
+        d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+        knn, kdist = {}, {}
+        for a in range(n):
+            order = sorted((d2[a][b], ids[b], b) for b in range(n) if b != a)
+            knn[a] = [t[2] for t in order[:_LOF_K]]
+            kdist[a] = order[_LOF_K - 1][0]
+        lrd = {}
+        for a in range(n):
+            s = sum(max(kdist[b], d2[a][b]) for b in knn[a])
+            lrd[a] = _LOF_K / s
+        lof = {
+            ids[a]: sum(lrd[b] for b in knn[a]) / (_LOF_K * lrd[a])
+            for a in range(n)
+        }
+        for r in rows:
+            assert abs(lof[r.vec_id] - r.lof) < 1e-6, r
+        # top-20 set check
+        want = sorted(lof.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+        assert [w[0] for w in want] == [r.vec_id for r in rows]
+
+
+class TestExactK:
+    def test_exactly_k_and_deterministic(self, spark, sf_dir):
+        from psvm_spark.queries.llm import _EXK_K
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        a = QUERIES["sample_exact_k"](spark, sf_dir).collect()
+        b = QUERIES["sample_exact_k"](spark, sf_dir).collect()
+        assert len(a) == _EXK_K
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len({r.doc_id for r in a}) == _EXK_K  # without replacement
