@@ -94,13 +94,17 @@ def compare_query(
     # harness's amplification knob and its output is NOT what the
     # oracles describe.  Fail loudly rather than let an amplified run
     # masquerade as a parity check (ADVICE r8).
-    pm = spark.conf.get("psvm.sim.probe_modulo", "50")
-    if pm != "50":
-        raise AssertionError(
-            f"oracle-parity run with psvm.sim.probe_modulo={pm}: the "
-            "probe-family oracles pin the default modulus 50 — reset "
-            "the conf before comparing against oracles"
-        )
+    for conf, default in (
+        ("psvm.sim.probe_modulo", "50"),
+        ("psvm.lof.sample_modulo", "10"),
+    ):
+        val = spark.conf.get(conf, default)
+        if val != default:
+            raise AssertionError(
+                f"oracle-parity run with {conf}={val}: the oracles pin "
+                f"the default {default} — reset the conf before "
+                "comparing against oracles"
+            )
     sdf = registry.QUERIES[name](spark, sf_dir)
     spdf = sdf.toPandas()
     own_con = con is None

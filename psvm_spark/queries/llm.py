@@ -9959,9 +9959,14 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # points whose LOCAL density is anomalous even when global norms look
 # fine (Breunig et al. 2000), complementing vec_norm_histogram (global)
 # and sim_semdedup (cluster-level).  Ground set = the deterministic
-# vec_id % 10 sample (the select_facility_location convention: LOF is
-# pairwise over its ground set by definition; the sample IS the
-# operator's input, the corpus-scale path blocks candidates first).
+# vec_id % psvm.lof.sample_modulo sample (default 10; oracle pins 10,
+# the driver never overrides the conf).  LOF is pairwise over its
+# ground set by definition, so the ground set is the BUDGETED unit —
+# a fixed-size QC panel, not a corpus fraction: the scale harness
+# raises the modulus by the amplification factor to hold panel size
+# constant (the _probe_mod serving-workload convention; without it
+# the pair matrix grows quadratically — measured 44x at 20x before
+# the conf was added).
 # Exactness: squared-L2 distances are left-to-right folds (bit-exact
 # cross-engine), every k-term sum (reachability, lrd) is a round9
 # DECIMAL sum, and neighbor sets are exact-k by the (d2, j) total
@@ -10011,7 +10016,8 @@ LIMIT {_LOF_TOPK}
 )
 def ml_lof_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    s = e.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    mod = int(spark.conf.get("psvm.lof.sample_modulo", "10"))
+    s = e.filter(F.col("vec_id") % mod == 0).select("vec_id", "embedding")
     a = s.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
     b = s.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
     pd_ = (
