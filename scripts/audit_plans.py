@@ -1,5 +1,5 @@
 """Repo-wide physical-plan audit: no accidental Cartesian products or
-nested-loop joins anywhere in the 177-query surface.
+nested-loop joins anywhere in the registered query surface.
 
 A CartesianProduct or BroadcastNestedLoopJoin is the canonical
 100 TB scale-killer when it appears by accident (a missed equi-key, a
