@@ -467,21 +467,33 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rk"),
     )
-    n_rows = o.count()
+    # N arrives as a lazy 1-row broadcast derived from the bucket-count
+    # table (no eager o.count() at plan-build time — audits and bench
+    # harnesses construct DataFrames without wanting a scan job); all
+    # ntile bin arithmetic is integer expressions over that column.
+    n1 = (
+        keyed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("n"))
+    )
     k = 10
-    n_big = n_rows % k  # first n_big bins take one extra row (SQL ntile)
-    sz_lo = max(n_rows // k, 1)  # max(,1): unreachable branch when N < k
-    sz_hi = n_rows // k + 1
     bin_col = (
         F.when(
-            F.col("rk") <= n_big * sz_hi,
-            F.expr(f"(rk - 1) div {sz_hi}"),
+            F.col("rk") <= (F.col("n") % k) * (F.expr(f"n div {k}") + 1),
+            F.expr(f"(rk - 1) div (n div {k} + 1)"),
         )
-        .otherwise(F.lit(n_big) + F.expr(f"(rk - 1 - {n_big * sz_hi}) div {sz_lo}"))
+        .otherwise(
+            F.col("n") % k
+            + F.expr(
+                f"(rk - 1 - (n % {k}) * (n div {k} + 1))"
+                f" div greatest(n div {k}, 1)"
+            )
+        )
         + 1
     ).cast("int")
     return (
-        ranked.select("o_totalprice", bin_col.alias("bin"))
+        ranked.crossJoin(F.broadcast(n1))
+        .select("o_totalprice", bin_col.alias("bin"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),

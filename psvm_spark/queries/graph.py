@@ -1154,13 +1154,21 @@ def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = e.agg(F.count(F.lit(1)).alias("m"))
     du = deg.select(F.col("x").alias("x"), F.col("d").alias("du"))
     dn = deg.select(F.col("x").alias("n"), F.col("d").alias("dn"))
+    # (degree, node) packed as d*S + n with S = next power of two past
+    # the VERTEX-SPACE size, not a fixed 2^20: the scaled-vertex
+    # harness raises psvm.graph.n_nodes far beyond 2^20, where a fixed
+    # shift would bleed node bits into the degree field and corrupt
+    # the argmax.  MIN(d*S + n) % S decodes to the same (d, n)
+    # lexicographic argmin for ANY valid S, so the oracle's pinned
+    # 2^20 (n_nodes = 4000) stays value-identical.
+    shift = 1 << max(_n_nodes(spark) - 1, 1).bit_length()
     best = (
         adj.join(du, "x")
         .join(dn, "n")
         .crossJoin(F.broadcast(m))
         .filter(2 * F.col("m") > F.col("du") * F.col("dn"))
         .groupBy("x")
-        .agg((F.min(F.col("dn") * 1048576 + F.col("n")) % 1048576).alias("move_to"))
+        .agg((F.min(F.col("dn") * shift + F.col("n")) % shift).alias("move_to"))
     )
     lab = deg.join(best, "x", "left").select(
         "x", "d", F.coalesce("move_to", F.col("x")).alias("c")

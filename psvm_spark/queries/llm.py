@@ -1619,7 +1619,13 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+            F.expr(
+                # zip_with(slice...) is EMPTY on single-token docs, matching
+                # the oracle's range(1, len(t)); sequence(0, size-2) emits
+                # [0, -1] there (default step -1) -> spurious null bigrams
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
@@ -2147,7 +2153,13 @@ def text_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = uni.agg(F.count(F.lit(1)).alias("t_total"))
     big = d.select(
         F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+            F.expr(
+                # zip_with(slice...) is EMPTY on single-token docs, matching
+                # the oracle's range(1, len(t)); sequence(0, size-2) emits
+                # [0, -1] there (default step -1) -> spurious null bigrams
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     b = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
@@ -5751,7 +5763,13 @@ def text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+            F.expr(
+                # zip_with(slice...) is EMPTY on single-token docs, matching
+                # the oracle's range(1, len(t)); sequence(0, size-2) emits
+                # [0, -1] there (default step -1) -> spurious null bigrams
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
         ).alias("bg"),
     ).select("doc_id", "lang", "bg.w1", "bg.w2")
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
@@ -9726,8 +9744,9 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(t) - 2),"
-                " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                # empty-safe on single-token docs (see text_bigram_lm note)
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
@@ -9869,7 +9888,8 @@ WITH st AS (
   FROM documents GROUP BY source)
 SELECT d.doc_id, d.source,
        CAST(d.n_chars AS BIGINT) AS n_chars,
-       round((d.n_chars - st.med) / (st.q3 - st.q1), 9) AS scaled
+       CASE WHEN st.q3 <> st.q1
+            THEN round((d.n_chars - st.med) / (st.q3 - st.q1), 9) END AS scaled
 FROM documents d JOIN st USING (source)
 """,
 )
@@ -9884,8 +9904,14 @@ def feat_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.round(
-            (F.col("n_chars") - F.col("med")) / (F.col("q3") - F.col("q1")), 9
+        # IQR = 0 (degenerate source) must be NULL on BOTH engines:
+        # Spark's non-ANSI /0 is NULL but DuckDB's DOUBLE /0 is inf.
+        F.when(
+            F.col("q3") != F.col("q1"),
+            F.round(
+                (F.col("n_chars") - F.col("med")) / (F.col("q3") - F.col("q1")),
+                9,
+            ),
         ).alias("scaled"),
     )
 

@@ -2378,7 +2378,6 @@ def warehouse_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_rows"))
     # prefix over the calendar-bounded manifest (~84 rows): the
     # bounded-pre-aggregation window class (WINDOW_WHITELIST).
-    w = Window.orderBy("mo").rowsBetween(Window.unboundedPreceding, 0)
     planned = manifest.select(
         "mo",
         "n_rows",

@@ -44,6 +44,7 @@ WHITELIST = {
     "sim_ivf_kmeans": "(b) same IVF shape with k-means centroids",
     "sim_ivfpq_topk": "(b) same IVF coarse-assignment crossJoin (10-row centroid broadcast); scoring joins are equi on (clab, s, c)",
     "select_facility_location": "(c) bounded ground-set pair matrix (vec_id % 10 deterministic sample) — facility location is pairwise-coverage over its ground set by definition; the dedup_embedding precedent",
+    "agg_equidepth_bins": "(a) lazy 1-row total-count scalar broadcast for the ntile bin arithmetic (replaced the eager o.count())",
     "agg_median_two_pass": "(b) 2-row rank-target broadcast range-joined to the <=1024-row cumulative histogram; the bucket scan join is equi",
     "agg_kmv_exact_twin": "(a) 1-row x 1-row x 1-row estimate combine (the graph_triangle_count shape); the sketch build itself is distinct-reduce + salted windows",
     "agg_theta_sketch": "(b) 1x1 crossJoin of two single-row sketch relations",
@@ -157,20 +158,41 @@ def _walk(node):
         yield from _walk(ch.apply(i))
 
 
+# Row-preserving unary nodes a Limit may legitimately sit under on the
+# window's DIRECT input chain (rank-after-limit puts Project/Sort
+# between them).  Anything else (Join, Aggregate, Union, ...) ends the
+# chain: a Limit on some other join branch does NOT bound the window's
+# input, so it must not count as a guard.
+_CHAIN_NODES = frozenset(
+    {"Project", "Filter", "Sort", "SubqueryAlias", "Repartition",
+     "RepartitionByExpression", "WithCTE", "CTERelationRef"}
+)
+
+
+def _limit_on_input_chain(window_node) -> bool:
+    node = window_node
+    while node.children().size() >= 1:
+        node = node.children().apply(0)
+        cls = node.getClass().getSimpleName()
+        if cls in ("GlobalLimit", "LocalLimit"):
+            return True
+        if cls not in _CHAIN_NODES:
+            return False
+    return False
+
+
 def unguarded_global_windows(df) -> int:
-    """Count unpartitioned Window nodes with no Limit below them."""
+    """Count unpartitioned Window nodes whose direct input is not
+    Limit-bounded (rank-after-limit)."""
     root = df._jdf.queryExecution().optimizedPlan()
     n = 0
     for node in _walk(root):
         if (
             node.getClass().getSimpleName() == "Window"
             and node.partitionSpec().isEmpty()
+            and not _limit_on_input_chain(node)
         ):
-            below = (
-                c.getClass().getSimpleName() for c in _walk(node)
-            )
-            if not any(x in ("GlobalLimit", "LocalLimit") for x in below):
-                n += 1
+            n += 1
     return n
 
 

@@ -1142,15 +1142,20 @@ class TestGlobalWindowGuard:
     the rank-after-limit / bucketed-rank recipes; pin the plan shape so
     a refactor can't silently reintroduce the all-to-one-task window."""
 
-    FIXED = [
-        "vocab_encode",
-        "text_pmi_top",
-        "text_gopher_rules",
-        "feat_quantile_normalize",
-        "agg_equidepth_bins",
-    ]
+    # key -> EXPECTED unguarded-global-window count.  Whitelisted keys
+    # pin the exact number of bounded-prefix windows they legitimately
+    # keep (bucket-count tables) — a refactor that reintroduces the
+    # raw-table single-partition window bumps the count and fails here
+    # even though the audit whitelist would wave it through.
+    EXPECTED = {
+        "vocab_encode": 0,  # rank-after-limit
+        "text_pmi_top": 0,  # rank-after-limit
+        "text_gopher_rules": 0,  # membership only, no rank at all
+        "feat_quantile_normalize": 1,  # one global bucket-offset prefix
+        "agg_equidepth_bins": 1,  # one cents-bucket offset prefix
+    }
 
-    def test_fixed_keys_have_no_unguarded_global_window(self, spark, sf_dir):
+    def test_fixed_keys_pin_their_global_window_count(self, spark, sf_dir):
         import os
         import sys
 
@@ -1158,19 +1163,14 @@ class TestGlobalWindowGuard:
             0,
             os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"),
         )
-        from audit_plans import WINDOW_WHITELIST, unguarded_global_windows
+        from audit_plans import unguarded_global_windows
 
         from psvm_spark import registry
 
         registry.load_all()
-        for name in self.FIXED:
+        for name, want in self.EXPECTED.items():
             df = registry.QUERIES[name](spark, sf_dir)
-            n = unguarded_global_windows(df)
-            if name in WINDOW_WHITELIST:
-                # whitelisted = window input is a bounded pre-aggregation
-                # (bucket-count prefix table); the raw-table window is gone
-                continue
-            assert n == 0, (name, n)
+            assert unguarded_global_windows(df) == want, name
 
 
 class TestAdamicAdarHubCap:

@@ -130,14 +130,16 @@ class TestLazyOracles:
 class TestScratchDirCleanup:
     def test_scratch_dirs_tracked_for_atexit_removal(self):
         import os
+        import shutil
 
         from psvm_spark.queries._util import _SCRATCH_ROOTS, scratch_dir
 
         d = scratch_dir("psvm_test_scratch_")
         assert os.path.isdir(d)
         assert d in _SCRATCH_ROOTS
-        # cleanup is registered at exit; simulate it for this dir
-        from psvm_spark.queries import _util
-
-        _util._cleanup_scratch()
+        # Simulate the atexit cleanup for THIS dir only — running the
+        # real _cleanup_scratch() here would delete scratch roots other
+        # tests in this pytest process still lazily read from.
+        shutil.rmtree(d, ignore_errors=True)
+        _SCRATCH_ROOTS.remove(d)
         assert not os.path.exists(d)
