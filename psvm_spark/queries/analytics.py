@@ -5549,3 +5549,109 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("pacf3"),
     )
+
+
+# --------------------------------------------------------------------------
+# B296 (round 9) — cross-correlation function (CCF) at lags -3..+3
+# between hourly view and purchase counts: the lead/lag diagnostic
+# that pairs with ts_granger_lag1 (Granger tests ONE direction; the
+# CCF profile shows which series leads and by how much).  Same dense
+# hour spine (gap hours are real zeros), exact DECIMAL moments per
+# lag, one fixed-shape Pearson double rounded to 9.  Negative lags
+# correlate x_t with y_{t+|k|} (views leading purchases); positive
+# lags the reverse.
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+WITH ev AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+         event_type
+  FROM events WHERE event_type IN ('view', 'purchase')),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+spine AS (SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM bounds b),
+cnt AS (
+  SELECT h,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM ev GROUP BY h),
+series AS (
+  SELECT s.h, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+  FROM spine s LEFT JOIN cnt c ON c.h = s.h),
+pairs AS (
+  SELECT l.k, a.x AS x, b.y AS y
+  FROM (SELECT unnest(generate_series(-3, 3)) AS k) l
+  JOIN series a ON true
+  JOIN series b ON b.h = a.h + l.k),
+m AS (
+  SELECT k, COUNT(*) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(18,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM pairs GROUP BY k)
+SELECT CAST(k AS INT) AS lag_hours, CAST(n AS BIGINT) AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+         AS ccf
+FROM m
+""",
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("bigint")
+            .alias("h"),
+            "event_type",
+        )
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cnt = ev.groupBy("h").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    series = spine.join(cnt, "h", "left").select(
+        "h",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    lags = F.explode(F.expr("sequence(-3, 3)")).alias("k")
+    a = series.select("h", F.col("x").alias("x"), lags)
+    b = series.select(
+        (F.col("h")).alias("hb"), F.col("y").alias("y")
+    )
+    pairs = a.join(b, F.col("hb") == F.col("h") + F.col("k"))
+    d18 = lambda cc: F.col(cc).cast("decimal(18,0)")  # noqa: E731
+    m = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(d18("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d18("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d18("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    return m.select(
+        F.col("k").cast("int").alias("lag_hours"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            (nn * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (
+                F.sqrt(nn * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                * F.sqrt(nn * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            ),
+            9,
+        ).alias("ccf"),
+    )

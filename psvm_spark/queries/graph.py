@@ -1213,3 +1213,83 @@ def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B297 (round 9) — rich-club coefficient: phi(k) = 2 E_k / (N_k (N_k-1))
+# over the subgraph of nodes with degree > k, for k in {2,4,8,16} —
+# the "do hubs preferentially interconnect?" structure metric
+# (Colizza et al. 2006) that complements degree assortativity (a
+# correlation) with an explicit density profile.  Pure integer
+# counting: one degree table, one edge-endpoint degree join, four
+# threshold aggregates; the ratio is a single double rounded to 9.
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+adj AS (
+  SELECT a AS x, b AS n FROM edges
+  UNION ALL
+  SELECT b AS x, a AS n FROM edges),
+deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x),
+ed AS (
+  SELECT da.d AS du, db.d AS dv
+  FROM edges e JOIN deg da ON da.x = e.a JOIN deg db ON db.x = e.b),
+ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+stats AS (
+  SELECT ks.k,
+         (SELECT COUNT(*) FROM deg WHERE d > ks.k) AS nk,
+         (SELECT COUNT(*) FROM ed WHERE du > ks.k AND dv > ks.k) AS ek
+  FROM ks)
+SELECT CAST(k AS INT) AS k,
+       CAST(nk AS BIGINT) AS n_nodes,
+       CAST(ek AS BIGINT) AS n_edges,
+       CASE WHEN nk >= 2
+            THEN round(2.0 * ek / (CAST(nk AS DOUBLE) * (nk - 1)), 9) END
+         AS phi
+FROM stats
+""",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("du"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("dv"))
+    ed = e.join(da, "a").join(db, "b").select("du", "dv")
+    ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], "k int")
+    nk = (
+        ks.crossJoin(deg)
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nk"))
+    )
+    ek = (
+        ks.crossJoin(ed)
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("ek"))
+    )
+    out = (
+        ks.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.coalesce("nk", F.lit(0)).cast("bigint").alias("n_nodes"),
+            F.coalesce("ek", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.when(
+                F.coalesce("nk", F.lit(0)) >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("ek", F.lit(0))
+                    / (F.col("nk").cast("double") * (F.col("nk") - 1)),
+                    9,
+                ),
+            ).alias("phi"),
+        )
+    )
+    return out

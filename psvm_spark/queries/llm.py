@@ -10121,3 +10121,137 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.row_number().over(Window.orderBy("k", "doc_id")).cast("int").alias("sample_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# B298 (round 9) — Brier score + Murphy decomposition: the proper-
+# scoring-rule companion to ml_calibration_bins/ml_ece_calibration.
+# The SVM margin maps to a [0,1] "probability" p = clamp((s+1)/2) and
+# Brier = mean (p-y)^2 decomposes over bins as REL - RES + UNC
+# (reliability / resolution / uncertainty; Murphy 1973).  Exactness:
+# p is 6-dp derived from the deterministic 6-dp score, so sum(p),
+# sum(p^2), sum(p*y) are exact DECIMAL sums; the per-bin REL/RES
+# terms are round9 decimals summed over <= 10 bins; every final value
+# is one fixed-shape double expression.  Same broadcast-SV scoring
+# shape as ml_calibration_bins plus two skinny aggregates.
+
+
+@query(
+    "ml_brier_decomposition",
+    oracle=_CAL_SCORE_SQL
+    + """
+, probs AS (
+  SELECT round(least(greatest((score + 1.0) / 2.0, 0.0), 1.0), 6) AS p,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM scored),
+g AS (
+  SELECT COUNT(*) AS n, SUM(y) AS sy,
+         CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sp,
+         CAST(SUM(CAST(p AS DECIMAL(18,6)) * CAST(p AS DECIMAL(18,6)))
+              AS DECIMAL(28,12)) AS spp,
+         CAST(SUM(CAST(p AS DECIMAL(18,6)) * y) AS DECIMAL(28,6)) AS spy
+  FROM probs),
+b AS (
+  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+         COUNT(*) AS nb, SUM(y) AS syb,
+         CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS spb
+  FROM probs GROUP BY 1),
+terms AS (
+  SELECT CAST(SUM(CAST(round(nb * (CAST(spb AS DOUBLE) / nb
+                                   - CAST(syb AS DOUBLE) / nb)
+                                * (CAST(spb AS DOUBLE) / nb
+                                   - CAST(syb AS DOUBLE) / nb), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS rel_num,
+         CAST(SUM(CAST(round(nb * (CAST(syb AS DOUBLE) / nb
+                                   - CAST(g.sy AS DOUBLE) / g.n)
+                                * (CAST(syb AS DOUBLE) / nb
+                                   - CAST(g.sy AS DOUBLE) / g.n), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS res_num
+  FROM b CROSS JOIN g
+  GROUP BY g.n)
+SELECT CAST(g.n AS BIGINT) AS n,
+       round((CAST(g.spp AS DOUBLE) - 2.0 * CAST(g.spy AS DOUBLE)
+              + CAST(g.sy AS DOUBLE)) / g.n, 9) AS brier,
+       round(t.rel_num / g.n, 9) AS reliability,
+       round(t.res_num / g.n, 9) AS resolution,
+       round((CAST(g.sy AS DOUBLE) / g.n)
+             * (1.0 - CAST(g.sy AS DOUBLE) / g.n), 9) AS uncertainty
+FROM g CROSS JOIN terms t
+""",
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    probs = scored.select(
+        F.round(
+            F.least(F.greatest((F.col("score") + 1.0) / 2.0, F.lit(0.0)), F.lit(1.0)),
+            6,
+        ).alias("p"),
+        (F.col("label") < 5).cast("int").alias("y"),
+    )
+    d6 = F.col("p").cast("decimal(18,6)")
+    g = probs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(d6).cast("decimal(28,6)").alias("sp"),
+        F.sum(d6 * d6).cast("decimal(28,12)").alias("spp"),
+        F.sum(d6 * F.col("y")).cast("decimal(28,6)").alias("spy"),
+    )
+    b = probs.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("y").alias("syb"),
+        F.sum(d6).cast("decimal(28,6)").alias("spb"),
+    )
+    pb = F.col("spb").cast("double") / F.col("nb")
+    yb = F.col("syb").cast("double") / F.col("nb")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    terms = (
+        b.crossJoin(F.broadcast(g))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.round(F.col("nb") * (pb - yb) * (pb - yb), 9).cast(
+                    "decimal(18,9)"
+                )
+            )
+            .cast("double")
+            .alias("rel_num"),
+            F.sum(
+                F.round(F.col("nb") * (yb - ybar) * (yb - ybar), 9).cast(
+                    "decimal(18,9)"
+                )
+            )
+            .cast("double")
+            .alias("res_num"),
+        )
+        .select("rel_num", "res_num")
+    )
+    return (
+        g.crossJoin(F.broadcast(terms))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                (
+                    F.col("spp").cast("double")
+                    - 2.0 * F.col("spy").cast("double")
+                    + F.col("sy").cast("double")
+                )
+                / F.col("n"),
+                9,
+            ).alias("brier"),
+            F.round(F.col("rel_num") / F.col("n"), 9).alias("reliability"),
+            F.round(F.col("res_num") / F.col("n"), 9).alias("resolution"),
+            F.round(
+                (F.col("sy").cast("double") / F.col("n"))
+                * (F.lit(1.0) - F.col("sy").cast("double") / F.col("n")),
+                9,
+            ).alias("uncertainty"),
+        )
+    )

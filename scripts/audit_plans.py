@@ -111,6 +111,8 @@ WHITELIST = {
     "ts_pacf": "(a) 1-row series-totals scalar broadcast for the per-lag rho combine (the ts_ljung_box shape)",
     "text_burstiness": "(a) 1-row corpus-size scalar broadcast attached to the top-20 term table",
     "ml_lof_outlier": "(c) bounded ground-set pair matrix (vec_id % 10 deterministic sample) — LOF is pairwise over its ground set by definition; the select_facility_location precedent",
+    "graph_rich_club": "(b) 4-row k-threshold spine broadcast against the degree/edge-degree tables",
+    "ml_brier_decomposition": "(b) SV broadcast scoring (ml_calibration_bins shape) + 1-row totals combines",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB

@@ -1036,3 +1036,45 @@ class TestPacf:
         assert abs(row.pacf1 - p11) < 1e-6
         assert abs(row.pacf2 - p22) < 1e-6
         assert abs(row.pacf3 - p33) < 1e-6
+
+
+class TestCrossCorrelation:
+    def test_ccf_symmetry_and_numpy(self, spark, sf_dir):
+        """CCF recomputed with numpy on the same dense spine; lag 0 must
+        equal the plain Pearson correlation of the two series."""
+        import collections
+
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = {r.lag_hours: r for r in QUERIES["ts_cross_correlation"](spark, sf_dir).collect()}
+        assert set(rows) == {-3, -2, -1, 0, 1, 2, 3}
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("view", "purchase"))
+            .select(
+                (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+                .cast("bigint")
+                .alias("h"),
+                "event_type",
+            )
+            .collect()
+        )
+        cx, cy = collections.Counter(), collections.Counter()
+        for r in ev:
+            (cx if r.event_type == "view" else cy)[r.h] += 1
+        h0, h1 = min(min(cx), min(cy)), max(max(cx), max(cy))
+        x = np.array([cx.get(h, 0) for h in range(h0, h1 + 1)], dtype=float)
+        y = np.array([cy.get(h, 0) for h in range(h0, h1 + 1)], dtype=float)
+        for k in (-3, 0, 2):
+            if k >= 0:
+                a, b = x[: len(x) - k], y[k:]
+            else:
+                a, b = x[-k:], y[: len(y) + k]
+            r = np.corrcoef(a, b)[0, 1]
+            assert abs(rows[k].ccf - r) < 1e-6, k

