@@ -76,7 +76,7 @@ def query(
 # (union of CORRECTNESS_r01..r07.json).  load_all() fronts everything NOT
 # in this set so each round's sample lands on fresh keys.  Append each
 # round's newly sampled keys here when rotating.
-_DRIVER_SAMPLED_R1_R8: frozenset[str] = frozenset({
+_DRIVER_SAMPLED_R1_R9: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentile", "agg_bitmap_distinct",
     "agg_chi2_independence", "agg_cms_heavy_hitters", "agg_collect",
     "agg_cube", "agg_distinct", "agg_equidepth_bins", "agg_filtered",
@@ -200,7 +200,64 @@ _DRIVER_SAMPLED_R1_R8: frozenset[str] = frozenset({
     "ts_sax_symbols", "warehouse_equality_deletes",
     "warehouse_manifest_pruned_scan", "warehouse_partition_evolution",
     "warehouse_snapshot_time_travel", "warehouse_vacuum_unreferenced",
+    # -- round 9 sample (CORRECTNESS_r09.json; 50/50 hash-green, all drawn
+    #    from the never-before-sampled pool after the r8 rotation) --
+    "dedup_boundary_overlap", "dedup_components_incremental",
+    "dedup_keep_best", "dedup_minhash_exact", "dedup_prefix_filter_join",
+    "dedup_substring_corpus", "dedup_substring_run",
+    "dq_duplicate_rate_by_source", "dq_split_leakage",
+    "feat_quantile_normalize", "feat_winsorize", "graph_louvain_round",
+    "graph_rich_club", "ml_auc_by_group", "ml_ece_calibration",
+    "ml_ks_statistic", "ml_lift_deciles", "ml_pr_curve", "ml_psi_drift",
+    "ml_retrieval_metrics", "ml_ridge_closed_form", "ml_threshold_f1max",
+    "mm_image_channel_hist", "pack_nextfit",
+    "pipeline_incremental_curation", "sample_class_balance",
+    "sample_negatives", "sample_temperature_mixture",
+    "sample_unimax_budget", "select_dsir", "shard_rendezvous",
+    "sim_binary_hamming_topk", "sim_matryoshka_topk", "sim_mmr_select",
+    "sim_rrf_fusion", "sim_semdedup", "sim_two_stage_rerank",
+    "text_compression_ratio", "text_gopher_rules", "text_langid_confusion",
+    "text_novelty_ratio", "text_perplexity_lm", "ts_cross_correlation",
+    "ts_granger_lag1", "ts_ljung_box", "ts_pacf", "vec_norm_histogram",
+    "vocab_bpe_merges", "warehouse_compaction_planner",
+    "warehouse_deletion_vectors",
 })
+
+# The 47 keys that had never been driver-sampled as of the round-9 close
+# (verdict r9 item 1).  Pinned explicitly so keys ADDED in round 10+
+# queue BEHIND this pool and the stale-converted tier — 47 + 3 stale
+# fills the 50-key round-10 sample exactly, finishing the full-registry
+# sweep; new keys get their first sample the following round.
+_NEVER_SAMPLED_AS_OF_R9: frozenset[str] = frozenset({
+    "dedup_bloom_prefilter", "dedup_url_canonical", "doc_winnowing",
+    "feat_robust_scaler", "feat_woe_encode", "join_asof_nearest",
+    "join_asof_tolerance", "join_bloom_prune", "join_edit_distance_blocked",
+    "join_interval_overlap", "join_null_safe_eq", "ml_agreement_stats",
+    "ml_brier_decomposition", "ml_knn_classify", "ml_lof_outlier",
+    "ml_naive_bayes_lang", "ml_spearman_rho", "sample_exact_k",
+    "sample_neyman_allocation", "scalar_bitwise", "scalar_interval_math",
+    "scalar_null_semantics", "scalar_url_parse", "scan_binary_files",
+    "scan_observed_metrics", "scan_xml_roundtrip",
+    "select_curriculum_order", "select_doremi_weights",
+    "select_facility_location", "select_kcenter_coreset",
+    "select_rho_excess_loss", "sim_ivfpq_topk", "split_time_embargo",
+    "stream_file_sink_exactly_once", "stream_sliding_topk",
+    "stream_state_recovery", "text_burstiness", "text_distinct_ngrams",
+    "text_kneser_ney_bigram", "text_knn_graph", "text_rake_keywords",
+    "text_readability", "text_textrank_keywords", "text_zipf_fit",
+    "udtf_polymorphic_json", "vocab_bpe_encode", "vocab_wordpiece_encode",
+})
+
+# Keys last driver-sampled while still rows-only (r4/r5 ``no_oracle``)
+# whose oracles landed in later rounds; the never-sampled-first ordering
+# would otherwise never re-serve them.  Ordered right after the
+# never-sampled pool so spare sample slots refresh their evidence to
+# hash-green (verdict r9 item 2).
+_STALE_CONVERTED: tuple[str, ...] = (
+    "scan_libsvm", "svm_model_roundtrip", "mm_decode_features",
+    "mm_frame_sample", "stream_watermark", "stream_dedup",
+    "stream_stateful", "map_in_pandas_tokens",
+)
 
 
 def load_all() -> None:
@@ -244,13 +301,33 @@ def load_all() -> None:
         scalars,
     )
 
-    fresh_oracle = [
-        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R8 and k in ORACLES
+    def _fresh(k: str) -> bool:
+        return k not in _DRIVER_SAMPLED_R1_R9
+
+    pool_oracle = [
+        k for k in QUERIES
+        if k in _NEVER_SAMPLED_AS_OF_R9 and _fresh(k) and k in ORACLES
     ]
-    fresh_rows = [
-        k for k in QUERIES if k not in _DRIVER_SAMPLED_R1_R8 and k not in ORACLES
+    pool_rows = [
+        k for k in QUERIES
+        if k in _NEVER_SAMPLED_AS_OF_R9 and _fresh(k) and k not in ORACLES
     ]
-    seen = [k for k in QUERIES if k in _DRIVER_SAMPLED_R1_R8]
-    ordered = {k: QUERIES[k] for k in fresh_oracle + fresh_rows + seen}
+    stale = [k for k in _STALE_CONVERTED if k in QUERIES]
+    new_oracle = [
+        k for k in QUERIES
+        if _fresh(k) and k not in _NEVER_SAMPLED_AS_OF_R9 and k in ORACLES
+    ]
+    new_rows = [
+        k for k in QUERIES
+        if _fresh(k) and k not in _NEVER_SAMPLED_AS_OF_R9 and k not in ORACLES
+    ]
+    seen = [
+        k for k in QUERIES
+        if not _fresh(k) and k not in _STALE_CONVERTED
+    ]
+    ordered = {
+        k: QUERIES[k]
+        for k in pool_oracle + pool_rows + stale + new_oracle + new_rows + seen
+    }
     QUERIES.clear()
     QUERIES.update(ordered)
