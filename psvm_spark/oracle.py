@@ -97,6 +97,8 @@ def compare_query(
     for conf, default in (
         ("psvm.sim.probe_modulo", "50"),
         ("psvm.lof.sample_modulo", "10"),
+        ("psvm.svm.sv_modulo", "20"),
+        ("psvm.svm.test_modulo", "20"),
     ):
         val = spark.conf.get(conf, default)
         if val != default:

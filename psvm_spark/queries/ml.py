@@ -114,18 +114,39 @@ def kernel_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fully SQL-expressible — exactly the reference's
 # f(x) = sum_i alpha_i y_i K(s_i, x) + b   [psvm:model.cc].
 
-_SV_MOD, _SV_RES = 20, 0  # support-vector shard
-_TS_MOD, _TS_RES = 20, 1  # test shard
+_SV_MOD, _SV_RES = 20, 0  # support-vector shard (conf default)
+_TS_MOD, _TS_RES = 20, 1  # test shard (conf default)
+
+
+def _sv_mods(spark: SparkSession) -> tuple[int, int]:
+    """Serving moduli for the SV "model" and test-panel slices.
+
+    In a real deployment the support-vector set is a FIXED-SIZE model
+    artifact and the eval set a fixed panel — neither grows with the
+    corpus.  ``vec_id % 20`` slices model that on the gate fixtures,
+    but at amplification a plain modulus makes the SV x test pair
+    volume grow quadratically with the corpus (verdict r9 item 2 — the
+    ``ml_brier_decomposition`` 21x wave-4 record).  The scale harness
+    raises both confs by the amp factor so each slice stays base-sized
+    (the ``psvm.sim.probe_modulo`` / ``psvm.lof.sample_modulo``
+    precedent); all oracles pin the defaults, and ``compare_query``
+    refuses to run a parity check with either conf raised.
+    """
+    return (
+        int(spark.conf.get("psvm.svm.sv_modulo", str(_SV_MOD))),
+        int(spark.conf.get("psvm.svm.test_modulo", str(_TS_MOD))),
+    )
 
 
 def _sv_test(spark: SparkSession, sf_dir: str):
+    sv_mod, ts_mod = _sv_mods(spark)
     e = load_table(spark, sf_dir, "embeddings")
-    sv = e.filter(F.col("vec_id") % _SV_MOD == _SV_RES).select(
+    sv = e.filter(F.col("vec_id") % sv_mod == _SV_RES).select(
         F.col("vec_id").alias("sv_id"),
         F.col("embedding").alias("sv_vec"),
         (((F.col("vec_id") % 7).cast("double") - 3.0) * 0.1).alias("alpha_y"),
     )
-    test = e.filter(F.col("vec_id") % _TS_MOD == _TS_RES).select(
+    test = e.filter(F.col("vec_id") % ts_mod == _TS_RES).select(
         F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"), "label"
     )
     return sv, test

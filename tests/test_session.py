@@ -126,6 +126,42 @@ class TestLazyOracles:
         # default conf: compare proceeds (and passes)
         assert compare_query(spark, sf_dir, "sim_topk_cosine").ok
 
+    def test_svm_modulo_guard_blocks_parity_compare(self, spark, sf_dir):
+        """The SV x test slices are conf-budgeted (verdict r9 item 2):
+        a raised ``psvm.svm.sv_modulo`` is the scale harness's
+        fixed-model knob and its output is NOT what the pinned-default
+        oracles describe — compare_query must refuse."""
+        import pytest
+
+        from psvm_spark.oracle import compare_query
+
+        spark.conf.set("psvm.svm.sv_modulo", "400")
+        try:
+            with pytest.raises(AssertionError, match="sv_modulo=400"):
+                compare_query(spark, sf_dir, "svm_predict_score")
+        finally:
+            spark.conf.unset("psvm.svm.sv_modulo")
+        assert compare_query(spark, sf_dir, "svm_predict_score").ok
+
+    def test_svm_modulo_conf_scales_slices(self, spark, sf_dir):
+        """Raising the moduli must shrink BOTH the SV model slice and
+        the test panel — the fixed-size-model-artifact protocol that
+        keeps the SV x test pair volume flat at amplification."""
+        from psvm_spark.queries.ml import _sv_test
+
+        sv_b, test_b = _sv_test(spark, sf_dir)
+        n_sv_b, n_t_b = sv_b.count(), test_b.count()
+        spark.conf.set("psvm.svm.sv_modulo", "100")
+        spark.conf.set("psvm.svm.test_modulo", "100")
+        try:
+            sv_w, test_w = _sv_test(spark, sf_dir)
+            n_sv_w, n_t_w = sv_w.count(), test_w.count()
+        finally:
+            spark.conf.unset("psvm.svm.sv_modulo")
+            spark.conf.unset("psvm.svm.test_modulo")
+        assert 0 < n_sv_w < n_sv_b
+        assert 0 < n_t_w < n_t_b
+
 
 class TestScratchDirCleanup:
     def test_scratch_dirs_tracked_for_atexit_removal(self):
