@@ -5324,9 +5324,9 @@ f AS (
            AS sse_u
   FROM c)
 SELECT CAST(n AS BIGINT) AS n_pairs,
-       round(sse_r, 9) AS sse_r,
-       round(sse_u, 9) AS sse_u,
-       round((sse_r - sse_u) / (sse_u / (n - 3)), 9) AS f_stat
+       round(f.sse_r, 0) AS sse_r,
+       round(f.sse_u, 0) AS sse_u,
+       round((f.sse_r - f.sse_u) / (f.sse_u / (n - 3)), 9) AS f_stat
 FROM f
 """,
 )
@@ -5388,10 +5388,14 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         - ((F.col("cuy") * F.col("cvv") - F.col("cvy") * F.col("cuv")) / det) * F.col("cuy")
         - ((F.col("cvy") * F.col("cuu") - F.col("cuy") * F.col("cuv")) / det) * F.col("cvy")
     )
+    # sse_r/sse_u are unbounded sums of squared hourly counts — round-9
+    # is unsafe past ~1e7 (the documented cross-engine round trap), so
+    # they round to WHOLE units; only the bounded f_stat keeps round-9
+    # (ADVICE r9).
     out = cen.select(
         F.col("n").cast("bigint").alias("n_pairs"),
-        F.round(sse_r, 9).alias("sse_r"),
-        F.round(sse_u, 9).alias("sse_u"),
+        F.round(sse_r, 0).alias("sse_r"),
+        F.round(sse_u, 0).alias("sse_u"),
         F.round((sse_r - sse_u) / (sse_u / (F.col("n") - 3)), 9).alias("f_stat"),
     )
     return out

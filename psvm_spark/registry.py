@@ -35,6 +35,11 @@ class _OracleDict(dict):
     eager, so register a builder only after a cheap availability probe
     (fixture-file existence); a builder that then returns ``None`` is a
     loud error, never a silent downgrade to rows-only.
+
+    get/values/items/copy are overridden to force builders (ADVICE r9).
+    The one access this cannot intercept is ``dict(ORACLES)`` — CPython
+    copies dict subclasses via the C slots, bypassing __getitem__ — so
+    never construct a plain dict from this object; use ``resolve()``.
     """
 
     def __getitem__(self, key: str) -> str:
@@ -52,6 +57,26 @@ class _OracleDict(dict):
     def resolve(self) -> dict[str, str]:
         """Plain dict with every deferred builder forced (driver copy)."""
         return {k: self[k] for k in self}
+
+    # dict's native get/values/items/copy read the stored value directly
+    # and would hand an unresolved BUILDER to a caller expecting SQL
+    # (ADVICE r9).  Route every value-returning access through
+    # __getitem__ so builders always force + memoize.
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def values(self):
+        return [self[k] for k in self]
+
+    def items(self):
+        return [(k, self[k]) for k in self]
+
+    def copy(self) -> dict[str, str]:
+        return self.resolve()
 
 
 QUERIES: dict[str, QueryFn] = {}

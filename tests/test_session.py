@@ -40,40 +40,35 @@ class TestHostileSessionConfs:
 
 
 class TestRegistrationRotation:
-    def test_first_50_keys_are_fresh_and_oracle_backed(self):
+    def test_first_50_keys_fill_the_round_10_sample(self):
         """The driver's correctness sample is the FIRST 50 registered
-        keys; since round 6 registry.load_all reorders explicitly so
-        never-driver-sampled keys with exact oracles come first (then
-        never-sampled rows-only, then already-sampled).  Pin the
-        invariant so an innocent import reorder or a new early-module
-        query can't silently displace the planned sample."""
+        keys; the round-10 rotation pins the ordering as: the 47-key
+        never-sampled-as-of-r9 pool (oracle-backed first), then the
+        8 stale-converted keys (re-serve tier), then keys added in
+        round 10+, then everything already sampled.  47 + 3 stale fill
+        the 50-slot sample exactly — pin that so an innocent import
+        reorder or an early-module addition can't displace the final
+        sweep."""
         from psvm_spark import registry
 
         registry.load_all()
         keys = list(registry.QUERIES)
         first50 = keys[:50]
-        # while fresh oracle-backed keys remain, every sample slot goes
-        # to one of them
-        n_fresh_oracle = sum(
-            1
-            for k in keys
-            if k not in registry._DRIVER_SAMPLED_R1_R8 and k in registry.ORACLES
-        )
-        for k in first50[: min(50, n_fresh_oracle)]:
-            assert k not in registry._DRIVER_SAMPLED_R1_R8, k
-            assert k in registry.ORACLES, k
-        # group order is total: fresh+oracle, fresh rows-only, sampled
-        rank = {
-            k: (
-                0
-                if k not in registry._DRIVER_SAMPLED_R1_R8 and k in registry.ORACLES
-                else 1
-                if k not in registry._DRIVER_SAMPLED_R1_R8
-                else 2
-            )
-            for k in keys
-        }
-        assert [rank[k] for k in keys] == sorted(rank[k] for k in keys)
+        pool_in = [k for k in first50 if k in registry._NEVER_SAMPLED_AS_OF_R9]
+        assert len(pool_in) == 47
+        assert first50[47:] == list(registry._STALE_CONVERTED[:3])
+        # group order is total: pool(oracle, rows), stale, new, sampled
+        def rank(k):
+            if k in registry._NEVER_SAMPLED_AS_OF_R9:
+                return 0 if k in registry.ORACLES else 1
+            if k in registry._STALE_CONVERTED:
+                return 2
+            if k not in registry._DRIVER_SAMPLED_R1_R9:
+                return 3
+            return 4
+
+        ranks = [rank(k) for k in keys]
+        assert ranks == sorted(ranks)
 
 
 class TestLazyOracles:
@@ -90,6 +85,22 @@ class TestLazyOracles:
         assert "VALUES" in sql1
         # memoized: second read returns the identical resolved object
         assert registry.ORACLES[key] is sql1
+
+    def test_oracle_dict_accessors_force_builders(self):
+        """get/values/items/copy must never hand a caller an unresolved
+        builder callable (ADVICE r9 — dict's native accessors bypass
+        __getitem__)."""
+        from psvm_spark.registry import _OracleDict
+
+        d = _OracleDict()
+        d["k"] = lambda: "SELECT 1"
+        assert d.get("k") == "SELECT 1"
+        assert d.get("missing", "dflt") == "dflt"
+        d["k2"] = lambda: "SELECT 2"
+        assert all(isinstance(v, str) for v in d.values())
+        assert all(isinstance(v, str) for _, v in d.items())
+        d["k3"] = lambda: "SELECT 3"
+        assert all(isinstance(v, str) for v in d.copy().values())
         # resolve() hands the driver only plain strings
         resolved = registry.ORACLES.resolve()
         assert all(isinstance(v, str) for v in resolved.values())
