@@ -70,6 +70,28 @@ class TestRegistrationRotation:
         ranks = [rank(k) for k in keys]
         assert ranks == sorted(ranks)
 
+    def test_every_registry_key_traces_to_survey_section_2(self):
+        """The driver contract (__spark_entry__) defines queries() as
+        one callable per SURVEY.md §2 operator; §2 (with its 2.2a/2.2b
+        continuations, round 10) must therefore name every registry
+        key (verdict r9 item 4)."""
+        import re
+        from pathlib import Path
+
+        from psvm_spark import registry
+
+        registry.load_all()
+        lines = Path("SURVEY.md").read_text().splitlines()
+        i0 = next(
+            i for i, l in enumerate(lines) if l.startswith("## 2. Operator")
+        )
+        i1 = next(
+            i for i, l in enumerate(lines) if l.startswith("## 3. Query")
+        )
+        sec2_keys = set(re.findall(r"`([a-z0-9_]+)`", "\n".join(lines[i0:i1])))
+        missing = set(registry.QUERIES) - sec2_keys
+        assert not missing, sorted(missing)
+
 
 class TestLazyOracles:
     """Round-9 ADVICE fixes: deferred oracle builders + probe-mod guard."""
