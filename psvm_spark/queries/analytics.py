@@ -5659,3 +5659,66 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("ccf"),
     )
+
+
+# --------------------------------------------------------------------------
+# B507 (round 10) — Hampel filter: rolling-median/MAD outlier repair
+# over the hourly per-type count series — the robust alternative to
+# z-score despiking (a single spike inflates a rolling MEAN and its
+# stddev; it barely moves the median/MAD).  Window = 7 hours centered,
+# full frames only; a point is an outlier when |x - med| > 3 * MAD
+# (integer counts, so med/MAD of 7 values are exact integers — no
+# float anywhere until nothing).  Emits the flagged points with their
+# replacement (the median).  Scale: the series is CALENDAR-bounded
+# (one row per hour x event_type after a one-pass rollup), so the
+# per-type window partitions hold bounded rows regardless of corpus
+# size — the ts_cross_correlation spine argument.
+
+
+@query(
+    "ts_hampel_filter",
+    oracle="""
+WITH cnt AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+         event_type AS et, COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT h, et, x,
+         list_sort(list(x) OVER (PARTITION BY et ORDER BY h
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS vals
+  FROM cnt),
+m AS (
+  SELECT h, et, x, vals[4] AS med,
+         list_sort(list_transform(vals, v -> abs(v - vals[4])))[4] AS mad
+  FROM w WHERE len(vals) = 7)
+SELECT h, et, CAST(x AS BIGINT) AS x, CAST(med AS BIGINT) AS med,
+       CAST(mad AS BIGINT) AS mad
+FROM m
+WHERE abs(x - med) > 3 * mad
+""",
+)
+def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("bigint")
+        .alias("h"),
+        F.col("event_type").alias("et"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("et").orderBy("h").rowsBetween(-3, 3)
+    vals = F.array_sort(F.collect_list("x").over(w))
+    g = cnt.select("h", "et", "x", vals.alias("vals")).filter(
+        F.size("vals") == 7
+    )
+    med = F.element_at("vals", 4)
+    mad = F.element_at(
+        F.array_sort(F.transform("vals", lambda v: F.abs(v - med))), 4
+    )
+    out = g.select(
+        "h",
+        "et",
+        F.col("x").cast("bigint").alias("x"),
+        med.cast("bigint").alias("med"),
+        mad.cast("bigint").alias("mad"),
+    )
+    return out.filter(F.abs(F.col("x") - F.col("med")) > 3 * F.col("mad"))

@@ -1293,3 +1293,296 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# B504 (round 10) — Leiden refinement round on top of the Louvain
+# local-move labels (Traag/Waltman/van Eck 2019): Louvain's known
+# defect is internally DISCONNECTED communities; Leiden's refinement
+# phase re-partitions each community into its connected parts before
+# the aggregate step.  Here: rebuild the one-round Louvain labels
+# (identical machinery to graph_louvain_round), restrict the adjacency
+# to INTRA-community edges, then run K=4 synchronous min-label rounds
+# -- the bounded connected-components contraction inside community
+# boundaries.  K=4 converges on the fixture (asserted in tests: a 5th
+# round moves nothing); sub-labels are min node ids, globally unique
+# across communities.  Output: node/community/sub-community counts and
+# how many communities the refinement SPLIT (the Leiden guarantee is
+# that these become separate communities).  Scale shape: the label
+# table and intra-community adjacency are equi-joins on vertex ids;
+# each round is one shuffle over intra-community edges -- no all-pairs
+# anywhere, same posture as the Louvain round it refines.
+
+
+@query(
+    "graph_leiden_refine",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+adj AS (
+  SELECT a AS x, b AS n FROM edges
+  UNION ALL
+  SELECT b AS x, a AS n FROM edges),
+deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x),
+m AS (SELECT COUNT(*) AS m FROM edges),
+best AS (
+  SELECT a.x,
+         MIN(dn.d * 1048576 + a.n) % 1048576 AS move_to
+  FROM adj a
+  JOIN deg du ON du.x = a.x
+  JOIN deg dn ON dn.x = a.n
+  CROSS JOIN m
+  WHERE 2 * m.m > du.d * dn.d
+  GROUP BY a.x),
+lab AS (
+  SELECT d.x, COALESCE(b.move_to, d.x) AS c
+  FROM deg d LEFT JOIN best b ON b.x = d.x),
+adjc AS (
+  SELECT a.x, a.n
+  FROM adj a
+  JOIN lab lx ON lx.x = a.x
+  JOIN lab ln ON ln.x = a.n
+  WHERE lx.c = ln.c),
+r0 AS (SELECT x, x AS r FROM lab),
+r1 AS (
+  SELECT r0.x, LEAST(MIN(r0.r), COALESCE(MIN(rn.r), MIN(r0.r))) AS r
+  FROM r0 LEFT JOIN adjc ON adjc.x = r0.x LEFT JOIN r0 rn ON rn.x = adjc.n
+  GROUP BY r0.x),
+r2 AS (
+  SELECT r1.x, LEAST(MIN(r1.r), COALESCE(MIN(rn.r), MIN(r1.r))) AS r
+  FROM r1 LEFT JOIN adjc ON adjc.x = r1.x LEFT JOIN r1 rn ON rn.x = adjc.n
+  GROUP BY r1.x),
+r3 AS (
+  SELECT r2.x, LEAST(MIN(r2.r), COALESCE(MIN(rn.r), MIN(r2.r))) AS r
+  FROM r2 LEFT JOIN adjc ON adjc.x = r2.x LEFT JOIN r2 rn ON rn.x = adjc.n
+  GROUP BY r2.x),
+r4 AS (
+  SELECT r3.x, LEAST(MIN(r3.r), COALESCE(MIN(rn.r), MIN(r3.r))) AS r
+  FROM r3 LEFT JOIN adjc ON adjc.x = r3.x LEFT JOIN r3 rn ON rn.x = adjc.n
+  GROUP BY r3.x),
+split AS (
+  SELECT COUNT(*) AS n_split
+  FROM (SELECT l.c FROM lab l JOIN r4 ON r4.x = l.x
+        GROUP BY l.c HAVING COUNT(DISTINCT r4.r) > 1))
+SELECT CAST((SELECT COUNT(*) FROM lab) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(DISTINCT c) FROM lab) AS BIGINT) AS n_communities,
+       CAST((SELECT COUNT(DISTINCT r) FROM r4) AS BIGINT) AS n_subcommunities,
+       CAST(split.n_split AS BIGINT) AS n_split_communities
+FROM split
+""",
+)
+def graph_leiden_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab, adjc = _leiden_labels(spark, sf_dir)
+    r = _leiden_rounds(lab, adjc, 4)
+    split = (
+        lab.join(r, "x")
+        .groupBy("c")
+        .agg(F.countDistinct("r").alias("nr"))
+        .filter(F.col("nr") > 1)
+        .agg(F.count(F.lit(1)).alias("n_split"))
+    )
+    nn = lab.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nc = lab.agg(F.countDistinct("c").alias("n_communities"))
+    ns = r.agg(F.countDistinct("r").alias("n_subcommunities"))
+    return (
+        F.broadcast(nn)
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(split))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_communities").cast("bigint").alias("n_communities"),
+            F.col("n_subcommunities").cast("bigint").alias("n_subcommunities"),
+            F.col("n_split").cast("bigint").alias("n_split_communities"),
+        )
+    )
+
+
+def _leiden_labels(spark: SparkSession, sf_dir: str):
+    """One-round Louvain labels + intra-community adjacency (shared by
+    graph_leiden_refine and its convergence test)."""
+    e = edge_set(spark, sf_dir, materialize=True)
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    du = deg.select("x", F.col("d").alias("du"))
+    dn = deg.select(F.col("x").alias("n"), F.col("d").alias("dn"))
+    shift = 1 << max(_n_nodes(spark) - 1, 1).bit_length()
+    best = (
+        adj.join(du, "x")
+        .join(dn, "n")
+        .crossJoin(F.broadcast(m))
+        .filter(2 * F.col("m") > F.col("du") * F.col("dn"))
+        .groupBy("x")
+        .agg((F.min(F.col("dn") * shift + F.col("n")) % shift).alias("move_to"))
+    )
+    lab = deg.join(best, "x", "left").select(
+        "x", F.coalesce("move_to", F.col("x")).alias("c")
+    )
+    lx = lab.select("x", F.col("c").alias("cx"))
+    ln = lab.select(F.col("x").alias("n"), F.col("c").alias("cn"))
+    adjc = (
+        adj.join(lx, "x")
+        .join(ln, "n")
+        .filter(F.col("cx") == F.col("cn"))
+        .select("x", "n")
+    )
+    # both sides are re-traversed once per refinement round
+    return lab.localCheckpoint(eager=False), adjc.localCheckpoint(eager=False)
+
+
+def _leiden_rounds(lab: DataFrame, adjc: DataFrame, k: int) -> DataFrame:
+    """k synchronous min-label rounds over the intra-community edges."""
+    r = lab.select("x", F.col("x").alias("r"))
+    for _ in range(k):
+        rn = r.select(F.col("x").alias("n"), F.col("r").alias("rn"))
+        r = (
+            r.join(adjc, "x", "left")
+            .join(rn, "n", "left")
+            .groupBy("x")
+            .agg(
+                F.least(
+                    F.min("r"), F.coalesce(F.min("rn"), F.min("r"))
+                ).alias("r")
+            )
+        )
+    return r
+
+
+# --------------------------------------------------------------------------
+# B505 (round 10) — Leiden aggregate step: contract the refined
+# partition (B504) into its super-graph — one super-node per refined
+# sub-community, one weighted super-edge per connected sub-community
+# pair — and report the contraction profile plus the modularity of the
+# refined partition (what the next Leiden level would start from).
+# Contraction is the standard scale recipe for multi-level community
+# detection: after two equi-joins to relabel edge endpoints, the
+# super-graph GROUP BY is the only shuffle, and the contracted graph
+# is orders of magnitude smaller than the input — each further level
+# gets cheaper.
+
+
+@query(
+    "graph_leiden_aggregate",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+adj AS (
+  SELECT a AS x, b AS n FROM edges
+  UNION ALL
+  SELECT b AS x, a AS n FROM edges),
+deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x),
+m AS (SELECT COUNT(*) AS m FROM edges),
+best AS (
+  SELECT a.x,
+         MIN(dn.d * 1048576 + a.n) % 1048576 AS move_to
+  FROM adj a
+  JOIN deg du ON du.x = a.x
+  JOIN deg dn ON dn.x = a.n
+  CROSS JOIN m
+  WHERE 2 * m.m > du.d * dn.d
+  GROUP BY a.x),
+lab AS (
+  SELECT d.x, COALESCE(b.move_to, d.x) AS c
+  FROM deg d LEFT JOIN best b ON b.x = d.x),
+adjc AS (
+  SELECT a.x, a.n
+  FROM adj a
+  JOIN lab lx ON lx.x = a.x
+  JOIN lab ln ON ln.x = a.n
+  WHERE lx.c = ln.c),
+r0 AS (SELECT x, x AS r FROM lab),
+r1 AS (
+  SELECT r0.x, LEAST(MIN(r0.r), COALESCE(MIN(rn.r), MIN(r0.r))) AS r
+  FROM r0 LEFT JOIN adjc ON adjc.x = r0.x LEFT JOIN r0 rn ON rn.x = adjc.n
+  GROUP BY r0.x),
+r2 AS (
+  SELECT r1.x, LEAST(MIN(r1.r), COALESCE(MIN(rn.r), MIN(r1.r))) AS r
+  FROM r1 LEFT JOIN adjc ON adjc.x = r1.x LEFT JOIN r1 rn ON rn.x = adjc.n
+  GROUP BY r1.x),
+r3 AS (
+  SELECT r2.x, LEAST(MIN(r2.r), COALESCE(MIN(rn.r), MIN(r2.r))) AS r
+  FROM r2 LEFT JOIN adjc ON adjc.x = r2.x LEFT JOIN r2 rn ON rn.x = adjc.n
+  GROUP BY r2.x),
+r4 AS (
+  SELECT r3.x, LEAST(MIN(r3.r), COALESCE(MIN(rn.r), MIN(r3.r))) AS r
+  FROM r3 LEFT JOIN adjc ON adjc.x = r3.x LEFT JOIN r3 rn ON rn.x = adjc.n
+  GROUP BY r3.x),
+relabeled AS (
+  SELECT ra.r AS sa, rb.r AS sb
+  FROM edges e JOIN r4 ra ON ra.x = e.a JOIN r4 rb ON rb.x = e.b),
+super_edges AS (
+  SELECT LEAST(sa, sb) AS u, GREATEST(sa, sb) AS v, COUNT(*) AS w
+  FROM relabeled WHERE sa <> sb GROUP BY 1, 2),
+within AS (SELECT COUNT(*) AS w FROM relabeled WHERE sa = sb),
+dsum AS (
+  SELECT CAST(SUM(CAST(dc AS DECIMAL(19,0)) * dc) AS DECIMAL(38,0)) AS sd2
+  FROM (SELECT r4.r, SUM(d.d) AS dc
+        FROM r4 JOIN deg d ON d.x = r4.x GROUP BY r4.r))
+SELECT CAST((SELECT COUNT(DISTINCT r) FROM r4) AS BIGINT) AS n_super_nodes,
+       CAST((SELECT COUNT(*) FROM super_edges) AS BIGINT) AS n_super_edges,
+       CAST(COALESCE((SELECT MAX(w) FROM super_edges), 0) AS BIGINT)
+         AS max_edge_weight,
+       round(CAST(within.w AS DOUBLE) / m.m
+             - CAST(dsum.sd2 AS DOUBLE)
+               / (4.0 * CAST(m.m AS DOUBLE) * m.m), 9) AS modularity_refined
+FROM within, dsum, m
+""",
+)
+def graph_leiden_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab, adjc = _leiden_labels(spark, sf_dir)
+    r = _leiden_rounds(lab, adjc, 4).localCheckpoint(eager=False)
+    e = edge_set(spark, sf_dir, materialize=True)
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    ra = r.select(F.col("x").alias("a"), F.col("r").alias("sa"))
+    rb = r.select(F.col("x").alias("b"), F.col("r").alias("sb"))
+    relabeled = e.join(ra, "a").join(rb, "b").select("sa", "sb")
+    super_edges = (
+        relabeled.filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    se_stats = super_edges.agg(
+        F.count(F.lit(1)).alias("n_super_edges"),
+        F.coalesce(F.max("w"), F.lit(0)).alias("max_edge_weight"),
+    )
+    within = relabeled.filter(F.col("sa") == F.col("sb")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    adj_deg = (
+        e.select(F.col("a").alias("x")).unionAll(e.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dsum = (
+        r.join(adj_deg, "x")
+        .groupBy("r")
+        .agg(F.sum("d").alias("dc"))
+        .agg(
+            F.sum(F.col("dc").cast("decimal(19,0)") * F.col("dc"))
+            .cast("decimal(38,0)")
+            .alias("sd2")
+        )
+    )
+    nsn = r.agg(F.countDistinct("r").alias("n_super_nodes"))
+    return (
+        F.broadcast(nsn)
+        .crossJoin(F.broadcast(se_stats))
+        .crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(dsum))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("n_super_nodes").cast("bigint").alias("n_super_nodes"),
+            F.col("n_super_edges").cast("bigint").alias("n_super_edges"),
+            F.col("max_edge_weight").cast("bigint").alias("max_edge_weight"),
+            F.round(
+                F.col("w").cast("double") / F.col("m")
+                - F.col("sd2").cast("double")
+                / (4.0 * F.col("m").cast("double") * F.col("m")),
+                9,
+            ).alias("modularity_refined"),
+        )
+    )

@@ -10255,3 +10255,77 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uncertainty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B508 (round 10) — McNemar's paired test: does the kernel-SVM scorer
+# and a cheap id-hash baseline disagree asymmetrically on the SAME
+# test panel?  The paired design uses only the two discordant cells
+# (b = SVM right / baseline wrong, c = SVM wrong / baseline right);
+# statistic (b - c)^2 / (b + c), the classic model-comparison gate a
+# training pipeline runs before swapping classifiers.  Truth and the
+# SVM scoring reuse the eval_accuracy machinery (conf-budgeted SV/test
+# slices, ml.py _sv_test); every count is an exact integer and only
+# the final statistic is a rounded double.
+
+
+@query(
+    "ml_mcnemar_test",
+    oracle=_CAL_SCORE_SQL
+    + """,
+paired AS (
+  SELECT CASE WHEN score >= 0 THEN 1 ELSE -1 END AS pred_a,
+         CASE WHEN t_id % 3 = 0 THEN 1 ELSE -1 END AS pred_b,
+         CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS truth
+  FROM scored),
+cells AS (
+  SELECT COUNT(*) AS n_test,
+         CAST(SUM(CASE WHEN pred_a = truth AND pred_b <> truth
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN pred_a <> truth AND pred_b = truth
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM paired)
+SELECT CAST(n_test AS BIGINT) AS n_test, b, c,
+       CASE WHEN b + c > 0
+            THEN round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 9)
+       END AS mcnemar_chi2
+FROM cells
+""",
+)
+def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    pred_a = F.when(F.col("score") >= 0, 1).otherwise(-1)
+    pred_b = F.when(F.col("t_id") % 3 == 0, 1).otherwise(-1)
+    truth = F.when(F.col("label") % 2 == 0, 1).otherwise(-1)
+    cells = scored.select(
+        pred_a.alias("pa"), pred_b.alias("pb"), truth.alias("t")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(((F.col("pa") == F.col("t")) & (F.col("pb") != F.col("t"))).cast("int"))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(((F.col("pa") != F.col("t")) & (F.col("pb") == F.col("t"))).cast("int"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    return cells.select(
+        "n_test",
+        "b",
+        "c",
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            F.round(
+                ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast(
+                    "double"
+                )
+                / (F.col("b") + F.col("c")),
+                9,
+            ),
+        ).alias("mcnemar_chi2"),
+    )

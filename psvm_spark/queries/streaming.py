@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
 from psvm_spark.registry import query
-from psvm_spark.streaming.jobs import run_to_table, stream_events
+from psvm_spark.streaming.jobs import run_to_table, stream_documents, stream_events
 from psvm_spark.queries._util import scratch_dir
 
 # --------------------------------------------------------------------------
@@ -648,3 +648,196 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
     )
     return done.withColumn("rk", rk.cast("int")).filter(F.col("rk") <= 3)
+
+
+# --------------------------------------------------------------------------
+# B502 (round 10) — watermarked stream-stream INTERVAL join: the
+# streaming twin of the batch band join (B14 `join_range`, same
+# semantics: clicks within +-5 minutes of each error by the same
+# user).  Structured Streaming's stream-stream join REQUIRES exactly
+# this shape — an equi key plus a two-sided event-time bound — because
+# the bound is what lets the state store evict rows once the watermark
+# passes (state held per side ~ watermark + band, not the whole
+# stream).  The join emits raw pairs in append mode (inner joins emit
+# each match exactly once as both sides arrive); the per-error rollup
+# runs as a batch aggregate on the drained sink, so the final result
+# is independent of micro-batch slicing.  Oracle: the batch band join.
+# At 100 TB: state is bounded by (watermark window x per-user rate),
+# and both sides shuffle once on user_id — the same single-shuffle
+# plan as the batch operator.
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+SELECT e.event_id AS error_id, e.user_id,
+       COUNT(*) AS n_nearby_clicks
+FROM events e JOIN events c
+  ON e.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 day")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 day")
+    )
+    j = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select("error_id", "user_id")
+    pairs = run_to_table(j, "append", state_partitions=8)
+    return pairs.groupBy("error_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_nearby_clicks")
+    )
+
+
+# --------------------------------------------------------------------------
+# B503 (round 10) — streaming dedup-within-watermark over the content
+# digest: the streaming twin of B45 `dedup_exact`.  Documents arrive
+# as a stream (synthesized ingest time = epoch + doc_id seconds,
+# deterministic — streaming/jobs.py stream_documents);
+# dropDuplicatesWithinWatermark on (lang, md5(text)) keeps one doc per
+# digest while holding state only for the watermark window — the
+# production ingestion-gate shape, where a digest seen twice a year
+# apart is two legitimate crawl snapshots but within-the-window
+# repeats are the same fetch.  The dedup key includes lang so the
+# per-lang rollup is deterministic regardless of which duplicate the
+# state store keeps.  Oracle: batch COUNT(DISTINCT md5(text)) per
+# lang — on this fixture every duplicate pair lands inside the window,
+# so stream == batch exactly.  At 100 TB: state is (window x ingest
+# rate) digests, sharded by digest hash across the state store.
+
+
+@query(
+    "stream_dedup_digest",
+    oracle="""
+SELECT lang, COUNT(DISTINCT md5(text)) AS n_kept
+FROM documents
+GROUP BY lang
+""",
+)
+def stream_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = stream_documents(spark, sf_dir)
+    deduped = (
+        d.withColumn("digest", F.md5("text"))
+        .withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["lang", "digest"])
+    )
+    kept = run_to_table(
+        deduped.select("doc_id", "lang", "digest"), "append", state_partitions=8
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --------------------------------------------------------------------------
+# B506 (round 10) — CHAINED stateful operators in one streaming query:
+# dedup -> windowed aggregation (Spark's multiple-stateful-operator
+# support, 3.4+).  The dedup key includes the 10-minute window, so
+# which physical duplicate survives is irrelevant — the downstream
+# count per (window, event_type) is exactly COUNT(DISTINCT user_id)
+# regardless of micro-batch slicing or partition order.  Append mode
+# only emits a window once the watermark passes it, so the replay
+# stages two runs off one checkpoint (the stream_state_recovery
+# recipe): run 1 ingests the real events (windows accumulate state,
+# nothing finalizes), run 2 ingests a single sentinel event 30 days
+# out whose event time pushes the watermark past every real window —
+# the state store recovers across the restart and every window
+# finalizes.  At 100 TB this is the production shape: each stateful
+# operator keeps its own watermark-bounded state store, and distinct-
+# user windowed counts never materialize raw rows downstream.
+
+
+@query(
+    "stream_dedup_windowed_agg",
+    oracle="""
+SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
+       event_type,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_dedup_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.session import ensure_session_invariants
+
+    ensure_session_invariants(spark)
+    ev = normalize_event_ts_cols(spark, sf_dir)
+    stage = scratch_dir("psvm_chain_stage_")
+    ckpt = scratch_dir("psvm_chain_ckpt_")
+    out = scratch_dir("psvm_chain_out_")
+    ev.write.mode("overwrite").parquet(f"{stage}/real")
+
+    def run_once():
+        # append-mode restart requires a fault-tolerant sink (the
+        # memory sink can't recover a checkpoint) — parquet file sink,
+        # the production choice anyway.
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        dd = (
+            src.withWatermark("ts", "0 seconds")
+            .withColumn("win", F.window("ts", "10 minutes"))
+            .dropDuplicates(["user_id", "event_type", "win"])
+        )
+        agg = dd.groupBy("win", "event_type").agg(
+            F.count(F.lit(1)).alias("n_users")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # real events: state accumulates, no window finalizes
+    sentinel = ev.limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select(*ev.columns)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/flush")
+    run_once()  # sentinel pushes the watermark: every real window emits
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+def normalize_event_ts_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch events with normalized ts, column order pinned for the
+    staged-file writers (sentinel rows must match the stage schema)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -57,6 +57,34 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(df)
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a stream with a synthesized deterministic event time.
+
+    The batch table has no timestamp; streaming dedup/join operators
+    need one for watermarking, so ingestion time is modeled as a fixed
+    epoch plus ``doc_id`` seconds — deterministic, monotone in doc_id,
+    and identical in the batch-replay oracle.  Same file/directory
+    layout handling as ``stream_events``.
+    """
+    import os
+
+    ensure_session_invariants(spark)
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        df = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        df = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
+    return df.withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+    )
+
+
 def run_to_table(
     df: DataFrame, mode: str, state_partitions: int | None = None, drain: bool = False
 ) -> DataFrame:

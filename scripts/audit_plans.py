@@ -113,6 +113,9 @@ WHITELIST = {
     "ml_lof_outlier": "(c) bounded ground-set pair matrix (vec_id % 10 deterministic sample) — LOF is pairwise over its ground set by definition; the select_facility_location precedent",
     "graph_rich_club": "(b) 4-row k-threshold spine broadcast against the degree/edge-degree tables",
     "ml_brier_decomposition": "(b) SV broadcast scoring (ml_calibration_bins shape) + 1-row totals combines",
+    "graph_leiden_refine": "(a) 1-row edge-count scalar broadcast for the gain test + 1x1x1x1 stat combine (the graph_louvain_round shape); label/adjacency/refinement joins are equi",
+    "graph_leiden_aggregate": "(a) 1x1x1x1x1 stat combine of the contraction profile; relabel/degree/super-edge joins are equi",
+    "ml_mcnemar_test": "(b) SV broadcast scoring (ml_confusion_matrix shape); the paired cells are one aggregate",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB

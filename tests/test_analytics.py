@@ -1078,3 +1078,46 @@ class TestCrossCorrelation:
                 a, b = x[-k:], y[: len(y) + k]
             r = np.corrcoef(a, b)[0, 1]
             assert abs(rows[k].ccf - r) < 1e-6, k
+
+
+class TestHampelFilter:
+    def test_flags_match_python_replay(self, spark, sf_dir):
+        """Full python replay of the 7-point rolling median/MAD rule
+        over the hourly per-type counts; every flagged point (and its
+        med/MAD) must match, and the fixture must actually flag
+        something."""
+        import collections
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            (r.et, r.h): (r.x, r.med, r.mad)
+            for r in QUERIES["ts_hampel_filter"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events").select(
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("bigint")
+            .alias("h"),
+            "event_type",
+        )
+        cnt = collections.Counter(
+            (r.event_type, r.h) for r in ev.collect()
+        )
+        series = collections.defaultdict(dict)
+        for (et, h), n in cnt.items():
+            series[et][h] = n
+        want = {}
+        for et, by_h in series.items():
+            hs = sorted(by_h)
+            for i in range(3, len(hs) - 3):
+                vals = sorted(by_h[hs[j]] for j in range(i - 3, i + 4))
+                med = vals[3]
+                mad = sorted(abs(v - med) for v in vals)[3]
+                x = by_h[hs[i]]
+                if abs(x - med) > 3 * mad:
+                    want[(et, hs[i])] = (x, med, mad)
+        assert got == want and len(got) > 0

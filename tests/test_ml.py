@@ -585,3 +585,37 @@ class TestGmmEm:
         assert 0 < last.pi1_fp < 1_000_000
         # EM from a symmetric-ish init stays near balanced on this corpus
         assert abs(last.pi1_fp - 500_000) < 200_000
+
+
+class TestMcNemar:
+    def test_cells_consistent_with_confusion_counts(self, spark, sf_dir):
+        """b + c must equal the number of test rows where exactly one
+        classifier is right, recomputed independently from the scored
+        panel; the statistic must recompute from (b, c)."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.queries.ml import SVM_B, GAMMA, _sv_test
+        from psvm_spark.ml import kernels as K
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ml_mcnemar_test"](spark, sf_dir).collect()[0]
+        sv, test = _sv_test(spark, sf_dir)
+        k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), GAMMA)
+        scored = (
+            test.crossJoin(F.broadcast(sv))
+            .groupBy("t_id", "label")
+            .agg(F.round(F.sum(F.col("alpha_y") * k) + SVM_B, 6).alias("score"))
+        ).collect()
+        b = c = 0
+        for r in scored:
+            pa = 1 if r.score >= 0 else -1
+            pb = 1 if r.t_id % 3 == 0 else -1
+            t = 1 if r.label % 2 == 0 else -1
+            if pa == t and pb != t:
+                b += 1
+            elif pa != t and pb == t:
+                c += 1
+        assert (row.b, row.c, row.n_test) == (b, c, len(scored))
+        if b + c:
+            assert abs(row.mcnemar_chi2 - (b - c) ** 2 / (b + c)) < 1e-9

@@ -1266,3 +1266,103 @@ class TestRichClub:
                 assert abs(rows[k].phi - 2 * ek / (nk * (nk - 1))) < 1e-9
             else:
                 assert rows[k].phi is None
+
+
+class TestLeidenRefine:
+    def test_refinement_splits_are_connected_components(self, spark, sf_dir):
+        """The refined sub-communities must be EXACTLY the connected
+        components of each community's induced subgraph (the Leiden
+        guarantee), labeled by min node id — verified by a python
+        union-find replay.  Also pins convergence: a 5th min-label
+        round moves nothing."""
+        from psvm_spark.queries.graph import _leiden_labels, _leiden_rounds
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["graph_leiden_refine"](spark, sf_dir).collect()[0]
+        lab_df, adjc_df = _leiden_labels(spark, sf_dir)
+        lab = {r.x: r.c for r in lab_df.collect()}
+        parent = {x: x for x in lab}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for r in adjc_df.collect():
+            ra, rb = find(r.x), find(r.n)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical sub-label = min node id of the component
+        import collections
+
+        members = collections.defaultdict(list)
+        for x in lab:
+            members[find(x)].append(x)
+        want_sub = {x: min(members[find(x)]) for x in lab}
+        got_sub = {
+            r.x: r.r for r in _leiden_rounds(lab_df, adjc_df, 4).collect()
+        }
+        assert got_sub == want_sub
+        got_sub5 = {
+            r.x: r.r for r in _leiden_rounds(lab_df, adjc_df, 5).collect()
+        }
+        assert got_sub5 == got_sub  # converged at k=4
+        # sub-communities never cross community boundaries
+        sub_comm = collections.defaultdict(set)
+        for x, s in want_sub.items():
+            sub_comm[s].add(lab[x])
+        assert all(len(cs) == 1 for cs in sub_comm.values())
+        # summary row consistency
+        assert row.n_nodes == len(lab)
+        assert row.n_communities == len(set(lab.values()))
+        assert row.n_subcommunities == len(set(want_sub.values()))
+        by_comm = collections.defaultdict(set)
+        for x in lab:
+            by_comm[lab[x]].add(want_sub[x])
+        assert row.n_split_communities == sum(
+            1 for subs in by_comm.values() if len(subs) > 1
+        )
+
+    def test_aggregate_step_contracts_consistently(self, spark, sf_dir):
+        """The super-graph must be the exact contraction of the refined
+        labels: super-node count == sub-community count, every super-edge
+        weight == the number of original edges between the two
+        sub-communities (python replay), and the refined modularity
+        recomputes from the same labels."""
+        from psvm_spark.queries.graph import (
+            _leiden_labels,
+            _leiden_rounds,
+            edge_set,
+        )
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["graph_leiden_aggregate"](spark, sf_dir).collect()[0]
+        lab_df, adjc_df = _leiden_labels(spark, sf_dir)
+        sub = {r.x: r.r for r in _leiden_rounds(lab_df, adjc_df, 4).collect()}
+        edges = [(r.a, r.b) for r in edge_set(spark, sf_dir).collect()]
+        import collections
+
+        w = collections.Counter()
+        within = 0
+        for a, b in edges:
+            sa, sb = sub[a], sub[b]
+            if sa == sb:
+                within += 1
+            else:
+                w[(min(sa, sb), max(sa, sb))] += 1
+        assert row.n_super_nodes == len(set(sub.values()))
+        assert row.n_super_edges == len(w)
+        assert row.max_edge_weight == (max(w.values()) if w else 0)
+        m = len(edges)
+        deg = collections.Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        dc = collections.Counter()
+        for x, s in sub.items():
+            dc[s] += deg[x]
+        q = within / m - sum(v * v for v in dc.values()) / (4.0 * m * m)
+        assert abs(row.modularity_refined - q) < 1e-8

@@ -381,3 +381,74 @@ class TestSlidingTopK:
             )
         )
         assert got == want
+
+
+class TestIntervalJoinAndDigestDedup:
+    def test_interval_join_matches_batch_band_join(self, spark, sf_dir):
+        """Stream/batch equivalence: the watermarked stream-stream
+        interval join + post-agg must equal the batch band-join
+        operator (join_range) row-for-row."""
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = sorted(
+            map(tuple, QUERIES["stream_interval_join"](spark, sf_dir).collect())
+        )
+        want = sorted(map(tuple, QUERIES["join_range"](spark, sf_dir).collect()))
+        assert got == want and len(got) > 0
+
+    def test_digest_dedup_matches_batch_distinct(self, spark, sf_dir):
+        """The streaming within-watermark dedup must keep exactly one
+        doc per (lang, digest) on the replay — equal to the batch
+        distinct-digest rollup (sf0.001 happens to have no duplicate
+        texts, so kept == corpus there; the equality check is the real
+        assertion)."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.lang: r.n_kept
+            for r in QUERIES["stream_dedup_digest"](spark, sf_dir).collect()
+        }
+        d = load_table(spark, sf_dir, "documents")
+        want = {
+            r.lang: r.n
+            for r in d.groupBy("lang")
+            .agg(F.countDistinct(F.md5("text")).alias("n"))
+            .collect()
+        }
+        assert got == want
+        n_docs = d.count()
+        assert 0 < sum(got.values()) <= n_docs
+
+
+class TestChainedStatefulOperators:
+    def test_dedup_then_window_matches_batch_distinct(self, spark, sf_dir):
+        """Two chained stateful operators (dedup -> windowed agg) in
+        ONE streaming query must equal the batch distinct-user windowed
+        count after the sentinel flush, and the sentinel itself must
+        not leak into the result."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table, normalize_event_ts
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        res = QUERIES["stream_dedup_windowed_agg"](spark, sf_dir)
+        got = {
+            (r.win_start, r.event_type): r.n_users for r in res.collect()
+        }
+        assert all(et != "__sentinel__" for _, et in got)
+        ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+        want = {
+            (r.w.start, r.event_type): r.n
+            for r in ev.groupBy(
+                F.window("ts", "10 minutes").alias("w"), "event_type"
+            )
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert got == want
