@@ -3695,7 +3695,7 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # trap round-8 hit on forecast1.  Grid 1 >> ulp is always safe.
         .select(
             F.col("seg").alias("segment"),
-            F.col("n").cast("bigint").alias("n_months"),
+            F.col("n").cast("bigint").alias("n_days"),
             F.round(F.col("hw.l"), 0).alias("level"),
             F.round(F.col("hw.t"), 0).alias("trend"),
             F.round(nxt, 0).alias("season_next"),
@@ -4124,7 +4124,7 @@ def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return series.withColumn("kf", kf).select(
         F.col("seg").alias("segment"),
-        F.col("n").cast("bigint").alias("n_months"),
+        F.col("n").cast("bigint").alias("n_days"),
         F.col("kf.m").cast("bigint").alias("m_c"),
         F.col("kf.p").cast("bigint").alias("p_var"),
         F.col("kf.k").cast("bigint").alias("gain_fp"),
@@ -5540,7 +5540,7 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", (F.col("r1") * (F.lit(1.0) - F.col("p22"))).alias("p21")
     )
     return dl2.select(
-        F.col("n").cast("bigint").alias("n_months"),
+        F.col("n").cast("bigint").alias("n_days"),
         F.round(F.col("r1"), 9).alias("pacf1"),
         F.round(F.col("p22"), 9).alias("pacf2"),
         F.round(
@@ -5722,3 +5722,108 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad.cast("bigint").alias("mad"),
     )
     return out.filter(F.abs(F.col("x") - F.col("med")) > 3 * F.col("mad"))
+
+
+# --------------------------------------------------------------------------
+# B512 (round 10) — Mann-Kendall trend test over the daily purchase
+# count series: the non-parametric "is there a monotone trend?" gate
+# that pairs with the Theil-Sen slope (B-series ts_theil_sen — MK is
+# the significance test for exactly that estimator).  S = sum of
+# sign(x_j - x_i) over ordered month pairs and the tie-corrected
+# variance are EXACT integers (var is reported in 1/18ths to stay
+# integral); the z statistic needs only sqrt, which IEEE 754 rounds
+# correctly on both engines — no libm drift.  Scale: the series is
+# calendar-bounded (one row per month after a one-pass rollup), so the
+# pair join is a few hundred rows regardless of corpus size.
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS m, COUNT(*) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM cnt a JOIN cnt b ON b.m > a.m),
+n AS (SELECT COUNT(*) AS n FROM cnt),
+ties AS (
+  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tt
+  FROM (SELECT COUNT(*) AS t FROM cnt GROUP BY x HAVING COUNT(*) > 1)),
+v AS (
+  SELECT CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tt AS BIGINT) AS var18,
+         n.n
+  FROM n, ties)
+SELECT CAST(v.n AS BIGINT) AS n_days, s.s_stat,
+       v.var18,
+       round(CASE WHEN s.s_stat > 0
+                  THEN (s.s_stat - 1) / sqrt(CAST(v.var18 AS DOUBLE) / 18e0)
+                  WHEN s.s_stat < 0
+                  THEN (s.s_stat + 1) / sqrt(CAST(v.var18 AS DOUBLE) / 18e0)
+                  ELSE 0e0 END, 9) AS z_stat
+FROM s, v
+""",
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("m"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = cnt.select(F.col("m").alias("ma"), F.col("x").alias("xa"))
+    b = cnt.select(F.col("m").alias("mb"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("mb") > F.col("ma"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = cnt.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        cnt.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tt")
+        )
+    )
+    v = (
+        F.broadcast(n)
+        .crossJoin(F.broadcast(ties))
+        .select(
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tt")
+            )
+            .cast("bigint")
+            .alias("var18"),
+            "n",
+        )
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / 18.0)
+    return (
+        F.broadcast(s)
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            "s_stat",
+            "var18",
+            F.round(
+                F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+                .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+                .otherwise(F.lit(0.0)),
+                9,
+            ).alias("z_stat"),
+        )
+    )

@@ -172,8 +172,7 @@ def df_capped_postings(post: DataFrame, s_col: str = "s", cap: int = _SHINGLE_DF
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH sh AS (
-  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles
-  FROM documents WHERE doc_id % 5 = 0
+  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles FROM documents
 ),
 post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 hot AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
@@ -10328,4 +10327,260 @@ def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ),
         ).alias("mcnemar_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B511 (round 10) — scalar-quantized (SQ8) similarity search with
+# exact rescoring: the faiss-style production memory/bandwidth trade —
+# embeddings stored as int8 (floor(v*127 + .5), clamped), candidate
+# generation ranks by the INTEGER dot product (exact bigint, no float
+# until the survivors), then the top-50 candidates per probe are
+# rescored with the exact float cosine for the final top-10.  Probes
+# are conf-budgeted (psvm.sim.probe_modulo) and broadcast; the corpus
+# side stays partitioned and reads 1/4 the bytes of the float path —
+# at 100 TB the int8 column IS the index.  Candidate ranking uses the
+# same per-(probe, partition) partial top-k as sim_topk_cosine, so no
+# reducer ever sees more than n_partitions x 50 rows per probe.
+
+
+@query(
+    "sim_sq8_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         embedding,
+         list_transform(embedding, v ->
+           CAST(greatest(-127, least(127,
+                floor(CAST(v AS DOUBLE) * 127e0 + 5e-1))) AS BIGINT)) AS qv
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS i, embedding AS vp, qv AS qp FROM q WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT p.i, e.vec_id AS j, p.vp, e.embedding AS ve,
+         list_aggregate(list_transform(list_zip(p.qp, e.qv),
+           z -> z[1] * z[2]), 'sum') AS qdot
+  FROM probes p CROSS JOIN q e
+  WHERE e.vec_id <> p.i),
+top50 AS (
+  SELECT i, j, vp, ve, qdot,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY qdot DESC, j ASC) AS qr
+  FROM cand),
+rescored AS (
+  SELECT i, j, qdot,
+         round({K.sql_dot('vp', 've')}
+               / (sqrt({K.sql_dot('vp', 'vp')}) * sqrt({K.sql_dot('ve', 've')})),
+               9) AS cosine
+  FROM top50 WHERE qr <= 50)
+SELECT i, j, CAST(qdot AS BIGINT) AS qdot, cosine,
+       CAST(rk AS INT) AS rank
+FROM (SELECT i, j, qdot, cosine,
+             ROW_NUMBER() OVER (PARTITION BY i
+                                ORDER BY cosine DESC, j ASC) AS rk
+      FROM rescored)
+WHERE rk <= 10
+""",
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def sq8(col):
+        return F.transform(
+            col,
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(v.cast("double") * 127.0 + 0.5)),
+            ).cast("long"),
+        )
+
+    q = e.select("vec_id", "embedding", sq8(F.col("embedding")).alias("qv"))
+    probes = q.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").alias("vp"),
+        F.col("qv").alias("qp"),
+    )
+    corpus = fan_out(q, spark).select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("ve"),
+        F.col("qv").alias("qc"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qp"), F.col("qc"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = corpus.join(F.broadcast(probes), F.col("j") != F.col("i")).select(
+        "i", "j", "vp", "ve", qdot.alias("qdot"),
+        F.spark_partition_id().alias("pid"),
+    )
+    w_local = Window.partitionBy("i", "pid").orderBy(
+        F.col("qdot").desc(), F.col("j").asc()
+    )
+    w_probe = Window.partitionBy("i").orderBy(F.col("qdot").desc(), F.col("j").asc())
+    cand = (
+        pairs.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= 50)
+        .withColumn("qr", F.row_number().over(w_probe))
+        .filter(F.col("qr") <= 50)
+    )
+    cosine = F.round(
+        K.dot(F.col("vp"), F.col("ve"))
+        / (
+            F.sqrt(K.dot(F.col("vp"), F.col("vp")))
+            * F.sqrt(K.dot(F.col("ve"), F.col("ve")))
+        ),
+        9,
+    )
+    rescored = cand.select("i", "j", "qdot", cosine.alias("cosine"))
+    w_final = Window.partitionBy("i").orderBy(
+        F.col("cosine").desc(), F.col("j").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("i", "j", F.col("qdot").cast("bigint").alias("qdot"),
+                "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# B513 (round 10) — MinHash-LSH recall evaluation: the tuning loop a
+# dedup pipeline actually runs before committing to a band/row config.
+# Ground truth = exact-Jaccard >= 0.5 pairs from the COMPLETE df-capped
+# posting-list candidate generator (the dedup_ngram_jaccard machinery);
+# the candidate set under test = a deliberately WEAK md5 MinHash family
+# (8 hashes, 4 bands x 2 rows — half the production signature of
+# dedup_minhash_exact) over the full corpus.  Output: truth
+# size, LSH candidate volume, hits, recall — the measured
+# probability-of-collision curve point that says whether 4 bands is
+# enough at J = 0.5.  Both pair generators are equi-joins on locality
+# keys (shingle posting / band bucket); never all-pairs.
+
+_MHR_HASHES = 8
+_MHR_BANDS = 4  # rows per band = 2
+
+
+def _mhr_oracle() -> str:
+    rows = _MHR_HASHES // _MHR_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(shingles,"
+        f" s -> substr(md5('r{k}:' || s), 1, 16)), 'min') AS h{k}"
+        for k in range(_MHR_HASHES)
+    )
+    band_list = ", ".join(
+        f"{{'band': {b}, 'bucket': md5("
+        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + ")}"
+        for b in range(_MHR_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles FROM documents
+),
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hot AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+postc AS (SELECT * FROM post WHERE s NOT IN (SELECT s FROM hot)),
+truth AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+    FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM postc a JOIN postc b ON a.s = b.s AND a.doc_id < b.doc_id) c
+    JOIN sh a ON c.id_a = a.doc_id
+    JOIN sh b ON c.id_b = b.doc_id)
+  WHERE j >= 0.5),
+sig AS (
+  SELECT doc_id, {sig_cols}
+  FROM sh),
+banded AS (
+  SELECT doc_id, bb['band'] AS band, bb['bucket'] AS bucket
+  FROM (SELECT doc_id, unnest([{band_list}]) AS bb FROM sig)),
+lsh AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+hit AS (
+  SELECT COUNT(*) AS n_hit
+  FROM truth t JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
+       CAST(hit.n_hit AS BIGINT) AS n_hit,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+            THEN round(CAST(hit.n_hit AS DOUBLE)
+                       / (SELECT COUNT(*) FROM truth), 9)
+       END AS recall
+FROM hit
+"""
+
+
+@query("dedup_minhash_recall", oracle=_mhr_oracle())
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _MHR_HASHES // _MHR_BANDS
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sh = d.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles")
+    )
+    post = df_capped_postings(
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+    )
+    cand = (
+        post.alias("pa")
+        .join(post.alias("pb"), "s")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    truth = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(inter.cast("double") / union >= 0.5)
+        .select("id_a", "id_b")
+    ).localCheckpoint(eager=False)
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(shingles, s -> substring(md5('r{k}:' || s), 1, 16))")
+        ).alias(f"h{k}")
+        for k in range(_MHR_HASHES)
+    ]
+    band_structs = ", ".join(
+        f"struct({b} AS band, md5(concat("
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + ")) AS bucket)"
+        for b in range(_MHR_BANDS)
+    )
+    banded = (
+        sh.select("doc_id", *sig_cols)
+        .select("doc_id", F.expr(f"explode(array({band_structs}))").alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    lsh = (
+        banded.alias("ba")
+        .join(banded.alias("bb"), ["band", "bucket"])
+        .filter(F.col("ba.doc_id") < F.col("bb.doc_id"))
+        .select(F.col("ba.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b"))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    n_hit = truth.join(lsh, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        F.broadcast(n_truth)
+        .crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_lsh_pairs").cast("bigint").alias("n_lsh_pairs"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 9),
+            ).alias("recall"),
+        )
     )

@@ -841,3 +841,123 @@ def normalize_event_ts_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+# --------------------------------------------------------------------------
+# B509 (round 10) — LEFT OUTER watermarked stream-stream interval
+# join: the hard streaming case — an unmatched left row can only be
+# emitted (null-extended) once the watermark proves no matching right
+# row can still arrive, so outer results trail the watermark by the
+# join window.  Same sentinel-flush restart as B506: run 1 streams the
+# real events (inner matches emit, unmatched lefts are retained in
+# state), run 2's sentinel advances the watermark 30 days, flushing
+# every retained left row as a null-extended result.  Output: per-user
+# error counts split into matched (had a click within +-5 min) and
+# unmatched — the ops-facing "errors with no interaction context"
+# feed.  Oracle: the batch left join.  At 100 TB the state bound is
+# identical to the inner join's plus the retained-left buffer, both
+# watermark-evicted.
+
+
+@query(
+    "stream_outer_interval_join",
+    oracle="""
+WITH pairs AS (
+  SELECT e.event_id AS error_id, e.user_id,
+         COUNT(c.ts) AS n_clicks
+  FROM events e LEFT JOIN events c
+    ON e.user_id = c.user_id
+   AND c.event_type = 'click'
+   AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+  WHERE e.event_type = 'error'
+  GROUP BY e.event_id, e.user_id)
+SELECT user_id,
+       CAST(SUM(CASE WHEN n_clicks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched_errors,
+       CAST(SUM(CASE WHEN n_clicks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched_errors
+FROM pairs
+GROUP BY user_id
+""",
+)
+def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.session import ensure_session_invariants
+
+    ensure_session_invariants(spark)
+    ev = normalize_event_ts_cols(spark, sf_dir)
+    stage = scratch_dir("psvm_oij_stage_")
+    ckpt = scratch_dir("psvm_oij_ckpt_")
+    out = scratch_dir("psvm_oij_out_")
+    ev.write.mode("overwrite").parquet(f"{stage}/real")
+
+    def run_once():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        errors = (
+            src.filter(F.col("event_type").isin("error", "__sentinel__"))
+            .select(
+                F.col("event_id").alias("error_id"),
+                "user_id",
+                F.col("ts").alias("e_ts"),
+                "event_type",
+            )
+            .withWatermark("e_ts", "0 seconds")
+        )
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "0 seconds")
+        )
+        j = errors.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "leftOuter",
+        ).select(
+            "error_id",
+            "user_id",
+            "event_type",
+            F.col("c_ts").isNotNull().alias("matched"),
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # real events: inner matches emit, unmatched lefts held
+    # The query's GLOBAL watermark is the MIN across both sides'
+    # watermark operators, so the flush needs a sentinel on EACH side:
+    # one '__sentinel__' row advances the error side, one 'click' row
+    # (user -1, matches only the sentinel error, filtered below)
+    # advances the click side — otherwise errors within the band of the
+    # last real click are never proven unmatched and never emit.
+    sentinel = ev.limit(1).select(
+        F.explode(
+            F.array(F.lit("__sentinel__"), F.lit("click"))
+        ).alias("event_type"),
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select(*ev.columns)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/flush")
+    run_once()  # watermark passes: retained lefts flush null-extended
+    pairs = spark.read.parquet(out).filter(F.col("event_type") == "error")
+    per_error = pairs.groupBy("error_id", "user_id").agg(
+        F.max(F.col("matched").cast("int")).alias("any_match")
+    )
+    return per_error.groupBy("user_id").agg(
+        F.sum(F.col("any_match")).cast("bigint").alias("n_matched_errors"),
+        F.sum(1 - F.col("any_match")).cast("bigint").alias("n_unmatched_errors"),
+    )

@@ -2391,3 +2391,89 @@ def warehouse_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mo").cast("string").alias("mo_lo"),
         F.max("mo").cast("string").alias("mo_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# B510 (round 10) — row lineage through MERGE (the Iceberg v3 row-id
+# model): every row carries a stable `row_id` assigned at its first
+# commit plus a `last_seq` (last-updated sequence number); an update
+# PRESERVES row_id while bumping last_seq, an insert gets a fresh id.
+# Snapshot 1 materializes the base (row_id := the unique key — the
+# identity assignment of a keyed first commit), snapshot 2 applies a
+# CDC batch (price bump for key % 7 == 3, plus synthetic inserts) as a
+# real parquet rewrite; the audit proves the lineage invariants the
+# cheap way a 100 TB table would: per-seq row counts + row_id
+# checksums (updated rows' id-sum equals the SAME rows' id-sum in
+# snapshot 1 — ids survived the MERGE) and global id uniqueness, all
+# from two manifest-light aggregates, never an O(table^2) diff.
+
+_RL_BUMP_C = 1_000  # cents added by the update batch
+
+
+@query(
+    "warehouse_row_lineage",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey AS row_id, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c
+  FROM orders),
+mx AS (SELECT MAX(row_id) AS mx FROM base),
+merged AS (
+  SELECT row_id, k,
+         CASE WHEN k % 7 = 3 THEN price_c + {_RL_BUMP_C} ELSE price_c END
+           AS price_c,
+         CASE WHEN k % 7 = 3 THEN 2 ELSE 1 END AS last_seq
+  FROM base
+  UNION ALL
+  SELECT mx.mx + b.k AS row_id, mx.mx + b.k AS k, b.price_c, 2 AS last_seq
+  FROM base b, mx WHERE b.k % 11 = 5)
+SELECT last_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(row_id) AS BIGINT) AS row_id_sum,
+       CAST(SUM(price_c) AS BIGINT) AS price_c_sum,
+       CAST(COUNT(DISTINCT row_id) AS BIGINT) AS n_distinct_ids
+FROM merged
+GROUP BY last_seq
+""",
+)
+def warehouse_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    root = scratch_dir("psvm_rl_")
+    base = o.select(
+        F.col("o_orderkey").alias("row_id"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+        F.lit(1).alias("last_seq"),
+    )
+    base.write.mode("overwrite").parquet(f"{root}/snap1")
+    snap1 = spark.read.parquet(f"{root}/snap1")
+    mx = snap1.agg(F.max("row_id").alias("mx"))
+    # the MERGE commit: updates keep row_id, inserts mint fresh ids
+    updated = snap1.select(
+        "row_id",
+        "k",
+        F.when(F.col("k") % 7 == 3, F.col("price_c") + _RL_BUMP_C)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+        F.when(F.col("k") % 7 == 3, F.lit(2)).otherwise(F.lit(1)).alias("last_seq"),
+    )
+    inserts = (
+        snap1.filter(F.col("k") % 11 == 5)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("mx") + F.col("k")).alias("row_id"),
+            (F.col("mx") + F.col("k")).alias("k"),
+            "price_c",
+            F.lit(2).alias("last_seq"),
+        )
+    )
+    updated.unionAll(inserts).write.mode("overwrite").parquet(f"{root}/snap2")
+    snap2 = spark.read.parquet(f"{root}/snap2")
+    return snap2.groupBy("last_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("row_id").cast("bigint").alias("row_id_sum"),
+        F.sum("price_c").cast("bigint").alias("price_c_sum"),
+        F.countDistinct("row_id").cast("bigint").alias("n_distinct_ids"),
+    )

@@ -116,6 +116,9 @@ WHITELIST = {
     "graph_leiden_refine": "(a) 1-row edge-count scalar broadcast for the gain test + 1x1x1x1 stat combine (the graph_louvain_round shape); label/adjacency/refinement joins are equi",
     "graph_leiden_aggregate": "(a) 1x1x1x1x1 stat combine of the contraction profile; relabel/degree/super-edge joins are equi",
     "ml_mcnemar_test": "(b) SV broadcast scoring (ml_confusion_matrix shape); the paired cells are one aggregate",
+    "ts_mann_kendall": "(b) calendar-bounded daily-count pair join (one row per day regardless of corpus) + 1x1 stat combines",
+    "sim_sq8_topk": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
+    "dedup_minhash_recall": "(a) 1x1x1 crossJoin of truth/candidate/hit count rows; both pair generators are equi-joins (postings, band buckets)",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB

@@ -1121,3 +1121,39 @@ class TestHampelFilter:
                 if abs(x - med) > 3 * mad:
                     want[(et, hs[i])] = (x, med, mad)
         assert got == want and len(got) > 0
+
+
+class TestMannKendall:
+    def test_statistic_matches_python_replay(self, spark, sf_dir):
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ts_mann_kendall"](spark, sf_dir).collect()[0]
+        ev = load_table(spark, sf_dir, "events")
+        cnt = {
+            r.m: r.x
+            for r in ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_trunc("day", "ts").cast("date").alias("m"))
+            .agg(F.count(F.lit(1)).alias("x"))
+            .collect()
+        }
+        xs = [cnt[m] for m in sorted(cnt)]
+        n = len(xs)
+        s = sum(
+            (0 if a == b else (1 if b > a else -1))
+            for a, b in itertools.combinations(xs, 2)
+        )
+        import collections
+
+        t = collections.Counter(xs)
+        tt = sum(v * (v - 1) * (2 * v + 5) for v in t.values() if v > 1)
+        var18 = n * (n - 1) * (2 * n + 5) - tt
+        assert (row.n_days, row.s_stat, row.var18) == (n, s, var18)
+        if s != 0:
+            z = (s - (1 if s > 0 else -1)) / (var18 / 18) ** 0.5
+            assert abs(row.z_stat - z) < 1e-8

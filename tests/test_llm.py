@@ -1800,3 +1800,35 @@ class TestBrierDecomposition:
         # raw score can sit on either side only by that non-negative
         # variance term; sanity-bound the gap
         assert abs(row.brier - binned) < 0.25
+
+
+class TestSq8TopK:
+    def test_rescored_topk_close_to_exact_float_topk(self, spark, sf_dir):
+        """SQ8 candidates rescored with exact cosine must recover most
+        of the exact float top-10 (recall@10 >= 0.8 on the fixture) —
+        and every reported cosine must equal the exact float cosine for
+        that pair."""
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        sq = QUERIES["sim_sq8_topk"](spark, sf_dir).collect()
+        exact = QUERIES["sim_topk_cosine"](spark, sf_dir).collect()
+        sq_pairs = {(r.i, r.j) for r in sq}
+        ex_pairs = {(r.i, r.j) for r in exact}
+        recall = len(sq_pairs & ex_pairs) / len(ex_pairs)
+        assert recall >= 0.8, recall
+        ex_cos = {(r.i, r.j): r.cosine for r in exact}
+        for r in sq:
+            if (r.i, r.j) in ex_cos:
+                assert abs(r.cosine - ex_cos[(r.i, r.j)]) < 1e-12
+
+
+class TestMinhashRecall:
+    def test_counts_consistent_and_recall_bounded(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        r = QUERIES["dedup_minhash_recall"](spark, sf_dir).collect()[0]
+        assert r.n_truth > 0  # the fixture plants near-dup clusters
+        assert 0 <= r.n_hit <= min(r.n_truth, r.n_lsh_pairs)
+        assert abs(r.recall - r.n_hit / r.n_truth) < 1e-9

@@ -452,3 +452,47 @@ class TestChainedStatefulOperators:
             .collect()
         }
         assert got == want
+
+
+class TestOuterIntervalJoin:
+    def test_matches_batch_left_join_split(self, spark, sf_dir):
+        """The watermarked left-outer stream-stream join must classify
+        every error as matched/unmatched exactly as the batch left band
+        join does — including errors near the stream's end, which only
+        flush because BOTH sides get a watermark sentinel."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table, normalize_event_ts
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.user_id: (r.n_matched_errors, r.n_unmatched_errors)
+            for r in QUERIES["stream_outer_interval_join"](spark, sf_dir).collect()
+        }
+        ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+        e = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"), "user_id",
+            F.unix_micros("ts").alias("e_us"),
+        )
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.unix_micros("ts").alias("c_us")
+        )
+        j = e.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.abs(F.col("e_us") - F.col("c_us")) <= 300_000_000),
+            "left",
+        ).groupBy("error_id", "user_id").agg(
+            F.max(F.col("c_us").isNotNull().cast("int")).alias("m")
+        )
+        want = {
+            r.user_id: (r.nm, r.nu)
+            for r in j.groupBy("user_id")
+            .agg(
+                F.sum("m").cast("bigint").alias("nm"),
+                F.sum(1 - F.col("m")).cast("bigint").alias("nu"),
+            )
+            .collect()
+        }
+        assert got == want and sum(v[1] for v in got.values()) > 0

@@ -190,3 +190,34 @@ class TestCompactionPlanner:
             expect[g] = expect.get(g, 0) + 1
             prefix += r["count"]
         assert {r.group_id: r.n_files for r in rows} == expect
+
+
+class TestRowLineage:
+    def test_lineage_invariants(self, spark, sf_dir):
+        """Updated rows must KEEP their snapshot-1 row ids (the id-sum
+        of the seq-2 updated slice equals the same keys' id-sum in the
+        base), inserts must mint fresh unique ids, and ids must be
+        globally unique."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = {r.last_seq: r for r in QUERIES["warehouse_row_lineage"](spark, sf_dir).collect()}
+        o = load_table(spark, sf_dir, "orders")
+        n_base = o.count()
+        keys = o.select(F.col("o_orderkey").alias("k"))
+        upd = keys.filter(F.col("k") % 7 == 3)
+        ins = keys.filter(F.col("k") % 11 == 5)
+        mx = keys.agg(F.max("k")).collect()[0][0]
+        n_upd, n_ins = upd.count(), ins.count()
+        upd_id_sum = upd.agg(F.sum("k")).collect()[0][0]
+        ins_id_sum = ins.agg(F.sum(F.col("k") + mx)).collect()[0][0]
+        # seq 1 = untouched rows; seq 2 = updated + inserted
+        assert rows[1].n_rows == n_base - n_upd
+        assert rows[2].n_rows == n_upd + n_ins
+        assert rows[2].row_id_sum == upd_id_sum + ins_id_sum
+        # per-seq uniqueness (global uniqueness follows: inserts > max)
+        assert rows[1].n_distinct_ids == rows[1].n_rows
+        assert rows[2].n_distinct_ids == rows[2].n_rows
