@@ -10584,3 +10584,112 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B515 (round 10) — composite quality score: the FineWeb-style gate
+# that combines several weak signals into one keep/drop decision
+# instead of cascading hard thresholds.  Per-doc signals are INTEGER
+# milli-ratios (exact integer div — mean word length, distinct-word
+# ratio, stopword ratio against the global top-20 word list); corpus
+# mean/variance come from exact DECIMAL(38,0) sums, so the only floats
+# are the final fixed-shape per-doc z-scores (std needs IEEE-exact
+# sqrt only).  composite = z(distinct) + z(word_len) - z(stopword);
+# docs with composite > 1 are the keeps.  Scale: one explode pass for
+# the signals, a 20-row broadcast for the stopword proxy, a 1-row
+# stats broadcast for the z-transform.
+
+_TQC_TOP_STOP = 20  # global top-K words used as the stopword proxy
+
+
+def _tqc_duck() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+stop AS (
+  SELECT w FROM tok GROUP BY w
+  ORDER BY COUNT(*) DESC, w ASC LIMIT {_TQC_TOP_STOP}),
+sig AS (
+  SELECT doc_id, ANY_VALUE(lang) AS lang,
+         (SUM(len(w)) * 1000) // COUNT(*) AS mwl,
+         (COUNT(DISTINCT w) * 1000) // COUNT(*) AS dr,
+         (SUM(CASE WHEN w IN (SELECT w FROM stop) THEN 1 ELSE 0 END) * 1000)
+           // COUNT(*) AS sr
+  FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(mwl) AS DECIMAL(38,0)) AS s1m,
+         CAST(SUM(CAST(mwl AS DECIMAL(19,0)) * mwl) AS DECIMAL(38,0)) AS s2m,
+         CAST(SUM(dr) AS DECIMAL(38,0)) AS s1d,
+         CAST(SUM(CAST(dr AS DECIMAL(19,0)) * dr) AS DECIMAL(38,0)) AS s2d,
+         CAST(SUM(sr) AS DECIMAL(38,0)) AS s1s,
+         CAST(SUM(CAST(sr AS DECIMAL(19,0)) * sr) AS DECIMAL(38,0)) AS s2s
+  FROM sig),
+z AS (
+  SELECT g.doc_id, g.lang,
+         (g.dr - CAST(t.s1d AS DOUBLE) / t.n)
+           / sqrt(CAST(t.s2d AS DOUBLE) / t.n
+                  - (CAST(t.s1d AS DOUBLE) / t.n) * (CAST(t.s1d AS DOUBLE) / t.n))
+         + (g.mwl - CAST(t.s1m AS DOUBLE) / t.n)
+           / sqrt(CAST(t.s2m AS DOUBLE) / t.n
+                  - (CAST(t.s1m AS DOUBLE) / t.n) * (CAST(t.s1m AS DOUBLE) / t.n))
+         - (g.sr - CAST(t.s1s AS DOUBLE) / t.n)
+           / sqrt(CAST(t.s2s AS DOUBLE) / t.n
+                  - (CAST(t.s1s AS DOUBLE) / t.n) * (CAST(t.s1s AS DOUBLE) / t.n))
+           AS comp
+  FROM sig g, stats t)
+SELECT doc_id, lang, round(comp, 9) AS composite
+FROM z WHERE comp > 1e0
+"""
+
+
+@query("text_quality_composite", oracle=_tqc_duck())
+def text_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    stop = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_TQC_TOP_STOP)
+        .select("w", F.lit(1).alias("is_stop"))
+    )
+    sig = (
+        tok.join(F.broadcast(stop), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.expr("(sum(length(w)) * 1000) div count(1)").alias("mwl"),
+            F.expr("(count(distinct w) * 1000) div count(1)").alias("dr"),
+            F.expr("(sum(coalesce(is_stop, 0)) * 1000) div count(1)").alias("sr"),
+        )
+    )
+    stats = sig.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mwl").cast("decimal(38,0)").alias("s1m"),
+        F.sum(F.col("mwl").cast("decimal(19,0)") * F.col("mwl"))
+        .cast("decimal(38,0)")
+        .alias("s2m"),
+        F.sum("dr").cast("decimal(38,0)").alias("s1d"),
+        F.sum(F.col("dr").cast("decimal(19,0)") * F.col("dr"))
+        .cast("decimal(38,0)")
+        .alias("s2d"),
+        F.sum("sr").cast("decimal(38,0)").alias("s1s"),
+        F.sum(F.col("sr").cast("decimal(19,0)") * F.col("sr"))
+        .cast("decimal(38,0)")
+        .alias("s2s"),
+    )
+
+    def z(col, s1, s2):
+        mean = F.col(s1).cast("double") / F.col("n")
+        var = F.col(s2).cast("double") / F.col("n") - mean * mean
+        return (F.col(col) - mean) / F.sqrt(var)
+
+    comp = z("dr", "s1d", "s2d") + z("mwl", "s1m", "s2m") - z("sr", "s1s", "s2s")
+    return (
+        sig.crossJoin(F.broadcast(stats))
+        .select("doc_id", "lang", comp.alias("comp"))
+        .filter(F.col("comp") > 1.0)
+        .select("doc_id", "lang", F.round("comp", 9).alias("composite"))
+    )

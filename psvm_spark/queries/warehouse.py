@@ -2477,3 +2477,92 @@ def warehouse_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_c").cast("bigint").alias("price_c_sum"),
         F.countDistinct("row_id").cast("bigint").alias("n_distinct_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# B514 (round 10) — clustering-depth metrics from the manifest: the
+# decision input for OPTIMIZE/Z-ORDER — how many files OVERLAP in the
+# query dimension (o_orderdate) under two physical layouts: files
+# range-partitioned by o_custkey (random date ranges -> every file
+# overlaps every other) vs by o_orderdate (contiguous ranges -> depth
+# ~1 apart from boundary ties).  The file manifest is a per-range
+# min/max aggregate (one corpus pass); the depth itself is the
+# boundary-sweep over manifest rows ONLY — running (+1 at min, -1
+# past max) per layout, the ts_concurrency_peak recipe — so the
+# expensive part is O(files), not O(rows), exactly how a 100 TB table
+# service computes it.  The layout window is manifest-bounded (file
+# count, not corpus rows).
+
+_CD_CUST_RANGE = 100  # custkeys per file in the custkey layout
+_CD_DAY_RANGE = 30  # days per file in the date layout
+
+
+@query(
+    "warehouse_clustering_depth",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS d
+  FROM orders),
+manifest AS (
+  SELECT 'by_custkey' AS layout, o_custkey // {_CD_CUST_RANGE} AS f,
+         MIN(d) AS lo, MAX(d) AS hi
+  FROM o GROUP BY 1, 2
+  UNION ALL
+  SELECT 'by_date', d // {_CD_DAY_RANGE}, MIN(d), MAX(d)
+  FROM o GROUP BY 1, 2),
+pts AS (
+  SELECT layout, pt, SUM(delta) AS delta FROM (
+    SELECT layout, lo AS pt, 1 AS delta FROM manifest
+    UNION ALL
+    SELECT layout, hi + 1, -1 FROM manifest)
+  GROUP BY layout, pt),
+run AS (
+  SELECT layout, pt,
+         SUM(delta) OVER (PARTITION BY layout ORDER BY pt) AS depth
+  FROM pts)
+SELECT m.layout,
+       CAST(COUNT(DISTINCT m.f) AS BIGINT) AS n_files,
+       CAST((SELECT MAX(depth) FROM run r WHERE r.layout = m.layout)
+            AS BIGINT) AS max_overlap_depth
+FROM manifest m
+GROUP BY m.layout
+""",
+)
+def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+    )
+    by_cust = o.groupBy(
+        F.expr(f"o_custkey div {_CD_CUST_RANGE}").alias("f")
+    ).agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.lit("by_custkey").alias("layout"), "f", "lo", "hi"
+    )
+    by_date = o.groupBy(
+        F.expr(f"d div {_CD_DAY_RANGE}").alias("f")
+    ).agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.lit("by_date").alias("layout"), "f", "lo", "hi"
+    )
+    manifest = by_cust.unionAll(by_date).localCheckpoint(eager=False)
+    pts = (
+        manifest.select("layout", F.col("lo").alias("pt"), F.lit(1).alias("delta"))
+        .unionAll(
+            manifest.select(
+                "layout", (F.col("hi") + 1).alias("pt"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("layout", "pt")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.partitionBy("layout").orderBy("pt")
+    run = pts.select("layout", F.sum("delta").over(w).alias("depth"))
+    depth = run.groupBy("layout").agg(F.max("depth").alias("max_overlap_depth"))
+    files = manifest.groupBy("layout").agg(
+        F.countDistinct("f").alias("n_files")
+    )
+    return files.join(depth, "layout").select(
+        "layout",
+        F.col("n_files").cast("bigint").alias("n_files"),
+        F.col("max_overlap_depth").cast("bigint").alias("max_overlap_depth"),
+    )

@@ -119,6 +119,7 @@ WHITELIST = {
     "ts_mann_kendall": "(b) calendar-bounded daily-count pair join (one row per day regardless of corpus) + 1x1 stat combines",
     "sim_sq8_topk": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
     "dedup_minhash_recall": "(a) 1x1x1 crossJoin of truth/candidate/hit count rows; both pair generators are equi-joins (postings, band buckets)",
+    "text_quality_composite": "(a) 1-row corpus-stats scalar broadcast for the z-transform; the stopword join is a 20-row broadcast equi-join",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB

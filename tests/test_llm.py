@@ -1832,3 +1832,57 @@ class TestMinhashRecall:
         assert r.n_truth > 0  # the fixture plants near-dup clusters
         assert 0 <= r.n_hit <= min(r.n_truth, r.n_lsh_pairs)
         assert abs(r.recall - r.n_hit / r.n_truth) < 1e-9
+
+
+class TestQualityComposite:
+    def test_composite_matches_python_replay(self, spark, sf_dir):
+        """Replay the z-composite in python from the same integer
+        milli-signals; the kept set and scores must match, and the keep
+        rate must be a nontrivial strict subset."""
+        import collections
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _TQC_TOP_STOP
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.doc_id: r.composite
+            for r in QUERIES["text_quality_composite"](spark, sf_dir).collect()
+        }
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        wc = collections.Counter()
+        for r in docs:
+            wc.update(r.text.split(" "))
+        stop = {
+            w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:_TQC_TOP_STOP]
+        }
+        sig = {}
+        for r in docs:
+            ws = r.text.split(" ")
+            n = len(ws)
+            sig[r.doc_id] = (
+                sum(len(w) for w in ws) * 1000 // n,
+                len(set(ws)) * 1000 // n,
+                sum(1 for w in ws if w in stop) * 1000 // n,
+            )
+        nn = len(sig)
+        import math
+
+        def ms(i):
+            vals = [s[i] for s in sig.values()]
+            m = sum(vals) / nn
+            return m, math.sqrt(sum(v * v for v in vals) / nn - m * m)
+
+        (mm, sm), (md, sd), (msr, ss) = ms(0), ms(1), ms(2)
+        want = {}
+        for did, (mwl, dr, sr) in sig.items():
+            comp = (dr - md) / sd + (mwl - mm) / sm - (sr - msr) / ss
+            if comp > 1.0:
+                want[did] = round(comp, 9)
+        assert set(got) == set(want)
+        for did in got:
+            assert abs(got[did] - want[did]) < 1e-6
+        assert 0 < len(got) < nn

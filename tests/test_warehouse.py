@@ -221,3 +221,19 @@ class TestRowLineage:
         # per-seq uniqueness (global uniqueness follows: inserts > max)
         assert rows[1].n_distinct_ids == rows[1].n_rows
         assert rows[2].n_distinct_ids == rows[2].n_rows
+
+
+class TestClusteringDepth:
+    def test_layout_contrast(self, spark, sf_dir):
+        """The custkey layout's files all span the same date range, so
+        its max overlap depth must equal its file count; the date
+        layout's contiguous ranges must report depth 1."""
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = {
+            r.layout: r
+            for r in QUERIES["warehouse_clustering_depth"](spark, sf_dir).collect()
+        }
+        assert rows["by_date"].max_overlap_depth == 1
+        assert rows["by_custkey"].max_overlap_depth == rows["by_custkey"].n_files
