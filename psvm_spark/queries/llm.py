@@ -10693,3 +10693,135 @@ def text_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("comp") > 1.0)
         .select("doc_id", "lang", F.round("comp", 9).alias("composite"))
     )
+
+
+# --------------------------------------------------------------------------
+# B517 (round 10) — DeLong confidence interval for the ROC-AUC: the
+# number people actually report next to an AUC.  Variance comes from
+# the placement values (DeLong 1988): V10_i = fraction of negatives
+# ranked below positive i (ties half), V01_j symmetric; var(AUC) =
+# S10/m + S01/n over their sample variances.  Everything stays on the
+# DISTINCT 6-dp score grid (the ml_roc_auc machinery): N10 = 2*below
+# + ties and N01 = 2*above + ties are integers, the Mann-Whitney U2 =
+# sum(np_s * N10) = 2mn*AUC is an integer, and each squared deviation
+# (m*N10 - U2)^2 is an exact DECIMAL product (14,0 x 14,0 x 8,0 = 37
+# digits, no clamp) — the only floats are the final divisions and one
+# IEEE-exact sqrt.  Scale: same bounded-score-grid windows + 1-row
+# broadcasts as ml_roc_auc; the panel is conf-budgeted.
+
+
+@query(
+    "ml_auc_delong_ci",
+    oracle=_CAL_SCORE_SQL
+    + """,
+cnts AS (
+  SELECT score,
+         SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS np_s,
+         SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS nn_s
+  FROM scored GROUP BY score),
+cum AS (
+  SELECT score, np_s, nn_s,
+         COALESCE(SUM(nn_s) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below,
+         COALESCE(SUM(np_s) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pos_above
+  FROM cnts),
+tot AS (
+  SELECT CAST(SUM(np_s) AS BIGINT) AS m,
+         CAST(SUM(nn_s) AS BIGINT) AS n,
+         CAST(SUM(np_s * (2 * neg_below + nn_s)) AS BIGINT) AS u2
+  FROM cum),
+ss AS (
+  SELECT
+    CAST(SUM(CAST(np_s AS DECIMAL(8,0))
+             * (CAST(t.m * (2 * neg_below + nn_s) - t.u2 AS DECIMAL(14,0))
+                * (t.m * (2 * neg_below + nn_s) - t.u2))) AS DECIMAL(38,0))
+      AS ss10,
+    CAST(SUM(CAST(nn_s AS DECIMAL(8,0))
+             * (CAST(t.n * (2 * pos_above + np_s) - t.u2 AS DECIMAL(14,0))
+                * (t.n * (2 * pos_above + np_s) - t.u2))) AS DECIMAL(38,0))
+      AS ss01
+  FROM cum, tot t),
+fin AS (
+  SELECT t.m, t.n,
+         CAST(t.u2 AS DOUBLE) / (2 * t.m * t.n) AS auc,
+         (CAST(s.ss10 AS DOUBLE) / (t.m - 1) / t.m
+          + CAST(s.ss01 AS DOUBLE) / (t.n - 1) / t.n)
+           / ((2e0 * t.m * t.n) * (2e0 * t.m * t.n)) AS var_auc
+  FROM tot t, ss s)
+SELECT m AS n_pos, n AS n_neg,
+       round(auc, 9) AS auc,
+       round(sqrt(var_auc), 9) AS se,
+       round(auc - 1.96e0 * sqrt(var_auc), 9) AS ci_lo,
+       round(auc + 1.96e0 * sqrt(var_auc), 9) AS ci_hi
+FROM fin
+""",
+)
+def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    cnts = scored.groupBy("score").agg(
+        F.sum((F.col("label") < 5).cast("int")).alias("np_s"),
+        F.sum((F.col("label") >= 5).cast("int")).alias("nn_s"),
+    )
+    w_up = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    w_dn = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cnts.select(
+        "np_s",
+        "nn_s",
+        F.coalesce(F.sum("nn_s").over(w_up), F.lit(0)).alias("neg_below"),
+        F.coalesce(F.sum("np_s").over(w_dn), F.lit(0)).alias("pos_above"),
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(
+        F.sum("np_s").cast("bigint").alias("m"),
+        F.sum("nn_s").cast("bigint").alias("n"),
+        F.sum(F.col("np_s") * (2 * F.col("neg_below") + F.col("nn_s")))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    dev10 = (
+        F.col("m") * (2 * F.col("neg_below") + F.col("nn_s")) - F.col("u2")
+    )
+    dev01 = (
+        F.col("n") * (2 * F.col("pos_above") + F.col("np_s")) - F.col("u2")
+    )
+    ss = j.agg(
+        F.sum(
+            F.col("np_s").cast("decimal(8,0)")
+            * (dev10.cast("decimal(14,0)") * dev10)
+        )
+        .cast("decimal(38,0)")
+        .alias("ss10"),
+        F.sum(
+            F.col("nn_s").cast("decimal(8,0)")
+            * (dev01.cast("decimal(14,0)") * dev01)
+        )
+        .cast("decimal(38,0)")
+        .alias("ss01"),
+    )
+    fin = F.broadcast(tot).crossJoin(F.broadcast(ss))
+    auc = F.col("u2").cast("double") / (2 * F.col("m") * F.col("n"))
+    var = (
+        F.col("ss10").cast("double") / (F.col("m") - 1) / F.col("m")
+        + F.col("ss01").cast("double") / (F.col("n") - 1) / F.col("n")
+    ) / (
+        (2.0 * F.col("m") * F.col("n")) * (2.0 * F.col("m") * F.col("n"))
+    )
+    return fin.select(
+        F.col("m").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.round(auc, 9).alias("auc"),
+        F.round(F.sqrt(var), 9).alias("se"),
+        F.round(auc - 1.96 * F.sqrt(var), 9).alias("ci_lo"),
+        F.round(auc + 1.96 * F.sqrt(var), 9).alias("ci_hi"),
+    )

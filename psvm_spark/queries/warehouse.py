@@ -2566,3 +2566,64 @@ def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_files").cast("bigint").alias("n_files"),
         F.col("max_overlap_depth").cast("bigint").alias("max_overlap_depth"),
     )
+
+
+# --------------------------------------------------------------------------
+# B516 (round 10) — dynamic partition pruning: the Catalyst feature
+# that makes star-schema joins over partitioned facts viable at
+# 100 TB — the dim-side filter's key set is computed at RUNTIME and
+# injected as a partition filter on the fact scan, so only matching
+# month partitions are read (a static planner can't know which months
+# the filtered dim selects).  The fact table is written partitioned by
+# order month to scratch; the dim side is the filtered URGENT orders
+# of one quarter.  The test asserts the physical plan carries
+# `dynamicpruning` on the fact scan; here the oracle verifies the
+# joined aggregate.  The operator reads back through the partitioned
+# layout, so partition elimination is real file-level pruning.
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+fact AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c
+  FROM orders)
+SELECT CAST(f.m AS VARCHAR) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(f.price_c) AS BIGINT) AS total_c
+FROM fact f JOIN dim d ON f.m = d.m
+GROUP BY f.m
+""",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    root = scratch_dir("psvm_dpp_")
+    fact = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    fact.write.mode("overwrite").partitionBy("m").parquet(f"{root}/fact")
+    part = spark.read.parquet(f"{root}/fact")
+    dim = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+        )
+        .select(F.date_trunc("month", "o_orderdate").cast("date").alias("dm"))
+        .distinct()
+    )
+    joined = part.join(dim, part.m == dim.dm)
+    # DATE partition values reach pandas as objects; string both sides
+    # (the documented driver-compare convention for DATE outputs)
+    return joined.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price_c").cast("bigint").alias("total_c"),
+    ).select(F.col("m").cast("string").alias("m"), "n_orders", "total_c")

@@ -120,6 +120,7 @@ WHITELIST = {
     "sim_sq8_topk": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
     "dedup_minhash_recall": "(a) 1x1x1 crossJoin of truth/candidate/hit count rows; both pair generators are equi-joins (postings, band buckets)",
     "text_quality_composite": "(a) 1-row corpus-stats scalar broadcast for the z-transform; the stopword join is a 20-row broadcast equi-join",
+    "ml_auc_delong_ci": "(b) SV broadcast scoring (ml_roc_auc shape) + 1-row totals broadcasts for the deviation sums",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB
@@ -144,6 +145,7 @@ WINDOW_WHITELIST = {
     "ml_lift_deciles": "cumulative sums over the distinct fixed-point score grid",
     "ml_pr_curve": "cumulative sums over the distinct fixed-point score grid",
     "ml_roc_auc": "cumulative sums over the distinct fixed-point score grid",
+    "ml_auc_delong_ci": "cumulative sums over the distinct fixed-point score grid (both directions)",
     "ml_spearman_rho": "prefix-sum over the value-range bucket-count tables (bounded buckets)",
     "ml_survival_km": "KM product over the distinct event-time grid",
     "ml_threshold_f1max": "cumulative sums over the distinct fixed-point score grid",

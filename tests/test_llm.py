@@ -1886,3 +1886,54 @@ class TestQualityComposite:
         for did in got:
             assert abs(got[did] - want[did]) < 1e-6
         assert 0 < len(got) < nn
+
+
+class TestDelongCI:
+    def test_auc_matches_roc_and_variance_replays(self, spark, sf_dir):
+        """The point estimate must equal ml_roc_auc's AUC exactly, and
+        the DeLong variance must match a direct python replay over the
+        raw scored panel (placement values per row)."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.queries.ml import SVM_B, GAMMA, _sv_test
+        from psvm_spark.ml import kernels as K
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ml_auc_delong_ci"](spark, sf_dir).collect()[0]
+        auc_ref = QUERIES["ml_roc_auc"](spark, sf_dir).collect()[0].auc
+        assert abs(row.auc - auc_ref) < 1e-9
+        sv, test = _sv_test(spark, sf_dir)
+        k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), GAMMA)
+        scored = (
+            test.crossJoin(F.broadcast(sv))
+            .groupBy("t_id", "label")
+            .agg(F.round(F.sum(F.col("alpha_y") * k) + SVM_B, 6).alias("score"))
+        ).collect()
+        pos = sorted(r.score for r in scored if r.label < 5)
+        neg = sorted(r.score for r in scored if r.label >= 5)
+        import bisect
+
+        m, n = len(pos), len(neg)
+        v10 = [
+            (bisect.bisect_left(neg, s)
+             + 0.5 * (bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s)))
+            / n
+            for s in pos
+        ]
+        v01 = [
+            ((m - bisect.bisect_right(pos, s))
+             + 0.5 * (bisect.bisect_right(pos, s) - bisect.bisect_left(pos, s)))
+            / m
+            for s in neg
+        ]
+        auc = sum(v10) / m
+        s10 = sum((v - auc) ** 2 for v in v10) / (m - 1)
+        s01 = sum((v - auc) ** 2 for v in v01) / (n - 1)
+        se = (s10 / m + s01 / n) ** 0.5
+        assert (row.n_pos, row.n_neg) == (m, n)
+        assert abs(row.auc - auc) < 1e-9
+        assert abs(row.se - se) < 1e-9
+        assert abs(row.ci_lo - (auc - 1.96 * se)) < 1e-8
+        assert abs(row.ci_hi - (auc + 1.96 * se)) < 1e-8
+        assert row.ci_lo < row.auc < row.ci_hi

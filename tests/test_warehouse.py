@@ -237,3 +237,49 @@ class TestClusteringDepth:
         }
         assert rows["by_date"].max_overlap_depth == 1
         assert rows["by_custkey"].max_overlap_depth == rows["by_custkey"].n_files
+
+
+class TestDynamicPartitionPruning:
+    def test_plan_carries_dpp_and_result_matches_batch(self, spark, sf_dir):
+        """The physical plan must inject a dynamicpruning expression on
+        the partitioned fact scan (runtime partition elimination), and
+        the result must equal the unpartitioned batch join."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        df = QUERIES["join_dynamic_partition_pruning"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+        got = sorted(map(tuple, df.collect()))
+        o = load_table(spark, sf_dir, "orders")
+        dim = (
+            o.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+            )
+            .select(F.date_trunc("month", "o_orderdate").cast("date").alias("dm"))
+            .distinct()
+        )
+        fact = o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        want = sorted(
+            map(
+                tuple,
+                fact.join(dim, fact.m == dim.dm)
+                .groupBy("m")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("price_c").cast("bigint").alias("t"),
+                )
+                .select(F.col("m").cast("string"), "n", "t")
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
