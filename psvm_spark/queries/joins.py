@@ -826,3 +826,48 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         F.when(fresh, F.col("last_view_ts")).alias("last_fresh_view_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# B520 (round 10) — LATERAL correlated subquery join: per-customer
+# top-2 orders by price via `, LATERAL (... ORDER BY ... LIMIT 2)` —
+# the modern SQL spelling of the per-group top-k (B29) that Catalyst
+# decorrelates into a ranked window join rather than executing one
+# subquery per outer row (the rewrite is what makes the construct
+# usable at 100 TB: the naive interpretation is O(customers) scans).
+# The oracle runs DuckDB's native LATERAL; tie-break on o_orderkey
+# makes the top-2 deterministic.
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, s.o_orderkey,
+       s.price_c
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY price_c DESC, o_orderkey ASC
+  LIMIT 2) s
+""",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "cust_lat_v"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_lat_v")
+    return spark.sql(
+        """SELECT c.c_custkey, c.c_mktsegment, s.o_orderkey, s.price_c
+           FROM cust_lat_v c,
+           LATERAL (
+             SELECT o_orderkey,
+                    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      AS price_c
+             FROM ord_lat_v o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY price_c DESC, o_orderkey ASC
+             LIMIT 2) s"""
+    )

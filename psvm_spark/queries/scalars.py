@@ -464,3 +464,59 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url("url", F.lit("QUERY"), F.lit("n")).alias("n_param"),
     )
+
+
+# --------------------------------------------------------------------------
+# B519 (round 10) — collation-aware string semantics (Spark 4
+# COLLATE): case-insensitive grouping via the UTF8_LCASE collation —
+# the engine-level answer to the lower()-everywhere anti-pattern
+# (collation participates in hash partitioning and comparisons
+# directly; no derived column materializes).  The oracle mirrors with
+# lower(), which is semantically identical for the ASCII fixture
+# domain; mixed-case groups must COLLAPSE into one row each.
+
+
+@query(
+    "scalar_collation_group",
+    oracle="""
+WITH m AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+              WHEN o_orderkey % 3 = 1 THEN lower(o_orderpriority)
+              ELSE o_orderpriority END AS pri_mixed,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c
+  FROM orders)
+SELECT lower(pri_mixed) AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(price_c) AS BIGINT) AS total_c,
+       CAST(COUNT(DISTINCT pri_mixed) AS BIGINT) AS n_case_variants
+FROM m GROUP BY lower(pri_mixed)
+""",
+)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.upper("o_orderpriority"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lower("o_orderpriority"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri_mixed"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    # group on the COLLATED column itself — Catalyst hashes/compares
+    # under UTF8_LCASE; lower() appears only to render a stable key
+    g = m.groupBy(
+        F.expr("pri_mixed COLLATE UTF8_LCASE").alias("pri_c")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price_c").cast("bigint").alias("total_c"),
+        F.countDistinct(F.expr("pri_mixed COLLATE UTF8_BINARY"))
+        .cast("bigint")
+        .alias("n_case_variants"),
+    )
+    return g.select(
+        F.lower(F.col("pri_c").cast("string")).alias("pri"),
+        "n",
+        "total_c",
+        "n_case_variants",
+    )

@@ -380,3 +380,66 @@ def udtf_polymorphic_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT e.event_id, t.device, t.plan FROM ev_udtf_v e, "
         "LATERAL json_cols(props, 'device', 'plan') t"
     )
+
+
+# --------------------------------------------------------------------------
+# B518 (round 10) — SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN): the
+# catalog-registered, PLAN-INLINED user function surface — unlike a
+# Python UDF the body is a SQL expression Catalyst expands in place,
+# so it runs JVM-side inside whole-stage codegen with zero
+# serialization (the only sanctioned "UDF" for hot paths).  One scalar
+# function (discounted net in cents) and one TABLE function (top
+# spending tiers per order) exercised through a join; the oracle
+# inlines the same expressions.
+
+
+@query(
+    "udf_sql_function",
+    oracle="""
+WITH net AS (
+  SELECT l_orderkey,
+         CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS net_c
+  FROM lineitem),
+tiers AS (
+  SELECT l_orderkey, SUM(net_c) AS order_c,
+         CASE WHEN SUM(net_c) >= 20000000 THEN 'high'
+              WHEN SUM(net_c) >= 10000000 THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM net GROUP BY l_orderkey)
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(order_c) AS BIGINT) AS total_c
+FROM tiers GROUP BY tier
+""",
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_sqludf_v"
+    )
+    # scalar SQL UDF: exact integer cents, inlined by Catalyst
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION net_cents(p DECIMAL(12,2), d DOUBLE)
+           RETURNS BIGINT
+           RETURN CAST(round(p * (100 - CAST(round(d * 100) AS BIGINT))) AS BIGINT)"""
+    )
+    # SQL table function: per-order totals bucketed into spend tiers
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION spend_tiers()
+           RETURNS TABLE(l_orderkey BIGINT, order_c BIGINT, tier STRING)
+           RETURN SELECT l_orderkey, SUM(net_c) AS order_c,
+                  CASE WHEN SUM(net_c) >= 20000000 THEN 'high'
+                       WHEN SUM(net_c) >= 10000000 THEN 'mid'
+                       ELSE 'low' END AS tier
+           FROM (SELECT l_orderkey,
+                        net_cents(CAST(l_extendedprice AS DECIMAL(12,2)),
+                                  l_discount) AS net_c
+                 FROM li_sqludf_v)
+           GROUP BY l_orderkey"""
+    )
+    return spark.sql(
+        """SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(order_c) AS BIGINT) AS total_c
+           FROM spend_tiers() GROUP BY tier"""
+    )

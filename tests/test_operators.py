@@ -1366,3 +1366,108 @@ class TestLeidenRefine:
             dc[s] += deg[x]
         q = within / m - sum(v * v for v in dc.values()) / (4.0 * m * m)
         assert abs(row.modularity_refined - q) < 1e-8
+
+
+class TestSqlUdfSurface:
+    def test_sql_udf_is_plan_inlined_and_matches_dataframe(self, spark, sf_dir):
+        """CREATE FUNCTION ... RETURN bodies must be expanded by
+        Catalyst (no Python eval node anywhere in the plan) and the
+        tier rollup must equal the direct DataFrame computation."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        df = QUERIES["udf_sql_function"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+        got = {r.tier: (r.n_orders, r.total_c) for r in df.collect()}
+        li = load_table(spark, sf_dir, "lineitem")
+        net = li.select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("net_c"),
+        )
+        tiers = net.groupBy("l_orderkey").agg(F.sum("net_c").alias("oc")).select(
+            "oc",
+            F.when(F.col("oc") >= 20_000_000, "high")
+            .when(F.col("oc") >= 10_000_000, "mid")
+            .otherwise("low")
+            .alias("tier"),
+        )
+        want = {
+            r.tier: (r.n, r.t)
+            for r in tiers.groupBy("tier")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("oc").cast("bigint").alias("t"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) >= 2
+
+
+class TestCollationGroup:
+    def test_mixed_case_groups_collapse(self, spark, sf_dir):
+        """Grouping on the UTF8_LCASE-collated column must merge the
+        planted upper/lower/original case variants — every group must
+        report >1 case variant and group count must equal the distinct
+        lower()ed priorities."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["scalar_collation_group"](spark, sf_dir).collect()
+        o = load_table(spark, sf_dir, "orders")
+        n_pri = o.select(F.lower("o_orderpriority")).distinct().count()
+        assert len(rows) == n_pri
+        assert all(r.n_case_variants > 1 for r in rows)
+        assert sum(r.n for r in rows) == o.count()
+
+
+class TestLateralJoin:
+    def test_lateral_topn_matches_window_topk(self, spark, sf_dir):
+        """The decorrelated LATERAL result must equal the per-group
+        window top-2, and the plan must be a join (no per-outer-row
+        CartesianProduct execution)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        df = QUERIES["join_lateral_topn"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        got = sorted(map(tuple, df.collect()))
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("price_c"), F.asc("o_orderkey")
+        )
+        top2 = o.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+        c = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), "c_mktsegment"
+        )
+        want = sorted(
+            map(
+                tuple,
+                c.join(top2, c.c_custkey == top2.o_custkey)
+                .select("c_custkey", "c_mktsegment", "o_orderkey", "price_c")
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
