@@ -3695,7 +3695,7 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # trap round-8 hit on forecast1.  Grid 1 >> ulp is always safe.
         .select(
             F.col("seg").alias("segment"),
-            F.col("n").cast("bigint").alias("n_days"),
+            F.col("n").cast("bigint").alias("n_months"),
             F.round(F.col("hw.l"), 0).alias("level"),
             F.round(F.col("hw.t"), 0).alias("trend"),
             F.round(nxt, 0).alias("season_next"),
@@ -4124,7 +4124,7 @@ def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return series.withColumn("kf", kf).select(
         F.col("seg").alias("segment"),
-        F.col("n").cast("bigint").alias("n_days"),
+        F.col("n").cast("bigint").alias("n_months"),
         F.col("kf.m").cast("bigint").alias("m_c"),
         F.col("kf.p").cast("bigint").alias("p_var"),
         F.col("kf.k").cast("bigint").alias("gain_fp"),
@@ -5540,7 +5540,7 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", (F.col("r1") * (F.lit(1.0) - F.col("p22"))).alias("p21")
     )
     return dl2.select(
-        F.col("n").cast("bigint").alias("n_days"),
+        F.col("n").cast("bigint").alias("n_months"),
         F.round(F.col("r1"), 9).alias("pacf1"),
         F.round(F.col("p22"), 9).alias("pacf2"),
         F.round(

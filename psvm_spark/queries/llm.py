@@ -172,7 +172,8 @@ def df_capped_postings(post: DataFrame, s_col: str = "s", cap: int = _SHINGLE_DF
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH sh AS (
-  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles FROM documents
+  SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS shingles
+  FROM documents WHERE doc_id % 5 = 0
 ),
 post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 hot AS (SELECT s FROM post GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),

@@ -993,8 +993,11 @@ class TestGrangerLag1:
         sse_u = sse(np.column_stack([one, u, v]))
         f = (sse_r - sse_u) / (sse_u / (n - 3))
         assert row.n_pairs == n
-        assert abs(row.sse_r - sse_r) < 1e-4
-        assert abs(row.sse_u - sse_u) < 1e-4
+        # sse_r/sse_u are reported rounded to WHOLE units (unbounded
+        # sums of squared counts — the documented round-9 trap, ADVICE
+        # r9); f_stat stays at 9 dp
+        assert abs(row.sse_r - sse_r) <= 0.5 + 1e-4
+        assert abs(row.sse_u - sse_u) <= 0.5 + 1e-4
         assert abs(row.f_stat - f) < 1e-4
 
 
