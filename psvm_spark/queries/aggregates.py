@@ -1978,3 +1978,33 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B522 (round 10) — approx_top_k with an exact twin: Spark 4's
+# datasketches-backed frequent-items aggregate.  With maxItemsTracked
+# above the column's true cardinality the sketch degenerates to exact
+# counting (the same exact-twin trick as agg_hll_exact_twin /
+# agg_kmv_exact_twin), so the mergeable-sketch code path itself is
+# differentially tested against a plain GROUP BY — and k covers the
+# full item set, so tie order cannot affect membership.  At real
+# cardinalities the same call is the bounded-memory heavy-hitters path
+# (the CMS alternative with item identities kept).
+
+
+@query(
+    "agg_approx_top_k_exact_twin",
+    oracle="""
+SELECT o_orderpriority AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_approx_top_k_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.agg(
+        F.expr("approx_top_k(o_orderpriority, 6, 10000)").alias("tk")
+    )
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("bigint").alias("cnt"),
+    )

@@ -408,3 +408,65 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("content_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B521 (round 10) — parquet aggregate pushdown (DSv2): COUNT/MIN/MAX
+# answered from the parquet FOOTER statistics — zero data pages read,
+# the metadata-only query every table service runs constantly.  Needs
+# the v2 read path (useV1SourceList without parquet) plus
+# spark.sql.parquet.aggregatePushDown; the plan then carries
+# PushedAggregation into the BatchScan (pinned in tests).  The result
+# is materialized while the confs are set (plans resolve confs at
+# action time), then returned as a local relation; session confs are
+# restored.  At 100 TB: O(files) footer reads vs a full scan.
+
+
+@query(
+    "scan_aggregate_pushdown",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS min_c,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS max_c,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+""",
+)
+def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_pd = spark.conf.get("spark.sql.parquet.aggregatePushDown", "false")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    try:
+        o = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+        # footer-servable shapes only: COUNT(*) / MIN / MAX on plain
+        # columns, no filter, no group-by
+        agg = o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_p"),
+            F.max("o_totalprice").alias("max_p"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        row = agg.collect()[0]
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", prev_pd)
+    import decimal
+
+    cent = lambda v: int(  # noqa: E731
+        (decimal.Decimal(str(v)).quantize(decimal.Decimal("0.01"))) * 100
+    )
+    return spark.createDataFrame(
+        [
+            (
+                row.n_rows,
+                cent(row.min_p),
+                cent(row.max_p),
+                row.min_key,
+                row.max_key,
+            )
+        ],
+        "n_rows long, min_c long, max_c long, min_key long, max_key long",
+    )

@@ -1471,3 +1471,59 @@ class TestLateralJoin:
             )
         )
         assert got == want and len(got) > 0
+
+
+class TestAggregatePushdown:
+    def test_plan_carries_pushed_aggregation(self, spark, sf_dir):
+        """Under the v2 parquet path with aggregatePushDown, the
+        BatchScan must carry PushedAggregation (footer-served
+        count/min/max) — and the values must equal the full-scan
+        aggregate."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["scan_aggregate_pushdown"](spark, sf_dir).collect()[0]
+        prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        try:
+            o = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+            agg = o.agg(F.count(F.lit(1)), F.min("o_orderkey"))
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "PushedAggregation" in plan
+        finally:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+            spark.conf.unset("spark.sql.parquet.aggregatePushDown")
+        o = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+        want = o.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+        ).collect()[0]
+        assert (row.n_rows, row.min_key, row.max_key) == (want.n, want.mn, want.mx)
+
+
+class TestApproxTopKExactTwin:
+    def test_sketch_exact_at_full_tracking(self, spark, sf_dir):
+        """With maxItemsTracked above the true cardinality the sketch
+        must return exact per-item counts covering every item."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.item: r.cnt
+            for r in QUERIES["agg_approx_top_k_exact_twin"](spark, sf_dir).collect()
+        }
+        o = load_table(spark, sf_dir, "orders")
+        want = {
+            r.o_orderpriority: r.n
+            for r in o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        }
+        assert got == want
