@@ -5729,24 +5729,25 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count series: the non-parametric "is there a monotone trend?" gate
 # that pairs with the Theil-Sen slope (B-series ts_theil_sen — MK is
 # the significance test for exactly that estimator).  S = sum of
-# sign(x_j - x_i) over ordered month pairs and the tie-corrected
+# sign(x_j - x_i) over ordered day pairs and the tie-corrected
 # variance are EXACT integers (var is reported in 1/18ths to stay
 # integral); the z statistic needs only sqrt, which IEEE 754 rounds
 # correctly on both engines — no libm drift.  Scale: the series is
-# calendar-bounded (one row per month after a one-pass rollup), so the
-# pair join is a few hundred rows regardless of corpus size.
+# calendar-bounded (one row per day after a one-pass rollup), so the
+# pair join is ~n_days^2/2 rows (a few hundred on the 30-day fixture
+# window) regardless of corpus size.
 
 
 @query(
     "ts_mann_kendall",
     oracle="""
 WITH cnt AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS m, COUNT(*) AS x
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS x
   FROM events WHERE event_type = 'purchase' GROUP BY 1),
 s AS (
   SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
                        WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
-  FROM cnt a JOIN cnt b ON b.m > a.m),
+  FROM cnt a JOIN cnt b ON b.d > a.d),
 n AS (SELECT COUNT(*) AS n FROM cnt),
 ties AS (
   SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tt
@@ -5769,13 +5770,13 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cnt = (
         ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("m"))
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    a = cnt.select(F.col("m").alias("ma"), F.col("x").alias("xa"))
-    b = cnt.select(F.col("m").alias("mb"), F.col("x").alias("xb"))
+    a = cnt.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = cnt.select(F.col("d").alias("db"), F.col("x").alias("xb"))
     s = (
-        a.join(b, F.col("mb") > F.col("ma"))
+        a.join(b, F.col("db") > F.col("da"))
         .agg(
             F.sum(
                 F.when(F.col("xb") > F.col("xa"), 1)

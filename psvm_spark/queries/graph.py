@@ -1296,28 +1296,11 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B504 (round 10) — Leiden refinement round on top of the Louvain
-# local-move labels (Traag/Waltman/van Eck 2019): Louvain's known
-# defect is internally DISCONNECTED communities; Leiden's refinement
-# phase re-partitions each community into its connected parts before
-# the aggregate step.  Here: rebuild the one-round Louvain labels
-# (identical machinery to graph_louvain_round), restrict the adjacency
-# to INTRA-community edges, then run K=4 synchronous min-label rounds
-# -- the bounded connected-components contraction inside community
-# boundaries.  K=4 converges on the fixture (asserted in tests: a 5th
-# round moves nothing); sub-labels are min node ids, globally unique
-# across communities.  Output: node/community/sub-community counts and
-# how many communities the refinement SPLIT (the Leiden guarantee is
-# that these become separate communities).  Scale shape: the label
-# table and intra-community adjacency are equi-joins on vertex ids;
-# each round is one shuffle over intra-community edges -- no all-pairs
-# anywhere, same posture as the Louvain round it refines.
-
-
-@query(
-    "graph_leiden_refine",
-    oracle=f"""
-WITH edges AS ({_EDGES_DUCK}),
+# Shared Leiden oracle prefix: one-round Louvain labels +
+# intra-community adjacency + K=4 min-label refinement (r4) —
+# interpolated by BOTH graph_leiden_refine and
+# graph_leiden_aggregate so the two oracles cannot desynchronize.
+_LEIDEN_R4_DUCK = f"""WITH edges AS ({_EDGES_DUCK}),
 adj AS (
   SELECT a AS x, b AS n FROM edges
   UNION ALL
@@ -1358,7 +1341,30 @@ r3 AS (
 r4 AS (
   SELECT r3.x, LEAST(MIN(r3.r), COALESCE(MIN(rn.r), MIN(r3.r))) AS r
   FROM r3 LEFT JOIN adjc ON adjc.x = r3.x LEFT JOIN r3 rn ON rn.x = adjc.n
-  GROUP BY r3.x),
+  GROUP BY r3.x)"""
+
+
+# B504 (round 10) — Leiden refinement round on top of the Louvain
+# local-move labels (Traag/Waltman/van Eck 2019): Louvain's known
+# defect is internally DISCONNECTED communities; Leiden's refinement
+# phase re-partitions each community into its connected parts before
+# the aggregate step.  Here: rebuild the one-round Louvain labels
+# (identical machinery to graph_louvain_round), restrict the adjacency
+# to INTRA-community edges, then run K=4 synchronous min-label rounds
+# -- the bounded connected-components contraction inside community
+# boundaries.  K=4 converges on the fixture (asserted in tests: a 5th
+# round moves nothing); sub-labels are min node ids, globally unique
+# across communities.  Output: node/community/sub-community counts and
+# how many communities the refinement SPLIT (the Leiden guarantee is
+# that these become separate communities).  Scale shape: the label
+# table and intra-community adjacency are equi-joins on vertex ids;
+# each round is one shuffle over intra-community edges -- no all-pairs
+# anywhere, same posture as the Louvain round it refines.
+
+
+@query(
+    "graph_leiden_refine",
+    oracle=_LEIDEN_R4_DUCK + f""",
 split AS (
   SELECT COUNT(*) AS n_split
   FROM (SELECT l.c FROM lab l JOIN r4 ON r4.x = l.x
@@ -1371,7 +1377,7 @@ FROM split
 """,
 )
 def graph_leiden_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lab, adjc = _leiden_labels(spark, sf_dir)
+    lab, adjc, _e, _deg = _leiden_labels(spark, sf_dir)
     r = _leiden_rounds(lab, adjc, 4)
     split = (
         lab.join(r, "x")
@@ -1398,8 +1404,11 @@ def graph_leiden_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leiden_labels(spark: SparkSession, sf_dir: str):
-    """One-round Louvain labels + intra-community adjacency (shared by
-    graph_leiden_refine and its convergence test)."""
+    """One-round Louvain labels, intra-community adjacency, edge set,
+    and degree table (shared by graph_leiden_refine,
+    graph_leiden_aggregate, and the convergence test — the aggregate
+    step reuses the already-materialized edges/degrees instead of
+    re-deriving them)."""
     e = edge_set(spark, sf_dir, materialize=True)
     adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("n"))
@@ -1429,7 +1438,12 @@ def _leiden_labels(spark: SparkSession, sf_dir: str):
         .select("x", "n")
     )
     # both sides are re-traversed once per refinement round
-    return lab.localCheckpoint(eager=False), adjc.localCheckpoint(eager=False)
+    return (
+        lab.localCheckpoint(eager=False),
+        adjc.localCheckpoint(eager=False),
+        e,
+        deg,
+    )
 
 
 def _leiden_rounds(lab: DataFrame, adjc: DataFrame, k: int) -> DataFrame:
@@ -1465,49 +1479,7 @@ def _leiden_rounds(lab: DataFrame, adjc: DataFrame, k: int) -> DataFrame:
 
 @query(
     "graph_leiden_aggregate",
-    oracle=f"""
-WITH edges AS ({_EDGES_DUCK}),
-adj AS (
-  SELECT a AS x, b AS n FROM edges
-  UNION ALL
-  SELECT b AS x, a AS n FROM edges),
-deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x),
-m AS (SELECT COUNT(*) AS m FROM edges),
-best AS (
-  SELECT a.x,
-         MIN(dn.d * 1048576 + a.n) % 1048576 AS move_to
-  FROM adj a
-  JOIN deg du ON du.x = a.x
-  JOIN deg dn ON dn.x = a.n
-  CROSS JOIN m
-  WHERE 2 * m.m > du.d * dn.d
-  GROUP BY a.x),
-lab AS (
-  SELECT d.x, COALESCE(b.move_to, d.x) AS c
-  FROM deg d LEFT JOIN best b ON b.x = d.x),
-adjc AS (
-  SELECT a.x, a.n
-  FROM adj a
-  JOIN lab lx ON lx.x = a.x
-  JOIN lab ln ON ln.x = a.n
-  WHERE lx.c = ln.c),
-r0 AS (SELECT x, x AS r FROM lab),
-r1 AS (
-  SELECT r0.x, LEAST(MIN(r0.r), COALESCE(MIN(rn.r), MIN(r0.r))) AS r
-  FROM r0 LEFT JOIN adjc ON adjc.x = r0.x LEFT JOIN r0 rn ON rn.x = adjc.n
-  GROUP BY r0.x),
-r2 AS (
-  SELECT r1.x, LEAST(MIN(r1.r), COALESCE(MIN(rn.r), MIN(r1.r))) AS r
-  FROM r1 LEFT JOIN adjc ON adjc.x = r1.x LEFT JOIN r1 rn ON rn.x = adjc.n
-  GROUP BY r1.x),
-r3 AS (
-  SELECT r2.x, LEAST(MIN(r2.r), COALESCE(MIN(rn.r), MIN(r2.r))) AS r
-  FROM r2 LEFT JOIN adjc ON adjc.x = r2.x LEFT JOIN r2 rn ON rn.x = adjc.n
-  GROUP BY r2.x),
-r4 AS (
-  SELECT r3.x, LEAST(MIN(r3.r), COALESCE(MIN(rn.r), MIN(r3.r))) AS r
-  FROM r3 LEFT JOIN adjc ON adjc.x = r3.x LEFT JOIN r3 rn ON rn.x = adjc.n
-  GROUP BY r3.x),
+    oracle=_LEIDEN_R4_DUCK + f""",
 relabeled AS (
   SELECT ra.r AS sa, rb.r AS sb
   FROM edges e JOIN r4 ra ON ra.x = e.a JOIN r4 rb ON rb.x = e.b),
@@ -1530,9 +1502,8 @@ FROM within, dsum, m
 """,
 )
 def graph_leiden_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lab, adjc = _leiden_labels(spark, sf_dir)
+    lab, adjc, e, deg = _leiden_labels(spark, sf_dir)
     r = _leiden_rounds(lab, adjc, 4).localCheckpoint(eager=False)
-    e = edge_set(spark, sf_dir, materialize=True)
     m = e.agg(F.count(F.lit(1)).alias("m"))
     ra = r.select(F.col("x").alias("a"), F.col("r").alias("sa"))
     rb = r.select(F.col("x").alias("b"), F.col("r").alias("sb"))
@@ -1552,13 +1523,8 @@ def graph_leiden_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = relabeled.filter(F.col("sa") == F.col("sb")).agg(
         F.count(F.lit(1)).alias("w")
     )
-    adj_deg = (
-        e.select(F.col("a").alias("x")).unionAll(e.select(F.col("b").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
     dsum = (
-        r.join(adj_deg, "x")
+        r.join(deg, "x")
         .groupBy("r")
         .agg(F.sum("d").alias("dc"))
         .agg(

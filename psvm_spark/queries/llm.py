@@ -168,6 +168,34 @@ def df_capped_postings(post: DataFrame, s_col: str = "s", cap: int = _SHINGLE_DF
 # exact verifier used after LSH pruning, exposed standalone (B46 family).
 
 
+def _jaccard_pairs(sh):
+    """Shared exact-Jaccard candidate machinery: df-capped posting-list
+    candidate pairs + exact Jaccard over the full shingle sets.  Used
+    by dedup_ngram_jaccard and dedup_minhash_recall — a scripted edit
+    to one inline copy once stripped the other's corpus filter (round
+    10), so the pipeline lives in ONE place.  Returns (id_a, id_b,
+    jaccard) for every posting-candidate pair."""
+    post = df_capped_postings(
+        sh.select("doc_id", F.explode("shingles").alias("s"))
+    )
+    cand = (
+        post.alias("pa")
+        .join(post.alias("pb"), "s")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -199,22 +227,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard itself is exact over the full shingle sets.
     d = fan_out(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0), spark)
     sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
-    post = df_capped_postings(sh.select("doc_id", F.explode("shingles").alias("s")))
-    cand = (
-        post.alias("pa")
-        .join(post.alias("pb"), "s")
-        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
-        .select(F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b"))
-        .distinct()
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_distinct(F.concat("sa", "sb")))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+    return _jaccard_pairs(sh).select("id_a", "id_b", "jaccard"
     )
 
 
@@ -10522,24 +10535,9 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles")
     )
-    post = df_capped_postings(
-        sh.select("doc_id", F.explode("shingles").alias("s"))
-    )
-    cand = (
-        post.alias("pa")
-        .join(post.alias("pb"), "s")
-        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
-        .select(F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b"))
-        .distinct()
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_distinct(F.concat("sa", "sb")))
     truth = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(inter.cast("double") / union >= 0.5)
+        _jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
     ).localCheckpoint(eager=False)
     sig_cols = [

@@ -814,9 +814,13 @@ def stream_dedup_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     run_once()  # real events: state accumulates, no window finalizes
-    sentinel = ev.limit(1).select(
+    # sentinel anchors to MAX(ts): anchoring to an arbitrary row (the
+    # original limit(1) + 30 days) left the stream's last minutes
+    # inside the final watermark and silently withheld their windows
+    # once the span approached the margin (round-10 review catch)
+    sentinel = ev.agg(F.max("ts").alias("mx")).select(
         F.lit(-1).cast("long").alias("event_id"),
-        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
         F.lit(-1).cast("long").alias("user_id"),
         F.lit("__sentinel__").alias("event_type"),
         F.lit(0.0).alias("value"),
@@ -941,12 +945,12 @@ def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (user -1, matches only the sentinel error, filtered below)
     # advances the click side — otherwise errors within the band of the
     # last real click are never proven unmatched and never emit.
-    sentinel = ev.limit(1).select(
+    sentinel = ev.agg(F.max("ts").alias("mx")).select(
         F.explode(
             F.array(F.lit("__sentinel__"), F.lit("click"))
         ).alias("event_type"),
         F.lit(-1).cast("long").alias("event_id"),
-        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
         F.lit(-1).cast("long").alias("user_id"),
         F.lit(0.0).alias("value"),
         F.lit("{}").alias("props"),

@@ -1280,7 +1280,7 @@ class TestLeidenRefine:
 
         load_all()
         row = QUERIES["graph_leiden_refine"](spark, sf_dir).collect()[0]
-        lab_df, adjc_df = _leiden_labels(spark, sf_dir)
+        lab_df, adjc_df, _e, _deg = _leiden_labels(spark, sf_dir)
         lab = {r.x: r.c for r in lab_df.collect()}
         parent = {x: x for x in lab}
 
@@ -1340,7 +1340,7 @@ class TestLeidenRefine:
 
         load_all()
         row = QUERIES["graph_leiden_aggregate"](spark, sf_dir).collect()[0]
-        lab_df, adjc_df = _leiden_labels(spark, sf_dir)
+        lab_df, adjc_df, _e, _deg = _leiden_labels(spark, sf_dir)
         sub = {r.x: r.r for r in _leiden_rounds(lab_df, adjc_df, 4).collect()}
         edges = [(r.a, r.b) for r in edge_set(spark, sf_dir).collect()]
         import collections
