@@ -5828,3 +5828,260 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B523 (round 10) — tie-corrected Kendall tau-b between the daily view
+# and purchase count series: the rank-correlation companion to
+# ml_spearman_rho (which ranks row pairs of one relation) and
+# ts_mann_kendall (which is tau's numerator against TIME) — tau-b is
+# the statistic A/B-test and forecasting teams quote when either
+# series is heavily tied, which integer daily counts always are.
+# Concordant/discordant pair counts and both tie corrections are EXACT
+# integers over the ordered day-pair join; tau_b = 2(nc-nd)/sqrt(A*B)
+# with A = n(n-1) - sum tx(tx-1), B likewise for y, needs one IEEE
+# sqrt at the end.  Scale: the series is calendar-bounded (one row per
+# day after a single one-pass rollup of events), so the pair join is
+# ~n_days^2/2 rows regardless of corpus size — same class as
+# ts_mann_kendall directly above.
+
+
+@query(
+    "ml_kendall_tau",
+    oracle="""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS x,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM cnt a JOIN cnt b ON b.d > a.d),
+n AS (SELECT COUNT(*) AS n FROM cnt),
+tx AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS tx
+       FROM (SELECT COUNT(*) AS t FROM cnt GROUP BY x HAVING COUNT(*) > 1)),
+ty AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS ty
+       FROM (SELECT COUNT(*) AS t FROM cnt GROUP BY y HAVING COUNT(*) > 1)),
+ab AS (
+  SELECT CAST(n.n * (n.n - 1) - tx.tx AS BIGINT) AS a2,
+         CAST(n.n * (n.n - 1) - ty.ty AS BIGINT) AS b2, n.n
+  FROM n, tx, ty)
+SELECT CAST(ab.n AS BIGINT) AS n_days, p.nc, p.nd,
+       round(CASE WHEN ab.a2 = 0 OR ab.b2 = 0 THEN 0e0
+                  ELSE 2e0 * (p.nc - p.nd)
+                       / sqrt(CAST(ab.a2 AS DOUBLE) * CAST(ab.b2 AS DOUBLE))
+             END, 9) AS tau_b
+FROM pairs p, ab
+""",
+)
+def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    cnt = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    a = cnt.select(F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = cnt.select(F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    prod = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    pairs = a.join(b, F.col("db") > F.col("da")).agg(
+        F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("nc"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("nd"),
+    )
+    n = cnt.agg(F.count(F.lit(1)).alias("n"))
+
+    def _tie_sum(col: str, alias: str) -> DataFrame:
+        return (
+            cnt.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0)).alias(alias)
+            )
+        )
+
+    ab = (
+        F.broadcast(n)
+        .crossJoin(F.broadcast(_tie_sum("x", "tx")))
+        .crossJoin(F.broadcast(_tie_sum("y", "ty")))
+        .select(
+            (F.col("n") * (F.col("n") - 1) - F.col("tx")).cast("bigint").alias("a2"),
+            (F.col("n") * (F.col("n") - 1) - F.col("ty")).cast("bigint").alias("b2"),
+            "n",
+        )
+    )
+    return (
+        F.broadcast(pairs)
+        .crossJoin(F.broadcast(ab))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            "nc",
+            "nd",
+            F.round(
+                F.when((F.col("a2") == 0) | (F.col("b2") == 0), F.lit(0.0)).otherwise(
+                    2.0
+                    * (F.col("nc") - F.col("nd"))
+                    / F.sqrt(F.col("a2").cast("double") * F.col("b2").cast("double"))
+                ),
+                9,
+            ).alias("tau_b"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B524 (round 10) — Dickey-Fuller unit-root regression over the daily
+# purchase-count series: Delta y_t = alpha + beta * y_{t-1} + eps, the
+# "is this series mean-reverting or a random walk?" gate every
+# forecasting pipeline (ts_holt_*, ts_kalman_filter consumers) runs
+# before differencing.  The t statistic on beta collapses to a
+# closed form over centered integer cross-sums scaled by m:
+# Sxx* = m*Sxx - Sx^2, Sxy* = m*Sxy - Sx*Sy, Syy* = m*Syy - Sy^2,
+# beta = Sxy*/Sxx*, t = Sxy* / sqrt((Syy*Sxx* - Sxy*^2) / (m-2)).
+# The raw sums are exact BIGINTs; the star products go through
+# DECIMAL(38,0) (they overflow BIGINT once daily counts reach ~1e4 —
+# the ts_ljung_box lesson), and the final decimal->double casts of the
+# SAME exact integers round identically in both engines, leaving one
+# IEEE sqrt + divide.  Scale: one calendar-bounded daily rollup is the
+# only pass over raw events; the regression runs on the ~30-row day
+# table via lag + one aggregate.
+
+
+@query(
+    "ts_unit_root_df",
+    oracle="""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+lagged AS (
+  SELECT y - lag(y) OVER (ORDER BY d) AS dy,
+         lag(y) OVER (ORDER BY d) AS x
+  FROM cnt),
+sums AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM lagged WHERE x IS NOT NULL),
+star AS (
+  SELECT m,
+         CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS sxx_c,
+         CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS sxy_c,
+         CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS syy_c
+  FROM sums)
+SELECT CAST(m AS BIGINT) AS n_obs,
+       round(CAST(sxy_c AS DOUBLE) / CAST(sxx_c AS DOUBLE), 9) AS beta,
+       round(CAST(sxy_c AS DOUBLE)
+             / sqrt(CAST(syy_c * sxx_c - sxy_c * sxy_c AS DOUBLE)
+                    / (m - 2)), 9) AS t_stat
+FROM star
+""",
+)
+def ts_unit_root_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    # Single-partition lag window over the ~30-row day table is fine:
+    # the series is calendar-bounded by construction (Limit-free but
+    # bounded-pre-aggregation — one row per day).
+    w = Window.orderBy("d")
+    lagged = cnt.select(
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    sums = lagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    d38 = "decimal(38,0)"
+    star = sums.select(
+        "m",
+        (F.col("m").cast(d38) * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx")).alias("sxx_c"),
+        (F.col("m").cast(d38) * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")).alias("sxy_c"),
+        (F.col("m").cast(d38) * F.col("syy") - F.col("sy").cast(d38) * F.col("sy")).alias("syy_c"),
+    )
+    return star.select(
+        F.col("m").cast("bigint").alias("n_obs"),
+        F.round(F.col("sxy_c").cast("double") / F.col("sxx_c").cast("double"), 9).alias("beta"),
+        F.round(
+            F.col("sxy_c").cast("double")
+            / F.sqrt(
+                (F.col("syy_c") * F.col("sxx_c") - F.col("sxy_c") * F.col("sxy_c")).cast("double")
+                / (F.col("m") - 2)
+            ),
+            9,
+        ).alias("t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B525 (round 10) — gap-constrained skip-gram pair mining: the
+# PrefixSpan-lite "A is followed by B within k steps" counts that
+# sequence-mining dashboards rank, generalizing seq_path_trigrams'
+# CONTIGUOUS paths to pairs separated by 1..3 positions (a long-gap
+# co-occurrence a trigram can never see).  Three lag windows per user
+# ordered by (ts, event_id) share ONE window sort; counts are exact
+# integers; the global top-20 is a full-tie-break
+# TakeOrderedAndProject.  Scale: per-user window state only (no
+# self-join — the lag formulation is linear in events), one shuffle on
+# user_id, one skinny aggregation on the 25-value pair space.
+
+
+@query(
+    "seq_skipgram_pairs",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type AS e,
+         LAG(event_type, 1) OVER w AS g1,
+         LAG(event_type, 2) OVER w AS g2,
+         LAG(event_type, 3) OVER w AS g3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+u AS (
+  SELECT g1 AS p, e, 1 AS gap FROM s WHERE g1 IS NOT NULL
+  UNION ALL SELECT g2, e, 2 FROM s WHERE g2 IS NOT NULL
+  UNION ALL SELECT g3, e, 3 FROM s WHERE g3 IS NOT NULL),
+c AS (
+  SELECT p || '>' || e AS pair,
+         CAST(COUNT(*) FILTER (WHERE gap = 1) AS BIGINT) AS n_g1,
+         CAST(COUNT(*) FILTER (WHERE gap = 2) AS BIGINT) AS n_g2,
+         CAST(COUNT(*) FILTER (WHERE gap = 3) AS BIGINT) AS n_g3,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM u GROUP BY 1)
+SELECT pair, n_g1, n_g2, n_g3, n_total
+FROM c ORDER BY n_total DESC, pair LIMIT 20
+""",
+)
+def seq_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e"),
+        F.lag("event_type", 1).over(w).alias("g1"),
+        F.lag("event_type", 2).over(w).alias("g2"),
+        F.lag("event_type", 3).over(w).alias("g3"),
+    )
+    parts = [
+        s.filter(F.col(f"g{i}").isNotNull()).select(
+            F.col(f"g{i}").alias("p"), "e", F.lit(i).alias("gap")
+        )
+        for i in (1, 2, 3)
+    ]
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    c = u.groupBy(F.concat_ws(">", "p", "e").alias("pair")).agg(
+        F.sum(F.when(F.col("gap") == 1, 1).otherwise(0)).cast("bigint").alias("n_g1"),
+        F.sum(F.when(F.col("gap") == 2, 1).otherwise(0)).cast("bigint").alias("n_g2"),
+        F.sum(F.when(F.col("gap") == 3, 1).otherwise(0)).cast("bigint").alias("n_g3"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    return c.orderBy(F.desc("n_total"), "pair").limit(20)

@@ -1552,3 +1552,102 @@ def graph_leiden_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity_refined"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B527 (round 10) — personalized PageRank: rank mass teleports back to a SEED
+# SET instead of uniformly (the "related to these accounts/documents"
+# recommendation primitive — Pinterest's Pixie, Twitter's WTF both run
+# exactly this).  Seeds are the deterministic 1%-slice src % 100 = 7;
+# non-seed vertices get teleport mass 0, so rank concentrates in the
+# seeds' neighborhoods.  Same EXACT fixed-point integer iteration as
+# graph_pagerank directly above (mass scaled 10^15, per-edge
+# contribution rank DIV outdeg, damping 17/20) — every step is
+# commutative integer math both engines reproduce bit-for-bit in any
+# accumulation order.  The recursive-CTE twin seeds ALL vertices at
+# step 0 (rank 0 for non-seeds) so zero-inflow seeds still receive
+# their teleport term each round, mirroring the Spark loop's left join
+# on the degree spine.  Scale notes: identical to graph_pagerank — the
+# O(V) rank vector is shuffle-joined (never broadcast) against the
+# checkpointed link table per iteration; 5 fixed iterations.
+
+_PPR_SEED_MOD, _PPR_SEED_RES = 100, 7
+
+
+def _ppr_oracle() -> str:
+    s = _PR_SCALE
+    return f"""
+WITH RECURSIVE edges AS ({_EDGES_DUCK}),
+oe AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM oe GROUP BY src),
+ns AS (SELECT COUNT(*) AS ns FROM deg WHERE src % {_PPR_SEED_MOD} = {_PPR_SEED_RES}),
+it AS (
+  SELECT 0 AS step, src,
+         CAST(CASE WHEN src % {_PPR_SEED_MOD} = {_PPR_SEED_RES}
+                   THEN {s} // (SELECT ns FROM ns) ELSE 0 END AS BIGINT) AS rank
+  FROM deg
+  UNION ALL
+  SELECT r.step + 1, o.dst AS src,
+         CAST(CASE WHEN o.dst % {_PPR_SEED_MOD} = {_PPR_SEED_RES}
+                   THEN (3 * {s}) // (20 * (SELECT ns FROM ns)) ELSE 0 END
+              + (17 * SUM(r.rank // d.outdeg)) // 20 AS BIGINT) AS rank
+  FROM it r
+  JOIN deg d ON d.src = r.src
+  JOIN oe o ON o.src = r.src
+  WHERE r.step < {_PR_ITERS}
+  GROUP BY r.step + 1, o.dst
+)
+SELECT src, CAST(src % {_PPR_SEED_MOD} = {_PPR_SEED_RES} AS BOOLEAN) AS is_seed,
+       round(CAST(rank AS DOUBLE) / 1e15, 9) AS rank
+FROM (SELECT src, rank FROM it WHERE step = {_PR_ITERS}
+      ORDER BY rank DESC, src LIMIT 20)
+"""
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    out = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    )
+    deg = out.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    links = out.join(deg, "src").localCheckpoint(eager=True)
+    is_seed = F.col("src") % _PPR_SEED_MOD == _PPR_SEED_RES
+    n_seeds = deg.filter(is_seed).count()
+    init = _PR_SCALE // n_seeds
+    base = (3 * _PR_SCALE) // (20 * n_seeds)
+    ranks = deg.select(
+        "src",
+        F.when(is_seed, F.lit(init)).otherwise(F.lit(0)).cast("bigint").alias("rank"),
+    )
+    for _ in range(_PR_ITERS):
+        # Same shuffle-join shape as graph_pagerank: the O(V) rank
+        # vector co-partitions with the checkpointed link table on src.
+        contrib = (
+            links.join(ranks, "src")
+            .select(
+                F.col("dst").alias("src"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("src")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = deg.select("src").join(contrib, "src", "left").select(
+            "src",
+            (
+                F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                + F.expr("(17 * coalesce(inflow, 0L)) div 20")
+            )
+            .cast("bigint")
+            .alias("rank"),
+        ).localCheckpoint(eager=True)
+    return (
+        ranks.orderBy(F.desc("rank"), "src")
+        .limit(20)
+        .select(
+            "src",
+            is_seed.alias("is_seed"),
+            F.round(F.col("rank") / F.lit(1e15), 9).alias("rank"),
+        )
+    )

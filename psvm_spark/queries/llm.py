@@ -10824,3 +10824,86 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc - 1.96 * F.sqrt(var), 9).alias("ci_lo"),
         F.round(auc + 1.96 * F.sqrt(var), 9).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# B528 (round 10) — Hosmer-Lemeshow goodness-of-fit deciles over the SVM
+# scoring panel: the decile-grouped calibration chi-square that
+# clinical/credit model validation reports alongside the reliability
+# diagram (ml_calibration_bins bins by fixed score width; HL bins by
+# EQUAL-COUNT deciles and adds the (O-E)^2 / (n p(1-p)) test
+# statistic).  Scores come from the same conf-budgeted broadcast-SV
+# kernel pass as svm_predict_score (fixed-size model x fixed panel —
+# the psvm.svm.sv_modulo protocol); the margin->probability map is the
+# PIECEWISE-LINEAR p = (clamp(score, ±0.98) + 1) / 2 (exact decimal
+# arithmetic — a sigmoid would drag cross-engine libm exp into the
+# hash gate, and the clamp keeps p in [0.01, 0.99] so the denominator
+# never hits 0).  NTILE(10) over the total order (score, t_id) is the
+# standard first-(n mod k)-buckets-larger split in both engines;
+# expected counts are exact DECIMAL sums; each decile's contribution
+# does its two divisions in double from exact inputs and rounds to 9.
+
+
+@query(
+    "ml_hosmer_lemeshow",
+    oracle=_CAL_SCORE_SQL
+    + """,
+dec AS (
+  SELECT NTILE(10) OVER (ORDER BY score, t_id) AS decile,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+         CAST((least(greatest(CAST(score AS DECIMAL(18,6)), -0.98), 0.98) + 1.0)
+              * 0.5 AS DECIMAL(20,7)) AS p
+  FROM scored),
+g AS (
+  SELECT decile, COUNT(*) AS n,
+         CAST(SUM(pos) AS BIGINT) AS obs_pos,
+         CAST(SUM(p) AS DECIMAL(20,7)) AS e
+  FROM dec GROUP BY 1)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n, obs_pos,
+       CAST(e AS DOUBLE) AS exp_pos,
+       round(CAST(obs_pos - e AS DOUBLE) * CAST(obs_pos - e AS DOUBLE)
+             / (n * (CAST(e AS DOUBLE) / n) * (1 - CAST(e AS DOUBLE) / n)),
+             9) AS contrib
+FROM g
+""",
+)
+def ml_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    dscore = F.col("score").cast("decimal(18,6)")
+    p = (
+        (F.least(F.greatest(dscore, F.lit(-0.98).cast("decimal(18,6)")),
+                 F.lit(0.98).cast("decimal(18,6)")) + F.lit(1.0).cast("decimal(2,1)"))
+        * F.lit(0.5).cast("decimal(2,1)")
+    ).cast("decimal(20,7)")
+    dec = scored.select(
+        F.ntile(10).over(Window.orderBy("score", "t_id")).alias("decile"),
+        (F.col("label") < 5).cast("int").alias("pos"),
+        p.alias("p"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").cast("bigint").alias("obs_pos"),
+        F.sum("p").cast("decimal(20,7)").alias("e"),
+    )
+    e_d = F.col("e").cast("double")
+    pbar = e_d / F.col("n")
+    # The (O - E) difference is exact in DECIMAL; square in DOUBLE (the
+    # decimal square would hit each engine's own precision-38 cap
+    # rounding — the 8th-decimal drift the first parity run caught).
+    diff = (F.col("obs_pos") - F.col("e")).cast("double")
+    return g.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n").cast("bigint").alias("n"),
+        "obs_pos",
+        e_d.alias("exp_pos"),
+        F.round(
+            diff * diff / (F.col("n") * pbar * (1 - pbar)),
+            9,
+        ).alias("contrib"),
+    )

@@ -520,3 +520,78 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_c",
         "n_case_variants",
     )
+
+
+# --------------------------------------------------------------------------
+# B526 (round 10) — ANSI try_* error-safe arithmetic: the Spark 4 family that
+# turns overflow / bad-parse / out-of-bounds errors into NULLs instead
+# of job failures — what every untrusted-input ingest pipeline wraps
+# its casts and sums in (ANSI mode is the Spark 4 default, so un-tried
+# overflow now ABORTS the job; try_* is the per-expression opt-out).
+# Operand construction plants each failure mode deterministically from
+# o_orderkey: BIGINT-edge adds/subtracts/multiplies, divide-by-zero,
+# unparseable strings, out-of-bounds array indices, invalid dates.
+# The DuckDB twin reproduces the NULL semantics with HUGEINT-guarded
+# CASE arms (DuckDB would raise on overflow) and TRY_CAST.  Pure
+# per-row expressions in whole-stage codegen — one narrow scan.
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN (9223372036854775807 - (o_orderkey % 100))::HUGEINT
+                 + (o_orderkey % 173) > 9223372036854775807 THEN NULL
+            ELSE 9223372036854775807 - (o_orderkey % 100) + (o_orderkey % 173)
+       END AS add_n,
+       CASE WHEN (-9223372036854775808 + (o_orderkey % 50))::HUGEINT
+                 - (o_orderkey % 97) < -9223372036854775808 THEN NULL
+            ELSE -9223372036854775808 + (o_orderkey % 50) - (o_orderkey % 97)
+       END AS sub_n,
+       CASE WHEN (3037000499 + (o_orderkey % 10))::HUGEINT
+                 * (3037000499 + (o_orderkey % 11)) > 9223372036854775807 THEN NULL
+            ELSE ((3037000499 + (o_orderkey % 10))::HUGEINT
+                  * (3037000499 + (o_orderkey % 11)))::BIGINT
+       END AS mul_n,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 5)
+       END AS div_n,
+       TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'x' || o_orderkey
+                     ELSE '' || o_orderkey END AS BIGINT) AS cast_n,
+       list_extract([10, 20, 30],
+                    1 + o_orderkey % 2
+                      + CASE WHEN o_orderkey % 9 = 0 THEN 10 ELSE 0 END) AS elem_n,
+       CAST(TRY_CAST(CASE WHEN o_orderkey % 11 = 0 THEN '2024-99-01'
+                          ELSE '2024-0' || (1 + o_orderkey % 9) || '-15'
+                     END AS TIMESTAMP) AS VARCHAR) AS ts_n
+FROM orders
+""",
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "try_add(9223372036854775807L - (o_orderkey % 100), o_orderkey % 173)"
+        ).alias("add_n"),
+        F.expr(
+            "try_subtract(-9223372036854775808L + (o_orderkey % 50), o_orderkey % 97)"
+        ).alias("sub_n"),
+        F.expr(
+            "try_multiply(3037000499L + (o_orderkey % 10), 3037000499L + (o_orderkey % 11))"
+        ).alias("mul_n"),
+        F.expr("try_divide(cast(o_orderkey as double), o_orderkey % 5)").alias("div_n"),
+        F.expr(
+            "try_cast(case when o_orderkey % 7 = 0 then 'x' || o_orderkey"
+            "              else '' || o_orderkey end as bigint)"
+        ).alias("cast_n"),
+        F.expr(
+            "try_element_at(array(10, 20, 30),"
+            " cast(1 + o_orderkey % 2"
+            "      + case when o_orderkey % 9 = 0 then 10 else 0 end as int))"
+        ).alias("elem_n"),
+        F.expr(
+            "cast(try_to_timestamp(case when o_orderkey % 11 = 0 then '2024-99-01'"
+            "     else '2024-0' || (1 + o_orderkey % 9) || '-15' end) as string)"
+        ).alias("ts_n"),
+    )

@@ -965,3 +965,73 @@ def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("any_match")).cast("bigint").alias("n_matched_errors"),
         F.sum(1 - F.col("any_match")).cast("bigint").alias("n_unmatched_errors"),
     )
+
+
+# --------------------------------------------------------------------------
+# B529 (round 10) — DYNAMIC-GAP session windows: the gap is a per-event
+# expression (purchases hold a session open 10 minutes, errors only 2,
+# everything else 5) — the Spark 3.2+ session_window(ts, gapExpr) form
+# real funnels use, because "inactivity" depends on what the user just
+# did.  The batch twin is the interval-merge generalization of
+# stream_session's lag trick: a lag against ONLY the previous row is
+# wrong here (a long-gap purchase can bridge OVER a short-gap
+# successor), so the oracle carries the RUNNING MAX of event-end
+# ts+gap(event) and opens a session exactly when the next event starts
+# at/after it — the half-open [start, max_end) merge Spark applies.
+# Session end is MAX(ts + gap) within the island, matching Spark's
+# dynamic-gap window end.  State scales with open sessions per user
+# (watermark-evictable in production); complete-mode replay here, same
+# machinery as stream_session.
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value,
+         ts + CASE event_type WHEN 'purchase' THEN INTERVAL 10 MINUTE
+                              WHEN 'error' THEN INTERVAL 2 MINUTE
+                              ELSE INTERVAL 5 MINUTE END AS ev_end
+  FROM events),
+m AS (
+  SELECT user_id, ts, value, ev_end,
+         MAX(ev_end) OVER (PARTITION BY user_id ORDER BY ts, ev_end
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM g),
+isl AS (
+  SELECT user_id, ts, value, ev_end,
+         SUM(CASE WHEN prev_max IS NULL OR ts >= prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, ev_end
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ev_end) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM isl
+GROUP BY user_id, session_id
+""",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("10 minutes"))
+        .when(F.col("event_type") == "error", F.lit("2 minutes"))
+        .otherwise(F.lit("5 minutes"))
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+    return run_to_table(agg, "complete", state_partitions=8).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total",
+    )

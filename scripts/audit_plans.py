@@ -117,6 +117,8 @@ WHITELIST = {
     "graph_leiden_aggregate": "(a) 1x1x1x1x1 stat combine of the contraction profile; relabel/degree/super-edge joins are equi",
     "ml_mcnemar_test": "(b) SV broadcast scoring (ml_confusion_matrix shape); the paired cells are one aggregate",
     "ts_mann_kendall": "(b) calendar-bounded daily-count pair join (one row per day regardless of corpus) + 1x1 stat combines",
+    "ml_kendall_tau": "(b) calendar-bounded daily-count pair join (ts_mann_kendall shape) + 1x1 stat combines",
+    "ml_hosmer_lemeshow": "(b) SV broadcast scoring (ml_calibration_bins shape)",
     "sim_sq8_topk": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
     "dedup_minhash_recall": "(a) 1x1x1 crossJoin of truth/candidate/hit count rows; both pair generators are equi-joins (postings, band buckets)",
     "text_quality_composite": "(a) 1-row corpus-stats scalar broadcast for the z-transform; the stopword join is a 20-row broadcast equi-join",
@@ -159,6 +161,8 @@ WINDOW_WHITELIST = {
     "ts_pacf": "month index over the monthly rollup (calendar-bounded ~84 rows)",
     "warehouse_compaction_planner": "prefix-sum over the per-month manifest (O(files), calendar-bounded)",
     "ts_decompose_classical": "seasonal index over the monthly aggregate (calendar-bounded)",
+    "ml_hosmer_lemeshow": "NTILE deciles over the conf-budgeted fixed SVM test panel (psvm.svm.test_modulo)",
+    "ts_unit_root_df": "lag over the daily-count rollup (calendar-bounded ~30 rows)",
 }
 
 

@@ -1160,3 +1160,109 @@ class TestMannKendall:
         if s != 0:
             z = (s - (1 if s > 0 else -1)) / (var18 / 18) ** 0.5
             assert abs(row.z_stat - z) < 1e-8
+
+
+class TestKendallTau:
+    def test_tau_b_matches_python_replay(self, spark, sf_dir):
+        import collections
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ml_kendall_tau"](spark, sf_dir).collect()[0]
+        ev = load_table(spark, sf_dir, "events")
+        per_day = {
+            r.d: (r.x, r.y)
+            for r in ev.filter(F.col("event_type").isin("view", "purchase"))
+            .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+            .agg(
+                F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+            )
+            .collect()
+        }
+        series = [per_day[d] for d in sorted(per_day)]
+        nc = nd = 0
+        for (xa, ya), (xb, yb) in itertools.combinations(series, 2):
+            prod = (xb - xa) * (yb - ya)
+            nc += prod > 0
+            nd += prod < 0
+        n = len(series)
+        tx = collections.Counter(x for x, _ in series)
+        ty = collections.Counter(y for _, y in series)
+        a2 = n * (n - 1) - sum(t * (t - 1) for t in tx.values() if t > 1)
+        b2 = n * (n - 1) - sum(t * (t - 1) for t in ty.values() if t > 1)
+        assert (row.n_days, row.nc, row.nd) == (n, nc, nd)
+        assert abs(row.tau_b - 2 * (nc - nd) / (a2 * b2) ** 0.5) < 1e-8
+        assert -1.0 <= row.tau_b <= 1.0
+
+
+class TestUnitRootDF:
+    def test_beta_t_match_numpy_ols(self, spark, sf_dir):
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ts_unit_root_df"](spark, sf_dir).collect()[0]
+        ev = load_table(spark, sf_dir, "events")
+        per_day = {
+            r.d: r.y
+            for r in ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).alias("y"))
+            .collect()
+        }
+        y = np.array([per_day[d] for d in sorted(per_day)], dtype=float)
+        x, dy = y[:-1], np.diff(y)
+        m = len(x)
+        X = np.column_stack([np.ones(m), x])
+        coef, *_ = np.linalg.lstsq(X, dy, rcond=None)
+        resid = dy - X @ coef
+        sse = float(resid @ resid)
+        sxx = float(((x - x.mean()) ** 2).sum())
+        se = (sse / (m - 2) / sxx) ** 0.5
+        assert row.n_obs == m
+        assert abs(row.beta - coef[1]) < 1e-8
+        assert abs(row.t_stat - coef[1] / se) < 1e-6
+
+
+class TestSkipgramPairs:
+    def test_counts_match_python_replay(self, spark, sf_dir):
+        import collections
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.pair: (r.n_g1, r.n_g2, r.n_g3, r.n_total)
+            for r in QUERIES["seq_skipgram_pairs"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        ).collect()
+        by_user = collections.defaultdict(list)
+        for r in ev:
+            by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+        counts = collections.defaultdict(lambda: [0, 0, 0])
+        for rows in by_user.values():
+            seq = [t for _, _, t in sorted(rows)]
+            for i, e in enumerate(seq):
+                for gap in (1, 2, 3):
+                    if i - gap >= 0:
+                        counts[f"{seq[i - gap]}>{e}"][gap - 1] += 1
+        ranked = sorted(
+            ((sum(v), k) for k, v in counts.items()), key=lambda t: (-t[0], t[1])
+        )[:20]
+        assert set(got) == {k for _, k in ranked}
+        for _, k in ranked:
+            g1, g2, g3 = counts[k]
+            assert got[k] == (g1, g2, g3, g1 + g2 + g3)

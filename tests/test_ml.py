@@ -619,3 +619,29 @@ class TestMcNemar:
         assert (row.b, row.c, row.n_test) == (b, c, len(scored))
         if b + c:
             assert abs(row.mcnemar_chi2 - (b - c) ** 2 / (b + c)) < 1e-9
+
+
+class TestHosmerLemeshow:
+    def test_deciles_partition_panel_and_contrib_recomputes(self, spark, sf_dir):
+        from psvm_spark.queries.ml import _sv_test
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = sorted(
+            QUERIES["ml_hosmer_lemeshow"](spark, sf_dir).collect(),
+            key=lambda r: r.decile,
+        )
+        assert [r.decile for r in rows] == list(range(1, 11))
+        _, test = _sv_test(spark, sf_dir)
+        n_panel = test.count()
+        assert sum(r.n for r in rows) == n_panel
+        # ntile: first (n mod 10) deciles get the extra row
+        base, extra = divmod(n_panel, 10)
+        assert [r.n for r in rows] == [base + (1 if i < extra else 0) for i in range(10)]
+        for r in rows:
+            assert 0 <= r.obs_pos <= r.n
+            # clamp keeps pbar in [0.01, 0.99] so the denominator is live
+            pbar = r.exp_pos / r.n
+            assert 0.0099 <= pbar <= 0.9901
+            want = (r.obs_pos - r.exp_pos) ** 2 / (r.n * pbar * (1 - pbar))
+            assert abs(r.contrib - want) < 1e-6

@@ -1527,3 +1527,35 @@ class TestApproxTopKExactTwin:
             .collect()
         }
         assert got == want
+
+
+class TestTryArithmetic:
+    def test_planted_null_rules(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["scalar_try_arithmetic"](spark, sf_dir).collect()
+        assert len(rows) > 0
+        big = 9223372036854775807
+        for r in rows:
+            k = r.o_orderkey
+            # overflow iff the planted operand pushes past the BIGINT edge
+            assert (r.add_n is None) == (k % 173 > k % 100)
+            if r.add_n is not None:
+                assert r.add_n == big - (k % 100) + (k % 173)
+            assert (r.sub_n is None) == (k % 97 > k % 50)
+            assert (r.mul_n is None) == (
+                (3037000499 + k % 10) * (3037000499 + k % 11) > big
+            )
+            assert (r.div_n is None) == (k % 5 == 0)
+            if r.div_n is not None:
+                assert abs(r.div_n - k / (k % 5)) < 1e-9
+            assert (r.cast_n is None) == (k % 7 == 0)
+            if r.cast_n is not None:
+                assert r.cast_n == k
+            assert (r.elem_n is None) == (k % 9 == 0)
+            if r.elem_n is not None:
+                assert r.elem_n == (10, 20)[k % 2]
+            assert (r.ts_n is None) == (k % 11 == 0)
+            if r.ts_n is not None:
+                assert r.ts_n == f"2024-0{1 + k % 9}-15 00:00:00"

@@ -610,3 +610,47 @@ class TestRound5EdgeCases:
         assert solo.n == 1 and solo.p05 == solo.p95 == 500.00
         assert solo.n_clipped_low == solo.n_clipped_high == 0
         assert solo.winsorized_mean == 500.00
+
+
+class TestPersonalizedPageRank:
+    def test_ppr_matches_numpy_reference(self, spark, sf_dir):
+        import numpy as np
+
+        from psvm_spark import registry
+        from psvm_spark.queries.graph import (
+            _PPR_SEED_MOD,
+            _PPR_SEED_RES,
+            edge_set,
+        )
+
+        registry.load_all()
+        edges = edge_set(spark, sf_dir).collect()
+        nodes = sorted({r.a for r in edges} | {r.b for r in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        deg = np.zeros(n)
+        for r in edges:
+            deg[idx[r.a]] += 1
+            deg[idx[r.b]] += 1
+        seeds = np.array(
+            [v % _PPR_SEED_MOD == _PPR_SEED_RES for v in nodes], dtype=bool
+        )
+        ns = int(seeds.sum())
+        assert ns > 0
+        rank = np.where(seeds, 1.0 / ns, 0.0)
+        for _ in range(5):
+            inflow = np.zeros(n)
+            contrib = rank / deg
+            for r in edges:
+                inflow[idx[r.a]] += contrib[idx[r.b]]
+                inflow[idx[r.b]] += contrib[idx[r.a]]
+            rank = np.where(seeds, 0.15 / ns, 0.0) + 0.85 * inflow
+        got = registry.QUERIES["graph_personalized_pagerank"](spark, sf_dir).collect()
+        assert len(got) == 20
+        expected = sorted(zip(rank, nodes), key=lambda t: (-t[0], t[1]))[:20]
+        for row, (er, ev) in zip(got, expected):
+            assert row.src == ev
+            assert row.is_seed == (ev % _PPR_SEED_MOD == _PPR_SEED_RES)
+            assert abs(row.rank - er) < 1e-9
+        # teleport mass concentrates rank: total mass still conserved
+        assert abs(rank.sum() - 1.0) < 1e-9

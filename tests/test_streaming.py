@@ -496,3 +496,50 @@ class TestOuterIntervalJoin:
             .collect()
         }
         assert got == want and sum(v[1] for v in got.values()) > 0
+
+
+class TestDynamicGapSession:
+    def test_stream_equals_batch_session_window(self, spark, sf_dir):
+        """The streaming dynamic-gap sessionization must equal the SAME
+        session_window expression run in batch — Spark's own batch
+        evaluator is an independent second implementation of the
+        interval-merge semantics the DuckDB oracle replays."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.total)
+            for r in QUERIES["stream_session_dynamic_gap"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        gap = (
+            F.when(F.col("event_type") == "purchase", F.lit("10 minutes"))
+            .when(F.col("event_type") == "error", F.lit("2 minutes"))
+            .otherwise(F.lit("5 minutes"))
+        )
+        batch = (
+            ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "total",
+            )
+        )
+        want = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.total)
+            for r in batch.collect()
+        }
+        assert got == want and len(got) > 0
+        # dynamic gap actually bites: some session must end on a
+        # 10-minute purchase hold or a 2-minute error cut
+        n_events_total = sum(n for n, _ in got.values())
+        assert n_events_total == ev.count()
