@@ -6085,3 +6085,173 @@ def seq_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
     )
     return c.orderBy(F.desc("n_total"), "pair").limit(20)
+
+
+# --------------------------------------------------------------------------
+# B531 (round 10) — delta-method CI for a RATIO metric (revenue per
+# event, the canonical "ratio of sums whose denominator is itself
+# random" A/B statistic — per-user revenue over per-user event count,
+# randomization unit = user).  Naive per-event variance is wrong
+# because events within a user are correlated; the delta method gives
+# var(R) ~ (var_x - 2R cov + R^2 var_n) / (u * mean_n^2) from per-user
+# moment sums.  Parity recipe is the ab_test_welch_t2 moment-sum
+# contract: per-user cents/counts accumulate exactly (cents BIGINT,
+# squares DECIMAL(25,0) / HUGEINT), one double conversion, identical
+# correctly-rounded double expressions on both engines.  Two skinny
+# shuffles (user rollup, 2-cell variant rollup) at any corpus size.
+
+
+@query(
+    "ab_test_ratio_delta",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id % 2 AS variant,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, user_id),
+mom AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS u,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(n) AS DOUBLE) AS sn,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE) AS snn,
+         CAST(SUM(CAST(x AS HUGEINT) * n) AS DOUBLE) AS sxn
+  FROM per_user GROUP BY 1)
+SELECT variant, u,
+       round(sx / sn, 9) AS ratio_cents_per_event,
+       round(sqrt(((u * sxx - sx * sx) / (CAST(u AS DOUBLE) * (u - 1))
+                   - 2 * (sx / sn) * ((u * sxn - sx * sn) / (CAST(u AS DOUBLE) * (u - 1)))
+                   + (sx / sn) * (sx / sn)
+                     * ((u * snn - sn * sn) / (CAST(u AS DOUBLE) * (u - 1))))
+                  / (u * (sn / u) * (sn / u))), 9) AS se
+FROM mom
+""",
+)
+def ab_test_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    per_user = ev.groupBy((F.col("user_id") % 2).alias("variant"), "user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    sq = lambda a, b: (F.col(a).cast("decimal(25,0)") * F.col(b)).cast("decimal(38,0)")  # noqa: E731
+    mom = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("n").cast("double").alias("sn"),
+        F.sum(sq("x", "x")).cast("double").alias("sxx"),
+        F.sum(sq("n", "n")).cast("double").alias("snn"),
+        F.sum(sq("x", "n")).cast("double").alias("sxn"),
+    )
+    u, sx, sn = F.col("u"), F.col("sx"), F.col("sn")
+    sxx, snn, sxn = F.col("sxx"), F.col("snn"), F.col("sxn")
+    ud = u.cast("double")
+    r = sx / sn
+    var_x = (u * sxx - sx * sx) / (ud * (u - 1))
+    cov = (u * sxn - sx * sn) / (ud * (u - 1))
+    var_n = (u * snn - sn * sn) / (ud * (u - 1))
+    var_r = (var_x - 2 * r * cov + r * r * var_n) / (u * (sn / u) * (sn / u))
+    return mom.select(
+        "variant",
+        "u",
+        F.round(r, 9).alias("ratio_cents_per_event"),
+        F.round(F.sqrt(var_r), 9).alias("se"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B532 (round 10) — rolling-origin forecast backtest: walk the daily
+# purchase-count series, forecasting each day from the origin h days
+# earlier with three textbook baselines (naive last-value, seasonal
+# naive lag-7, drift line through (day 1, origin)), and score MAE per
+# (method, horizon) — the evaluation protocol (Hyndman's tsCV) that
+# decides which baseline a real forecaster must beat.  naive/snaive
+# errors are exact integers; the drift forecast is one correctly-
+# rounded double expression per row, rounded to 9 before the DECIMAL
+# mean (the ts_ljung_box recipe).  Scale: one calendar-bounded daily
+# rollup is the only pass over raw events; the backtest is lag windows
+# over the ~30-row day table.
+
+
+@query(
+    "ts_rolling_origin_backtest",
+    oracle="""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+idx AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS i FROM cnt),
+y1 AS (SELECT y AS y0 FROM idx WHERE i = 1),
+h AS (SELECT unnest([1, 2, 3]) AS h),
+evals AS (
+  SELECT h.h, a.i, a.y,
+         o.y AS y_origin, o.i AS t,
+         s.y AS y_snaive
+  FROM idx a
+  JOIN h ON TRUE
+  JOIN idx o ON o.i = a.i - h.h
+  LEFT JOIN idx s ON s.i = a.i - 7
+  WHERE a.i - h.h >= 2),
+err AS (
+  SELECT h,
+         CAST(abs(y - y_origin) AS DECIMAL(25,9)) AS e_naive,
+         CAST(abs(y - y_snaive) AS DECIMAL(25,9)) AS e_snaive,
+         CAST(round(abs(y - (y_origin + h * (y_origin - (SELECT y0 FROM y1))
+                                / CAST(t - 1 AS DOUBLE))), 9)
+              AS DECIMAL(25,9)) AS e_drift
+  FROM evals)
+SELECT CAST(h AS BIGINT) AS horizon,
+       CAST(COUNT(*) AS BIGINT) AS n_evals,
+       CAST(COUNT(e_snaive) AS BIGINT) AS n_snaive,
+       round(CAST(SUM(e_naive) AS DOUBLE) / COUNT(*), 9) AS mae_naive,
+       round(CAST(SUM(e_snaive) AS DOUBLE) / COUNT(e_snaive), 9) AS mae_snaive,
+       round(CAST(SUM(e_drift) AS DOUBLE) / COUNT(*), 9) AS mae_drift
+FROM err GROUP BY h
+""",
+)
+def ts_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    # Bounded single-partition windows over the day table (one row per
+    # calendar day), same adjudication as ts_unit_root_df.
+    w = Window.orderBy("d")
+    idx = cnt.select("y", F.row_number().over(w).alias("i"))
+    y1 = idx.filter(F.col("i") == 1).select(F.col("y").alias("y0"))
+    hs = spark.range(1, 4).select(F.col("id").cast("int").alias("h"))
+    a = idx.select(F.col("i").alias("ai"), F.col("y").alias("ay"))
+    o = idx.select(F.col("i").alias("oi"), F.col("y").alias("oy"))
+    s = idx.select(F.col("i").alias("si"), F.col("y").alias("sy"))
+    evals = (
+        a.crossJoin(F.broadcast(hs))
+        .join(o, F.col("oi") == F.col("ai") - F.col("h"))
+        .join(s, F.col("si") == F.col("ai") - 7, "left")
+        .filter(F.col("ai") - F.col("h") >= 2)
+        .crossJoin(F.broadcast(y1))
+    )
+    drift_fc = F.col("oy") + F.col("h") * (F.col("oy") - F.col("y0")) / (
+        F.col("oi") - 1
+    ).cast("double")
+    err = evals.select(
+        "h",
+        F.abs(F.col("ay") - F.col("oy")).cast("decimal(25,9)").alias("e_naive"),
+        F.abs(F.col("ay") - F.col("sy")).cast("decimal(25,9)").alias("e_snaive"),
+        F.round(F.abs(F.col("ay") - drift_fc), 9)
+        .cast("decimal(25,9)")
+        .alias("e_drift"),
+    )
+    return err.groupBy(F.col("h").cast("bigint").alias("horizon")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.count("e_snaive").cast("bigint").alias("n_snaive"),
+        F.round(F.sum("e_naive").cast("double") / F.count(F.lit(1)), 9).alias("mae_naive"),
+        F.round(F.sum("e_snaive").cast("double") / F.count("e_snaive"), 9).alias("mae_snaive"),
+        F.round(F.sum("e_drift").cast("double") / F.count(F.lit(1)), 9).alias("mae_drift"),
+    )

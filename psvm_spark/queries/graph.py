@@ -1651,3 +1651,78 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rank") / F.lit(1e15), 9).alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B533 (round 10) — Katz centrality: x_{k+1} = alpha * A x_k + 1,
+# the walk-counting centrality that (unlike degree) credits a vertex
+# for ALL bounded-length walks reaching it, with attenuation alpha per
+# step — PageRank's non-stochastic sibling (no out-degree division, so
+# high-degree neighbors contribute full mass).  Same EXACT fixed-point
+# integer protocol as graph_pagerank, but with its own headroom budget:
+# WITHOUT the stochastic 1/outdeg normalization a hub's score grows
+# like (deg_max * alpha)^k, so mass is scaled 10^9 (not 10^15) and
+# alpha = 1/32 as integer DIV 32 applied to the SUMMED inflow (one
+# truncation per vertex per round, not per edge).  Worst case on the
+# densest fixture this repo ever runs (sf1: ~1.4M distinct edges over
+# the 4000-vertex space, deg_max ~2000) is 10^9 * (2000/32)^5 ~ 1e18,
+# inside BIGINT on both engines.  5 fixed iterations of commutative
+# integer math, bit-identical in any accumulation order; the O(V)
+# score vector shuffle-joins the checkpointed links, never broadcast.
+
+
+_KATZ_SCALE = 10**9
+
+
+def _katz_oracle() -> str:
+    s = _KATZ_SCALE
+    return f"""
+WITH RECURSIVE edges AS ({_EDGES_DUCK}),
+oe AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges),
+nv AS (SELECT DISTINCT src FROM oe),
+it AS (
+  SELECT 0 AS step, src, CAST({s} AS BIGINT) AS score FROM nv
+  UNION ALL
+  SELECT r.step + 1, o.dst AS src,
+         CAST(SUM(r.score) // 32 + {s} AS BIGINT) AS score
+  FROM it r
+  JOIN oe o ON o.src = r.src
+  WHERE r.step < {_PR_ITERS}
+  GROUP BY r.step + 1, o.dst
+)
+SELECT src, round(CAST(score AS DOUBLE) / 1e9, 9) AS katz
+FROM (SELECT src, score FROM it WHERE step = {_PR_ITERS}
+      ORDER BY score DESC, src LIMIT 20)
+"""
+
+
+@query("graph_katz_centrality", oracle=_katz_oracle())
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    out = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    ).localCheckpoint(eager=True)
+    spine = out.select("src").distinct()
+    scores = spine.select("src", F.lit(_KATZ_SCALE).cast("bigint").alias("score"))
+    for _ in range(_PR_ITERS):
+        # Shuffle join on src (the O(V) score vector is never broadcast);
+        # inflow sums BEFORE the single DIV-8 attenuation per vertex.
+        inflow = (
+            out.join(scores, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum("score").alias("inflow"))
+        )
+        scores = spine.join(inflow, "src", "left").select(
+            "src",
+            (
+                F.expr("coalesce(inflow, 0L) div 32") + F.lit(_KATZ_SCALE)
+            )
+            .cast("bigint")
+            .alias("score"),
+        ).localCheckpoint(eager=True)
+    return (
+        scores.orderBy(F.desc("score"), "src")
+        .limit(20)
+        .select("src", F.round(F.col("score") / F.lit(1e9), 9).alias("katz"))
+    )

@@ -10907,3 +10907,126 @@ def ml_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("contrib"),
     )
+
+
+# --------------------------------------------------------------------------
+# B534 (round 10) — permutation feature importance over the SVM
+# scoring panel: break one embedding dimension's pairing with the rest
+# (cyclically shift that dimension's values across the panel — a
+# DETERMINISTIC permutation both engines replay, unlike the shuffled
+# one in the sklearn recipe) and measure the accuracy drop vs the
+# unpermuted baseline — the model-agnostic "which inputs carry signal"
+# eval every tabular-model review reports.  Four probed dimensions,
+# each a full broadcast-SV kernel-scoring pass over the conf-budgeted
+# panel (fixed model x fixed panel x 4 — the psvm.svm.sv_modulo
+# protocol keeps the workload constant in corpus size).  Counts are
+# exact integers; each accuracy is one double division, identical on
+# both engines.
+
+_PERM_DIMS = (1, 9, 17, 25)  # 1-based probed dimensions
+
+
+# The oracle pins the conf DEFAULT moduli (20) like every _sv_test
+# consumer: compare_query refuses a parity run with the confs raised.
+@query(
+    "ml_permutation_importance",
+    oracle=f"""
+WITH tst AS (
+  SELECT vec_id AS t_id, embedding AS t_vec, label
+  FROM embeddings WHERE vec_id % 20 = 1
+), sv AS (
+  SELECT vec_id AS sv_id, embedding AS sv_vec,
+         (CAST(vec_id % 7 AS DOUBLE) - 3.0) * 0.1 AS alpha_y
+  FROM embeddings WHERE vec_id % 20 = 0
+), shifted AS (
+  SELECT t_id, label, t_vec,
+         COALESCE(LEAD(t_vec) OVER (ORDER BY t_id),
+                  FIRST_VALUE(t_vec) OVER (ORDER BY t_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+           AS nxt
+  FROM tst
+), dims AS (SELECT unnest([{", ".join(str(d) for d in _PERM_DIMS)}]) AS dim),
+variants AS (
+  SELECT 0 AS dim, t_id, label, t_vec AS v FROM shifted
+  UNION ALL
+  SELECT d.dim, s.t_id, s.label,
+         list_transform(s.t_vec,
+                        (x, i) -> CASE WHEN i = d.dim THEN s.nxt[d.dim]
+                                       ELSE x END) AS v
+  FROM shifted s, dims d
+), scored AS (
+  SELECT v.dim, v.t_id, v.label,
+         round(SUM(sv.alpha_y * exp(-{_CAL_GAMMA} * {K.sql_sq_l2('sv.sv_vec', 'v.v')}))
+               + {_CAL_B}, 6) AS score
+  FROM variants v CROSS JOIN sv
+  GROUP BY v.dim, v.t_id, v.label
+), acc AS (
+  SELECT dim,
+         COUNT(*) AS n_test,
+         CAST(SUM(CASE WHEN (CASE WHEN score >= 0 THEN 1 ELSE -1 END)
+                            = (CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM scored GROUP BY dim)
+SELECT CAST(a.dim AS BIGINT) AS dim, CAST(a.n_test AS BIGINT) AS n_test,
+       round(CAST(b.n_correct AS DOUBLE) / b.n_test, 9) AS acc_base,
+       round(CAST(a.n_correct AS DOUBLE) / a.n_test, 9) AS acc_perm,
+       round(CAST(b.n_correct AS DOUBLE) / b.n_test
+             - CAST(a.n_correct AS DOUBLE) / a.n_test, 9) AS importance
+FROM acc a CROSS JOIN (SELECT * FROM acc WHERE dim = 0) b
+WHERE a.dim <> 0
+""",
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    w = Window.orderBy("t_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    shifted = test.select(
+        "t_id",
+        "label",
+        "t_vec",
+        F.coalesce(F.lead("t_vec").over(w), F.first("t_vec").over(w_full)).alias("nxt"),
+    )
+    base = shifted.select(F.lit(0).alias("dim"), "t_id", "label", F.col("t_vec").alias("v"))
+    dims = spark.createDataFrame([(d,) for d in _PERM_DIMS], "dim int")
+    perm = (
+        shifted.crossJoin(F.broadcast(dims))
+        .select(
+            "dim",
+            "t_id",
+            "label",
+            F.expr(
+                "transform(t_vec, (x, i) -> case when i = dim - 1"
+                " then element_at(nxt, dim) else x end)"
+            ).alias("v"),
+        )
+    )
+    variants = base.unionByName(perm)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("v"), _CAL_GAMMA)
+    scored = (
+        variants.crossJoin(F.broadcast(sv))
+        .groupBy("dim", "t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    pred = F.when(F.col("score") >= 0, 1).otherwise(-1)
+    truth = F.when(F.col("label") % 2 == 0, 1).otherwise(-1)
+    acc = scored.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when(pred == truth, 1).otherwise(0)).cast("bigint").alias("n_correct"),
+    )
+    b = acc.filter(F.col("dim") == 0).select(
+        (F.col("n_correct").cast("double") / F.col("n_test")).alias("acc_base_raw")
+    )
+    return (
+        acc.filter(F.col("dim") != 0)
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.round(F.col("acc_base_raw"), 9).alias("acc_base"),
+            F.round(F.col("n_correct").cast("double") / F.col("n_test"), 9).alias("acc_perm"),
+            F.round(
+                F.col("acc_base_raw") - F.col("n_correct").cast("double") / F.col("n_test"),
+                9,
+            ).alias("importance"),
+        )
+    )

@@ -1035,3 +1035,53 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total",
     )
+
+
+# --------------------------------------------------------------------------
+# B530 (round 10) — custom Python STREAMING sink (Spark 4
+# DataSourceStreamWriter): the streaming half of the DSv2 Python write
+# path (B64 sink_libsvm_pyds proved the batch half).  Each micro-batch
+# runs two-phase: executor tasks stream their iterator to
+# batch-<epoch>-part-<pid>.jsonl shards (atomic rename publish), the
+# driver's commit(batchId) then writes a _COMMIT-<batchId> marker —
+# the same manifest protocol JVM file sinks implement, giving
+# exactly-once read-back for marker-listed batches even across task
+# retries (abort removes its shards, an uncommitted batch is invisible
+# to the reader).  The round-trip re-reads ONLY committed files and
+# aggregates, so the oracle is the plain batch rollup — sink fidelity
+# is differentially tested end to end.
+
+
+@query(
+    "sink_pyds_stream_sink",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events GROUP BY event_type
+""",
+)
+def sink_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.sources.jsonl_stream_sink import (
+        SCHEMA as _SINK_SCHEMA,
+        committed_files,
+        register,
+    )
+
+    register(spark)
+    ev = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    sink = scratch_dir("psvm_jsonl_sink_")
+    ckpt = scratch_dir("psvm_jsonl_ckpt_")
+    q = (
+        ev.writeStream.format("jsonl_stream_sink")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files = committed_files(sink)
+    back = spark.read.schema(_SINK_SCHEMA).json(files)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+    )

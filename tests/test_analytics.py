@@ -1266,3 +1266,87 @@ class TestSkipgramPairs:
         for _, k in ranked:
             g1, g2, g3 = counts[k]
             assert got[k] == (g1, g2, g3, g1 + g2 + g3)
+
+
+class TestRatioDelta:
+    def test_moments_match_python_replay(self, spark, sf_dir):
+        import collections
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.variant: r
+            for r in QUERIES["ab_test_ratio_delta"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "value"
+        ).collect()
+        per_user = collections.defaultdict(lambda: [0, 0])
+        for r in ev:
+            agg = per_user[r.user_id]
+            if r.event_type == "purchase":
+                agg[0] += round(r.value * 100)
+            agg[1] += 1
+        by_var = collections.defaultdict(list)
+        for uid, (x, n) in per_user.items():
+            by_var[uid % 2].append((x, n))
+        for variant, rows in by_var.items():
+            u = len(rows)
+            sx = sum(x for x, _ in rows)
+            sn = sum(n for _, n in rows)
+            sxx = sum(x * x for x, _ in rows)
+            snn = sum(n * n for _, n in rows)
+            sxn = sum(x * n for x, n in rows)
+            r = sx / sn
+            var_x = (u * sxx - sx * sx) / (u * (u - 1))
+            cov = (u * sxn - sx * sn) / (u * (u - 1))
+            var_n = (u * snn - sn * sn) / (u * (u - 1))
+            var_r = (var_x - 2 * r * cov + r * r * var_n) / (u * (sn / u) ** 2)
+            row = got[variant]
+            assert row.u == u
+            assert abs(row.ratio_cents_per_event - r) < 1e-6
+            assert abs(row.se - var_r**0.5) < 1e-6
+            assert row.se > 0
+
+
+class TestRollingOriginBacktest:
+    def test_mae_matches_python_replay(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.horizon: r
+            for r in QUERIES["ts_rolling_origin_backtest"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        per_day = {
+            r.d: r.y
+            for r in ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).alias("y"))
+            .collect()
+        }
+        y = [per_day[d] for d in sorted(per_day)]  # 1-based in the query
+        n = len(y)
+        for h in (1, 2, 3):
+            e_naive, e_snaive, e_drift = [], [], []
+            for i in range(1, n + 1):
+                t = i - h
+                if t < 2:
+                    continue
+                e_naive.append(abs(y[i - 1] - y[t - 1]))
+                if i - 7 >= 1:
+                    e_snaive.append(abs(y[i - 1] - y[i - 8]))
+                fc = y[t - 1] + h * (y[t - 1] - y[0]) / (t - 1)
+                e_drift.append(round(abs(y[i - 1] - fc), 9))
+            row = got[h]
+            assert row.n_evals == len(e_naive)
+            assert row.n_snaive == len(e_snaive)
+            assert abs(row.mae_naive - sum(e_naive) / len(e_naive)) < 1e-8
+            assert abs(row.mae_snaive - sum(e_snaive) / len(e_snaive)) < 1e-8
+            assert abs(row.mae_drift - sum(e_drift) / len(e_drift)) < 1e-8

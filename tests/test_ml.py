@@ -645,3 +645,19 @@ class TestHosmerLemeshow:
             assert 0.0099 <= pbar <= 0.9901
             want = (r.obs_pos - r.exp_pos) ** 2 / (r.n * pbar * (1 - pbar))
             assert abs(r.contrib - want) < 1e-6
+
+
+class TestPermutationImportance:
+    def test_baseline_and_bounds(self, spark, sf_dir):
+        from psvm_spark.queries.llm import _PERM_DIMS
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["ml_permutation_importance"](spark, sf_dir).collect()
+        assert sorted(r.dim for r in rows) == sorted(_PERM_DIMS)
+        base_acc = QUERIES["eval_accuracy"](spark, sf_dir).collect()[0].accuracy
+        for r in rows:
+            # all variants share the unpermuted baseline = eval_accuracy
+            assert abs(r.acc_base - base_acc) < 1e-9
+            assert 0.0 <= r.acc_perm <= 1.0
+            assert abs(r.importance - (r.acc_base - r.acc_perm)) < 1e-9

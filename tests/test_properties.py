@@ -654,3 +654,31 @@ class TestPersonalizedPageRank:
             assert abs(row.rank - er) < 1e-9
         # teleport mass concentrates rank: total mass still conserved
         assert abs(rank.sum() - 1.0) < 1e-9
+
+
+class TestKatzCentrality:
+    def test_katz_matches_numpy_reference(self, spark, sf_dir):
+        import numpy as np
+
+        from psvm_spark import registry
+        from psvm_spark.queries.graph import edge_set
+
+        registry.load_all()
+        edges = edge_set(spark, sf_dir).collect()
+        nodes = sorted({r.a for r in edges} | {r.b for r in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        score = np.ones(n)
+        for _ in range(5):
+            inflow = np.zeros(n)
+            for r in edges:
+                inflow[idx[r.a]] += score[idx[r.b]]
+                inflow[idx[r.b]] += score[idx[r.a]]
+            score = inflow / 32.0 + 1.0
+        got = registry.QUERIES["graph_katz_centrality"](spark, sf_dir).collect()
+        assert len(got) == 20
+        expected = sorted(zip(score, nodes), key=lambda t: (-t[0], t[1]))[:20]
+        for row, (es, ev) in zip(got, expected):
+            assert row.src == ev
+            # integer DIV truncation loses < 5 units of 1e-9 per vertex
+            assert abs(row.katz - es) < 1e-6

@@ -543,3 +543,47 @@ class TestDynamicGapSession:
         # 10-minute purchase hold or a 2-minute error cut
         n_events_total = sum(n for n, _ in got.values())
         assert n_events_total == ev.count()
+
+
+class TestPydsStreamSink:
+    def test_commit_protocol_and_roundtrip(self, spark, sf_dir):
+        """The custom Python streaming sink must (a) publish a commit
+        marker per batch, (b) round-trip every event exactly once, and
+        (c) leave uncommitted shards invisible to committed_files."""
+        import glob
+        import os
+
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.event_type: (r.n, r.total)
+            for r in QUERIES["sink_pyds_stream_sink"](spark, sf_dir).collect()
+        }
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+
+        want = {
+            r.event_type: (r.n, r.total)
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_uncommitted_batches_invisible(self, tmp_path):
+        from psvm_spark.sources.jsonl_stream_sink import committed_files
+
+        d = str(tmp_path)
+        for name in ("batch-00000-part-00000.jsonl", "batch-00001-part-00000.jsonl"):
+            with open(os.path.join(d, name), "w") as fh:
+                fh.write('{"event_id": 1}\n')
+        with open(os.path.join(d, "_COMMIT-00000"), "w") as fh:
+            fh.write("1")
+        files = committed_files(d)
+        assert [os.path.basename(f) for f in files] == ["batch-00000-part-00000.jsonl"]
