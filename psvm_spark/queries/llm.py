@@ -11030,3 +11030,122 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("importance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B536 (round 10) — split-conformal coverage: calibrate a score
+# threshold on a held-out slice (nonconformity s = -y * margin, qhat =
+# the ceil((n+1)(1-alpha))-th smallest) and report the finite-sample
+# coverage guarantee realized on the test panel — the
+# distribution-free "how often is the true label inside the prediction
+# set" eval that ships with every production classifier now.  Both
+# slices come from the conf-budgeted SVM scoring machinery (cal =
+# vec_id % test_modulo == 2 — a fixed panel under the amp protocol
+# like the test slice); scores are 6-dp fixed-point, so the rank
+# selection and the coverage comparison are exact on both engines.
+# alpha = 0.1; the qhat rank is the integer (9 * (n_cal + 1) + 9) DIV
+# 10 (= ceil(0.9 * (n_cal + 1))), never a float quantile.
+
+_CONF_CAL_RES = 2
+
+
+@query(
+    "ml_conformal_coverage",
+    oracle=f"""
+WITH sv AS (
+  SELECT vec_id AS sv_id, embedding AS sv_vec,
+         (CAST(vec_id % 7 AS DOUBLE) - 3.0) * 0.1 AS alpha_y
+  FROM embeddings WHERE vec_id % 20 = 0
+), panel AS (
+  SELECT vec_id AS t_id, embedding AS t_vec, label,
+         CASE WHEN vec_id % 20 = {_CONF_CAL_RES} THEN 'cal' ELSE 'test' END AS part
+  FROM embeddings WHERE vec_id % 20 IN (1, {_CONF_CAL_RES})
+), scored AS (
+  SELECT p.t_id, p.label, p.part,
+         round(SUM(sv.alpha_y * exp(-{{g}} * {{l2}}))
+               + {{b}}, 6) AS score
+  FROM panel p CROSS JOIN sv
+  GROUP BY p.t_id, p.label, p.part
+), nonconf AS (
+  SELECT t_id, part,
+         round(-(CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END) * score, 6) AS s
+  FROM scored
+), cal AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s, t_id) AS rn,
+         COUNT(*) OVER () AS n_cal
+  FROM nonconf WHERE part = 'cal'
+), q AS (
+  SELECT n_cal, s AS qhat FROM cal
+  WHERE rn = (9 * (n_cal + 1) + 9) // 10)
+SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+       q.qhat,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       round(CAST(SUM(CASE WHEN t.s <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS coverage
+FROM (SELECT * FROM nonconf WHERE part = 'test') t CROSS JOIN q
+GROUP BY q.n_cal, q.qhat
+""".format(
+        g=_CAL_GAMMA, b=_CAL_B, l2=K.sql_sq_l2("sv.sv_vec", "p.t_vec")
+    ),
+)
+def ml_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.queries.ml import _TS_RES as _CONF_TS_RES
+    from psvm_spark.queries.ml import _sv_mods as _conf_sv_mods
+
+    sv, _ = _cal_sv_test(spark, sf_dir)
+    _, ts_mod = _conf_sv_mods(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    panel = e.filter(
+        (F.col("vec_id") % ts_mod).isin(_CONF_TS_RES, _CONF_CAL_RES)
+    ).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").alias("t_vec"),
+        "label",
+        F.when(F.col("vec_id") % ts_mod == _CONF_CAL_RES, "cal")
+        .otherwise("test")
+        .alias("part"),
+    )
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        panel.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label", "part")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    y = F.when(F.col("label") % 2 == 0, 1).otherwise(-1)
+    nonconf = scored.select(
+        "t_id", "part", F.round(-y * F.col("score"), 6).alias("s")
+    )
+    w = Window.orderBy("s", "t_id")
+    cal = (
+        nonconf.filter(F.col("part") == "cal")
+        .select(
+            "s",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("n_cal"),
+        )
+        .filter(
+            F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10")
+        )
+        .select("n_cal", F.col("s").alias("qhat"))
+    )
+    test = nonconf.filter(F.col("part") == "test")
+    return (
+        test.crossJoin(F.broadcast(cal))
+        .groupBy("n_cal", "qhat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.sum(F.when(F.col("s") <= F.col("qhat"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            "qhat",
+            "n_test",
+            "coverage",
+        )
+    )

@@ -1085,3 +1085,146 @@ def sink_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# B535 (round 10) — FULL-outer watermarked stream-stream interval
+# join, completing the outer family (B-series stream_interval_join is
+# inner, stream_outer_interval_join is left): BOTH sides' unmatched
+# rows must emit null-extended once the global watermark proves no
+# partner can arrive — errors with no click within +-5 minutes AND
+# clicks with no error.  Same dual-side sentinel flush (the global
+# watermark is the MIN across sides); the read-back classifies rows by
+# which side is null.  State on both sides is bounded by the band.
+
+
+@query(
+    "stream_full_outer_interval_join",
+    oracle="""
+WITH err AS (
+  SELECT e.event_id AS error_id, e.user_id,
+         COUNT(c.ts) AS n_clicks
+  FROM events e LEFT JOIN events c
+    ON e.user_id = c.user_id
+   AND c.event_type = 'click'
+   AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+  WHERE e.event_type = 'error'
+  GROUP BY e.event_id, e.user_id),
+clk AS (
+  SELECT c.event_id AS click_id, c.user_id,
+         COUNT(e.ts) AS n_errors
+  FROM events c LEFT JOIN events e
+    ON c.user_id = e.user_id
+   AND e.event_type = 'error'
+   AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+  WHERE c.event_type = 'click'
+  GROUP BY c.event_id, c.user_id),
+users AS (SELECT user_id FROM err UNION SELECT user_id FROM clk)
+SELECT u.user_id,
+       COALESCE((SELECT CAST(SUM(CASE WHEN n_clicks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM err WHERE err.user_id = u.user_id), 0) AS n_matched_errors,
+       COALESCE((SELECT CAST(SUM(CASE WHEN n_clicks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM err WHERE err.user_id = u.user_id), 0) AS n_unmatched_errors,
+       COALESCE((SELECT CAST(SUM(CASE WHEN n_errors = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM clk WHERE clk.user_id = u.user_id), 0) AS n_unmatched_clicks
+FROM users u
+""",
+)
+def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.session import ensure_session_invariants
+
+    ensure_session_invariants(spark)
+    ev = normalize_event_ts_cols(spark, sf_dir)
+    stage = scratch_dir("psvm_foij_stage_")
+    ckpt = scratch_dir("psvm_foij_ckpt_")
+    out = scratch_dir("psvm_foij_out_")
+    ev.write.mode("overwrite").parquet(f"{stage}/real")
+
+    def run_once():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        errors = (
+            src.filter(F.col("event_type").isin("error", "__sentinel__"))
+            .select(
+                F.col("event_id").alias("error_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"),
+                F.col("event_type").alias("e_type"),
+            )
+            .withWatermark("e_ts", "0 seconds")
+        )
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "0 seconds")
+        )
+        j = errors.join(
+            clicks,
+            (F.col("e_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "fullOuter",
+        ).select("error_id", "e_user", "e_type", "click_id", "c_user")
+        q = (
+            j.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # real events: inner matches emit, both sides retained
+    # Dual-side sentinel (stream_outer_interval_join protocol): one
+    # '__sentinel__' error and one user -1 click advance each side's
+    # watermark past every real row, flushing the retained unmatched
+    # rows from BOTH state stores.
+    sentinel = ev.agg(F.max("ts").alias("mx")).select(
+        F.explode(
+            F.array(F.lit("__sentinel__"), F.lit("click"))
+        ).alias("event_type"),
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select(*ev.columns)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/flush")
+    run_once()  # watermark passes: both sides' unmatched flush
+    rows = spark.read.parquet(out)
+    err_side = (
+        rows.filter(F.col("e_type") == "error")
+        .groupBy("error_id", F.col("e_user").alias("user_id"))
+        .agg(F.max(F.col("c_user").isNotNull().cast("int")).alias("any_match"))
+    )
+    err_counts = err_side.groupBy("user_id").agg(
+        F.sum("any_match").cast("bigint").alias("n_matched_errors"),
+        F.sum(1 - F.col("any_match")).cast("bigint").alias("n_unmatched_errors"),
+    )
+    clk_only = (
+        rows.filter(
+            F.col("error_id").isNull()
+            & F.col("click_id").isNotNull()
+            & (F.col("c_user") != -1)
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.countDistinct("click_id").cast("bigint").alias("n_unmatched_clicks"))
+    )
+    return (
+        err_counts.join(clk_only, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_matched_errors", F.lit(0)).cast("bigint").alias("n_matched_errors"),
+            F.coalesce("n_unmatched_errors", F.lit(0)).cast("bigint").alias("n_unmatched_errors"),
+            F.coalesce("n_unmatched_clicks", F.lit(0)).cast("bigint").alias("n_unmatched_clicks"),
+        )
+    )

@@ -2627,3 +2627,132 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("price_c").cast("bigint").alias("total_c"),
     ).select(F.col("m").cast("string").alias("m"), "n_orders", "total_c")
+
+
+# --------------------------------------------------------------------------
+# B537 (round 10) — incremental JOIN-view maintenance: the revenue-by-
+# nation materialized view over orders JOIN customer refreshes from
+# the DELTA only — for a join view with a static dimension, dMV =
+# group(delta JOIN dim), merged with the stored partials (the view-
+# maintenance algebra production MV engines apply; incremental_rollup
+# is the no-join special case).  Base snapshot = orders with
+# o_orderkey % 13 != 0, delta = the % 13 == 0 rows; partials persist
+# as (count, DECIMAL sum) so the merge re-aggregates exactly and the
+# refreshed MV is bit-identical to the oracle's full recompute.  At
+# 100 TB: the nightly refresh scans |delta| + |MV| instead of |fact|,
+# with the dim broadcast.
+
+
+@query(
+    "warehouse_incremental_join_mv",
+    oracle="""
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def warehouse_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    state_dir = scratch_dir("psvm_join_mv_") + "/partials"
+
+    def partials(orders: DataFrame) -> DataFrame:
+        return (
+            orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("decimal(20,2)")
+                .alias("pt"),
+            )
+        )
+
+    # Nightly job: persist the base snapshot's partial aggregates.
+    partials(o.filter(F.col("o_orderkey") % 13 != 0)).write.mode(
+        "overwrite"
+    ).parquet(state_dir)
+    # Refresh: ONLY the delta joins the (broadcast) dimension.
+    delta = partials(o.filter(F.col("o_orderkey") % 13 == 0))
+    return (
+        spark.read.parquet(state_dir)
+        .unionByName(delta)
+        .groupBy("nationkey")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_orders"),
+            F.sum("pt").cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B538 (round 10) — freshness / volume SLA audit: per event type, when
+# did data last arrive (lag vs the corpus high-water mark) and is the
+# final full day's volume inside the expected band (vs the per-type
+# daily mean over the preceding days)?  The two checks every ingest
+# dashboard alerts on, computed in two one-pass rollups — exact
+# integer minutes and an exact DECIMAL mean (milli-rows) so the ratio
+# is one identical double division per type.
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+WITH hw AS (SELECT MAX(ts) AS hw FROM events),
+last_day AS (
+  SELECT CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d0 FROM events),
+per_type AS (
+  SELECT event_type, MAX(ts) AS last_ts,
+         COUNT(*) FILTER (WHERE ts >= (SELECT d0 FROM last_day)) AS n_last_day,
+         COUNT(*) FILTER (WHERE ts < (SELECT d0 FROM last_day)) AS n_hist,
+         COUNT(DISTINCT CASE WHEN ts < (SELECT d0 FROM last_day)
+                             THEN CAST(date_trunc('day', ts) AS DATE) END)
+           AS n_hist_days
+  FROM events GROUP BY 1)
+SELECT event_type,
+       CAST(last_ts AS VARCHAR) AS last_ts,
+       CAST((epoch_us((SELECT hw FROM hw)) - epoch_us(last_ts)) // 60000000
+            AS BIGINT) AS lag_minutes,
+       CAST(n_last_day AS BIGINT) AS n_last_day,
+       round(CAST(n_last_day AS DOUBLE)
+             / (CAST(n_hist AS DOUBLE) / n_hist_days), 9) AS volume_ratio
+FROM per_type
+""",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    marks = ev.agg(
+        F.max("ts").alias("hw"),
+        F.date_trunc("day", F.max("ts")).alias("d0"),
+    )
+    per_type = (
+        ev.crossJoin(F.broadcast(marks))
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.max("hw").alias("hw"),
+            F.sum(F.when(F.col("ts") >= F.col("d0"), 1).otherwise(0)).alias("n_last_day"),
+            F.sum(F.when(F.col("ts") < F.col("d0"), 1).otherwise(0)).alias("n_hist"),
+            F.countDistinct(
+                F.when(
+                    F.col("ts") < F.col("d0"),
+                    F.date_trunc("day", "ts").cast("date"),
+                )
+            ).alias("n_hist_days"),
+        )
+    )
+    return per_type.select(
+        "event_type",
+        F.col("last_ts").cast("string").alias("last_ts"),
+        F.expr("(unix_micros(hw) - unix_micros(last_ts)) div 60000000")
+        .cast("bigint")
+        .alias("lag_minutes"),
+        F.col("n_last_day").cast("bigint").alias("n_last_day"),
+        F.round(
+            F.col("n_last_day").cast("double")
+            / (F.col("n_hist").cast("double") / F.col("n_hist_days")),
+            9,
+        ).alias("volume_ratio"),
+    )

@@ -121,6 +121,8 @@ WHITELIST = {
     "ml_hosmer_lemeshow": "(b) SV broadcast scoring (ml_calibration_bins shape)",
     "ts_rolling_origin_backtest": "(b) 3-row horizon broadcast x calendar-bounded day table + 1-row y0 broadcast",
     "ml_permutation_importance": "(b) SV broadcast scoring (ml_calibration_bins shape) + 1-row baseline-accuracy broadcast",
+    "ml_conformal_coverage": "(b) SV broadcast scoring (ml_calibration_bins shape) + 1-row qhat broadcast",
+    "dq_freshness_lag": "(a) 1-row high-water-mark broadcast against the scan",
     "sim_sq8_topk": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
     "dedup_minhash_recall": "(a) 1x1x1 crossJoin of truth/candidate/hit count rows; both pair generators are equi-joins (postings, band buckets)",
     "text_quality_composite": "(a) 1-row corpus-stats scalar broadcast for the z-transform; the stopword join is a 20-row broadcast equi-join",
@@ -167,6 +169,7 @@ WINDOW_WHITELIST = {
     "ts_unit_root_df": "lag over the daily-count rollup (calendar-bounded ~30 rows)",
     "ts_rolling_origin_backtest": "row index over the daily-count rollup (calendar-bounded ~30 rows)",
     "ml_permutation_importance": "cyclic-shift lead over the conf-budgeted fixed SVM test panel",
+    "ml_conformal_coverage": "rank + count over the conf-budgeted fixed calibration panel (psvm.svm.test_modulo)",
 }
 
 

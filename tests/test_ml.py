@@ -661,3 +661,17 @@ class TestPermutationImportance:
             assert abs(r.acc_base - base_acc) < 1e-9
             assert 0.0 <= r.acc_perm <= 1.0
             assert abs(r.importance - (r.acc_base - r.acc_perm)) < 1e-9
+
+
+class TestConformalCoverage:
+    def test_finite_sample_guarantee_and_qhat_rank(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ml_conformal_coverage"](spark, sf_dir).collect()[0]
+        assert row.n_cal > 0 and row.n_test > 0
+        # split-conformal guarantee: coverage >= 1 - alpha - slack on
+        # exchangeable data; the fixture slices are iid hash slices, so
+        # a generous finite-sample slack documents the law
+        assert row.coverage >= 0.9 - 3.0 / (row.n_cal + 1) ** 0.5
+        assert 0.0 <= row.coverage <= 1.0

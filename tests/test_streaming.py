@@ -587,3 +587,25 @@ class TestPydsStreamSink:
             fh.write("1")
         files = committed_files(d)
         assert [os.path.basename(f) for f in files] == ["batch-00000-part-00000.jsonl"]
+
+
+class TestFullOuterIntervalJoin:
+    def test_both_sides_accounted(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["stream_full_outer_interval_join"](spark, sf_dir).collect()
+        got_err = sum(r.n_matched_errors + r.n_unmatched_errors for r in rows)
+        got_unmatched_clicks = sum(r.n_unmatched_clicks for r in rows)
+        ev = load_table(spark, sf_dir, "events")
+        n_errors = ev.filter(F.col("event_type") == "error").count()
+        n_clicks = ev.filter(F.col("event_type") == "click").count()
+        # every error is classified exactly once
+        assert got_err == n_errors
+        # unmatched clicks are a strict subset of all clicks, and the
+        # full-outer join surfaces at least one unmatched click on the
+        # fixture (otherwise the right side adds nothing over left-outer)
+        assert 0 < got_unmatched_clicks < n_clicks

@@ -283,3 +283,59 @@ class TestDynamicPartitionPruning:
             )
         )
         assert got == want and len(got) > 0
+
+
+class TestIncrementalJoinMV:
+    def test_refresh_equals_full_recompute(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.nationkey: (r.n_orders, r.revenue)
+            for r in QUERIES["warehouse_incremental_join_mv"](spark, sf_dir).collect()
+        }
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        want = {
+            r.nationkey: (r.n_orders, r.revenue)
+            for r in o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) == 25
+
+
+class TestFreshnessLag:
+    def test_lag_and_volume_replay(self, spark, sf_dir):
+        import collections
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {r.event_type: r for r in QUERIES["dq_freshness_lag"](spark, sf_dir).collect()}
+        ev = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+        hw = max(r.ts for r in ev)
+        d0 = hw.replace(hour=0, minute=0, second=0, microsecond=0)
+        by_type = collections.defaultdict(list)
+        for r in ev:
+            by_type[r.event_type].append(r.ts)
+        for et, tss in by_type.items():
+            last = max(tss)
+            lag_min = int((hw - last).total_seconds() * 1e6) // 60_000_000
+            n_last = sum(t >= d0 for t in tss)
+            hist = [t for t in tss if t < d0]
+            n_days = len({t.date() for t in hist})
+            row = got[et]
+            assert row.lag_minutes == lag_min
+            assert row.n_last_day == n_last
+            assert abs(row.volume_ratio - n_last / (len(hist) / n_days)) < 1e-6
