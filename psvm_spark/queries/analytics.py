@@ -6255,3 +6255,81 @@ def ts_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("e_snaive").cast("double") / F.count("e_snaive"), 9).alias("mae_snaive"),
         F.round(F.sum("e_drift").cast("double") / F.count(F.lit(1)), 9).alias("mae_drift"),
     )
+
+
+# --------------------------------------------------------------------------
+# B539 (round 10) — one-way ANOVA across weekday groups of the daily
+# purchase-count series: "is the day-of-week effect real?" — the
+# significance gate behind ts_seasonal_baseline's weekday profile
+# (detecting seasonality is step 0; ANOVA says whether it beats
+# noise).  F = (SSB/(k-1)) / (SSW/(n-k)) from per-group exact integer
+# moment sums (n_g, sum, sum-of-squares — the ab_test_welch_t2
+# contract generalized to k groups), one double conversion, identical
+# correctly-rounded double expressions on both engines.  One
+# calendar-bounded daily rollup + a 7-cell aggregate at any scale.
+
+
+@query(
+    "ts_weekday_anova",
+    oracle="""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+g AS (
+  SELECT isodow(d) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(y) AS BIGINT) AS sg,
+         CAST(SUM(y * y) AS BIGINT) AS qg
+  FROM cnt GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sg) AS DOUBLE) AS s,
+         CAST(SUM(qg) AS DOUBLE) AS q,
+         CAST(SUM(CAST(round(CAST(sg AS DOUBLE) * sg / ng, 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS sb
+  FROM g)
+SELECT n AS n_days, k AS n_groups,
+       round(sb - s * s / n, 9) AS ss_between,
+       round(q - sb, 9) AS ss_within,
+       round(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)), 9) AS f_stat
+FROM tot
+""",
+)
+def ts_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    g = cnt.groupBy(
+        F.expr("weekday(d) + 1").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("y").cast("bigint").alias("sg"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("qg"),
+    )
+    # sb's per-group division is a double op on exact integer inputs,
+    # but summing the 7 per-group doubles would be accumulation-order-
+    # dependent across engines — so each term is rounded to 9 and
+    # summed in DECIMAL (the ts_ljung_box recipe), then converted once.
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("sg").cast("double").alias("s"),
+        F.sum("qg").cast("double").alias("q"),
+        F.sum(
+            F.round(F.col("sg").cast("double") * F.col("sg") / F.col("ng"), 9)
+            .cast("decimal(30,9)")
+        )
+        .cast("double")
+        .alias("sb"),
+    )
+    n, k, s, q, sb = (F.col(c) for c in ("n", "k", "s", "q", "sb"))
+    return tot.select(
+        n.alias("n_days"),
+        k.alias("n_groups"),
+        F.round(sb - s * s / n, 9).alias("ss_between"),
+        F.round(q - sb, 9).alias("ss_within"),
+        F.round(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)), 9).alias("f_stat"),
+    )

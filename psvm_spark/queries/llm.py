@@ -11149,3 +11149,121 @@ def ml_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B540 (round 10) — label-permutation significance test: is the SVM
+# panel accuracy better than chance, or an artifact of class balance?
+# Classic permutation testing shuffles labels; here the permutations
+# are DETERMINISTIC cyclic shifts of the label vector over the t_id
+# rank order (both engines replay them bit-for-bit), which preserves
+# the label marginals exactly like a shuffle does.  The panel is
+# scored ONCE (labels don't affect scores), so the 8 permutations are
+# pure integer joins on shifted ranks — no re-scoring.  p_value =
+# (1 + #{acc_perm >= acc_true}) / (n_perm + 1), the standard
+# add-one permutation p; everything is exact integer counts until two
+# final divisions.
+
+_LPERM_SHIFTS = 8
+
+
+@query(
+    "ml_label_permutation_test",
+    oracle=_CAL_SCORE_SQL
+    + f""",
+ranked AS (
+  SELECT t_id, label, score,
+         ROW_NUMBER() OVER (ORDER BY t_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scored),
+shifts AS (SELECT unnest(range(1, {_LPERM_SHIFTS} + 1)) AS s),
+perm AS (
+  SELECT a.rn, a.score, s.s, b.label AS plabel
+  FROM ranked a
+  JOIN shifts s ON TRUE
+  JOIN ranked b ON b.rn = ((a.rn - 1 + s.s) % a.n) + 1),
+acc AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN (CASE WHEN score >= 0 THEN 1 ELSE -1 END)
+                            = (CASE WHEN plabel % 2 = 0 THEN 1 ELSE -1 END)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM perm GROUP BY s),
+truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN (CASE WHEN score >= 0 THEN 1 ELSE -1 END)
+                            = (CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM ranked)
+SELECT t.n_test,
+       round(CAST(t.n_correct AS DOUBLE) / t.n_test, 9) AS acc_true,
+       CAST({_LPERM_SHIFTS} AS BIGINT) AS n_perm,
+       CAST(SUM(CASE WHEN a.n_correct >= t.n_correct THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ge,
+       round((1.0 + SUM(CASE WHEN a.n_correct >= t.n_correct THEN 1 ELSE 0 END))
+             / ({_LPERM_SHIFTS} + 1), 9) AS p_value
+FROM acc a CROSS JOIN truth t
+GROUP BY t.n_test, t.n_correct
+""",
+)
+def ml_label_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    w = Window.orderBy("t_id")
+    w_full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = scored.select(
+        "label",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_full).alias("n"),
+    ).localCheckpoint(eager=True)
+    shifts = spark.range(1, _LPERM_SHIFTS + 1).select(F.col("id").cast("int").alias("s"))
+    b = ranked.select(F.col("rn").alias("brn"), F.col("label").alias("plabel"))
+    pred_of = lambda score: F.when(score >= 0, 1).otherwise(-1)  # noqa: E731
+    truth_of = lambda lbl: F.when(lbl % 2 == 0, 1).otherwise(-1)  # noqa: E731
+    perm = (
+        ranked.crossJoin(F.broadcast(shifts))
+        .join(b, F.col("brn") == ((F.col("rn") - 1 + F.col("s")) % F.col("n")) + 1)
+    )
+    acc = perm.groupBy("s").agg(
+        F.sum(
+            F.when(pred_of(F.col("score")) == truth_of(F.col("plabel")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct")
+    )
+    truth = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(
+            F.when(pred_of(F.col("score")) == truth_of(F.col("label")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct_true"),
+    )
+    return (
+        acc.crossJoin(F.broadcast(truth))
+        .groupBy("n_test", "n_correct_true")
+        .agg(
+            F.sum(
+                F.when(F.col("n_correct") >= F.col("n_correct_true"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge")
+        )
+        .select(
+            "n_test",
+            F.round(F.col("n_correct_true").cast("double") / F.col("n_test"), 9).alias(
+                "acc_true"
+            ),
+            F.lit(_LPERM_SHIFTS).cast("bigint").alias("n_perm"),
+            "n_ge",
+            F.round(
+                (1.0 + F.col("n_ge")) / (_LPERM_SHIFTS + 1),
+                9,
+            ).alias("p_value"),
+        )
+    )

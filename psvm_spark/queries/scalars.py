@@ -523,14 +523,17 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B526 (round 10) — ANSI try_* error-safe arithmetic: the Spark 4 family that
-# turns overflow / bad-parse / out-of-bounds errors into NULLs instead
-# of job failures — what every untrusted-input ingest pipeline wraps
-# its casts and sums in (ANSI mode is the Spark 4 default, so un-tried
-# overflow now ABORTS the job; try_* is the per-expression opt-out).
-# Operand construction plants each failure mode deterministically from
-# o_orderkey: BIGINT-edge adds/subtracts/multiplies, divide-by-zero,
-# unparseable strings, out-of-bounds array indices, invalid dates.
+# B526 (round 10) — ANSI try_* error-safe arithmetic: the Spark 4
+# family that turns overflow / bad-parse / out-of-bounds errors into
+# NULLs instead of job failures — what every untrusted-input ingest
+# pipeline wraps its casts and sums in (ANSI mode is the Spark 4
+# default, so un-tried overflow now ABORTS the job; try_* is the
+# per-expression opt-out).  Operand construction plants each failure
+# mode deterministically from o_orderkey at ~1% row rates: the JVM
+# implements try_add/subtract/multiply/cast failure by CATCHING the
+# ANSI exception per failing row, so a high planted-failure rate is an
+# exception storm (first measured cut of this query overflowed ~40% of
+# rows and cost 26x at 20x; at 1% the column panel is scan-bound).
 # The DuckDB twin reproduces the NULL semantics with HUGEINT-guarded
 # CASE arms (DuckDB would raise on overflow) and TRY_CAST.  Pure
 # per-row expressions in whole-stage codegen — one narrow scan.
@@ -540,23 +543,33 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_try_arithmetic",
     oracle="""
 SELECT o_orderkey,
-       CASE WHEN (9223372036854775807 - (o_orderkey % 100))::HUGEINT
-                 + (o_orderkey % 173) > 9223372036854775807 THEN NULL
-            ELSE 9223372036854775807 - (o_orderkey % 100) + (o_orderkey % 173)
+       CASE WHEN (9223372036854775807 - 50)::HUGEINT
+                 + (CASE WHEN o_orderkey % 89 = 0 THEN 51 + o_orderkey % 5
+                         ELSE o_orderkey % 47 END) > 9223372036854775807
+            THEN NULL
+            ELSE 9223372036854775807 - 50
+                 + (CASE WHEN o_orderkey % 89 = 0 THEN 51 + o_orderkey % 5
+                         ELSE o_orderkey % 47 END)
        END AS add_n,
-       CASE WHEN (-9223372036854775808 + (o_orderkey % 50))::HUGEINT
-                 - (o_orderkey % 97) < -9223372036854775808 THEN NULL
-            ELSE -9223372036854775808 + (o_orderkey % 50) - (o_orderkey % 97)
+       CASE WHEN (-9223372036854775808 + 50)::HUGEINT
+                 - (CASE WHEN o_orderkey % 83 = 0 THEN 51 + o_orderkey % 3
+                         ELSE o_orderkey % 41 END) < -9223372036854775808
+            THEN NULL
+            ELSE -9223372036854775808 + 50
+                 - (CASE WHEN o_orderkey % 83 = 0 THEN 51 + o_orderkey % 3
+                         ELSE o_orderkey % 41 END)
        END AS sub_n,
-       CASE WHEN (3037000499 + (o_orderkey % 10))::HUGEINT
-                 * (3037000499 + (o_orderkey % 11)) > 9223372036854775807 THEN NULL
-            ELSE ((3037000499 + (o_orderkey % 10))::HUGEINT
-                  * (3037000499 + (o_orderkey % 11)))::BIGINT
+       CASE WHEN (4611686018427387000 + o_orderkey % 100)::HUGEINT
+                 * (CASE WHEN o_orderkey % 79 = 0 THEN 3 ELSE 1 END)
+                 > 9223372036854775807
+            THEN NULL
+            ELSE (4611686018427387000 + o_orderkey % 100)
+                 * (CASE WHEN o_orderkey % 79 = 0 THEN 3 ELSE 1 END)
        END AS mul_n,
        CASE WHEN o_orderkey % 5 = 0 THEN NULL
             ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 5)
        END AS div_n,
-       TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'x' || o_orderkey
+       TRY_CAST(CASE WHEN o_orderkey % 73 = 0 THEN 'x' || o_orderkey
                      ELSE '' || o_orderkey END AS BIGINT) AS cast_n,
        list_extract([10, 20, 30],
                     1 + o_orderkey % 2
@@ -572,17 +585,22 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.expr(
-            "try_add(9223372036854775807L - (o_orderkey % 100), o_orderkey % 173)"
+            "try_add(9223372036854775807L - 50,"
+            " case when o_orderkey % 89 = 0 then 51 + o_orderkey % 5"
+            "      else o_orderkey % 47 end)"
         ).alias("add_n"),
         F.expr(
-            "try_subtract(-9223372036854775808L + (o_orderkey % 50), o_orderkey % 97)"
+            "try_subtract(-9223372036854775807L - 1 + 50,"
+            " case when o_orderkey % 83 = 0 then 51 + o_orderkey % 3"
+            "      else o_orderkey % 41 end)"
         ).alias("sub_n"),
         F.expr(
-            "try_multiply(3037000499L + (o_orderkey % 10), 3037000499L + (o_orderkey % 11))"
+            "try_multiply(4611686018427387000L + o_orderkey % 100,"
+            " case when o_orderkey % 79 = 0 then 3 else 1 end)"
         ).alias("mul_n"),
         F.expr("try_divide(cast(o_orderkey as double), o_orderkey % 5)").alias("div_n"),
         F.expr(
-            "try_cast(case when o_orderkey % 7 = 0 then 'x' || o_orderkey"
+            "try_cast(case when o_orderkey % 73 = 0 then 'x' || o_orderkey"
             "              else '' || o_orderkey end as bigint)"
         ).alias("cast_n"),
         F.expr(
@@ -594,4 +612,50 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(try_to_timestamp(case when o_orderkey % 11 = 0 then '2024-99-01'"
             "     else '2024-0' || (1 + o_orderkey % 9) || '-15' end) as string)"
         ).alias("ts_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B541 (round 10) — lateral column aliases + GROUP BY ALL (Spark 3.4/
+# 3.5 SQL surface): a SELECT item may reference an alias defined
+# earlier in the SAME select list (no more stacked subqueries for
+# derived-from-derived expressions), and GROUP BY ALL infers the
+# grouping keys from the non-aggregate items.  Catalyst inlines the
+# lateral references before optimization, so the plan is identical to
+# the hand-expanded query — pinned by the oracle, which IS the
+# hand-expanded query (DuckDB also supports GROUP BY ALL, but the
+# twin spells the keys out to prove value-parity, not syntax-parity).
+
+
+@query(
+    "scalar_lateral_column_alias",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(date_part('year', CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                * CAST(0.9 AS DECIMAL(3,2))) AS DOUBLE) AS discounted,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                * CAST(0.9 AS DECIMAL(3,2))) AS DOUBLE)
+         * CAST(0.07 AS DOUBLE) AS est_tax
+FROM orders
+GROUP BY o_orderpriority, yr
+""",
+)
+def scalar_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("psvm_lca_orders")
+    # disc is a lateral alias consumed by est_tax on the same level;
+    # GROUP BY ALL infers (o_orderpriority, yr).
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               cast(year(cast(o_orderdate as date)) as bigint) AS yr,
+               count(*) AS n,
+               cast(sum(cast(o_totalprice as decimal(12,2))
+                        * cast(0.9 as decimal(3,2))) as double) AS discounted,
+               discounted * cast(0.07 as double) AS est_tax
+        FROM psvm_lca_orders
+        GROUP BY ALL
+        """
     )
