@@ -618,13 +618,16 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # B541 (round 10) — lateral column aliases + GROUP BY ALL (Spark 3.4/
 # 3.5 SQL surface): a SELECT item may reference an alias defined
-# earlier in the SAME select list (no more stacked subqueries for
-# derived-from-derived expressions), and GROUP BY ALL infers the
-# grouping keys from the non-aggregate items.  Catalyst inlines the
-# lateral references before optimization, so the plan is identical to
-# the hand-expanded query — pinned by the oracle, which IS the
-# hand-expanded query (DuckDB also supports GROUP BY ALL, but the
-# twin spells the keys out to prove value-parity, not syntax-parity).
+# earlier in the SAME select list (no more stacked per-expression
+# subqueries for derived-from-derived chains), and GROUP BY ALL infers
+# the grouping keys from the non-aggregate items.  Spark does not yet
+# allow a lateral reference to an AGGREGATE alias under GROUP BY ALL
+# (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_GROUP_BY), so the demo
+# is the supported composition: a per-row lateral chain (disc -> tax)
+# feeding a GROUP BY ALL rollup.  Catalyst inlines the lateral
+# references before optimization, so the plan is identical to the
+# hand-expanded query — which is exactly what the DuckDB twin spells
+# out (value-parity, not syntax-parity).
 
 
 @query(
@@ -636,8 +639,8 @@ SELECT o_orderpriority,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
                 * CAST(0.9 AS DECIMAL(3,2))) AS DOUBLE) AS discounted,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
-                * CAST(0.9 AS DECIMAL(3,2))) AS DOUBLE)
-         * CAST(0.07 AS DOUBLE) AS est_tax
+                * CAST(0.9 AS DECIMAL(3,2))
+                * CAST(0.07 AS DECIMAL(3,2))) AS DOUBLE) AS est_tax
 FROM orders
 GROUP BY o_orderpriority, yr
 """,
@@ -645,17 +648,22 @@ GROUP BY o_orderpriority, yr
 def scalar_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("psvm_lca_orders")
-    # disc is a lateral alias consumed by est_tax on the same level;
-    # GROUP BY ALL infers (o_orderpriority, yr).
+    # disc is a lateral alias consumed by tax in the SAME select list;
+    # the outer rollup's GROUP BY ALL infers (o_orderpriority, yr).
     return spark.sql(
         """
-        SELECT o_orderpriority,
-               cast(year(cast(o_orderdate as date)) as bigint) AS yr,
+        SELECT o_orderpriority, yr,
                count(*) AS n,
-               cast(sum(cast(o_totalprice as decimal(12,2))
-                        * cast(0.9 as decimal(3,2))) as double) AS discounted,
-               discounted * cast(0.07 as double) AS est_tax
-        FROM psvm_lca_orders
+               cast(sum(disc) as double) AS discounted,
+               cast(sum(tax) as double) AS est_tax
+        FROM (
+          SELECT o_orderpriority,
+                 cast(year(cast(o_orderdate as date)) as bigint) AS yr,
+                 cast(o_totalprice as decimal(12,2))
+                   * cast(0.9 as decimal(3,2)) AS disc,
+                 disc * cast(0.07 as decimal(3,2)) AS tax
+          FROM psvm_lca_orders
+        )
         GROUP BY ALL
         """
     )

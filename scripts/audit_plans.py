@@ -122,6 +122,7 @@ WHITELIST = {
     "ts_rolling_origin_backtest": "(b) 3-row horizon broadcast x calendar-bounded day table + 1-row y0 broadcast",
     "ml_permutation_importance": "(b) SV broadcast scoring (ml_calibration_bins shape) + 1-row baseline-accuracy broadcast",
     "ml_conformal_coverage": "(b) SV broadcast scoring (ml_calibration_bins shape) + 1-row qhat broadcast",
+    "ml_label_permutation_test": "(b) SV broadcast scoring + 8-row shift broadcast + 1-row truth broadcast over the conf-budgeted panel",
     "dq_freshness_lag": "(a) 1-row high-water-mark broadcast against the scan",
     "sim_sq8_topk": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
     "dedup_minhash_recall": "(a) 1x1x1 crossJoin of truth/candidate/hit count rows; both pair generators are equi-joins (postings, band buckets)",
@@ -170,6 +171,7 @@ WINDOW_WHITELIST = {
     "ts_rolling_origin_backtest": "row index over the daily-count rollup (calendar-bounded ~30 rows)",
     "ml_permutation_importance": "cyclic-shift lead over the conf-budgeted fixed SVM test panel",
     "ml_conformal_coverage": "rank + count over the conf-budgeted fixed calibration panel (psvm.svm.test_modulo)",
+    "ml_label_permutation_test": "rank + count over the conf-budgeted fixed SVM test panel",
 }
 
 

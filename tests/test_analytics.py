@@ -1350,3 +1350,38 @@ class TestRollingOriginBacktest:
             assert abs(row.mae_naive - sum(e_naive) / len(e_naive)) < 1e-8
             assert abs(row.mae_snaive - sum(e_snaive) / len(e_snaive)) < 1e-8
             assert abs(row.mae_drift - sum(e_drift) / len(e_drift)) < 1e-8
+
+
+class TestWeekdayAnova:
+    def test_f_matches_numpy_ols(self, spark, sf_dir):
+        import collections
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ts_weekday_anova"](spark, sf_dir).collect()[0]
+        ev = load_table(spark, sf_dir, "events")
+        per_day = {
+            r.d: r.y
+            for r in ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).alias("y"))
+            .collect()
+        }
+        groups = collections.defaultdict(list)
+        for d, y in per_day.items():
+            groups[d.isoweekday()].append(y)
+        n = sum(len(v) for v in groups.values())
+        k = len(groups)
+        grand = sum(sum(v) for v in groups.values()) / n
+        ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+        ssw = sum(
+            sum((y - sum(v) / len(v)) ** 2 for y in v) for v in groups.values()
+        )
+        assert (row.n_days, row.n_groups) == (n, k)
+        assert abs(row.ss_between - ssb) < 1e-5
+        assert abs(row.ss_within - ssw) < 1e-5
+        assert abs(row.f_stat - (ssb / (k - 1)) / (ssw / (n - k))) < 1e-6

@@ -675,3 +675,44 @@ class TestConformalCoverage:
         # a generous finite-sample slack documents the law
         assert row.coverage >= 0.9 - 3.0 / (row.n_cal + 1) ** 0.5
         assert 0.0 <= row.coverage <= 1.0
+
+
+class TestLabelPermutationTest:
+    def test_p_value_construction(self, spark, sf_dir):
+        from psvm_spark.queries.llm import _LPERM_SHIFTS
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ml_label_permutation_test"](spark, sf_dir).collect()[0]
+        assert row.n_perm == _LPERM_SHIFTS
+        assert 0 <= row.n_ge <= row.n_perm
+        assert abs(row.p_value - (1 + row.n_ge) / (row.n_perm + 1)) < 1e-9
+        base = QUERIES["eval_accuracy"](spark, sf_dir).collect()[0]
+        assert abs(row.acc_true - base.accuracy) < 1e-9
+        # full Python replay of the cyclic-shift accuracies (the
+        # synthetic model is near-chance on the fixture, so p is NOT
+        # expected to be small — the construction is what's tested)
+        scored = sorted(
+            (r.t_id, r.pred)
+            for r in QUERIES["svm_predict_score"](spark, sf_dir).collect()
+        )
+        from psvm_spark.catalog import load_table
+
+        labels = dict(
+            load_table(spark, sf_dir, "embeddings")
+            .filter("vec_id % 20 = 1")
+            .selectExpr("vec_id", "label")
+            .collect()
+        )
+        ids = [t for t, _ in scored]
+        preds = [p for _, p in scored]
+        ys = [1 if labels[t] % 2 == 0 else -1 for t in ids]
+        n = len(ids)
+        acc_true = sum(p == y for p, y in zip(preds, ys)) / n
+        assert abs(row.acc_true - acc_true) < 1e-9
+        n_ge = 0
+        for s in range(1, _LPERM_SHIFTS + 1):
+            shifted = [ys[(i + s) % n] for i in range(n)]
+            if sum(p == y for p, y in zip(preds, shifted)) / n >= acc_true:
+                n_ge += 1
+        assert row.n_ge == n_ge

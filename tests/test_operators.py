@@ -1563,3 +1563,33 @@ class TestTryArithmetic:
             assert (r.ts_n is None) == (k % 11 == 0)
             if r.ts_n is not None:
                 assert r.ts_n == f"2024-0{1 + k % 9}-15 00:00:00"
+
+
+class TestLateralColumnAlias:
+    def test_matches_dataframe_expansion(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            (r.o_orderpriority, r.yr): (r.n, r.discounted, r.est_tax)
+            for r in QUERIES["scalar_lateral_column_alias"](spark, sf_dir).collect()
+        }
+        o = load_table(spark, sf_dir, "orders")
+        disc = F.col("o_totalprice").cast("decimal(12,2)") * F.lit(0.9).cast("decimal(3,2)")
+        want = {
+            (r.o_orderpriority, r.yr): (r.n, r.discounted, r.est_tax)
+            for r in o.groupBy(
+                "o_orderpriority",
+                F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("yr"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(disc).cast("double").alias("discounted"),
+                F.sum(disc * F.lit(0.07).cast("decimal(3,2)")).cast("double").alias("est_tax"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
