@@ -2008,3 +2008,37 @@ def agg_approx_top_k_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").cast("bigint").alias("cnt"),
     )
+
+
+# --------------------------------------------------------------------------
+# B544 (round 10) — AQE shuffle-partition coalescing, demonstrated as
+# an operator: a 5-group aggregate planned at the session's static
+# shuffle-partition count (32 here; thousands on a real cluster) would
+# run 32 near-empty reducers — AQE measures the actual map output at
+# runtime and coalesces the post-shuffle partitions down to the data's
+# real size, which at 100 TB is the difference between scheduler noise
+# and sane task sizes on every skinny rollup in this registry.  The
+# test pins `AQEShuffleRead` with `coalesced` in the executed plan;
+# the oracle verifies the values (coalescing must never change them).
+
+
+@query(
+    "agg_aqe_coalesced_shuffle",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1
+""",
+)
+def agg_aqe_coalesced_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+    # The aggregation is deliberately left at the session's static
+    # shuffle-partition count; AQE's runtime coalesce is the operator
+    # under test (pinned in tests via the executed plan).
+    return out

@@ -871,3 +871,67 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
              ORDER BY price_c DESC, o_orderkey ASC
              LIMIT 2) s"""
     )
+
+
+# --------------------------------------------------------------------------
+# B543 (round 10) — runtime bloom-filter join pruning (Catalyst's
+# row-level sibling of dynamic partition pruning): when a shuffle join
+# probes a big fact with a SELECTIVELY FILTERED build side, the
+# optimizer injects `BloomFilterAggregate` over the build keys and
+# wraps the fact scan in `BloomFilterMightContain`, dropping most fact
+# rows BEFORE the shuffle — at 100 TB this is the difference between
+# shuffling the whole fact and shuffling the ~1% that can match.  The
+# size thresholds that gate injection target real clusters, so the
+# demo lowers them for the fixture (set/restored around the build);
+# the test pins `bloomfilter` in the physical plan.  Values are
+# filter-independent, so the oracle is the plain selective join.
+
+
+@query(
+    "join_runtime_bloom_filter",
+    oracle="""
+SELECT l.l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 19 = 0
+GROUP BY l.l_orderkey
+""",
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    conf = spark.conf
+    overrides = {
+        # thresholds target cluster-sized relations; open the gate on
+        # the fixture so the injection PATH (not the threshold) is
+        # under test.  autoBroadcastJoinThreshold -1 forces the
+        # shuffle join the bloom rewrite applies to.
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        conf.set(k, v)
+    try:
+        dim = o.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 19 == 0)
+        ).select("o_orderkey")
+        joined = li.join(dim, li.l_orderkey == dim.o_orderkey)
+        out = joined.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        # Materialize the plan decision under the overrides: the
+        # memoized localCheckpoint pins both values and physical plan
+        # before the confs are restored.
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

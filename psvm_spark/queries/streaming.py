@@ -1228,3 +1228,97 @@ def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("n_unmatched_clicks", F.lit(0)).cast("bigint").alias("n_unmatched_clicks"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B542 (round 10) — RocksDB state store with changelog checkpointing:
+# the state backend every 100 TB streaming deployment runs (the
+# default HDFS-backed in-memory store holds ALL state on the executor
+# heap; RocksDB spills to local disk and checkpoints CHANGELOGS
+# instead of full snapshots, which is what makes billion-key
+# windowed/dedup state feasible).  Same two-run restart protocol as
+# stream_state_recovery, but the state lives in RocksDB: run 1
+# processes half the events under the RocksDB provider and stops;
+# run 2 restarts from the SAME checkpoint, sees only the second half,
+# and must emit complete-mode per-type x per-day counts equal to the
+# batch rollup over both halves — possible only if RocksDB state
+# (including its changelog replay) survived the restart.  The
+# provider conf is session-wide, so it is set/restored around the two
+# runs; the keyed state (type x day) is wide enough to exercise real
+# store traffic, tiny enough for the gate fixture.
+
+
+@query(
+    "stream_rocksdb_state_store",
+    oracle="""
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from psvm_spark.session import ensure_session_invariants
+
+    ensure_session_invariants(spark)
+    ev = normalize_event_ts_cols(spark, sf_dir).select("event_id", "event_type", "ts")
+    stage = scratch_dir("psvm_rocks_stage_")
+    ckpt = scratch_dir("psvm_rocks_ckpt_")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h1")
+    sink = f"psvm_rocks_{uuid.uuid4().hex[:8]}"
+
+    def run_once():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        agg = src.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    conf = spark.conf
+    prev_provider = conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    prev_changelog = conf.get(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", None
+    )
+    conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    try:
+        run_once()  # half 1 into RocksDB state, stop
+        half2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h2")
+        run_once()  # restart: RocksDB state must recover via changelog
+    finally:
+        for key, prev in (
+            ("spark.sql.streaming.stateStore.providerClass", prev_provider),
+            (
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                prev_changelog,
+            ),
+        ):
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
+    return spark.table(sink).select(
+        "event_type", "day", F.col("n").cast("bigint").alias("n")
+    )

@@ -1593,3 +1593,72 @@ class TestLateralColumnAlias:
             .collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestRuntimeBloomFilter:
+    def test_bloom_injected_and_values_match(self, spark, sf_dir):
+        """Catalyst must inject bloom_filter_agg / BloomFilterMightContain
+        into the selective shuffle join under the demo thresholds, and
+        the filter must never change values."""
+        from psvm_spark.registry import QUERIES
+
+        conf = spark.conf
+        overrides = {
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            conf.set(k, v)
+        try:
+            li = load_table(spark, sf_dir, "lineitem")
+            o = load_table(spark, sf_dir, "orders")
+            dim = o.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderkey") % 19 == 0)
+            ).select("o_orderkey")
+            joined = li.join(dim, li.l_orderkey == dim.o_orderkey).groupBy(
+                "l_orderkey"
+            ).count()
+            assert "bloom_filter_agg" in _plan(joined)
+        finally:
+            for k, v in prev.items():
+                conf.unset(k) if v is None else conf.set(k, v)
+        # the registered operator (checkpointed under the overrides)
+        # returns the same rows as the plain join without them
+        got = {
+            r.l_orderkey: (r.n_items, r.revenue)
+            for r in QUERIES["join_runtime_bloom_filter"](spark, sf_dir).collect()
+        }
+        want = {
+            r.l_orderkey: (r.n_items, r.revenue)
+            for r in load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders").filter(
+                    (F.col("o_orderpriority") == "1-URGENT")
+                    & (F.col("o_orderkey") % 19 == 0)
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+
+class TestAqeCoalescedShuffle:
+    def test_executed_plan_coalesces(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        df = QUERIES["agg_aqe_coalesced_shuffle"](spark, sf_dir)
+        rows = df.collect()
+        assert len(rows) == 5
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in final and "coalesced" in final, final

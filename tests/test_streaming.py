@@ -609,3 +609,30 @@ class TestFullOuterIntervalJoin:
         # full-outer join surfaces at least one unmatched click on the
         # fixture (otherwise the right side adds nothing over left-outer)
         assert 0 < got_unmatched_clicks < n_clicks
+
+
+class TestRocksDBStateStore:
+    def test_state_survives_restart_under_rocksdb(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            (r.event_type, r.day): r.n
+            for r in QUERIES["stream_rocksdb_state_store"](spark, sf_dir).collect()
+        }
+        want = {
+            (r.event_type, r.day): r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+        # conf restored after the run (session hygiene)
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            != "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
