@@ -11267,3 +11267,178 @@ def ml_label_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B545 (round 10) — preference-pair construction (DPO/RLHF data prep):
+# within each language, pair the k-th highest-quality document with
+# the k-th lowest as (chosen, rejected) — the deterministic heuristic
+# bootstrap for preference data when human labels don't exist yet.
+# The quality signal is the exact integer milli-ratio of alphabetic
+# chars (the text_quality_filter signal); ranking is total-ordered by
+# (score, doc_id) so both engines build identical pairs; pairs where
+# the margin is zero are dropped (no preference signal).  Per-lang
+# window partitions, K = 5 pairs per language — bounded output, two
+# skinny shuffles at any corpus size.
+
+_PREF_PAIRS_K = 5
+
+
+@query(
+    "select_preference_pairs",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(1000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              // GREATEST(length(text), 1) AS BIGINT) AS score_milli
+  FROM documents),
+ranked AS (
+  SELECT doc_id, lang, score_milli,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_milli DESC, doc_id) AS rb,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_milli ASC, doc_id DESC) AS rw
+  FROM scored)
+SELECT b.lang, CAST(b.rb AS BIGINT) AS pair_rank,
+       b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       CAST(b.score_milli - w.score_milli AS BIGINT) AS margin_milli
+FROM ranked b
+JOIN ranked w ON w.lang = b.lang AND w.rw = b.rb
+WHERE b.rb <= {_PREF_PAIRS_K} AND b.score_milli > w.score_milli
+""",
+)
+def select_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "cast(1000 * length(regexp_replace(text, '[^a-zA-Z]', '')) "
+            "div greatest(length(text), 1) as bigint)"
+        ).alias("score_milli"),
+    )
+    wb = Window.partitionBy("lang").orderBy(F.desc("score_milli"), "doc_id")
+    ww = Window.partitionBy("lang").orderBy(F.asc("score_milli"), F.desc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "score_milli",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+    )
+    b = ranked.filter(F.col("rb") <= _PREF_PAIRS_K).select(
+        "lang",
+        F.col("rb").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score_milli").alias("score_b"),
+    )
+    w = ranked.select(
+        F.col("lang").alias("wlang"),
+        F.col("rw").alias("wrank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score_milli").alias("score_w"),
+    )
+    return (
+        b.join(
+            w,
+            (F.col("wlang") == F.col("lang")) & (F.col("wrank") == F.col("pair_rank")),
+        )
+        .filter(F.col("score_b") > F.col("score_w"))
+        .select(
+            "lang",
+            F.col("pair_rank").cast("bigint").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            (F.col("score_b") - F.col("score_w")).cast("bigint").alias("margin_milli"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B546 (round 10) — group-fairness gap metrics: per-group TPR/FPR and
+# their gaps vs the pooled rates (equalized-odds reads exactly these
+# two gaps; demographic parity is the positive-rate gap, also
+# reported) over the conf-budgeted SVM scoring panel with the
+# deterministic group attribute vec_id % 3 — the standard model-audit
+# table, next to ml_auc_by_group's per-segment ranking quality.  Every
+# rate is one double division of exact integer counts, rounded to 9.
+
+_FAIR_GROUPS = 3
+
+
+@query(
+    "ml_fairness_gaps",
+    oracle=_CAL_SCORE_SQL
+    + f""",
+cls AS (
+  SELECT t_id % {_FAIR_GROUPS} AS grp,
+         CASE WHEN score >= 0 THEN 1 ELSE 0 END AS pos_pred,
+         CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+  FROM scored),
+g AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN y = 1 AND pos_pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN y = 0 AND pos_pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+         CAST(SUM(pos_pred) AS BIGINT) AS npos
+  FROM cls GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(tp) AS DOUBLE) / SUM(np) AS tpr_all,
+         CAST(SUM(fp) AS DOUBLE) / SUM(nn) AS fpr_all,
+         CAST(SUM(npos) AS DOUBLE) / SUM(n) AS pr_all
+  FROM g)
+SELECT CAST(g.grp AS BIGINT) AS grp, g.n,
+       round(CAST(g.tp AS DOUBLE) / g.np, 9) AS tpr,
+       round(CAST(g.fp AS DOUBLE) / g.nn, 9) AS fpr,
+       round(CAST(g.npos AS DOUBLE) / g.n, 9) AS pos_rate,
+       round(CAST(g.tp AS DOUBLE) / g.np - t.tpr_all, 9) AS tpr_gap,
+       round(CAST(g.fp AS DOUBLE) / g.nn - t.fpr_all, 9) AS fpr_gap,
+       round(CAST(g.npos AS DOUBLE) / g.n - t.pr_all, 9) AS pos_rate_gap
+FROM g CROSS JOIN tot t
+""",
+)
+def ml_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sv, test = _cal_sv_test(spark, sf_dir)
+    k = K.rbf_kernel(F.col("sv_vec"), F.col("t_vec"), _CAL_GAMMA)
+    scored = (
+        test.crossJoin(F.broadcast(sv))
+        .groupBy("t_id", "label")
+        .agg(F.round(F.sum(F.col("alpha_y") * k) + _CAL_B, 6).alias("score"))
+    )
+    cls = scored.select(
+        (F.col("t_id") % _FAIR_GROUPS).alias("grp"),
+        (F.col("score") >= 0).cast("int").alias("pos_pred"),
+        (F.col("label") % 2 == 0).cast("int").alias("y"),
+    )
+    g = cls.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y") * F.col("pos_pred")).cast("bigint").alias("tp"),
+        F.sum("y").cast("bigint").alias("np"),
+        F.sum((1 - F.col("y")) * F.col("pos_pred")).cast("bigint").alias("fp"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("nn"),
+        F.sum("pos_pred").cast("bigint").alias("npos"),
+    )
+    tot = g.agg(
+        (F.sum("tp").cast("double") / F.sum("np")).alias("tpr_all"),
+        (F.sum("fp").cast("double") / F.sum("nn")).alias("fpr_all"),
+        (F.sum("npos").cast("double") / F.sum("n")).alias("pr_all"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").cast("bigint").alias("grp"),
+            "n",
+            F.round(F.col("tp").cast("double") / F.col("np"), 9).alias("tpr"),
+            F.round(F.col("fp").cast("double") / F.col("nn"), 9).alias("fpr"),
+            F.round(F.col("npos").cast("double") / F.col("n"), 9).alias("pos_rate"),
+            F.round(
+                F.col("tp").cast("double") / F.col("np") - F.col("tpr_all"), 9
+            ).alias("tpr_gap"),
+            F.round(
+                F.col("fp").cast("double") / F.col("nn") - F.col("fpr_all"), 9
+            ).alias("fpr_gap"),
+            F.round(
+                F.col("npos").cast("double") / F.col("n") - F.col("pr_all"), 9
+            ).alias("pos_rate_gap"),
+        )
+    )

@@ -1937,3 +1937,55 @@ class TestDelongCI:
         assert abs(row.ci_lo - (auc - 1.96 * se)) < 1e-8
         assert abs(row.ci_hi - (auc + 1.96 * se)) < 1e-8
         assert row.ci_lo < row.auc < row.ci_hi
+
+
+class TestPreferencePairs:
+    def test_pairs_match_python_replay(self, spark, sf_dir):
+        import collections
+        import re
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _PREF_PAIRS_K
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            (r.lang, r.pair_rank): (r.chosen_id, r.rejected_id, r.margin_milli)
+            for r in QUERIES["select_preference_pairs"](spark, sf_dir).collect()
+        }
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+        by_lang = collections.defaultdict(list)
+        for r in docs:
+            score = 1000 * len(re.sub(r"[^a-zA-Z]", "", r.text)) // max(len(r.text), 1)
+            by_lang[r.lang].append((score, r.doc_id))
+        want = {}
+        for lang, rows in by_lang.items():
+            best = sorted(rows, key=lambda t: (-t[0], t[1]))
+            worst = sorted(rows, key=lambda t: (t[0], -t[1]))
+            for i in range(min(_PREF_PAIRS_K, len(rows))):
+                if best[i][0] > worst[i][0]:
+                    want[(lang, i + 1)] = (
+                        best[i][1],
+                        worst[i][1],
+                        best[i][0] - worst[i][0],
+                    )
+        assert got == want and len(got) > 0
+        # a pair never prefers a doc over itself
+        for chosen, rejected, margin in got.values():
+            assert chosen != rejected and margin > 0
+
+
+class TestFairnessGaps:
+    def test_gaps_recompute_and_pool(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["ml_fairness_gaps"](spark, sf_dir).collect()
+        assert sorted(r.grp for r in rows) == [0, 1, 2]
+        # pooled rates implied by the gaps must agree across groups
+        pooled_tpr = {round(r.tpr - r.tpr_gap, 6) for r in rows}
+        pooled_fpr = {round(r.fpr - r.fpr_gap, 6) for r in rows}
+        assert len(pooled_tpr) == 1 and len(pooled_fpr) == 1
+        for r in rows:
+            assert 0.0 <= r.tpr <= 1.0 and 0.0 <= r.fpr <= 1.0
+            assert 0.0 <= r.pos_rate <= 1.0
