@@ -11383,16 +11383,22 @@ g AS (
          CAST(SUM(pos_pred) AS BIGINT) AS npos
   FROM cls GROUP BY 1),
 tot AS (
-  SELECT CAST(SUM(tp) AS DOUBLE) / SUM(np) AS tpr_all,
-         CAST(SUM(fp) AS DOUBLE) / SUM(nn) AS fpr_all,
+  SELECT CASE WHEN SUM(np) = 0 THEN NULL
+              ELSE CAST(SUM(tp) AS DOUBLE) / SUM(np) END AS tpr_all,
+         CASE WHEN SUM(nn) = 0 THEN NULL
+              ELSE CAST(SUM(fp) AS DOUBLE) / SUM(nn) END AS fpr_all,
          CAST(SUM(npos) AS DOUBLE) / SUM(n) AS pr_all
   FROM g)
 SELECT CAST(g.grp AS BIGINT) AS grp, g.n,
-       round(CAST(g.tp AS DOUBLE) / g.np, 9) AS tpr,
-       round(CAST(g.fp AS DOUBLE) / g.nn, 9) AS fpr,
+       round(CASE WHEN g.np = 0 THEN NULL
+                  ELSE CAST(g.tp AS DOUBLE) / g.np END, 9) AS tpr,
+       round(CASE WHEN g.nn = 0 THEN NULL
+                  ELSE CAST(g.fp AS DOUBLE) / g.nn END, 9) AS fpr,
        round(CAST(g.npos AS DOUBLE) / g.n, 9) AS pos_rate,
-       round(CAST(g.tp AS DOUBLE) / g.np - t.tpr_all, 9) AS tpr_gap,
-       round(CAST(g.fp AS DOUBLE) / g.nn - t.fpr_all, 9) AS fpr_gap,
+       round(CASE WHEN g.np = 0 THEN NULL
+                  ELSE CAST(g.tp AS DOUBLE) / g.np - t.tpr_all END, 9) AS tpr_gap,
+       round(CASE WHEN g.nn = 0 THEN NULL
+                  ELSE CAST(g.fp AS DOUBLE) / g.nn - t.fpr_all END, 9) AS fpr_gap,
        round(CAST(g.npos AS DOUBLE) / g.n - t.pr_all, 9) AS pos_rate_gap
 FROM g CROSS JOIN tot t
 """,
@@ -11419,26 +11425,128 @@ def ml_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos_pred").cast("bigint").alias("npos"),
     )
     tot = g.agg(
-        (F.sum("tp").cast("double") / F.sum("np")).alias("tpr_all"),
-        (F.sum("fp").cast("double") / F.sum("nn")).alias("fpr_all"),
+        F.when(F.sum("np") > 0, F.sum("tp").cast("double") / F.sum("np")).alias("tpr_all"),
+        F.when(F.sum("nn") > 0, F.sum("fp").cast("double") / F.sum("nn")).alias("fpr_all"),
         (F.sum("npos").cast("double") / F.sum("n")).alias("pr_all"),
     )
+    # An all-negative (or all-positive) group has no TPR (FPR): the
+    # rate is NULL, never a division — ANSI Spark raises DIVIDE_BY_ZERO
+    # where DuckDB would return inf (caught by the 20x amp run, where
+    # the fixed panel drew a zero-positive group).
+    tpr = F.when(F.col("np") > 0, F.col("tp").cast("double") / F.col("np"))
+    fpr = F.when(F.col("nn") > 0, F.col("fp").cast("double") / F.col("nn"))
     return (
         g.crossJoin(F.broadcast(tot))
         .select(
             F.col("grp").cast("bigint").alias("grp"),
             "n",
-            F.round(F.col("tp").cast("double") / F.col("np"), 9).alias("tpr"),
-            F.round(F.col("fp").cast("double") / F.col("nn"), 9).alias("fpr"),
+            F.round(tpr, 9).alias("tpr"),
+            F.round(fpr, 9).alias("fpr"),
             F.round(F.col("npos").cast("double") / F.col("n"), 9).alias("pos_rate"),
-            F.round(
-                F.col("tp").cast("double") / F.col("np") - F.col("tpr_all"), 9
-            ).alias("tpr_gap"),
-            F.round(
-                F.col("fp").cast("double") / F.col("nn") - F.col("fpr_all"), 9
-            ).alias("fpr_gap"),
+            F.round(tpr - F.col("tpr_all"), 9).alias("tpr_gap"),
+            F.round(fpr - F.col("fpr_all"), 9).alias("fpr_gap"),
             F.round(
                 F.col("npos").cast("double") / F.col("n") - F.col("pr_all"), 9
             ).alias("pos_rate_gap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B547 (round 10) — padding-waste accounting for length-bucketed
+# batching: when variable-length documents are batched to the max
+# length IN the batch, arrival-order batching pays padding for the
+# length spread while length-bucketed batching (sort by length within
+# the loader shard, batch neighbors) pays almost none — this op
+# computes the exact padded-token bill under both strategies (batch
+# size 8, whitespace token counts) so a training-data team can price
+# the shuffle-vs-padding trade.  Batching happens WITHIN deterministic
+# loader shards (doc_id % 64 — the pack_sequences convention): that is
+# how distributed loaders actually batch, and it keeps every window
+# partitioned (no corpus-wide sort at any scale).  Assignment is
+# deterministic in both strategies; everything is exact integer sums.
+# Shard count is a loader parameter (one per loader worker in
+# production); 8 keeps the gate fixture's shards big enough that
+# batching within a shard is non-trivial.
+
+_PAD_BATCH = 8
+_PAD_SHARDS = 8
+
+
+@query(
+    "pack_padding_waste",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PAD_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+arrival AS (
+  SELECT shard, n_tokens,
+         (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+           // {_PAD_BATCH} AS b
+  FROM t),
+bucketed AS (
+  SELECT shard, n_tokens,
+         (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) - 1)
+           // {_PAD_BATCH} AS b
+  FROM t),
+a AS (
+  SELECT CAST(SUM(mx * n - s) AS BIGINT) AS pad FROM (
+    SELECT MAX(n_tokens) AS mx, COUNT(*) AS n, SUM(n_tokens) AS s
+    FROM arrival GROUP BY shard, b)),
+bk AS (
+  SELECT CAST(SUM(mx * n - s) AS BIGINT) AS pad FROM (
+    SELECT MAX(n_tokens) AS mx, COUNT(*) AS n, SUM(n_tokens) AS s
+    FROM bucketed GROUP BY shard, b)),
+tok AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM t)
+SELECT tok.total AS real_tokens,
+       a.pad AS pad_arrival,
+       bk.pad AS pad_bucketed,
+       round(CAST(a.pad AS DOUBLE) / tok.total, 9) AS waste_arrival,
+       round(CAST(bk.pad AS DOUBLE) / tok.total, 9) AS waste_bucketed
+FROM tok, a, bk
+""",
+)
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PAD_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+    def pad(order_sql: str) -> DataFrame:
+        batches = t.select(
+            "shard",
+            "n_tokens",
+            F.expr(f"(row_number() over (partition by shard order by {order_sql}) - 1)"
+                   f" div {_PAD_BATCH}").alias("b"),
+        )
+        per_batch = batches.groupBy("shard", "b").agg(
+            F.max("n_tokens").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("s"),
+        )
+        return per_batch.agg(
+            F.sum(F.col("mx") * F.col("n") - F.col("s")).cast("bigint").alias("pad")
+        )
+
+    arrival = pad("doc_id").select(F.col("pad").alias("pad_arrival"))
+    bucketed = pad("n_tokens, doc_id").select(F.col("pad").alias("pad_bucketed"))
+    tok = t.agg(F.sum("n_tokens").cast("bigint").alias("real_tokens"))
+    return (
+        F.broadcast(tok)
+        .crossJoin(F.broadcast(arrival))
+        .crossJoin(F.broadcast(bucketed))
+        .select(
+            "real_tokens",
+            "pad_arrival",
+            "pad_bucketed",
+            F.round(F.col("pad_arrival").cast("double") / F.col("real_tokens"), 9).alias(
+                "waste_arrival"
+            ),
+            F.round(F.col("pad_bucketed").cast("double") / F.col("real_tokens"), 9).alias(
+                "waste_bucketed"
+            ),
         )
     )

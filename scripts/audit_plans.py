@@ -124,6 +124,7 @@ WHITELIST = {
     "ml_conformal_coverage": "(b) SV broadcast scoring (ml_calibration_bins shape) + 1-row qhat broadcast",
     "ml_label_permutation_test": "(b) SV broadcast scoring + 8-row shift broadcast + 1-row truth broadcast over the conf-budgeted panel",
     "ml_fairness_gaps": "(b) SV broadcast scoring + 1-row pooled-rates broadcast",
+    "pack_padding_waste": "(a) 1x1x1 crossJoin of total/arrival/bucketed pad scalar rows",
     "dq_freshness_lag": "(a) 1-row high-water-mark broadcast against the scan",
     "sim_sq8_topk": "(b) probes broadcast against corpus by design (sim_topk shape, non-equi <> filter)",
     "dedup_minhash_recall": "(a) 1x1x1 crossJoin of truth/candidate/hit count rows; both pair generators are equi-joins (postings, band buckets)",

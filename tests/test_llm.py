@@ -1989,3 +1989,34 @@ class TestFairnessGaps:
         for r in rows:
             assert 0.0 <= r.tpr <= 1.0 and 0.0 <= r.fpr <= 1.0
             assert 0.0 <= r.pos_rate <= 1.0
+
+
+class TestPaddingWaste:
+    def test_bucketing_beats_arrival_and_replays(self, spark, sf_dir):
+        import collections
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _PAD_BATCH, _PAD_SHARDS
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["pack_padding_waste"](spark, sf_dir).collect()[0]
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        shards = collections.defaultdict(list)
+        for r in docs:
+            shards[r.doc_id % _PAD_SHARDS].append((r.doc_id, len(r.text.split(" "))))
+
+        def pad(key):
+            total = 0
+            for rows in shards.values():
+                seq = [n for _, n in sorted(rows, key=key)]
+                for i in range(0, len(seq), _PAD_BATCH):
+                    batch = seq[i : i + _PAD_BATCH]
+                    total += max(batch) * len(batch) - sum(batch)
+            return total
+
+        assert row.real_tokens == sum(n for rows in shards.values() for _, n in rows)
+        assert row.pad_arrival == pad(lambda t: t[0])
+        assert row.pad_bucketed == pad(lambda t: (t[1], t[0]))
+        # the whole point: length bucketing pays less padding
+        assert row.pad_bucketed < row.pad_arrival
