@@ -5973,10 +5973,14 @@ star AS (
          CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS syy_c
   FROM sums)
 SELECT CAST(m AS BIGINT) AS n_obs,
-       round(CAST(sxy_c AS DOUBLE) / CAST(sxx_c AS DOUBLE), 9) AS beta,
-       round(CAST(sxy_c AS DOUBLE)
-             / sqrt(CAST(syy_c * sxx_c - sxy_c * sxy_c AS DOUBLE)
-                    / (m - 2)), 9) AS t_stat
+       round(CASE WHEN sxx_c = 0 THEN NULL
+                  ELSE CAST(sxy_c AS DOUBLE) / CAST(sxx_c AS DOUBLE) END,
+             9) AS beta,
+       round(CASE WHEN m <= 2 OR sxx_c = 0
+                    OR syy_c * sxx_c - sxy_c * sxy_c = 0 THEN NULL
+                  ELSE CAST(sxy_c AS DOUBLE)
+                       / sqrt(CAST(syy_c * sxx_c - sxy_c * sxy_c AS DOUBLE)
+                              / (m - 2)) END, 9) AS t_stat
 FROM star
 """,
 )
@@ -6010,14 +6014,25 @@ def ts_unit_root_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m").cast(d38) * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy")).alias("sxy_c"),
         (F.col("m").cast(d38) * F.col("syy") - F.col("sy").cast(d38) * F.col("sy")).alias("syy_c"),
     )
+    # Short (m <= 2) or constant-lag (sxx* = 0) or perfect-fit
+    # (residual SS = 0) series have no DF statistic: NULL on both
+    # engines, never an ANSI DIVIDE_BY_ZERO only on Spark's side.
+    resid_ss = (F.col("syy_c") * F.col("sxx_c") - F.col("sxy_c") * F.col("sxy_c")).cast(
+        "double"
+    )
     return star.select(
         F.col("m").cast("bigint").alias("n_obs"),
-        F.round(F.col("sxy_c").cast("double") / F.col("sxx_c").cast("double"), 9).alias("beta"),
         F.round(
-            F.col("sxy_c").cast("double")
-            / F.sqrt(
-                (F.col("syy_c") * F.col("sxx_c") - F.col("sxy_c") * F.col("sxy_c")).cast("double")
-                / (F.col("m") - 2)
+            F.when(
+                F.col("sxx_c") != 0,
+                F.col("sxy_c").cast("double") / F.col("sxx_c").cast("double"),
+            ),
+            9,
+        ).alias("beta"),
+        F.round(
+            F.when(
+                (F.col("m") > 2) & (F.col("sxx_c") != 0) & (resid_ss != 0),
+                F.col("sxy_c").cast("double") / F.sqrt(resid_ss / (F.col("m") - 2)),
             ),
             9,
         ).alias("t_stat"),
@@ -6291,7 +6306,9 @@ tot AS (
 SELECT n AS n_days, k AS n_groups,
        round(sb - s * s / n, 9) AS ss_between,
        round(q - sb, 9) AS ss_within,
-       round(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)), 9) AS f_stat
+       round(CASE WHEN k <= 1 OR n <= k OR q - sb = 0 THEN NULL
+                  ELSE ((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k))
+             END, 9) AS f_stat
 FROM tot
 """,
 )
@@ -6326,10 +6343,16 @@ def ts_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sb"),
     )
     n, k, s, q, sb = (F.col(c) for c in ("n", "k", "s", "q", "sb"))
+    # Degenerate slices (one group, one day per group, or zero
+    # within-group variance) have no F statistic: NULL on both engines,
+    # never an ANSI DIVIDE_BY_ZERO only on Spark's side.
+    f_ok = (k > 1) & (n > k) & (q != sb)
     return tot.select(
         n.alias("n_days"),
         k.alias("n_groups"),
         F.round(sb - s * s / n, 9).alias("ss_between"),
         F.round(q - sb, 9).alias("ss_within"),
-        F.round(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)), 9).alias("f_stat"),
+        F.round(
+            F.when(f_ok, ((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k))), 9
+        ).alias("f_stat"),
     )

@@ -1662,11 +1662,17 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer protocol as graph_pagerank, but with its own headroom budget:
 # WITHOUT the stochastic 1/outdeg normalization a hub's score grows
 # like (deg_max * alpha)^k, so mass is scaled 10^9 (not 10^15) and
-# alpha = 1/32 as integer DIV 32 applied to the SUMMED inflow (one
-# truncation per vertex per round, not per edge).  Worst case on the
-# densest fixture this repo ever runs (sf1: ~1.4M distinct edges over
-# the 4000-vertex space, deg_max ~2000) is 10^9 * (2000/32)^5 ~ 1e18,
-# inside BIGINT on both engines.  5 fixed iterations of commutative
+# alpha = 1/32 as integer DIV 32 applied PER EDGE before the sum (the
+# graph_pagerank contribution protocol) — dividing after the sum would
+# let the raw inflow accumulator overflow BIGINT even when the
+# post-division score fits (a deg-2000 hub of deg-2000 hubs sums
+# 2000 * 1.5e16 ~ 3e19 at iteration 5; the code-review catch).  With
+# per-edge division the worst case on the densest fixture this repo
+# ever runs (sf1: ~1.4M distinct edges over the 4000-vertex space,
+# deg_max ~2000) is a SUM bounded by deg_max * score_4/32 ~ 9.4e17 and
+# a final score ~1e18, inside BIGINT on both engines — at the cost of
+# one truncation per edge instead of per vertex (< deg units of 1e-9,
+# checked against the float reference in tests).  5 fixed iterations of commutative
 # integer math, bit-identical in any accumulation order; the O(V)
 # score vector shuffle-joins the checkpointed links, never broadcast.
 
@@ -1684,7 +1690,7 @@ it AS (
   SELECT 0 AS step, src, CAST({s} AS BIGINT) AS score FROM nv
   UNION ALL
   SELECT r.step + 1, o.dst AS src,
-         CAST(SUM(r.score) // 32 + {s} AS BIGINT) AS score
+         CAST(SUM(r.score // 32) + {s} AS BIGINT) AS score
   FROM it r
   JOIN oe o ON o.src = r.src
   WHERE r.step < {_PR_ITERS}
@@ -1706,18 +1712,18 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = out.select("src").distinct()
     scores = spine.select("src", F.lit(_KATZ_SCALE).cast("bigint").alias("score"))
     for _ in range(_PR_ITERS):
-        # Shuffle join on src (the O(V) score vector is never broadcast);
-        # inflow sums BEFORE the single DIV-8 attenuation per vertex.
+        # Shuffle join on src (the O(V) score vector is never
+        # broadcast); DIV-32 attenuation applies per EDGE before the
+        # sum so the inflow accumulator stays inside BIGINT headroom.
         inflow = (
             out.join(scores, "src")
-            .groupBy(F.col("dst").alias("src"))
-            .agg(F.sum("score").alias("inflow"))
+            .select(F.col("dst").alias("src"), F.expr("score div 32").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("inflow"))
         )
         scores = spine.join(inflow, "src", "left").select(
             "src",
-            (
-                F.expr("coalesce(inflow, 0L) div 32") + F.lit(_KATZ_SCALE)
-            )
+            (F.coalesce(F.col("inflow"), F.lit(0)) + F.lit(_KATZ_SCALE))
             .cast("bigint")
             .alias("score"),
         ).localCheckpoint(eager=True)

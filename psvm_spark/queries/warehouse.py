@@ -2716,8 +2716,10 @@ SELECT event_type,
        CAST((epoch_us((SELECT hw FROM hw)) - epoch_us(last_ts)) // 60000000
             AS BIGINT) AS lag_minutes,
        CAST(n_last_day AS BIGINT) AS n_last_day,
-       round(CAST(n_last_day AS DOUBLE)
-             / (CAST(n_hist AS DOUBLE) / n_hist_days), 9) AS volume_ratio
+       round(CASE WHEN n_hist_days = 0 THEN NULL
+                  ELSE CAST(n_last_day AS DOUBLE)
+                       / (CAST(n_hist AS DOUBLE) / n_hist_days) END,
+             9) AS volume_ratio
 FROM per_type
 """,
 )
@@ -2750,9 +2752,15 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lag_minutes"),
         F.col("n_last_day").cast("bigint").alias("n_last_day"),
+        # A type first seen on the final day has no history: the ratio
+        # is NULL, never a 0/0 (ANSI Spark aborts where DuckDB NULLs —
+        # the ml_fairness_gaps divergence class).
         F.round(
-            F.col("n_last_day").cast("double")
-            / (F.col("n_hist").cast("double") / F.col("n_hist_days")),
+            F.when(
+                F.col("n_hist_days") > 0,
+                F.col("n_last_day").cast("double")
+                / (F.col("n_hist").cast("double") / F.col("n_hist_days")),
+            ),
             9,
         ).alias("volume_ratio"),
     )

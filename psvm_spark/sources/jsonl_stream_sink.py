@@ -64,11 +64,24 @@ def make_datasource():
             return _Committed(out, n)
 
         def commit(self, messages, batchId):
+            import json
             import os
 
+            # The marker records the EXACT shard list of the winning
+            # attempt: a crashed earlier attempt of this batch may have
+            # left orphan part files under other partition ids, and a
+            # marker that merely counted rows would make the reader
+            # union orphans with the retry's files (duplicates — the
+            # code-review catch).  Readers trust only listed files.
             marker = os.path.join(self._path, f"_COMMIT-{batchId:05d}")
-            with open(marker, "w") as fh:
-                fh.write(str(sum(m.n_rows for m in messages if m is not None)))
+            files = sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            )
+            n_rows = sum(m.n_rows for m in messages if m is not None)
+            tmp = marker + ".inprogress"
+            with open(tmp, "w") as fh:
+                json.dump({"n_rows": n_rows, "files": files}, fh)
+            os.replace(tmp, marker)
 
         def abort(self, messages, batchId):
             import os
@@ -92,19 +105,21 @@ def make_datasource():
 
 
 def committed_files(path: str) -> list[str]:
-    """Part files belonging to batches that carry a commit marker."""
+    """Part files explicitly listed by a batch's commit marker.
+
+    Only the marker's file list is trusted — never a directory glob of
+    the batch prefix — so orphan shards from a crashed earlier attempt
+    of the same batch id stay invisible (exactly-once read-back)."""
     import glob
+    import json
     import os
 
-    committed = {
-        os.path.basename(m).split("-", 1)[1]
-        for m in glob.glob(os.path.join(path, "_COMMIT-*"))
-    }
-    return sorted(
-        f
-        for f in glob.glob(os.path.join(path, "batch-*-part-*.jsonl"))
-        if os.path.basename(f).split("-")[1] in committed
-    )
+    out: list[str] = []
+    for marker in sorted(glob.glob(os.path.join(path, "_COMMIT-*"))):
+        with open(marker) as fh:
+            manifest = json.load(fh)
+        out.extend(os.path.join(path, name) for name in manifest["files"])
+    return sorted(out)
 
 
 def register(spark) -> None:

@@ -38,6 +38,9 @@ from measure_scale import AMP, build_amplified, build_graph_amplified  # noqa: E
 
 
 def main() -> int:
+    if len(sys.argv) < 3 or any(":" not in a for a in sys.argv[2:]):
+        print(__doc__, file=sys.stderr)
+        return 2
     out_path = sys.argv[1]
     specs = [a.rsplit(":", 1) for a in sys.argv[2:]]
     base = "/root/testdata/sf0.1"
@@ -88,7 +91,8 @@ def main() -> int:
             "factor": AMP,
             "protocol": proto,
         }
-        print(f"{name} [{proto}]: base {b}s amp20 {a}s ratio {round(a/b,1)}x",
+        ratio = res["queries"][name]["ratio"]
+        print(f"{name} [{proto}]: base {b}s amp20 {a}s ratio {ratio}x",
               file=sys.stderr)
     Path(out_path).write_text(json.dumps(res) + "\n")
     print(json.dumps(res))

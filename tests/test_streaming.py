@@ -576,16 +576,25 @@ class TestPydsStreamSink:
         }
         assert got == want
 
-    def test_uncommitted_batches_invisible(self, tmp_path):
+    def test_uncommitted_and_orphan_shards_invisible(self, tmp_path):
+        import json
+
         from psvm_spark.sources.jsonl_stream_sink import committed_files
 
         d = str(tmp_path)
-        for name in ("batch-00000-part-00000.jsonl", "batch-00001-part-00000.jsonl"):
+        shards = (
+            "batch-00000-part-00000.jsonl",  # committed
+            "batch-00000-part-00007.jsonl",  # orphan of a dead attempt of batch 0
+            "batch-00001-part-00000.jsonl",  # batch never committed
+        )
+        for name in shards:
             with open(os.path.join(d, name), "w") as fh:
                 fh.write('{"event_id": 1}\n')
         with open(os.path.join(d, "_COMMIT-00000"), "w") as fh:
-            fh.write("1")
+            json.dump({"n_rows": 1, "files": ["batch-00000-part-00000.jsonl"]}, fh)
         files = committed_files(d)
+        # only the marker-LISTED shard: the same-batch orphan and the
+        # uncommitted batch both stay invisible
         assert [os.path.basename(f) for f in files] == ["batch-00000-part-00000.jsonl"]
 
 
