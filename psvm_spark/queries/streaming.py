@@ -1322,3 +1322,46 @@ def stream_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "event_type", "day", F.col("n").cast("bigint").alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# B548 (round 10) — State Data Source (Spark 4 `statestore` format):
+# read a streaming query's CHECKPOINTED STATE directly as a DataFrame
+# — the ops primitive behind state debugging, state migration audits,
+# and "what does the store think the counts are" incident forensics,
+# without touching the running query.  The query here materializes a
+# per-type running count into a checkpoint (availableNow), then reads
+# the state store back (nested key/value structs flattened) — the
+# state MUST equal the batch rollup, which is exactly what the oracle
+# asserts.  At scale the reader shards by state-store partition, so
+# inspecting billion-key state is itself a distributed scan.
+
+
+@query(
+    "scan_state_store_reader",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+)
+def scan_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = scratch_dir("psvm_ssread_ckpt_")
+    name = f"psvm_ssread_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n"),
+    )

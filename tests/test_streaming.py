@@ -645,3 +645,25 @@ class TestRocksDBStateStore:
             spark.conf.get("spark.sql.streaming.stateStore.providerClass")
             != "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         )
+
+
+class TestStateStoreReader:
+    def test_state_equals_batch_and_carries_partitions(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = {
+            r.event_type: r.n
+            for r in QUERIES["scan_state_store_reader"](spark, sf_dir).collect()
+        }
+        want = {
+            r.event_type: r.n
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        }
+        assert got == want and len(got) == 5
