@@ -116,8 +116,14 @@ def committed_files(path: str) -> list[str]:
 
     out: list[str] = []
     for marker in sorted(glob.glob(os.path.join(path, "_COMMIT-*"))):
+        if marker.endswith(".inprogress"):
+            continue  # a crashed/in-flight commit() — not committed
         with open(marker) as fh:
             manifest = json.load(fh)
+        if not isinstance(manifest, dict):
+            # pre-manifest marker format (bare row count): no shard
+            # list to trust, so the batch is not readable exactly-once
+            continue
         out.extend(os.path.join(path, name) for name in manifest["files"])
     return sorted(out)
 

@@ -38,7 +38,12 @@ from measure_scale import AMP, build_amplified, build_graph_amplified  # noqa: E
 
 
 def main() -> int:
-    if len(sys.argv) < 3 or any(":" not in a for a in sys.argv[2:]):
+    valid = {"plain", "graph", "svm", "probe"}
+    if (
+        len(sys.argv) < 3
+        or any(":" not in a for a in sys.argv[2:])
+        or any(a.rsplit(":", 1)[1] not in valid for a in sys.argv[2:])
+    ):
         print(__doc__, file=sys.stderr)
         return 2
     out_path = sys.argv[1]

@@ -592,9 +592,16 @@ class TestPydsStreamSink:
                 fh.write('{"event_id": 1}\n')
         with open(os.path.join(d, "_COMMIT-00000"), "w") as fh:
             json.dump({"n_rows": 1, "files": ["batch-00000-part-00000.jsonl"]}, fh)
+        # a crashed/in-flight commit and a pre-manifest legacy marker
+        # must both be ignored, not read as committed
+        with open(os.path.join(d, "_COMMIT-00001.inprogress"), "w") as fh:
+            json.dump({"n_rows": 1, "files": ["batch-00001-part-00000.jsonl"]}, fh)
+        with open(os.path.join(d, "_COMMIT-00002"), "w") as fh:
+            fh.write("3")
         files = committed_files(d)
-        # only the marker-LISTED shard: the same-batch orphan and the
-        # uncommitted batch both stay invisible
+        # only the marker-LISTED shard: the same-batch orphan, the
+        # uncommitted batch, the torn commit, and the legacy marker all
+        # stay invisible
         assert [os.path.basename(f) for f in files] == ["batch-00000-part-00000.jsonl"]
 
 
