@@ -678,8 +678,12 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # B82 (round 4) — hierarchical transitive closure (recursive-CTE
-# equivalent).  Spark has no WITH RECURSIVE; the engine form is the
-# driver-bounded BFS loop: a parent TABLE (child -> parent, derived
+# equivalent).  Written when Spark had no WITH RECURSIVE; Spark 4 now
+# does (SPARK-24497) and B549 ``subquery_recursive_cte`` exercises the
+# genuine SQL recursion over the same fixture — this key keeps the
+# driver-bounded BFS loop, the form that predates 4.x and remains the
+# way to interleave per-level logic (checkpointing, early pruning)
+# recursion syntax can't express: a parent TABLE (child -> parent, derived
 # deterministically as c_custkey div 7 over the contiguous key space)
 # is joined against the frontier each round, unioning (node, ancestor,
 # depth) rows until the frontier empties — exactly how
@@ -6355,4 +6359,228 @@ def ts_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.when(f_ok, ((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k))), 9
         ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B553 (round 10) — moving-average crossover detection (the golden/
+# death-cross signal): SMA(3) vs SMA(7) over the daily purchase-count
+# series, emitting the days where the fast average crosses the slow
+# one.  The comparison is done in INTEGERS — 7*sum3 vs 3*sum7 — so
+# sign and crossing are exact with no division anywhere; the reported
+# averages are single double divisions of identical exact operands.
+# Windows are row-based over observed days (the series convention) and
+# only FULL windows signal (count-in-frame guards), so warm-up days
+# never emit.  Scale: one calendar-bounded daily rollup, then windows
+# over the tiny day spine — flat at any corpus size.
+
+
+@query(
+    "ts_sma_crossover",
+    oracle="""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+sm AS (
+  SELECT d, x,
+         SUM(x) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3,
+         SUM(x) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+  FROM cnt),
+sgn AS (
+  SELECT d, x, s3, s7,
+         CASE WHEN 7 * s3 > 3 * s7 THEN 1
+              WHEN 7 * s3 < 3 * s7 THEN -1 ELSE 0 END AS sg
+  FROM sm WHERE n3 = 3 AND n7 = 7),
+flagged AS (
+  SELECT d, x, s3, s7, sg, lag(sg) OVER (ORDER BY d) AS prev_sg
+  FROM sgn)
+SELECT CAST(d AS VARCHAR) AS d, CAST(x AS BIGINT) AS x,
+       CAST(s3 AS DOUBLE) / 3 AS sma_fast,
+       CAST(s7 AS DOUBLE) / 7 AS sma_slow,
+       CASE WHEN sg > prev_sg THEN 'golden' ELSE 'death' END AS cross_dir
+FROM flagged
+WHERE prev_sg IS NOT NULL AND sg <> prev_sg AND sg <> 0
+""",
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w3 = Window.orderBy("d").rowsBetween(-2, 0)
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    sm = cnt.select(
+        "d",
+        "x",
+        F.sum("x").over(w3).alias("s3"),
+        F.count(F.lit(1)).over(w3).alias("n3"),
+        F.sum("x").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    sgn = sm.filter((F.col("n3") == 3) & (F.col("n7") == 7)).select(
+        "d",
+        "x",
+        "s3",
+        "s7",
+        F.when(7 * F.col("s3") > 3 * F.col("s7"), 1)
+        .when(7 * F.col("s3") < 3 * F.col("s7"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    flagged = sgn.select(
+        "*", F.lag("sg").over(Window.orderBy("d")).alias("prev_sg")
+    )
+    return flagged.filter(
+        F.col("prev_sg").isNotNull()
+        & (F.col("sg") != F.col("prev_sg"))
+        & (F.col("sg") != 0)
+    ).select(
+        F.col("d").cast("string").alias("d"),
+        F.col("x").cast("bigint").alias("x"),
+        (F.col("s3").cast("double") / 3).alias("sma_fast"),
+        (F.col("s7").cast("double") / 7).alias("sma_slow"),
+        F.when(F.col("sg") > F.col("prev_sg"), "golden")
+        .otherwise("death")
+        .alias("cross_dir"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B554 (round 10) — grid-blocked DBSCAN core/border/noise
+# classification: every point is keyed to its unit grid cell, each
+# point's eps-neighborhood is counted against the 3x3 cell
+# neighborhood ONLY (eps < 1 cell, so the block is exhaustive and the
+# join is a pure equi-join on cell keys — never all-pairs), core
+# points have >= MINPTS neighbors (self included, the textbook
+# definition), border points are non-core with a core within eps, the
+# rest is noise.  This is density-based clustering's data-skimming
+# primitive (the full cluster labeling is a components pass over
+# core-core edges — dedup_components' machinery).  Coordinates are
+# salted-md5 uniforms in [0, W) at 1e-3 resolution; dist2 and the
+# eps2 = 9/16 comparison are IEEE ops on identical operands (exact
+# threshold, house float rule).  Scale: the grid side W is a conf
+# (psvm.geo.dbscan_grid) raised by the amp harness so density — and
+# with it per-point candidate count — stays constant as the corpus
+# grows (the psvm.graph.n_nodes recipe); oracles pin the default.
+
+_DBSCAN_GRID = 24
+_DBSCAN_EPS2 = 0.5625  # 0.75^2, exact binary fraction
+_DBSCAN_MINPTS = 4
+
+
+def _dbscan_grid(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get("psvm.geo.dbscan_grid", str(_DBSCAN_GRID)))
+    except Exception:  # noqa: BLE001 — absent conf API quirk: use default
+        return _DBSCAN_GRID
+
+
+def _dbscan_coord(prefix: str, key: str, w: int) -> str:
+    return (
+        f"(cast(pmod(cast(conv(substring(md5(concat('{prefix}', {key})), 1, 8),"
+        f" 16, 10) as bigint), {w * 1000}) as double) / 1000.0)"
+    )
+
+
+def _dbscan_coord_duck(prefix: str, key: str, w: int) -> str:
+    return (
+        f"((('0x' || substr(md5('{prefix}' || {key}), 1, 8))::BIGINT"
+        f" % {w * 1000}) / 1000.0)"
+    )
+
+
+@query(
+    "geo_dbscan_core",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         {_dbscan_coord_duck('dbx:', 'c_custkey', _DBSCAN_GRID)} AS px,
+         {_dbscan_coord_duck('dby:', 'c_custkey', _DBSCAN_GRID)} AS py
+  FROM customer),
+nb AS (
+  SELECT p.k AS k, q.k AS qk
+  FROM pts p JOIN pts q
+    ON floor(q.px) BETWEEN floor(p.px) - 1 AND floor(p.px) + 1
+   AND floor(q.py) BETWEEN floor(p.py) - 1 AND floor(p.py) + 1
+   AND (p.px - q.px) * (p.px - q.px)
+     + (p.py - q.py) * (p.py - q.py) <= {_DBSCAN_EPS2}),
+cnt AS (SELECT k, COUNT(*) AS n_nb FROM nb GROUP BY k),
+core AS (SELECT k FROM cnt WHERE n_nb >= {_DBSCAN_MINPTS}),
+border AS (
+  SELECT DISTINCT nb.k FROM nb
+  JOIN core ON nb.qk = core.k
+  WHERE nb.k <> nb.qk AND nb.k NOT IN (SELECT k FROM core))
+SELECT cnt.k AS c_custkey, cnt.n_nb,
+       CASE WHEN core.k IS NOT NULL THEN 'core'
+            WHEN border.k IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS cls
+FROM cnt
+LEFT JOIN core ON cnt.k = core.k
+LEFT JOIN border ON cnt.k = border.k
+""",
+)
+def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _dbscan_grid(spark)
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        F.expr(_dbscan_coord("dbx:", "c_custkey", w)).alias("px"),
+        F.expr(_dbscan_coord("dby:", "c_custkey", w)).alias("py"),
+    ).localCheckpoint(eager=True)
+    # probes explode to their 9 neighbor cells; candidates key on their
+    # own cell — pure equi-join on (ci, cj), geo_nearest_site's blocking
+    probe_cells = pts.select(
+        F.col("k").alias("pk"),
+        "px",
+        "py",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), di -> "
+                "transform(sequence(-1, 1), dj -> "
+                "struct(cast(floor(px) + di as bigint) as ci, "
+                "cast(floor(py) + dj as bigint) as cj))))"
+            )
+        ).alias("cell"),
+    ).select("pk", "px", "py", "cell.ci", "cell.cj")
+    cands = pts.select(
+        F.col("k").alias("qk"),
+        F.col("px").alias("qx"),
+        F.col("py").alias("qy"),
+        F.expr("cast(floor(px) as bigint)").alias("ci"),
+        F.expr("cast(floor(py) as bigint)").alias("cj"),
+    )
+    nb = (
+        probe_cells.join(cands, ["ci", "cj"])
+        .filter(
+            (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+            + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
+            <= F.lit(_DBSCAN_EPS2)
+        )
+        .select(F.col("pk").alias("k"), "qk")
+        .localCheckpoint(eager=True)
+    )
+    cnt = nb.groupBy("k").agg(F.count(F.lit(1)).alias("n_nb"))
+    core = cnt.filter(F.col("n_nb") >= _DBSCAN_MINPTS).select("k")
+    border = (
+        nb.filter(F.col("k") != F.col("qk"))
+        .join(core.withColumnRenamed("k", "qk"), "qk", "leftsemi")
+        .select("k")
+        .distinct()
+        .join(core, "k", "left_anti")
+    )
+    return (
+        cnt.join(core.withColumn("is_core", F.lit(1)), "k", "left")
+        .join(border.withColumn("is_border", F.lit(1)), "k", "left")
+        .select(
+            F.col("k").alias("c_custkey"),
+            "n_nb",
+            F.when(F.col("is_core") == 1, "core")
+            .when(F.col("is_border") == 1, "border")
+            .otherwise("noise")
+            .alias("cls"),
+        )
     )

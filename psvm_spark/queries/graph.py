@@ -1732,3 +1732,85 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("src", F.round(F.col("score") / F.lit(1e9), 9).alias("katz"))
     )
+
+
+# --------------------------------------------------------------------------
+# B552 (round 10) — one Boruvka MST round: every vertex selects its
+# minimum-weight incident edge and the selected set is contracted —
+# the classic distributed MST step (each round halves the component
+# count, so log V rounds finish the tree; GHS and every
+# Spark/Pregel MST run exactly this).  Edge weights are the
+# deterministic salted-md5 of the canonical pair; ties are broken by
+# the total order (w, a, b), under which the picked set is provably a
+# FOREST (each edge strictly decreases along any would-be cycle), so
+# components-after = vertices - picked WITHOUT running a labeling
+# pass.  Scale: per-vertex argmin is one row_number window over the
+# 2|E| incidence rows (single shuffle on the vertex key, map-side
+# nothing to combine but the window frame is rank-1-only); everything
+# else is a skinny count.  No iteration here by design — the
+# label-propagation machinery that would drive rounds 2..log V to a
+# fixpoint is graph_label_propagation / dedup_components.
+
+_MST_W_SPARK = (
+    "pmod(cast(conv(substring(md5(concat('gw:', a, ':', b)), 1, 8), 16, 10)"
+    " as bigint), 1000000)"
+)
+_MST_W_DUCK = "(('0x' || substr(md5('gw:' || a || ':' || b), 1, 8))::BIGINT % 1000000)"
+
+
+@query(
+    "graph_mst_boruvka",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+we AS (SELECT a, b, {_MST_W_DUCK} AS w FROM edges),
+inc AS (
+  SELECT a AS v, a, b, w FROM we
+  UNION ALL
+  SELECT b AS v, a, b, w FROM we),
+pick AS (
+  SELECT v, a, b, w,
+         ROW_NUMBER() OVER (PARTITION BY v ORDER BY w, a, b) AS rk
+  FROM inc),
+chosen AS (SELECT DISTINCT a, b, w FROM pick WHERE rk = 1),
+verts AS (SELECT COUNT(DISTINCT v) AS n_vertices FROM inc)
+SELECT verts.n_vertices,
+       (SELECT COUNT(*) FROM we) AS n_edges,
+       (SELECT COUNT(*) FROM chosen) AS n_picked,
+       (SELECT CAST(SUM(w) AS BIGINT) FROM chosen) AS picked_weight,
+       verts.n_vertices - (SELECT COUNT(*) FROM chosen) AS n_components_after
+FROM verts
+""",
+)
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    we = edge_set(spark, sf_dir).select(
+        "a", "b", F.expr(_MST_W_SPARK).alias("w")
+    ).localCheckpoint(eager=True)
+    inc = we.select(F.col("a").alias("v"), "a", "b", "w").unionAll(
+        we.select(F.col("b").alias("v"), "a", "b", "w")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("v").orderBy("w", "a", "b")
+    )
+    chosen = (
+        inc.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("a", "b", "w")
+        .distinct()
+    )
+    stats = chosen.agg(
+        F.count(F.lit(1)).alias("n_picked"),
+        F.sum("w").cast("bigint").alias("picked_weight"),
+    )
+    verts = inc.agg(F.countDistinct("v").alias("n_vertices"))
+    edges = we.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        verts.crossJoin(edges)
+        .crossJoin(stats)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_picked",
+            "picked_weight",
+            (F.col("n_vertices") - F.col("n_picked")).alias("n_components_after"),
+        )
+    )

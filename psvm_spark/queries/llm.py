@@ -11550,3 +11550,202 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B555 (round 10) — ridge regularization path with held-out model
+# selection: the 1-feature + intercept ridge (embedding[0] quantized
+# to 1/1024, ml_ridge_closed_form's quantization) solved in CLOSED
+# FORM at each lambda of a fixed grid, scored on a held-out validation
+# split (vec_id % 4 = 0), argmin validation SSE flagged — the
+# regularization-path sweep every training pipeline runs before
+# committing a penalty.  The normal-equation terms n*Sxy - Sx*Sy and
+# n*(Sxx+lambda) - Sx^2 are exact DECIMAL(38,0) products of integer
+# sufficient statistics (the ts_unit_root_df overflow recipe), so both
+# engines divide identical operands; the validation SSE expands as
+# syy - 2a*sy - 2b*sxy + a^2*n + 2ab*sx + b^2*sxx, mirrored literally.
+# Scale: ONE aggregation pass builds both splits' sufficient
+# statistics (map-side combined); the grid itself is 6 rows of
+# driver-free arithmetic — corpus size never touches the sweep.
+
+_RLP_GRID = (0, 4, 16, 64, 256, 1024)
+_RLP_XQ_SPARK = "cast(floor(cast(embedding[0] as double) * 1024e0 + 5e-1) as bigint)"
+_RLP_XQ_DUCK = "CAST(floor(CAST(embedding[1] AS DOUBLE) * 1024e0 + 5e-1) AS BIGINT)"
+
+
+def _rlp_sse(pfx: str) -> str:
+    """Validation-SSE expansion, shared verbatim by both engines."""
+    return (
+        f"round({pfx}syy_v - 2e0 * a * {pfx}sy_v - 2e0 * b * {pfx}sxy_v"
+        f" + a * a * {pfx}n_v + 2e0 * a * b * {pfx}sx_v"
+        f" + b * b * {pfx}sxx_v, 9)"
+    )
+
+
+@query(
+    "ml_ridge_lambda_path",
+    oracle=f"""
+WITH q AS (
+  SELECT {_RLP_XQ_DUCK} AS x, CAST(label AS BIGINT) AS y,
+         vec_id % 4 = 0 AS is_val
+  FROM embeddings),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN NOT is_val THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n_t,
+    CAST(SUM(CASE WHEN NOT is_val THEN x ELSE 0 END) AS DECIMAL(38,0)) AS sx_t,
+    CAST(SUM(CASE WHEN NOT is_val THEN x * x ELSE 0 END) AS DECIMAL(38,0)) AS sxx_t,
+    CAST(SUM(CASE WHEN NOT is_val THEN y ELSE 0 END) AS DECIMAL(38,0)) AS sy_t,
+    CAST(SUM(CASE WHEN NOT is_val THEN x * y ELSE 0 END) AS DECIMAL(38,0)) AS sxy_t,
+    CAST(SUM(CASE WHEN is_val THEN 1 ELSE 0 END) AS DOUBLE) AS n_v,
+    CAST(SUM(CASE WHEN is_val THEN x ELSE 0 END) AS DOUBLE) AS sx_v,
+    CAST(SUM(CASE WHEN is_val THEN x * x ELSE 0 END) AS DOUBLE) AS sxx_v,
+    CAST(SUM(CASE WHEN is_val THEN y ELSE 0 END) AS DOUBLE) AS sy_v,
+    CAST(SUM(CASE WHEN is_val THEN x * y ELSE 0 END) AS DOUBLE) AS sxy_v,
+    CAST(SUM(CASE WHEN is_val THEN y * y ELSE 0 END) AS DOUBLE) AS syy_v
+  FROM q),
+grid AS (SELECT unnest({list(_RLP_GRID)}) AS lam),
+fit AS (
+  SELECT lam,
+         CAST(s.n_t * s.sxy_t - s.sx_t * s.sy_t AS DOUBLE)
+           / CAST(s.n_t * (s.sxx_t + lam) - s.sx_t * s.sx_t AS DOUBLE) AS b,
+         s.*
+  FROM grid, s),
+ab AS (
+  SELECT lam, b,
+         (CAST(sy_t AS DOUBLE) - b * CAST(sx_t AS DOUBLE))
+           / CAST(n_t AS DOUBLE) AS a,
+         n_v, sx_v, sxx_v, sy_v, sxy_v, syy_v
+  FROM fit),
+scored AS (
+  SELECT CAST(lam AS BIGINT) AS lam, round(b, 9) AS slope,
+         round(a, 9) AS intercept,
+         {_rlp_sse('')} AS val_sse
+  FROM ab)
+SELECT lam, slope, intercept, val_sse,
+       CAST(val_sse = (SELECT MIN(val_sse) FROM scored) AS INT) AS is_best
+FROM scored
+""",
+)
+def ml_ridge_lambda_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(_RLP_XQ_SPARK).alias("x"),
+        F.col("label").cast("bigint").alias("y"),
+        (F.col("vec_id") % 4 == 0).alias("is_val"),
+    )
+    t = F.when(~F.col("is_val"), 1).otherwise(0)
+    v = F.when(F.col("is_val"), 1).otherwise(0)
+    s = e.agg(
+        F.sum(t).cast("decimal(38,0)").alias("n_t"),
+        F.sum(t * F.col("x")).cast("decimal(38,0)").alias("sx_t"),
+        F.sum(t * F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx_t"),
+        F.sum(t * F.col("y")).cast("decimal(38,0)").alias("sy_t"),
+        F.sum(t * F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy_t"),
+        F.sum(v).cast("double").alias("n_v"),
+        F.sum(v * F.col("x")).cast("double").alias("sx_v"),
+        F.sum(v * F.col("x") * F.col("x")).cast("double").alias("sxx_v"),
+        F.sum(v * F.col("y")).cast("double").alias("sy_v"),
+        F.sum(v * F.col("x") * F.col("y")).cast("double").alias("sxy_v"),
+        F.sum(v * F.col("y") * F.col("y")).cast("double").alias("syy_v"),
+    )
+    grid = spark.createDataFrame([(int(l),) for l in _RLP_GRID], "lam bigint")
+    fit = grid.crossJoin(F.broadcast(s)).select(
+        "lam",
+        (
+            (F.col("n_t") * F.col("sxy_t") - F.col("sx_t") * F.col("sy_t")).cast("double")
+            / (
+                F.col("n_t") * (F.col("sxx_t") + F.col("lam"))
+                - F.col("sx_t") * F.col("sx_t")
+            ).cast("double")
+        ).alias("b"),
+        "n_t", "sx_t", "sy_t",
+        "n_v", "sx_v", "sxx_v", "sy_v", "sxy_v", "syy_v",
+    )
+    ab = fit.select(
+        "lam",
+        "b",
+        (
+            (F.col("sy_t").cast("double") - F.col("b") * F.col("sx_t").cast("double"))
+            / F.col("n_t").cast("double")
+        ).alias("a"),
+        "n_v", "sx_v", "sxx_v", "sy_v", "sxy_v", "syy_v",
+    )
+    scored = ab.select(
+        F.col("lam"),
+        F.round("b", 9).alias("slope"),
+        F.round("a", 9).alias("intercept"),
+        F.expr(_rlp_sse("")).alias("val_sse"),
+    )
+    best = scored.agg(F.min("val_sse").alias("best_sse"))
+    return scored.crossJoin(F.broadcast(best)).select(
+        "lam",
+        "slope",
+        "intercept",
+        "val_sse",
+        (F.col("val_sse") == F.col("best_sse")).cast("int").alias("is_best"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B556 (round 10) — suffix-stripping stemmer (Porter step-1/1b lite) +
+# stem-frequency rollup: the deterministic subset of Porter's rules
+# every lexical pipeline starts from — plural folding (sses->ss,
+# ies->i, s-drop guarded by ss) then inflection stripping (ing/ed with
+# minimum-stem-length guards) — applied as TWO ordered CASE layers of
+# pure substr/length arithmetic, so both engines rewrite bit-identical
+# strings (no regex dialect anywhere).  The rollup reports the top
+# stems with their collapsed surface-form diversity, the signal
+# stemming exists to create.  Scale: narrow explode + one (stem)
+# rollup, map-side combined; TakeOrderedAndProject for the top-k.
+
+
+def _stem_sql(col: str) -> str:
+    """Two-layer suffix stripper, shared VERBATIM by Spark and DuckDB."""
+    plural = f"""(CASE
+      WHEN {col} LIKE '%sses' THEN substr({col}, 1, length({col}) - 2)
+      WHEN {col} LIKE '%ies' AND length({col}) > 4
+        THEN substr({col}, 1, length({col}) - 3) || 'i'
+      WHEN {col} LIKE '%ss' THEN {col}
+      WHEN {col} LIKE '%s' AND length({col}) > 3
+        THEN substr({col}, 1, length({col}) - 1)
+      ELSE {col} END)"""
+    return f"""(CASE
+      WHEN {plural} LIKE '%ing' AND length({plural}) > 5
+        THEN substr({plural}, 1, length({plural}) - 3)
+      WHEN {plural} LIKE '%ed' AND length({plural}) > 4
+        THEN substr({plural}, 1, length({plural}) - 2)
+      ELSE {plural} END)"""
+
+
+@query(
+    "text_stem_porter_lite",
+    oracle=f"""
+WITH words AS (
+  SELECT lower(unnest(string_split(text, ' '))) AS w FROM documents),
+stems AS (
+  SELECT w, {_stem_sql('w')} AS stem FROM words WHERE w <> ''),
+agg AS (
+  SELECT stem, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_forms,
+         min(w) AS first_form
+  FROM stems GROUP BY stem)
+SELECT stem, n_tokens, n_forms, first_form
+FROM agg ORDER BY n_tokens DESC, stem ASC LIMIT 20
+""",
+)
+def text_stem_porter_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w0"))
+        .select(F.lower("w0").alias("w"))
+        .filter(F.col("w") != "")
+    )
+    stems = words.select("w", F.expr(_stem_sql("w")).alias("stem"))
+    return (
+        stems.groupBy("stem")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_forms"),
+            F.min("w").alias("first_form"),
+        )
+        .orderBy(F.col("n_tokens").desc(), F.col("stem").asc())
+        .limit(20)
+    )

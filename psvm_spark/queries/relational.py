@@ -1351,3 +1351,114 @@ def join_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(sp, s.s_suppkey == sp.l_suppkey).select(
         "s_suppkey", "s_name", F.col("qty").cast("double").alias("promo_qty")
     )
+
+
+# --------------------------------------------------------------------------
+# B549 (round 10) — genuine SQL recursion: Spark 4's WITH RECURSIVE
+# (SPARK-24497) runs the org-chart ancestor closure ENGINE-side — the
+# recursive UnionLoop re-executes the step query until the frontier
+# empties, replacing B82's driver-bounded Python loop for workloads
+# that arrive as SQL.  The step term joins the frontier against the
+# static parent map (child -> child div 7 over the contiguous key
+# space, hierarchy_closure's fixture), so each iteration is one
+# equi-join exactly like the hand-rolled loop; the result is rolled up
+# per depth so the key reads as the closure's LEVEL PROFILE rather
+# than duplicating B82's row-level output.  Depth is log_7(n) (~6 at
+# sf0.1), far under Spark's default recursion row/level limits.
+# Scale: identical plan economics to hierarchy_closure — the parent
+# map is dimension-sized (AQE broadcasts it), the frontier shrinks
+# 7x per level, and the final rollup is a 7-row aggregate.
+
+
+@query(
+    "subquery_recursive_cte",
+    oracle="""
+WITH RECURSIVE up AS (
+  SELECT c_custkey AS node, c_custkey // 7 AS anc, 1 AS depth
+  FROM customer WHERE c_custkey % 11 = 0 AND c_custkey >= 1
+  UNION ALL
+  SELECT u.node, p.parent, u.depth + 1
+  FROM up u JOIN (SELECT c_custkey AS child, c_custkey // 7 AS parent
+                  FROM customer) p ON p.child = u.anc
+  WHERE u.anc >= 1
+)
+SELECT depth,
+       COUNT(*) AS n_paths,
+       COUNT(DISTINCT node) AS n_nodes,
+       CAST(SUM(anc) AS BIGINT) AS sum_anc,
+       CAST(MAX(anc) AS BIGINT) AS max_anc
+FROM up GROUP BY depth
+""",
+)
+def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("psvm_rec_customer")
+    return spark.sql(
+        """
+WITH RECURSIVE up AS (
+  SELECT c_custkey AS node, c_custkey div 7 AS anc, 1 AS depth
+  FROM psvm_rec_customer WHERE c_custkey % 11 = 0 AND c_custkey >= 1
+  UNION ALL
+  SELECT u.node, p.parent, u.depth + 1
+  FROM up u JOIN (SELECT c_custkey AS child, c_custkey div 7 AS parent
+                  FROM psvm_rec_customer) p ON p.child = u.anc
+  WHERE u.anc >= 1
+)
+SELECT depth,
+       COUNT(*) AS n_paths,
+       COUNT(DISTINCT node) AS n_nodes,
+       CAST(SUM(anc) AS BIGINT) AS sum_anc,
+       CAST(MAX(anc) AS BIGINT) AS max_anc
+FROM up GROUP BY depth
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# B550 (round 10) — schema-tolerant union: unionByName with
+# allowMissingColumns unions relations whose column SETS differ (the
+# everyday shape when a pipeline version adds a column and history
+# must still union with the new feed) — missing columns null-fill
+# POSITION-INDEPENDENTLY, unlike UNION ALL's brittle ordinal matching.
+# Customers carry an account balance; suppliers don't; the union
+# rolls up per nation with the balance aggregated over the side that
+# has it.  Scale: two narrow projections + one map-side-combined
+# rollup on the nation key — no shuffle beyond the 25-key aggregate.
+
+
+@query(
+    "setops_union_by_name",
+    oracle="""
+WITH u AS (
+  SELECT c_nationkey AS nk, 'customer' AS side,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk, 'supplier' AS side, NULL AS bal
+  FROM supplier
+)
+SELECT nk,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE side = 'customer') AS n_customer,
+       COUNT(*) FILTER (WHERE side = 'supplier') AS n_supplier,
+       CAST(SUM(bal) AS DOUBLE) AS total_bal
+FROM u GROUP BY nk
+""",
+)
+def setops_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.lit("customer").alias("side"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    # supplier side has NO bal column: allowMissingColumns null-fills it
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"),
+        F.lit("supplier").alias("side"),
+    )
+    u = c.unionByName(s, allowMissingColumns=True)
+    return u.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("side") == "customer", 1)).alias("n_customer"),
+        F.count(F.when(F.col("side") == "supplier", 1)).alias("n_supplier"),
+        F.sum("bal").cast("double").alias("total_bal"),
+    )

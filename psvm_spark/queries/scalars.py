@@ -667,3 +667,50 @@ def scalar_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# --------------------------------------------------------------------------
+# B551 (round 10) — parameterized SQL + the IDENTIFIER clause (Spark
+# 3.4/3.5 surface): ``spark.sql(query, args={...})`` binds NAMED
+# PARAMETER MARKERS (:name) as typed literals at parse time — the
+# injection-safe templating every SQL-facing service needs — and
+# ``IDENTIFIER(:col)`` promotes a parameter to a column reference, the
+# sanctioned form of "the metric column is chosen at runtime".
+# Catalyst sees ordinary literals/attributes after binding, so
+# pushdown/pruning are unaffected; the oracle is the hand-expanded
+# query (value parity, the scalar_lateral_column_alias convention).
+
+
+@query(
+    "scalar_parameterized_sql",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_metric,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_metric
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) > CAST(100 AS DECIMAL(12,2))
+  AND c_mktsegment <> 'MACHINERY'
+GROUP BY c_mktsegment
+""",
+)
+def scalar_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "psvm_param_customer"
+    )
+    return spark.sql(
+        """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       cast(sum(cast(IDENTIFIER(:metric) as decimal(12,2))) as double)
+         AS total_metric,
+       cast(max(cast(IDENTIFIER(:metric) as decimal(12,2))) as double)
+         AS max_metric
+FROM psvm_param_customer
+WHERE cast(IDENTIFIER(:metric) as decimal(12,2))
+        > cast(:min_bal as decimal(12,2))
+  AND c_mktsegment <> :skip_segment
+GROUP BY c_mktsegment
+""",
+        args={"metric": "c_acctbal", "min_bal": 100, "skip_segment": "MACHINERY"},
+    )

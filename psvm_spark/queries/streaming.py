@@ -1365,3 +1365,93 @@ def scan_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("bigint").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# B557 (round 10) — StreamingQueryListener metrics: the observability
+# bus every production stream is monitored through.  A Python listener
+# subscribes to the session's listener bus, a windowed aggregation
+# runs to completion (availableNow), and the op RETURNS WHAT THE
+# LISTENER SAW — total numInputRows across progress events and the
+# state store's numRowsTotal at the last committed batch — checked
+# against the batch truth (row count / group count).  Per-batch slicing
+# is nondeterministic, so only slicing-invariant totals are emitted.
+# The listener bus delivers on a background thread; progress events for
+# a query precede its terminated event on the bus, so draining until
+# the terminated event is observed (bounded wait) is a complete read,
+# not a sleep-and-hope.  Scale: listener traffic is O(batches) driver
+# metadata — data volume never touches it.
+
+
+@query(
+    "stream_progress_listener",
+    oracle="""
+SELECT (SELECT COUNT(*) FROM events) AS rows_total,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT time_bucket(INTERVAL 10 MINUTE, ts), event_type
+          FROM events)) AS n_state_groups
+""",
+)
+def stream_progress_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from psvm_spark.queries._util import scratch_dir
+
+    seen: dict = {"progress": [], "terminated": set()}
+
+    class _MetricsListener(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: D102 — bus contract
+            pass
+
+        def onQueryProgress(self, event):  # noqa: D102
+            p = event.progress
+            state_total = (
+                p.stateOperators[0].numRowsTotal if p.stateOperators else 0
+            )
+            seen["progress"].append(
+                (str(p.id), p.batchId, p.numInputRows, state_total)
+            )
+
+        def onQueryIdle(self, event):  # noqa: D102
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: D102
+            seen["terminated"].add(str(event.id))
+
+    listener = _MetricsListener()
+    spark.streams.addListener(listener)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        agg = (
+            stream_events(spark, sf_dir)
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("psvm_listener_probe")
+            .option("checkpointLocation", scratch_dir("psvm_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qid = str(q.id)
+        q.awaitTermination()
+        # drain the bus: terminated follows every progress for this id
+        deadline = time.monotonic() + 60
+        while qid not in seen["terminated"] and time.monotonic() < deadline:
+            time.sleep(0.1)
+        if qid not in seen["terminated"]:
+            raise RuntimeError("listener bus did not deliver termination in 60s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.streams.removeListener(listener)
+    mine = [p for p in seen["progress"] if p[0] == qid]
+    rows_total = sum(p[2] for p in mine)
+    n_state = max(mine, key=lambda p: p[1])[3] if mine else 0
+    return spark.createDataFrame(
+        [(rows_total, n_state)], "rows_total bigint, n_state_groups bigint"
+    )

@@ -130,6 +130,8 @@ WHITELIST = {
     "dedup_minhash_recall": "(a) 1x1x1 crossJoin of truth/candidate/hit count rows; both pair generators are equi-joins (postings, band buckets)",
     "text_quality_composite": "(a) 1-row corpus-stats scalar broadcast for the z-transform; the stopword join is a 20-row broadcast equi-join",
     "ml_auc_delong_ci": "(b) SV broadcast scoring (ml_roc_auc shape) + 1-row totals broadcasts for the deviation sums",
+    "graph_mst_boruvka": "(a) 1x1x1 crossJoin of vertex/edge/picked count rows; incidence + argmin are shuffle window ops",
+    "ml_ridge_lambda_path": "(a) 1-row sufficient-stats + 1-row best-SSE broadcasts against the 6-row lambda grid",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB
@@ -174,6 +176,7 @@ WINDOW_WHITELIST = {
     "ml_permutation_importance": "cyclic-shift lead over the conf-budgeted fixed SVM test panel",
     "ml_conformal_coverage": "rank + count over the conf-budgeted fixed calibration panel (psvm.svm.test_modulo)",
     "ml_label_permutation_test": "rank + count over the conf-budgeted fixed SVM test panel",
+    "ts_sma_crossover": "SMA frames + lag over the daily-count rollup (calendar-bounded ~30 rows)",
 }
 
 

@@ -10,6 +10,8 @@ rationale for each protocol):
   graph  - graph-specific amplification (both edge keys shifted per
            copy) with psvm.graph.n_nodes raised by the amp factor, so
            the amplified graph keeps base density.
+  geo    - spatial-density protocol: psvm.geo.dbscan_grid raised by
+           sqrt(amp) so 2-D density stays constant.
   svm    - fixed-model protocol: psvm.svm.sv_modulo / test_modulo
            raised by the amp factor (SV set and eval panel are model
            artifacts, not corpus fractions).
@@ -38,7 +40,7 @@ from measure_scale import AMP, build_amplified, build_graph_amplified  # noqa: E
 
 
 def main() -> int:
-    valid = {"plain", "graph", "svm", "probe"}
+    valid = {"plain", "graph", "svm", "probe", "geo"}
     if (
         len(sys.argv) < 3
         or any(":" not in a for a in sys.argv[2:])
@@ -76,6 +78,10 @@ def main() -> int:
             "psvm.svm.test_modulo": str(20 * AMP),
         },
         "probe": {"psvm.sim.probe_modulo": str(50 * AMP)},
+        # spatial density: points grow AMP-x, so the grid SIDE grows
+        # sqrt(AMP)-x to hold points-per-cell (and with it per-point
+        # candidate volume) constant — the n_nodes recipe in 2-D
+        "geo": {"psvm.geo.dbscan_grid": str(round(24 * AMP ** 0.5))},
         "plain": {},
     }
     res = {"amp": AMP, "queries": {}}

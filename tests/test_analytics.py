@@ -1385,3 +1385,75 @@ class TestWeekdayAnova:
         assert abs(row.ss_between - ssb) < 1e-5
         assert abs(row.ss_within - ssw) < 1e-5
         assert abs(row.f_stat - (ssb / (k - 1)) / (ssw / (n - k))) < 1e-6
+
+
+class TestSmaCrossover:
+    def test_crossings_alternate_and_match_series(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["ts_sma_crossover"](spark, sf_dir).collect()
+        ev = load_table(spark, sf_dir, "events")
+        per_day = {
+            r.d: r.x
+            for r in ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).alias("x"))
+            .collect()
+        }
+        days = sorted(per_day)
+        xs = [per_day[d] for d in days]
+        # replay: full-window SMAs, integer sign compare, emit flips
+        expect = {}
+        prev_sg = None
+        for i in range(6, len(xs)):
+            s3, s7 = sum(xs[i - 2 : i + 1]), sum(xs[i - 6 : i + 1])
+            sg = 1 if 7 * s3 > 3 * s7 else (-1 if 7 * s3 < 3 * s7 else 0)
+            if prev_sg is not None and sg != prev_sg and sg != 0:
+                expect[str(days[i])] = "golden" if sg > prev_sg else "death"
+            prev_sg = sg
+        got = {r.d: r.cross_dir for r in rows}
+        assert got == expect
+        # a golden cross can only be followed by a death cross and v.v.
+        dirs = [got[d] for d in sorted(got)]
+        assert all(a != b for a, b in zip(dirs, dirs[1:]))
+
+
+class TestDbscanCore:
+    def test_classes_consistent_with_counts(self, spark, sf_dir):
+        from psvm_spark.queries.analytics import _DBSCAN_MINPTS
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["geo_dbscan_core"](spark, sf_dir).collect()
+        assert len(rows) > 0
+        by_cls = {}
+        for r in rows:
+            by_cls.setdefault(r.cls, []).append(r)
+            if r.cls == "core":
+                assert r.n_nb >= _DBSCAN_MINPTS
+            else:
+                assert r.n_nb < _DBSCAN_MINPTS
+        # every point is classified exactly once
+        assert sum(len(v) for v in by_cls.values()) == len(rows)
+        assert set(by_cls) <= {"core", "border", "noise"}
+
+    def test_grid_conf_changes_density(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        base = QUERIES["geo_dbscan_core"](spark, sf_dir)
+        nb_base = base.agg({"n_nb": "sum"}).collect()[0][0]
+        spark.conf.set("psvm.geo.dbscan_grid", "96")
+        try:
+            spread = QUERIES["geo_dbscan_core"](spark, sf_dir)
+            nb_spread = spread.agg({"n_nb": "sum"}).collect()[0][0]
+        finally:
+            spark.conf.unset("psvm.geo.dbscan_grid")
+        # 16x the area at the same point count => strictly less neighbor
+        # mass (n_nb >= 1 always: the self-pair).  Core counts can tie at
+        # zero on the tiny fixture, so density is the robust proxy.
+        assert nb_spread < nb_base

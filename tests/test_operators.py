@@ -1662,3 +1662,169 @@ class TestAqeCoalescedShuffle:
         assert len(rows) == 5
         final = df._jdf.queryExecution().executedPlan().toString()
         assert "AQEShuffleRead" in final and "coalesced" in final, final
+
+
+class TestBoruvkaRound:
+    def test_forest_invariants(self, spark, sf_dir):
+        from psvm_spark.queries.graph import edge_set
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["graph_mst_boruvka"](spark, sf_dir).collect()[0]
+        n_edges = edge_set(spark, sf_dir).count()
+        assert row.n_edges == n_edges
+        # the picked min-edge set is a forest: strictly fewer edges than
+        # vertices, at least ceil(V/2) picks (every vertex picks, an edge
+        # is shared by at most its two endpoints)
+        assert 0 < row.n_picked < row.n_vertices
+        assert row.n_picked >= (row.n_vertices + 1) // 2
+        assert row.n_components_after == row.n_vertices - row.n_picked
+        # one round at least halves the component count vs singletons
+        assert row.n_components_after <= row.n_vertices // 2
+
+    def test_picked_edges_are_vertex_minima(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.queries.graph import _MST_W_SPARK, edge_set
+        from psvm_spark.registry import load_all
+
+        load_all()
+        we = edge_set(spark, sf_dir).select(
+            "a", "b", F.expr(_MST_W_SPARK).alias("w")
+        )
+        rows = we.collect()
+        inc = {}
+        for r in rows:
+            for v in (r.a, r.b):
+                cur = inc.get(v)
+                key = (r.w, r.a, r.b)
+                if cur is None or key < cur:
+                    inc[v] = key
+        picked = {inc[v] for v in inc}
+        total = sum(w for (w, _, _) in picked)
+        # replayed locally: same pick count and weight
+        from psvm_spark.registry import QUERIES
+
+        row = QUERIES["graph_mst_boruvka"](spark, sf_dir).collect()[0]
+        assert row.n_picked == len(picked)
+        assert row.picked_weight == total
+
+
+class TestRecursiveCte:
+    def test_matches_iterative_closure(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rec = {
+            r.depth: (r.n_paths, r.n_nodes, r.sum_anc, r.max_anc)
+            for r in QUERIES["subquery_recursive_cte"](spark, sf_dir).collect()
+        }
+        # B82's driver-bounded loop computes the same closure row-wise
+        per_depth = {
+            r.depth: (r.n_paths, r.n_nodes, r.sum_anc, r.max_anc)
+            for r in QUERIES["hierarchy_closure"](spark, sf_dir)
+            .groupBy("depth")
+            .agg(
+                F.count(F.lit(1)).alias("n_paths"),
+                F.countDistinct("node").alias("n_nodes"),
+                F.sum("anc").cast("bigint").alias("sum_anc"),
+                F.max("anc").cast("bigint").alias("max_anc"),
+            )
+            .collect()
+        }
+        assert rec == per_depth
+
+
+class TestRidgeLambdaPath:
+    def test_monotone_shrinkage_and_single_best(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = sorted(
+            QUERIES["ml_ridge_lambda_path"](spark, sf_dir).collect(),
+            key=lambda r: r.lam,
+        )
+        assert [r.lam for r in rows] == [0, 4, 16, 64, 256, 1024]
+        # ridge shrinks |slope| monotonically in lambda
+        mags = [abs(r.slope) for r in rows]
+        assert all(a >= b - 1e-12 for a, b in zip(mags, mags[1:]))
+        assert sum(r.is_best for r in rows) >= 1
+        best = min(rows, key=lambda r: (r.val_sse, r.lam))
+        assert best.is_best == 1
+
+
+class TestStemPorterLite:
+    def test_rules_and_rollup(self, spark, sf_dir):
+        from psvm_spark.queries.llm import _stem_sql
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        cases = {
+            "caresses": "caress",
+            "ponies": "poni",
+            "caress": "caress",
+            "cats": "cat",
+            "running": "runn",
+            "hopped": "hopp",
+            "sing": "sing",  # len guard: too short to strip ing
+            "red": "red",    # len guard: too short to strip ed
+            "as": "as",      # s-drop guarded by min length
+        }
+        df = spark.createDataFrame([(w,) for w in cases], "w string")
+        df.createOrReplaceTempView("psvm_stem_cases")
+        got = {
+            r.w: r.stem
+            for r in spark.sql(
+                f"SELECT w, {_stem_sql('w')} AS stem FROM psvm_stem_cases"
+            ).collect()
+        }
+        assert got == cases
+        top = QUERIES["text_stem_porter_lite"](spark, sf_dir).collect()
+        assert 0 < len(top) <= 20
+        # rollup ordered by count desc then stem, forms >= 1 everywhere
+        pairs = [(r.n_tokens, r.stem) for r in top]
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+        assert all(r.n_forms >= 1 and r.first_form for r in top)
+
+
+class TestUnionByName:
+    def test_null_fill_and_counts(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["setops_union_by_name"](spark, sf_dir).collect()
+        n_c = load_table(spark, sf_dir, "customer").count()
+        n_s = load_table(spark, sf_dir, "supplier").count()
+        assert sum(r.n_customer for r in rows) == n_c
+        assert sum(r.n_supplier for r in rows) == n_s
+        assert all(r.n_total == r.n_customer + r.n_supplier for r in rows)
+
+
+class TestParameterizedSql:
+    def test_binding_equals_expanded(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["scalar_parameterized_sql"](spark, sf_dir).collect()
+        assert all(r.c_mktsegment != "MACHINERY" for r in rows)
+        assert all(r.max_metric > 100 for r in rows)
+
+
+class TestProgressListener:
+    def test_totals_match_batch_truth(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["stream_progress_listener"](spark, sf_dir).collect()[0]
+        ev = load_table(spark, sf_dir, "events")
+        assert row.rows_total == ev.count()
+        n_groups = (
+            ev.select(F.window("ts", "10 minutes"), "event_type").distinct().count()
+        )
+        assert row.n_state_groups == n_groups
