@@ -14,7 +14,7 @@ inside an equi-join block, never all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_events_range, load_table
@@ -6583,4 +6583,305 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("noise")
             .alias("cls"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B558 (round 10) — SES smoothing-constant selection: simple
+# exponential smoothing folded over the daily purchase series at every
+# alpha of a fixed grid, scored by one-step-ahead SSE (the error
+# measured BEFORE the state update, the standard SES tuning
+# objective), argmin flagged.  All alphas are exact binary fractions
+# (k/8) so alpha and 1-alpha are exact doubles; the fold order is
+# pinned by the day index and every float op is mirrored literally
+# between the Spark aggregate() lambda and the oracle's recursive CTE
+# (the ts_holt_linear parity recipe).  Scale: one calendar-bounded
+# daily rollup; the 7-alpha sweep folds a tiny array once per alpha.
+
+_SES_ALPHAS = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+
+
+@query(
+    "ts_ses_optimal_alpha",
+    oracle=f"""
+WITH RECURSIVE cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+ser AS (SELECT list(CAST(x AS DOUBLE) ORDER BY d) AS xs, COUNT(*) AS n FROM cnt),
+grid AS (SELECT unnest({list(_SES_ALPHAS)}) AS alpha),
+it AS (
+  SELECT alpha, 1 AS i, xs[1] AS s, 0e0 AS sse, n, xs
+  FROM grid, ser
+  UNION ALL
+  SELECT alpha, i + 1,
+         alpha * xs[i+1] + (1e0 - alpha) * s,
+         sse + (xs[i+1] - s) * (xs[i+1] - s),
+         n, xs
+  FROM it WHERE i < n),
+fin AS (
+  SELECT alpha, CAST(n AS BIGINT) AS n_days, round(sse, 6) AS sse
+  FROM it WHERE i = n)
+SELECT alpha, n_days, sse,
+       CAST(sse = (SELECT MIN(sse) FROM fin) AS INT) AS is_best
+FROM fin
+""",
+)
+def ts_ses_optimal_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, x))),"
+                " e -> cast(e.x as double))"
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+    grid = spark.createDataFrame([(a,) for a in _SES_ALPHAS], "alpha double")
+    fold = F.expr(
+        """
+        aggregate(
+          xs,
+          named_struct('s', cast(0 as double), 'sse', cast(0 as double), 'k', 0),
+          (acc, x) -> IF(acc.k = 0,
+            named_struct('s', x, 'sse', cast(0 as double), 'k', 1),
+            named_struct(
+              's', alpha * x + (1.0D - alpha) * acc.s,
+              'sse', acc.sse + (x - acc.s) * (x - acc.s),
+              'k', acc.k + 1)))
+        """
+    )
+    fin = grid.crossJoin(F.broadcast(ser)).select(
+        "alpha", "n_days", F.round(fold["sse"], 6).alias("sse")
+    )
+    best = fin.agg(F.min("sse").alias("best_sse"))
+    return fin.crossJoin(F.broadcast(best)).select(
+        "alpha",
+        "n_days",
+        "sse",
+        (F.col("sse") == F.col("best_sse")).cast("int").alias("is_best"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B559 (round 10) — seasonal/trend strength (the STL diagnostics pair
+# F_s = max(0, 1 - Var(R)/Var(S+R)), F_t = max(0, 1 - Var(R)/Var(T+R)))
+# over the monthly order-revenue series with a classical centered 12-MA
+# trend.  Exactness: cents are BIGINT and the centered MA is kept
+# SCALED BY 24 (the half-weights double to integers), so detrending is
+# pure integer arithmetic; detrended values and the per-month-of-year
+# seasonal index are then frozen as integer MICRO-DOLLARS (one
+# mirrored double round each — round-to-integer, no decimal-place
+# multiply, so the engines' rounding agrees), after which every
+# variance term is an exact integer/DECIMAL(38,0) sum — both engines
+# hand identical operands to the final double divisions.  Only months
+# with a full 13-wide MA window participate (the classical rule).
+# Scale: one monthly rollup; windows run over the ~84-row month spine.
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle="""
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS m,
+         EXTRACT(month FROM o_orderdate) AS moy,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+ma AS (
+  SELECT m, moy, c,
+         SUM(c) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS mid11,
+         lag(c, 6)  OVER (ORDER BY m) AS lag6,
+         lead(c, 6) OVER (ORDER BY m) AS lead6,
+         COUNT(*) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS wn
+  FROM monthly),
+det AS (
+  SELECT m, moy, c,
+         CAST(round(CAST(24 * c - (lag6 + 2 * mid11 + lead6) AS DOUBLE)
+                    * 1e6 / 2400e0) AS BIGINT) AS sr_u
+  FROM ma WHERE wn = 13 AND lag6 IS NOT NULL AND lead6 IS NOT NULL),
+sidx AS (
+  SELECT moy, CAST(round(AVG(CAST(sr_u AS DOUBLE))) AS BIGINT) AS s_u
+  FROM det GROUP BY moy),
+rows_ AS (
+  SELECT det.sr_u, det.sr_u - sidx.s_u AS r_u,
+         det.c * 10000 - sidx.s_u AS tr_u
+  FROM det JOIN sidx ON det.moy = sidx.moy),
+sums AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(r_u) AS DOUBLE) AS s_r,
+         CAST(SUM(CAST(r_u AS DECIMAL(38,0)) * r_u) AS DOUBLE) AS s_rr,
+         CAST(SUM(sr_u) AS DOUBLE) AS s_sr,
+         CAST(SUM(CAST(sr_u AS DECIMAL(38,0)) * sr_u) AS DOUBLE) AS s_srsr,
+         CAST(SUM(tr_u) AS DOUBLE) AS s_tr,
+         CAST(SUM(CAST(tr_u AS DECIMAL(38,0)) * tr_u) AS DOUBLE) AS s_trtr
+  FROM rows_)
+SELECT CAST(n AS BIGINT) AS n_months,
+       round(greatest(0e0, 1e0 - (s_rr - s_r * s_r / n) / (s_srsr - s_sr * s_sr / n)), 9) AS f_seasonal,
+       round(greatest(0e0, 1e0 - (s_rr - s_r * s_r / n) / (s_trtr - s_tr * s_tr / n)), 9) AS f_trend
+FROM sums
+""",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("m"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("c")
+    )
+    wspine = Window.orderBy("m")
+    ma = monthly.select(
+        "m",
+        "moy",
+        "c",
+        F.sum("c").over(wspine.rowsBetween(-5, 5)).alias("mid11"),
+        F.lag("c", 6).over(wspine).alias("lag6"),
+        F.lead("c", 6).over(wspine).alias("lead6"),
+        F.count(F.lit(1)).over(wspine.rowsBetween(-6, 6)).alias("wn"),
+    )
+    det = ma.filter(
+        (F.col("wn") == 13)
+        & F.col("lag6").isNotNull()
+        & F.col("lead6").isNotNull()
+    ).select(
+        "m",
+        "moy",
+        "c",
+        F.round(
+            (24 * F.col("c") - (F.col("lag6") + 2 * F.col("mid11") + F.col("lead6")))
+            .cast("double")
+            * 1e6
+            / 2400.0
+        )
+        .cast("bigint")
+        .alias("sr_u"),
+    )
+    sidx = det.groupBy("moy").agg(
+        F.round(F.avg(F.col("sr_u").cast("double"))).cast("bigint").alias("s_u")
+    )
+    rows = det.join(F.broadcast(sidx), "moy").select(
+        "sr_u",
+        (F.col("sr_u") - F.col("s_u")).alias("r_u"),
+        (F.col("c") * 10000 - F.col("s_u")).alias("tr_u"),
+    )
+
+    def _sq(c: str) -> Column:
+        return F.sum(F.col(c).cast("decimal(38,0)") * F.col(c)).cast("double")
+
+    sums = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_u").cast("double").alias("s_r"),
+        _sq("r_u").alias("s_rr"),
+        F.sum("sr_u").cast("double").alias("s_sr"),
+        _sq("sr_u").alias("s_srsr"),
+        F.sum("tr_u").cast("double").alias("s_tr"),
+        _sq("tr_u").alias("s_trtr"),
+    )
+    var_r = F.col("s_rr") - F.col("s_r") * F.col("s_r") / F.col("n")
+    var_sr = F.col("s_srsr") - F.col("s_sr") * F.col("s_sr") / F.col("n")
+    var_tr = F.col("s_trtr") - F.col("s_tr") * F.col("s_tr") / F.col("n")
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - var_r / var_sr), 9).alias("f_seasonal"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - var_r / var_tr), 9).alias("f_trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B560 (round 10) — pinball-loss evaluation of per-weekday quantile
+# forecasts: train on the first 21 days of the daily purchase series,
+# forecast each weekday's {0.25, 0.5, 0.75} quantile as the EXACT
+# integer-rank order statistic (k = ceil(q*n), never a float
+# interpolation), then bill the held-out days with the pinball loss
+# L_q = max(q*(y-f), (q-1)*(y-f)) — the proper scoring rule quantile
+# forecasts are tuned by.  Counts are integers and q is an exact
+# DECIMAL quarter, so every loss term is an exact decimal and the sums
+# are order-independent.  Scale: calendar-bounded daily rollup; the
+# quantile extraction is a per-weekday window over <=21 rows.
+
+
+@query(
+    "ml_quantile_pinball",
+    oracle="""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, isodow(ts) AS wd, COUNT(*) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+mn AS (SELECT MIN(d) AS md FROM cnt),
+train AS (
+  SELECT wd, x, ROW_NUMBER() OVER (PARTITION BY wd ORDER BY x, d) AS rn,
+         COUNT(*) OVER (PARTITION BY wd) AS n
+  FROM cnt, mn WHERE d < md + INTERVAL 21 DAY),
+qs AS (SELECT unnest([CAST(0.25 AS DECIMAL(3,2)),
+                      CAST(0.50 AS DECIMAL(3,2)),
+                      CAST(0.75 AS DECIMAL(3,2))]) AS q),
+fc AS (
+  SELECT t.wd, qs.q, t.x AS f
+  FROM train t JOIN qs ON t.rn = CAST(ceil(qs.q * t.n) AS BIGINT)),
+test AS (SELECT wd, x FROM cnt, mn WHERE d >= md + INTERVAL 21 DAY),
+loss AS (
+  SELECT fc.q,
+         greatest(fc.q * (test.x - fc.f), (fc.q - 1) * (test.x - fc.f)) AS pl
+  FROM test JOIN fc ON test.wd = fc.wd)
+SELECT CAST(q AS DOUBLE) AS q, COUNT(*) AS n_evals,
+       CAST(SUM(pl) AS DOUBLE) AS total_pinball,
+       round(CAST(SUM(pl) AS DOUBLE) / COUNT(*), 9) AS avg_pinball
+FROM loss GROUP BY q
+""",
+)
+def ml_quantile_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            (F.weekday("ts") + 1).alias("wd"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    mn = cnt.agg(F.min("d").alias("md"))
+    with_mn = cnt.crossJoin(F.broadcast(mn))
+    wtr = Window.partitionBy("wd").orderBy("x", "d")
+    train = (
+        with_mn.filter(F.col("d") < F.date_add("md", 21))
+        .select(
+            "wd",
+            "x",
+            F.row_number().over(wtr).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("wd")).alias("n"),
+        )
+    )
+    qs = spark.createDataFrame(
+        [("0.25",), ("0.50",), ("0.75",)], "qs string"
+    ).select(F.col("qs").cast("decimal(3,2)").alias("q"))
+    fc = train.join(
+        F.broadcast(qs),
+        F.col("rn") == F.ceil(F.col("q") * F.col("n")).cast("bigint"),
+    ).select("wd", "q", F.col("x").alias("f"))
+    test = with_mn.filter(F.col("d") >= F.date_add("md", 21)).select("wd", "x")
+    loss = test.join(F.broadcast(fc), "wd").select(
+        "q",
+        F.greatest(
+            F.col("q") * (F.col("x") - F.col("f")),
+            (F.col("q") - 1) * (F.col("x") - F.col("f")),
+        ).alias("pl"),
+    )
+    return loss.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.sum("pl").cast("double").alias("total_pinball"),
+        F.round(F.sum("pl").cast("double") / F.count(F.lit(1)), 9).alias(
+            "avg_pinball"
+        ),
+    ).select(
+        F.col("q").cast("double").alias("q"),
+        "n_evals",
+        "total_pinball",
+        "avg_pinball",
     )

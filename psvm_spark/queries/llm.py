@@ -11749,3 +11749,122 @@ def text_stem_porter_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tokens").desc(), F.col("stem").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# B561 (round 10) — exact two-feature Shapley attribution: OLS models
+# (no intercept) fitted in closed form on every coalition of the two
+# probed embedding dimensions — f_empty = 0, f_{1}, f_{2}, f_{12} via
+# the 2x2 Cramer solve — and each validation point's prediction is
+# split exactly: phi_i = 1/2 [(f_{i} - f_empty) + (f_{12} - f_{other})]
+# evaluated at the point, the closed-form case of the SHAP additive
+# attribution every model-debugging pipeline reports.  Sufficient
+# statistics are exact integer sums of 1/1024-quantized features
+# (ml_ridge_closed_form's quantization) with DECIMAL(38,0) Cramer
+# determinants; per-point phis are rounded to 6 and frozen as DECIMAL
+# before the order-independent aggregation.  Additivity (phi1 + phi2 =
+# full-model prediction) holds by construction and is asserted in
+# tests.  Scale: one suffstats pass + one val-panel pass with the
+# 1-row beta relation broadcast — corpus-linear, no pairs anywhere.
+
+_SHAP_X1 = "cast(floor(cast(embedding[0] as double) * 1024e0 + 5e-1) as bigint)"
+_SHAP_X2 = "cast(floor(cast(embedding[1] as double) * 1024e0 + 5e-1) as bigint)"
+_SHAP_X1_D = "CAST(floor(CAST(embedding[1] AS DOUBLE) * 1024e0 + 5e-1) AS BIGINT)"
+_SHAP_X2_D = "CAST(floor(CAST(embedding[2] AS DOUBLE) * 1024e0 + 5e-1) AS BIGINT)"
+
+# phi expressions shared verbatim: b1/b2 full-model, c1/c2 solo-model
+# slopes; phi_i = 5e-1 * (ci * xi + (b_full_i * xi + b_full_other *
+# x_other - c_other * x_other)) reordered as below.
+_SHAP_PHI1 = "5e-1 * (c1 * x1 + b1 * x1 + b2 * x2 - c2 * x2)"
+_SHAP_PHI2 = "5e-1 * (c2 * x2 + b1 * x1 + b2 * x2 - c1 * x1)"
+
+
+@query(
+    "ml_shapley_two_feature",
+    oracle=f"""
+WITH q AS (
+  SELECT {_SHAP_X1_D} AS x1, {_SHAP_X2_D} AS x2, CAST(label AS BIGINT) AS y,
+         vec_id % 4 = 0 AS is_val
+  FROM embeddings),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN NOT is_val THEN x1 * x1 ELSE 0 END) AS DECIMAL(38,0)) AS s11,
+    CAST(SUM(CASE WHEN NOT is_val THEN x2 * x2 ELSE 0 END) AS DECIMAL(38,0)) AS s22,
+    CAST(SUM(CASE WHEN NOT is_val THEN x1 * x2 ELSE 0 END) AS DECIMAL(38,0)) AS s12,
+    CAST(SUM(CASE WHEN NOT is_val THEN x1 * y ELSE 0 END) AS DECIMAL(38,0)) AS sy1,
+    CAST(SUM(CASE WHEN NOT is_val THEN x2 * y ELSE 0 END) AS DECIMAL(38,0)) AS sy2
+  FROM q),
+beta AS (
+  SELECT CAST(sy1 * s22 - sy2 * s12 AS DOUBLE)
+           / CAST(s11 * s22 - s12 * s12 AS DOUBLE) AS b1,
+         CAST(sy2 * s11 - sy1 * s12 AS DOUBLE)
+           / CAST(s11 * s22 - s12 * s12 AS DOUBLE) AS b2,
+         CAST(sy1 AS DOUBLE) / CAST(s11 AS DOUBLE) AS c1,
+         CAST(sy2 AS DOUBLE) / CAST(s22 AS DOUBLE) AS c2
+  FROM s),
+phis AS (
+  SELECT CAST(round({_SHAP_PHI1}, 6) AS DECIMAL(28,6)) AS phi1,
+         CAST(round({_SHAP_PHI2}, 6) AS DECIMAL(28,6)) AS phi2
+  FROM q, beta WHERE is_val)
+SELECT * FROM (
+  SELECT 1 AS feature, COUNT(*) AS n_val,
+         round(CAST(SUM(phi1) AS DOUBLE) / COUNT(*), 9) AS mean_phi,
+         round(CAST(SUM(abs(phi1)) AS DOUBLE) / COUNT(*), 9) AS mean_abs_phi
+  FROM phis
+  UNION ALL
+  SELECT 2 AS feature, COUNT(*) AS n_val,
+         round(CAST(SUM(phi2) AS DOUBLE) / COUNT(*), 9) AS mean_phi,
+         round(CAST(SUM(abs(phi2)) AS DOUBLE) / COUNT(*), 9) AS mean_abs_phi
+  FROM phis)
+""",
+)
+def ml_shapley_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(_SHAP_X1).alias("x1"),
+        F.expr(_SHAP_X2).alias("x2"),
+        F.col("label").cast("bigint").alias("y"),
+        (F.col("vec_id") % 4 == 0).alias("is_val"),
+    )
+    t = F.when(~F.col("is_val"), 1).otherwise(0)
+    s = e.agg(
+        F.sum(t * F.col("x1") * F.col("x1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(t * F.col("x2") * F.col("x2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(t * F.col("x1") * F.col("x2")).cast("decimal(38,0)").alias("s12"),
+        F.sum(t * F.col("x1") * F.col("y")).cast("decimal(38,0)").alias("sy1"),
+        F.sum(t * F.col("x2") * F.col("y")).cast("decimal(38,0)").alias("sy2"),
+    )
+    det = (F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")).cast("double")
+    beta = s.select(
+        ((F.col("sy1") * F.col("s22") - F.col("sy2") * F.col("s12")).cast("double") / det).alias("b1"),
+        ((F.col("sy2") * F.col("s11") - F.col("sy1") * F.col("s12")).cast("double") / det).alias("b2"),
+        (F.col("sy1").cast("double") / F.col("s11").cast("double")).alias("c1"),
+        (F.col("sy2").cast("double") / F.col("s22").cast("double")).alias("c2"),
+    )
+    phis = (
+        e.filter(F.col("is_val"))
+        .crossJoin(F.broadcast(beta))
+        .select(
+            F.expr(f"cast(round({_SHAP_PHI1}, 6) as decimal(28,6))").alias("phi1"),
+            F.expr(f"cast(round({_SHAP_PHI2}, 6) as decimal(28,6))").alias("phi2"),
+        )
+    )
+    agg = phis.agg(
+        F.count(F.lit(1)).alias("n_val"),
+        F.sum("phi1").cast("double").alias("sp1"),
+        F.sum(F.abs(F.col("phi1"))).cast("double").alias("sa1"),
+        F.sum("phi2").cast("double").alias("sp2"),
+        F.sum(F.abs(F.col("phi2"))).cast("double").alias("sa2"),
+    )
+    f1 = agg.select(
+        F.lit(1).alias("feature"),
+        "n_val",
+        F.round(F.col("sp1") / F.col("n_val"), 9).alias("mean_phi"),
+        F.round(F.col("sa1") / F.col("n_val"), 9).alias("mean_abs_phi"),
+    )
+    f2 = agg.select(
+        F.lit(2).alias("feature"),
+        "n_val",
+        F.round(F.col("sp2") / F.col("n_val"), 9).alias("mean_phi"),
+        F.round(F.col("sa2") / F.col("n_val"), 9).alias("mean_abs_phi"),
+    )
+    return f1.unionByName(f2)

@@ -132,6 +132,9 @@ WHITELIST = {
     "ml_auc_delong_ci": "(b) SV broadcast scoring (ml_roc_auc shape) + 1-row totals broadcasts for the deviation sums",
     "graph_mst_boruvka": "(a) 1x1x1 crossJoin of vertex/edge/picked count rows; incidence + argmin are shuffle window ops",
     "ml_ridge_lambda_path": "(a) 1-row sufficient-stats + 1-row best-SSE broadcasts against the 6-row lambda grid",
+    "ts_ses_optimal_alpha": "(a) 1-row daily-series array + 1-row best-SSE broadcasts against the 7-row alpha grid",
+    "ml_quantile_pinball": "(a/b) 1-row min-date scalar + 3-row q-grid rank-match broadcasts (train spine <= 21 rows/weekday); the loss join is equi on weekday",
+    "ml_shapley_two_feature": "(a) 1-row coalition-beta relation broadcast against the val panel",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB
@@ -177,6 +180,7 @@ WINDOW_WHITELIST = {
     "ml_conformal_coverage": "rank + count over the conf-budgeted fixed calibration panel (psvm.svm.test_modulo)",
     "ml_label_permutation_test": "rank + count over the conf-budgeted fixed SVM test panel",
     "ts_sma_crossover": "SMA frames + lag over the daily-count rollup (calendar-bounded ~30 rows)",
+    "ts_seasonal_strength": "centered-MA frames over the monthly rollup (calendar-bounded ~84 rows)",
 }
 
 

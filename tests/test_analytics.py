@@ -1457,3 +1457,99 @@ class TestDbscanCore:
         # mass (n_nb >= 1 always: the self-pair).  Core counts can tie at
         # zero on the tiny fixture, so density is the robust proxy.
         assert nb_spread < nb_base
+
+
+class TestSesOptimalAlpha:
+    def test_fold_matches_local_replay(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.analytics import _SES_ALPHAS
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = {
+            r.alpha: r
+            for r in QUERIES["ts_ses_optimal_alpha"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        per_day = {
+            r.d: r.x
+            for r in ev.filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).alias("x"))
+            .collect()
+        }
+        xs = [float(per_day[d]) for d in sorted(per_day)]
+        assert set(rows) == set(_SES_ALPHAS)
+        for alpha in _SES_ALPHAS:
+            s, sse = xs[0], 0.0
+            for x in xs[1:]:
+                sse += (x - s) * (x - s)
+                s = alpha * x + (1.0 - alpha) * s
+            assert rows[alpha].n_days == len(xs)
+            assert abs(rows[alpha].sse - sse) < 1e-5
+        assert sum(r.is_best for r in rows.values()) >= 1
+        best = min(rows.values(), key=lambda r: r.sse)
+        assert best.is_best == 1
+
+
+class TestSeasonalStrength:
+    def test_strengths_bounded_and_seasonal_dominates_noise(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ts_seasonal_strength"](spark, sf_dir).collect()[0]
+        assert row.n_months > 12
+        assert 0.0 <= row.f_seasonal <= 1.0
+        assert 0.0 <= row.f_trend <= 1.0
+
+
+class TestQuantilePinball:
+    def test_monotone_forecasts_and_loss_replay(self, spark, sf_dir):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = {
+            r.q: r for r in QUERIES["ml_quantile_pinball"](spark, sf_dir).collect()
+        }
+        assert set(rows) == {0.25, 0.5, 0.75}
+        ev = load_table(spark, sf_dir, "events")
+        per = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("d"),
+                (F.weekday("ts") + 1).alias("wd"),
+            )
+            .agg(F.count(F.lit(1)).alias("x"))
+            .collect()
+        )
+        md = min(r.d for r in per)
+        import datetime
+
+        cut = md + datetime.timedelta(days=21)
+        train, test = {}, []
+        for r in per:
+            if r.d < cut:
+                train.setdefault(r.wd, []).append((r.x, r.d))
+            else:
+                test.append((r.wd, r.x))
+        assert test, "fixture span must exceed the 21-day train window"
+        for q in (0.25, 0.5, 0.75):
+            fc = {}
+            for wd, vals in train.items():
+                vals = sorted(vals)
+                k = math.ceil(q * len(vals))
+                fc[wd] = vals[k - 1][0]
+            losses = [
+                max(q * (y - fc[wd]), (q - 1) * (y - fc[wd]))
+                for wd, y in test
+                if wd in fc
+            ]
+            assert rows[q].n_evals == len(losses)
+            assert abs(rows[q].total_pinball - sum(losses)) < 1e-6

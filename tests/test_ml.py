@@ -716,3 +716,57 @@ class TestLabelPermutationTest:
             if sum(p == y for p, y in zip(preds, shifted)) / n >= acc_true:
                 n_ge += 1
         assert row.n_ge == n_ge
+
+
+class TestShapleyTwoFeature:
+    def test_additivity_and_replay(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = {
+            r.feature: r
+            for r in QUERIES["ml_shapley_two_feature"](spark, sf_dir).collect()
+        }
+        assert set(rows) == {1, 2}
+        e = load_table(spark, sf_dir, "embeddings").select(
+            F.expr(
+                "cast(floor(cast(embedding[0] as double) * 1024e0 + 5e-1) as bigint)"
+            ).alias("x1"),
+            F.expr(
+                "cast(floor(cast(embedding[1] as double) * 1024e0 + 5e-1) as bigint)"
+            ).alias("x2"),
+            F.col("label").cast("bigint").alias("y"),
+            (F.col("vec_id") % 4 == 0).alias("is_val"),
+        )
+        data = e.collect()
+        tr = [r for r in data if not r.is_val]
+        va = [r for r in data if r.is_val]
+        s11 = sum(r.x1 * r.x1 for r in tr)
+        s22 = sum(r.x2 * r.x2 for r in tr)
+        s12 = sum(r.x1 * r.x2 for r in tr)
+        sy1 = sum(r.x1 * r.y for r in tr)
+        sy2 = sum(r.x2 * r.y for r in tr)
+        det = s11 * s22 - s12 * s12
+        b1 = (sy1 * s22 - sy2 * s12) / det
+        b2 = (sy2 * s11 - sy1 * s12) / det
+        c1, c2 = sy1 / s11, sy2 / s22
+        phi1 = [
+            round(0.5 * (c1 * r.x1 + b1 * r.x1 + b2 * r.x2 - c2 * r.x2), 6)
+            for r in va
+        ]
+        phi2 = [
+            round(0.5 * (c2 * r.x2 + b1 * r.x1 + b2 * r.x2 - c1 * r.x1), 6)
+            for r in va
+        ]
+        n = len(va)
+        assert rows[1].n_val == n and rows[2].n_val == n
+        assert abs(rows[1].mean_phi - sum(phi1) / n) < 1e-6
+        assert abs(rows[2].mean_phi - sum(phi2) / n) < 1e-6
+        assert abs(rows[1].mean_abs_phi - sum(abs(p) for p in phi1) / n) < 1e-6
+        # additivity: phi1 + phi2 equals the full-model prediction
+        for r, p1, p2 in zip(va, phi1, phi2):
+            full = b1 * r.x1 + b2 * r.x2
+            assert abs((p1 + p2) - full) < 2e-6
