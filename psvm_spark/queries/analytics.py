@@ -6885,3 +6885,284 @@ def ml_quantile_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_pinball",
         "avg_pinball",
     )
+
+
+# --------------------------------------------------------------------------
+# B563 (round 10) — IQR outlier fences per event type over the daily
+# event-count panel: Q1/Q3 as EXACT integer-rank order statistics
+# (k = ceil(q*n), the ml_quantile_pinball rank rule), Tukey fences at
+# 1.5*IQR kept in INTEGERS (2*fence_low = 5*Q1 - 3*Q3, so the outlier
+# test is 2*y < 5*Q1 - 3*Q3 — no division, no float anywhere), and the
+# per-type outlier bill reported.  The MAD twin (anomaly_mad) flags
+# level shifts; the IQR fence is the box-plot read auditors ask for.
+# Scale: calendar-bounded daily rollup + per-type rank windows over
+# the tiny day spine.
+
+
+@query(
+    "dq_iqr_fences",
+    oracle="""
+WITH cnt AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, d, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM cnt),
+qq AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN x END) AS q1,
+         MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN x END) AS q3,
+         MAX(n) AS n_days
+  FROM ranked GROUP BY event_type)
+SELECT c.event_type, CAST(qq.n_days AS BIGINT) AS n_days,
+       CAST(qq.q1 AS BIGINT) AS q1, CAST(qq.q3 AS BIGINT) AS q3,
+       CAST(SUM(CASE WHEN 2 * c.x < 5 * qq.q1 - 3 * qq.q3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * c.x > 5 * qq.q3 - 3 * qq.q1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high
+FROM cnt c JOIN qq ON c.event_type = qq.event_type
+GROUP BY c.event_type, qq.n_days, qq.q1, qq.q3
+""",
+)
+def dq_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "d")
+    ranked = cnt.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qq = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"), F.col("x")
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"), F.col("x")
+            )
+        ).alias("q3"),
+        F.max("n").alias("n_days"),
+    )
+    return (
+        cnt.join(F.broadcast(qq), "event_type")
+        .groupBy("event_type", "n_days", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("x") < 5 * F.col("q1") - 3 * F.col("q3"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(
+                F.when(2 * F.col("x") > 5 * F.col("q3") - 3 * F.col("q1"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("q1").cast("bigint").alias("q1"),
+            F.col("q3").cast("bigint").alias("q3"),
+            "n_low",
+            "n_high",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B564 (round 10) — conjugate Bayesian A/B read: Beta(1,1) posteriors
+# over per-variant purchase-conversion counts (variant = user_id % 2,
+# converted = user with >= 1 purchase — the ab_test_proportions
+# contract), reporting posterior mean / variance per arm and the
+# moment-matched z-score for the difference — the Bayesian companion
+# to the frequentist proportions test, in pure closed-form arithmetic
+# (posterior mean (s+1)/(n+2), variance a*b/((a+b)^2 (a+b+1)); exact
+# integer numerators, one rounded double per cell).  Scale: one
+# per-user rollup + a 2-cell aggregate.
+
+
+@query(
+    "ab_test_bayesian_beta",
+    oracle="""
+WITH u AS (
+  SELECT user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS s
+  FROM u GROUP BY variant),
+post AS (
+  SELECT variant, n, s,
+         s + 1 AS a, n - s + 1 AS b,
+         round(CAST(s + 1 AS DOUBLE) / (n + 2), 9) AS post_mean,
+         round(CAST(s + 1 AS DOUBLE) * (n - s + 1)
+               / (CAST(n + 2 AS DOUBLE) * (n + 2) * (n + 3)), 12) AS post_var
+  FROM arms)
+SELECT CAST(variant AS BIGINT) AS variant, CAST(n AS BIGINT) AS n, s,
+       CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, post_mean, post_var,
+       round((post_mean - (SELECT MAX(CASE WHEN variant <> p.variant
+                                           THEN post_mean END) FROM post))
+             / sqrt(post_var + (SELECT MAX(CASE WHEN variant <> p.variant
+                                               THEN post_var END) FROM post)),
+             9) AS z_vs_other
+FROM post p
+""",
+)
+def ab_test_bayesian_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    ).select((F.col("user_id") % 2).alias("variant"), "conv")
+    arms = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").cast("bigint").alias("s")
+    )
+    post = arms.select(
+        "variant",
+        "n",
+        "s",
+        (F.col("s") + 1).alias("a"),
+        (F.col("n") - F.col("s") + 1).alias("b"),
+        F.round((F.col("s") + 1).cast("double") / (F.col("n") + 2), 9).alias(
+            "post_mean"
+        ),
+        F.round(
+            (F.col("s") + 1).cast("double")
+            * (F.col("n") - F.col("s") + 1)
+            / ((F.col("n") + 2).cast("double") * (F.col("n") + 2) * (F.col("n") + 3)),
+            12,
+        ).alias("post_var"),
+    )
+    other = post.select(
+        (1 - F.col("variant")).alias("variant"),
+        F.col("post_mean").alias("o_mean"),
+        F.col("post_var").alias("o_var"),
+    )
+    return post.join(F.broadcast(other), "variant").select(
+        F.col("variant").cast("bigint").alias("variant"),
+        F.col("n").cast("bigint").alias("n"),
+        "s",
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "post_mean",
+        "post_var",
+        F.round(
+            (F.col("post_mean") - F.col("o_mean"))
+            / F.sqrt(F.col("post_var") + F.col("o_var")),
+            9,
+        ).alias("z_vs_other"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B565 (round 10) — spectral entropy of the monthly revenue series:
+# Shannon entropy of the normalized periodogram (ts_periodogram's
+# fixed-point trig machinery reused verbatim), the standard
+# "how concentrated is the seasonality" feature in forecasting
+# pipelines (tsfeatures / M4).  Exactness: per-frequency energy
+# e_k = c_fp^2 + s_fp^2 and the total are EXACT DECIMAL(38,0)
+# integers, so every p_k = e_k/total is one double division of
+# identical operands; ln(p) is rounded to 9 (the libm-parity rule),
+# each p*ln(p) term is rounded and frozen as DECIMAL, and the
+# normalizer ln(K) is rounded before the final division.  Scale: one
+# monthly rollup + a K=6-term combine.
+
+
+@query(
+    "ts_spectral_entropy",
+    oracle=f"""
+WITH monthly AS (
+  SELECT CAST((EXTRACT(year FROM o_orderdate) - 1995) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS t,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+terms AS (
+  SELECT k.k,
+         CAST(SUM(m.y * ({{COS}})[k.k][m.t + 1]) AS BIGINT) AS c_fp,
+         CAST(SUM(m.y * ({{SIN}})[k.k][m.t + 1]) AS BIGINT) AS s_fp
+  FROM monthly m
+  CROSS JOIN (SELECT unnest(generate_series(1, {len(_PGRAM_KS)})) AS k) k
+  WHERE m.t >= 0 AND m.t < {_PGRAM_N}
+  GROUP BY k.k),
+energy AS (
+  SELECT k, CAST(c_fp AS DECIMAL(38,0)) * c_fp
+            + CAST(s_fp AS DECIMAL(38,0)) * s_fp AS e
+  FROM terms),
+tot AS (SELECT CAST(SUM(e) AS DECIMAL(38,0)) AS te FROM energy),
+plnp AS (
+  SELECT CASE WHEN e = 0 THEN CAST(0 AS DECIMAL(16,12))
+              ELSE CAST(round(CAST(e AS DOUBLE) / CAST(te AS DOUBLE)
+                              * round(ln(CAST(e AS DOUBLE) / CAST(te AS DOUBLE)), 9),
+                        12) AS DECIMAL(16,12)) END AS term
+  FROM energy, tot)
+SELECT CAST({len(_PGRAM_KS)} AS BIGINT) AS n_components,
+       round(CAST(-SUM(term) AS DOUBLE), 9) AS entropy,
+       round(CAST(-SUM(term) AS DOUBLE) / round(ln({len(_PGRAM_KS)}e0), 9), 9)
+         AS entropy_norm
+FROM plnp
+""".replace("{COS}", _pgram_lit(_PGRAM_COS, True)).replace(
+        "{SIN}", _pgram_lit(_PGRAM_SIN, True)
+    ),
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+            .cast("int")
+            .alias("t")
+        )
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .filter((F.col("t") >= 0) & (F.col("t") < _PGRAM_N))
+    )
+    cos_lit = _pgram_lit(_PGRAM_COS, False)
+    sin_lit = _pgram_lit(_PGRAM_SIN, False)
+    ks = spark.range(1, len(_PGRAM_KS) + 1).select(F.col("id").cast("int").alias("k"))
+    terms = (
+        monthly.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("y") * F.expr(f"({cos_lit})[k - 1][t + 1 - 1]"))
+            .cast("bigint")
+            .alias("c_fp"),
+            F.sum(F.col("y") * F.expr(f"({sin_lit})[k - 1][t + 1 - 1]"))
+            .cast("bigint")
+            .alias("s_fp"),
+        )
+    )
+    energy = terms.select(
+        "k",
+        (
+            F.col("c_fp").cast("decimal(38,0)") * F.col("c_fp")
+            + F.col("s_fp").cast("decimal(38,0)") * F.col("s_fp")
+        ).alias("e"),
+    )
+    tot = energy.agg(F.sum("e").cast("decimal(38,0)").alias("te"))
+    p = F.col("e").cast("double") / F.col("te").cast("double")
+    plnp = energy.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("e") == 0, F.lit(0).cast("decimal(16,12)"))
+        .otherwise(F.round(p * F.round(F.log(p), 9), 12).cast("decimal(16,12)"))
+        .alias("term")
+    )
+    k_n = len(_PGRAM_KS)
+    return plnp.agg((-F.sum("term")).cast("double").alias("h")).select(
+        F.lit(k_n).cast("bigint").alias("n_components"),
+        F.round(F.col("h"), 9).alias("entropy"),
+        F.round(F.col("h") / F.round(F.log(F.lit(float(k_n))), 9), 9).alias(
+            "entropy_norm"
+        ),
+    )

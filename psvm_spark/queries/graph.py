@@ -1814,3 +1814,60 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_vertices") - F.col("n_picked")).alias("n_components_after"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B562 (round 10) — global transitivity (the graph-level clustering
+# ratio 3*triangles / wedges): the one-number density-of-closure read
+# next to graph_local_clustering's per-vertex table.  Wedge count is
+# the exact integer sum of deg*(deg-1)/2; the triangle count reuses the
+# oriented wedge-join machinery (a < b < c, each triangle once).  The
+# ratio is one double division of exact integers.  Scale: the wedge
+# sum is a per-vertex aggregate over the degree table; the triangle
+# join is the bounded orientation join graph_triangle_count prices.
+
+
+@query(
+    "graph_transitivity",
+    oracle=f"""
+WITH edges AS ({_EDGES_DUCK}),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY node),
+wedges AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT wedges.n_wedges, tri.n_triangles,
+       round(3e0 * tri.n_triangles / wedges.n_wedges, 9) AS transitivity
+FROM wedges, tri
+""",
+)
+def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = edge_set(spark, sf_dir, materialize=True)
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    e1 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    e2 = e.select(F.col("a").alias("x_b"), F.col("b").alias("w_c"))
+    closed = (
+        e1.join(e2, e1.w_b == e2.x_b)
+        .select("w_a", "w_c")
+        .join(e, (F.col("w_a") == e.a) & (F.col("w_c") == e.b), "left_semi")
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return wedges.crossJoin(tri).select(
+        "n_wedges",
+        "n_triangles",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 9).alias(
+            "transitivity"
+        ),
+    )

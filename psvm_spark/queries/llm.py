@@ -11868,3 +11868,129 @@ def ml_shapley_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sa2") / F.col("n_val"), 9).alias("mean_abs_phi"),
     )
     return f1.unionByName(f2)
+
+
+# --------------------------------------------------------------------------
+# B566 (round 10) — learning-curve diagnostic: the 1-feature ridge
+# (ml_ridge_lambda_path's quantization, lambda pinned at 16) fitted on
+# NESTED training fractions — buckets vec_id % 8 < k for k in
+# {1, 2, 4, 6} — and scored on the held-out bucket 7, the "is more
+# data still buying accuracy" read every training pipeline plots
+# before scaling a corpus 10x.  Nesting comes free: sufficient
+# statistics are computed ONCE PER BUCKET (8 rows) and each fraction
+# sums its bucket prefix, so the whole sweep is one aggregation pass
+# regardless of how many fractions are probed.  Same exactness recipe
+# as the lambda path: DECIMAL(38,0) normal-equation terms, the
+# validation-SSE expansion mirrored literally.
+
+_LC_KS = (1, 2, 4, 6)
+_LC_LAMBDA = 16
+_LC_VAL_BUCKET = 7
+
+
+@query(
+    "ml_learning_curve",
+    oracle=f"""
+WITH q AS (
+  SELECT {_RLP_XQ_DUCK} AS x, CAST(label AS BIGINT) AS y,
+         vec_id % 8 AS b
+  FROM embeddings),
+bs AS (
+  SELECT b, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM q GROUP BY b),
+grid AS (SELECT unnest({list(_LC_KS)}) AS k),
+tr AS (
+  SELECT g.k,
+         CAST(SUM(bs.n) AS DECIMAL(38,0)) AS n_t,
+         CAST(SUM(bs.sx) AS DECIMAL(38,0)) AS sx_t,
+         CAST(SUM(bs.sxx) AS DECIMAL(38,0)) AS sxx_t,
+         CAST(SUM(bs.sy) AS DECIMAL(38,0)) AS sy_t,
+         CAST(SUM(bs.sxy) AS DECIMAL(38,0)) AS sxy_t
+  FROM grid g JOIN bs ON bs.b < g.k GROUP BY g.k),
+va AS (
+  SELECT CAST(n AS DOUBLE) AS n_v, CAST(sx AS DOUBLE) AS sx_v,
+         CAST(sxx AS DOUBLE) AS sxx_v, CAST(sy AS DOUBLE) AS sy_v,
+         CAST(sxy AS DOUBLE) AS sxy_v, CAST(syy AS DOUBLE) AS syy_v
+  FROM bs WHERE b = {_LC_VAL_BUCKET}),
+fit AS (
+  SELECT k, CAST(n_t AS BIGINT) AS n_train,
+         CAST(n_t * sxy_t - sx_t * sy_t AS DOUBLE)
+           / CAST(n_t * (sxx_t + {_LC_LAMBDA}) - sx_t * sx_t AS DOUBLE) AS b,
+         n_t, sx_t, sy_t
+  FROM tr),
+ab AS (
+  SELECT k, n_train, b,
+         (CAST(sy_t AS DOUBLE) - b * CAST(sx_t AS DOUBLE))
+           / CAST(n_t AS DOUBLE) AS a
+  FROM fit)
+SELECT CAST(ab.k AS BIGINT) AS k, ab.n_train,
+       round(ab.b, 9) AS slope, round(ab.a, 9) AS intercept,
+       {_rlp_sse('va.')} AS val_sse
+FROM ab, va
+""",
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(_RLP_XQ_SPARK).alias("x"),
+        F.col("label").cast("bigint").alias("y"),
+        (F.col("vec_id") % 8).alias("b"),
+    )
+    bs = e.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).localCheckpoint(eager=True)
+    grid = spark.createDataFrame([(int(k),) for k in _LC_KS], "k bigint")
+    tr = (
+        grid.join(F.broadcast(bs), F.col("b") < F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("n").cast("decimal(38,0)").alias("n_t"),
+            F.sum("sx").cast("decimal(38,0)").alias("sx_t"),
+            F.sum("sxx").cast("decimal(38,0)").alias("sxx_t"),
+            F.sum("sy").cast("decimal(38,0)").alias("sy_t"),
+            F.sum("sxy").cast("decimal(38,0)").alias("sxy_t"),
+        )
+    )
+    va = bs.filter(F.col("b") == _LC_VAL_BUCKET).select(
+        F.col("n").cast("double").alias("n_v"),
+        F.col("sx").cast("double").alias("sx_v"),
+        F.col("sxx").cast("double").alias("sxx_v"),
+        F.col("sy").cast("double").alias("sy_v"),
+        F.col("sxy").cast("double").alias("sxy_v"),
+        F.col("syy").cast("double").alias("syy_v"),
+    )
+    fit = tr.select(
+        "k",
+        F.col("n_t").cast("bigint").alias("n_train"),
+        (
+            (F.col("n_t") * F.col("sxy_t") - F.col("sx_t") * F.col("sy_t")).cast("double")
+            / (
+                F.col("n_t") * (F.col("sxx_t") + _LC_LAMBDA)
+                - F.col("sx_t") * F.col("sx_t")
+            ).cast("double")
+        ).alias("b"),
+        "n_t",
+        "sx_t",
+        "sy_t",
+    )
+    ab = fit.select(
+        "k",
+        "n_train",
+        "b",
+        (
+            (F.col("sy_t").cast("double") - F.col("b") * F.col("sx_t").cast("double"))
+            / F.col("n_t").cast("double")
+        ).alias("a"),
+    )
+    return ab.crossJoin(F.broadcast(va)).select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_train",
+        F.round("b", 9).alias("slope"),
+        F.round("a", 9).alias("intercept"),
+        F.expr(_rlp_sse("")).alias("val_sse"),
+    )

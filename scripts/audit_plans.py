@@ -135,6 +135,9 @@ WHITELIST = {
     "ts_ses_optimal_alpha": "(a) 1-row daily-series array + 1-row best-SSE broadcasts against the 7-row alpha grid",
     "ml_quantile_pinball": "(a/b) 1-row min-date scalar + 3-row q-grid rank-match broadcasts (train spine <= 21 rows/weekday); the loss join is equi on weekday",
     "ml_shapley_two_feature": "(a) 1-row coalition-beta relation broadcast against the val panel",
+    "graph_transitivity": "(a) 1x1 crossJoin of wedge-sum and triangle-count rows; wedge/closure joins are equi (graph_triangle_count shape)",
+    "ts_spectral_entropy": "(a/b) 6-row frequency-grid broadcast against the monthly rollup + 1-row total-energy broadcast",
+    "ml_learning_curve": "(b) 8-row bucket-suffstats broadcast range-joined (b < k) to the 4-row fraction grid + 1-row val-stats broadcast",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB

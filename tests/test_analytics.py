@@ -1553,3 +1553,67 @@ class TestQuantilePinball:
             ]
             assert rows[q].n_evals == len(losses)
             assert abs(rows[q].total_pinball - sum(losses)) < 1e-6
+
+
+class TestIqrFences:
+    def test_quartiles_and_fences_replay(self, spark, sf_dir):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = {r.event_type: r for r in QUERIES["dq_iqr_fences"](spark, sf_dir).collect()}
+        ev = load_table(spark, sf_dir, "events")
+        per = (
+            ev.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).alias("x"))
+            .collect()
+        )
+        by_type = {}
+        for r in per:
+            by_type.setdefault(r.event_type, []).append(r.x)
+        for et, xs in by_type.items():
+            xs = sorted(xs)
+            n = len(xs)
+            q1 = xs[math.ceil(0.25 * n) - 1]
+            q3 = xs[math.ceil(0.75 * n) - 1]
+            row = rows[et]
+            assert (row.n_days, row.q1, row.q3) == (n, q1, q3)
+            assert row.n_low == sum(1 for x in xs if 2 * x < 5 * q1 - 3 * q3)
+            assert row.n_high == sum(1 for x in xs if 2 * x > 5 * q3 - 3 * q1)
+
+
+class TestBayesianBeta:
+    def test_posteriors_and_symmetry(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = {r.variant: r for r in QUERIES["ab_test_bayesian_beta"](spark, sf_dir).collect()}
+        assert set(rows) == {0, 1}
+        for v, r in rows.items():
+            assert r.a == r.s + 1 and r.b == r.n - r.s + 1
+            assert abs(r.post_mean - (r.s + 1) / (r.n + 2)) < 1e-9
+            assert 0 < r.post_var < 0.25
+        # the two z-scores are mirror images
+        assert abs(rows[0].z_vs_other + rows[1].z_vs_other) < 1e-8
+
+
+class TestSpectralEntropy:
+    def test_bounds_and_periodogram_consistency(self, spark, sf_dir):
+        import math
+
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ts_spectral_entropy"](spark, sf_dir).collect()[0]
+        assert row.n_components == 6
+        assert 0.0 <= row.entropy <= math.log(6) + 1e-9
+        assert 0.0 <= row.entropy_norm <= 1.0 + 1e-9
+        # replay from the committed periodogram powers
+        pg = {r.k: r.power for r in QUERIES["ts_periodogram"](spark, sf_dir).collect()}
+        tot = sum(pg.values())
+        h = -sum((p / tot) * math.log(p / tot) for p in pg.values() if p > 0)
+        assert abs(row.entropy - h) < 1e-5

@@ -770,3 +770,42 @@ class TestShapleyTwoFeature:
         for r, p1, p2 in zip(va, phi1, phi2):
             full = b1 * r.x1 + b2 * r.x2
             assert abs((p1 + p2) - full) < 2e-6
+
+
+class TestLearningCurve:
+    def test_nesting_monotone_and_replay(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = sorted(
+            QUERIES["ml_learning_curve"](spark, sf_dir).collect(), key=lambda r: r.k
+        )
+        assert [r.k for r in rows] == [1, 2, 4, 6]
+        # nested fractions: train size strictly increases
+        sizes = [r.n_train for r in rows]
+        assert all(a < b for a, b in zip(sizes, sizes[1:]))
+        # replay the k=6 fit locally
+        e = load_table(spark, sf_dir, "embeddings").select(
+            F.expr(
+                "cast(floor(cast(embedding[0] as double) * 1024e0 + 5e-1) as bigint)"
+            ).alias("x"),
+            F.col("label").cast("bigint").alias("y"),
+            (F.col("vec_id") % 8).alias("b"),
+        ).collect()
+        tr = [r for r in e if r.b < 6]
+        n = len(tr)
+        sx = sum(r.x for r in tr)
+        sxx = sum(r.x * r.x for r in tr)
+        sy = sum(r.y for r in tr)
+        sxy = sum(r.x * r.y for r in tr)
+        b = (n * sxy - sx * sy) / (n * (sxx + 16) - sx * sx)
+        a = (sy - b * sx) / n
+        va = [r for r in e if r.b == 7]
+        sse = sum((r.y - a - b * r.x) ** 2 for r in va)
+        last = rows[-1]
+        assert last.n_train == n
+        assert abs(last.slope - b) < 1e-9
+        assert abs(last.val_sse - sse) < 1e-4

@@ -1828,3 +1828,16 @@ class TestProgressListener:
             ev.select(F.window("ts", "10 minutes"), "event_type").distinct().count()
         )
         assert row.n_state_groups == n_groups
+
+
+class TestTransitivity:
+    def test_matches_triangle_count_and_degrees(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["graph_transitivity"](spark, sf_dir).collect()[0]
+        tri = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+        assert row.n_triangles == tri.n_triangles
+        assert 0 <= row.transitivity <= 1
+        assert row.n_wedges > 0
+        assert abs(row.transitivity - 3 * row.n_triangles / row.n_wedges) < 1e-9
