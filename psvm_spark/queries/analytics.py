@@ -7166,3 +7166,187 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_norm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B567 (round 10) — fact-to-detail reconciliation: re-derive each
+# order's header total from its lineitems (extprice * (1-disc) *
+# (1+tax), the TPC-H charge formula) in EXACT DECIMAL and bill the
+# deltas against o_totalprice per order priority — the standard
+# warehouse audit that catches partial loads, double-applied discounts
+# and orphaned headers.  Headerless details can't exist here (inner
+# fact keys), but detail-less headers are counted explicitly via the
+# left join.  Every comparison and sum is exact decimal; only the
+# final average delta divides.  Scale: one fact-side rollup shuffled
+# on the order key (map-side combined), then a broadcast-size
+# per-priority aggregate.
+
+
+@query(
+    "dq_fact_detail_reconcile",
+    oracle="""
+WITH detail AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+             * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS computed
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST(o.o_totalprice AS DECIMAL(12,2)) AS header,
+         d.computed,
+         CASE WHEN d.computed IS NULL THEN NULL
+              ELSE abs(CAST(o.o_totalprice AS DECIMAL(12,2)) - d.computed) END AS adelta
+  FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.l_orderkey)
+SELECT pri,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE computed IS NULL) AS n_no_detail,
+       COUNT(*) FILTER (WHERE adelta = 0) AS n_exact,
+       COUNT(*) FILTER (WHERE adelta > 0) AS n_mismatched,
+       CAST(SUM(adelta) AS DOUBLE) AS sum_abs_delta,
+       CAST(MAX(adelta) AS DOUBLE) AS max_abs_delta
+FROM j GROUP BY pri
+""",
+)
+def dq_fact_detail_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    one_ = F.lit(1).cast("decimal(4,2)")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (one_ - F.col("l_discount").cast("decimal(4,2)"))
+            * (one_ + F.col("l_tax").cast("decimal(4,2)"))
+        ).alias("computed")
+    )
+    j = o.join(detail, o.o_orderkey == detail.l_orderkey, "left").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.when(
+            F.col("computed").isNotNull(),
+            F.abs(F.col("o_totalprice").cast("decimal(12,2)") - F.col("computed")),
+        ).alias("adelta"),
+        F.col("computed").isNull().alias("no_detail"),
+    )
+    return j.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("no_detail"), 1)).alias("n_no_detail"),
+        F.count(F.when(F.col("adelta") == 0, 1)).alias("n_exact"),
+        F.count(F.when(F.col("adelta") > 0, 1)).alias("n_mismatched"),
+        F.sum("adelta").cast("double").alias("sum_abs_delta"),
+        F.max("adelta").cast("double").alias("max_abs_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B568 (round 10) — inverse-propensity-weighted treatment effect: the
+# observational-causal companion to the A/B family (CUPED, DiD, SPRT
+# live here too).  Users are stratified by their FIRST event type (the
+# deterministic min_by convention), the per-stratum propensity is the
+# exact treated share, and the IPW means reweight each user's purchase
+# count by n_s/n_treated_s (resp. n_s/n_control_s) — every weight a
+# ratio of exact integers, each per-user term one double product
+# rounded to 9 and frozen as DECIMAL before the order-independent sum.
+# The naive difference-in-means rides along so the stratification
+# adjustment is visible.  Scale: two per-user rollups + a 5-row
+# stratum dim broadcast.
+
+
+@query(
+    "ab_test_ipw_estimate",
+    oracle="""
+WITH keyed AS (
+  SELECT user_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events),
+firsts AS (
+  SELECT user_id,
+         arg_min(event_type, k) AS stratum,
+         CAST(user_id % 2 AS INT) AS t,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM keyed GROUP BY user_id),
+strata AS (
+  SELECT stratum, COUNT(*) AS n_s,
+         CAST(SUM(t) AS BIGINT) AS nt_s
+  FROM firsts GROUP BY stratum),
+terms AS (
+  SELECT f.t, f.y, s.n_s, s.nt_s, s.n_s - s.nt_s AS nc_s,
+         CASE WHEN f.t = 1
+              THEN CAST(round(CAST(f.y AS DOUBLE) * s.n_s / s.nt_s, 9)
+                        AS DECIMAL(28,9))
+              ELSE CAST(0 AS DECIMAL(28,9)) END AS w1,
+         CASE WHEN f.t = 0
+              THEN CAST(round(CAST(f.y AS DOUBLE) * s.n_s / (s.n_s - s.nt_s), 9)
+                        AS DECIMAL(28,9))
+              ELSE CAST(0 AS DECIMAL(28,9)) END AS w0
+  FROM firsts f JOIN strata s ON f.stratum = s.stratum)
+SELECT COUNT(*) AS n_users,
+       (SELECT COUNT(*) FROM strata) AS n_strata,
+       round(CAST(SUM(w1) AS DOUBLE) / COUNT(*), 9) AS mu1_ipw,
+       round(CAST(SUM(w0) AS DOUBLE) / COUNT(*), 9) AS mu0_ipw,
+       round(CAST(SUM(w1) AS DOUBLE) / COUNT(*)
+             - CAST(SUM(w0) AS DOUBLE) / COUNT(*), 9) AS ate_ipw,
+       round(CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS DOUBLE)
+               / SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END), 9) AS ate_naive
+FROM terms
+""",
+)
+def ab_test_ipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min_by("event_type", k).alias("stratum"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    ).select(
+        "stratum",
+        "y",
+        (F.col("user_id") % 2).cast("int").alias("t"),
+    )
+    strata = firsts.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("t").cast("bigint").alias("nt_s"),
+    )
+    w1 = F.when(
+        F.col("t") == 1,
+        F.round(F.col("y").cast("double") * F.col("n_s") / F.col("nt_s"), 9).cast(
+            "decimal(28,9)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    w0 = F.when(
+        F.col("t") == 0,
+        F.round(
+            F.col("y").cast("double") * F.col("n_s") / (F.col("n_s") - F.col("nt_s")),
+            9,
+        ).cast("decimal(28,9)"),
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    terms = firsts.join(F.broadcast(strata), "stratum").select(
+        "t", "y", w1.alias("w1"), w0.alias("w0")
+    )
+    n_strata = strata.agg(F.count(F.lit(1)).alias("n_strata"))
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("w1").cast("double").alias("sw1"),
+        F.sum("w0").cast("double").alias("sw0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).cast("double").alias("sy1"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).cast("double").alias("sy0"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    return agg.crossJoin(F.broadcast(n_strata)).select(
+        "n_users",
+        F.col("n_strata").cast("bigint").alias("n_strata"),
+        F.round(F.col("sw1") / F.col("n_users"), 9).alias("mu1_ipw"),
+        F.round(F.col("sw0") / F.col("n_users"), 9).alias("mu0_ipw"),
+        F.round(
+            F.col("sw1") / F.col("n_users") - F.col("sw0") / F.col("n_users"), 9
+        ).alias("ate_ipw"),
+        F.round(
+            F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0"), 9
+        ).alias("ate_naive"),
+    )

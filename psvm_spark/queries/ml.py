@@ -1700,3 +1700,174 @@ def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "iter int, mu1_fp bigint, mu2_fp bigint, var1 bigint,"
         " var2 bigint, pi1_fp bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# B569 (round 10) — depth-2 histogram tree growth: the recursive step
+# on top of ml_stump_split's primitive.  Level 1 finds the best
+# quantity split per l_linestatus group (identical machinery); level 2
+# re-histograms WITHIN each resulting leaf on a second feature
+# (discount, in exact cents-of-rate) and finds each leaf's best split
+# — exactly how distributed GBDT learners (XGBoost/LightGBM) grow a
+# tree level: one shuffle per level carrying histograms, never rows.
+# Same exactness recipe as the stump: exact integer cents, BSS =
+# A^2/a + B^2/b as the identical three-op double expression both
+# sides.  Output: per (group, leaf) the level-2 split, sizes and gain.
+
+
+@query(
+    "ml_tree_depth2",
+    oracle="""
+WITH h1 AS (
+  SELECT l_linestatus AS grp, CAST(l_quantity AS INT) AS qty,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS s
+  FROM lineitem GROUP BY 1, 2),
+cum1 AS (
+  SELECT grp, qty,
+         SUM(n) OVER (PARTITION BY grp ORDER BY qty
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a,
+         SUM(s) OVER (PARTITION BY grp ORDER BY qty
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         SUM(n) OVER (PARTITION BY grp) AS tn,
+         SUM(s) OVER (PARTITION BY grp) AS ts
+  FROM h1),
+root AS (
+  SELECT grp, qty AS split_qty
+  FROM (SELECT grp, qty,
+               CAST(cs AS DOUBLE) * cs / a
+                 + CAST(ts - cs AS DOUBLE) * (ts - cs) / (tn - a) AS bss,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY
+                 CAST(cs AS DOUBLE) * cs / a
+                   + CAST(ts - cs AS DOUBLE) * (ts - cs) / (tn - a) DESC,
+                 qty) AS rk
+        FROM cum1 WHERE a > 0 AND tn - a > 0)
+  WHERE rk = 1),
+h2 AS (
+  SELECT li.l_linestatus AS grp,
+         CASE WHEN CAST(li.l_quantity AS INT) <= r.split_qty
+              THEN 'L' ELSE 'R' END AS leaf,
+         CAST(CAST(li.l_discount AS DECIMAL(4,2)) * 100 AS INT) AS disc,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(li.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS s
+  FROM lineitem li JOIN root r ON li.l_linestatus = r.grp
+  GROUP BY 1, 2, 3),
+cum2 AS (
+  SELECT grp, leaf, disc,
+         SUM(n) OVER (PARTITION BY grp, leaf ORDER BY disc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a,
+         SUM(s) OVER (PARTITION BY grp, leaf ORDER BY disc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         SUM(n) OVER (PARTITION BY grp, leaf) AS tn,
+         SUM(s) OVER (PARTITION BY grp, leaf) AS ts
+  FROM h2),
+scored2 AS (
+  SELECT grp, leaf, disc, a, tn - a AS b, tn,
+         CAST(cs AS DOUBLE) * cs / a
+           + CAST(ts - cs AS DOUBLE) * (ts - cs) / (tn - a) AS bss,
+         CAST(ts AS DOUBLE) * ts / tn AS bss0
+  FROM cum2 WHERE a > 0 AND tn - a > 0)
+SELECT s2.grp, s2.leaf, r.split_qty AS root_split_qty,
+       CAST(s2.tn AS BIGINT) AS n_node,
+       CAST(s2.disc AS INT) AS split_disc,
+       CAST(s2.a AS BIGINT) AS n_left, CAST(s2.b AS BIGINT) AS n_right,
+       s2.bss - s2.bss0 AS gain
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp, leaf
+                                   ORDER BY bss DESC, disc) AS rk
+      FROM scored2) s2
+JOIN root r ON s2.grp = r.grp
+WHERE s2.rk = 1
+""",
+)
+def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("grp"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100).cast("int").alias("disc"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wall1 = Window.partitionBy("grp")
+    wcum1 = wall1.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    h1 = li.groupBy("grp", "qty").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    bss1 = (
+        F.col("cs").cast("double") * F.col("cs") / F.col("a")
+        + (F.col("ts") - F.col("cs")).cast("double")
+        * (F.col("ts") - F.col("cs"))
+        / (F.col("tn") - F.col("a"))
+    )
+    cum1 = h1.select(
+        "grp",
+        "qty",
+        F.sum("n").over(wcum1).alias("a"),
+        F.sum("s").over(wcum1).alias("cs"),
+        F.sum("n").over(wall1).alias("tn"),
+        F.sum("s").over(wall1).alias("ts"),
+    )
+    root = (
+        cum1.filter((F.col("a") > 0) & (F.col("tn") - F.col("a") > 0))
+        .select("grp", "qty", bss1.alias("bss"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(F.col("bss").desc(), "qty")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("grp", F.col("qty").alias("split_qty"))
+    )
+    rows2 = li.join(F.broadcast(root), "grp").select(
+        "grp",
+        F.when(F.col("qty") <= F.col("split_qty"), "L").otherwise("R").alias("leaf"),
+        "disc",
+        "cents",
+        "split_qty",
+    )
+    h2 = rows2.groupBy("grp", "leaf", "disc", "split_qty").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    wall2 = Window.partitionBy("grp", "leaf")
+    wcum2 = wall2.orderBy("disc").rowsBetween(Window.unboundedPreceding, 0)
+    cum2 = h2.select(
+        "grp",
+        "leaf",
+        "disc",
+        "split_qty",
+        F.sum("n").over(wcum2).alias("a"),
+        F.sum("s").over(wcum2).alias("cs"),
+        F.sum("n").over(wall2).alias("tn"),
+        F.sum("s").over(wall2).alias("ts"),
+    )
+    scored2 = cum2.filter((F.col("a") > 0) & (F.col("tn") - F.col("a") > 0)).select(
+        "grp",
+        "leaf",
+        "disc",
+        "split_qty",
+        "a",
+        (F.col("tn") - F.col("a")).alias("b"),
+        "tn",
+        bss1.alias("bss"),
+        (F.col("ts").cast("double") * F.col("ts") / F.col("tn")).alias("bss0"),
+    )
+    rk2 = F.row_number().over(
+        Window.partitionBy("grp", "leaf").orderBy(F.col("bss").desc(), "disc")
+    )
+    return (
+        scored2.withColumn("rk", rk2)
+        .filter(F.col("rk") == 1)
+        .select(
+            "grp",
+            "leaf",
+            F.col("split_qty").cast("int").alias("root_split_qty"),
+            F.col("tn").cast("bigint").alias("n_node"),
+            F.col("disc").cast("int").alias("split_disc"),
+            F.col("a").cast("bigint").alias("n_left"),
+            F.col("b").cast("bigint").alias("n_right"),
+            (F.col("bss") - F.col("bss0")).alias("gain"),
+        )
+    )

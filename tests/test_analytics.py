@@ -1617,3 +1617,33 @@ class TestSpectralEntropy:
         tot = sum(pg.values())
         h = -sum((p / tot) * math.log(p / tot) for p in pg.values() if p > 0)
         assert abs(row.entropy - h) < 1e-5
+
+
+class TestFactDetailReconcile:
+    def test_totals_and_mismatch_accounting(self, spark, sf_dir):
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["dq_fact_detail_reconcile"](spark, sf_dir).collect()
+        n_orders = load_table(spark, sf_dir, "orders").count()
+        assert sum(r.n_orders for r in rows) == n_orders
+        for r in rows:
+            assert r.n_exact + r.n_mismatched + r.n_no_detail == r.n_orders
+            assert r.sum_abs_delta >= 0
+            if r.n_mismatched == 0:
+                assert r.sum_abs_delta == 0
+
+
+class TestIpwEstimate:
+    def test_ipw_weights_sum_and_naive_consistency(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        row = QUERIES["ab_test_ipw_estimate"](spark, sf_dir).collect()[0]
+        assert row.n_users > 0 and row.n_strata >= 1
+        assert abs(row.ate_ipw - (row.mu1_ipw - row.mu0_ipw)) < 1e-8
+        # hash treatment is near-random: IPW and naive agree in sign
+        # magnitude can differ; both must be finite
+        for v in (row.mu1_ipw, row.mu0_ipw, row.ate_ipw, row.ate_naive):
+            assert v == v  # not NaN

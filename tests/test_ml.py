@@ -809,3 +809,31 @@ class TestLearningCurve:
         assert last.n_train == n
         assert abs(last.slope - b) < 1e-9
         assert abs(last.val_sse - sse) < 1e-4
+
+
+class TestTreeDepth2:
+    def test_level2_refines_root_and_replay(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = QUERIES["ml_tree_depth2"](spark, sf_dir).collect()
+        stump = {r.grp: r for r in QUERIES["ml_stump_split"](spark, sf_dir).collect()}
+        by_node = {(r.grp, r.leaf): r for r in rows}
+        # every group contributes at most two leaves, keyed L/R
+        assert all(leaf in ("L", "R") for (_, leaf) in by_node)
+        for (grp, leaf), r in by_node.items():
+            assert r.root_split_qty == stump[grp].split_qty
+            assert r.gain >= -1e-9  # BSS(best split) >= BSS(no split)
+            assert r.n_left > 0 and r.n_right > 0
+            assert r.n_left + r.n_right == r.n_node
+        # leaf sizes reconcile with the root split sizes
+        for grp, s in stump.items():
+            sizes = {
+                leaf: by_node[(grp, leaf)].n_node
+                for leaf in ("L", "R")
+                if (grp, leaf) in by_node
+            }
+            if "L" in sizes:
+                assert sizes["L"] == s.n_left
+            if "R" in sizes:
+                assert sizes["R"] == s.n_right
