@@ -817,14 +817,16 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # radius-bounded-NN contract.
 
 
-def _coord(prefix: str, key: str, span: int, offset: int) -> tuple[str, str]:
+def _coord(
+    prefix: str, key: str, span: int, offset: int, res: int = 100
+) -> tuple[str, str]:
     spark_e = (
         f"(cast(pmod(cast(conv(substring(md5(concat('{prefix}', {key})), 1, 8), 16, 10)"
-        f" as bigint), {span * 100}) as double) / 100.0 - {offset})"
+        f" as bigint), {span * res}) as double) / {res}.0 - {offset})"
     )
     duck_e = (
-        f"((('0x' || substr(md5('{prefix}' || {key}), 1, 8))::BIGINT % {span * 100})"
-        f" / 100.0 - {offset})"
+        f"((('0x' || substr(md5('{prefix}' || {key}), 1, 8))::BIGINT % {span * res})"
+        f" / {res}.0 - {offset})"
     )
     return spark_e, duck_e
 
@@ -6480,17 +6482,13 @@ def _dbscan_grid(spark: SparkSession) -> int:
 
 
 def _dbscan_coord(prefix: str, key: str, w: int) -> str:
-    return (
-        f"(cast(pmod(cast(conv(substring(md5(concat('{prefix}', {key})), 1, 8),"
-        f" 16, 10) as bigint), {w * 1000}) as double) / 1000.0)"
-    )
+    """Spark side of the geo _coord helper at 1e-3 resolution, offset 0."""
+    return _coord(prefix, key, w, 0, res=1000)[0]
 
 
 def _dbscan_coord_duck(prefix: str, key: str, w: int) -> str:
-    return (
-        f"((('0x' || substr(md5('{prefix}' || {key}), 1, 8))::BIGINT"
-        f" % {w * 1000}) / 1000.0)"
-    )
+    """DuckDB side of the geo _coord helper at 1e-3 resolution, offset 0."""
+    return _coord(prefix, key, w, 0, res=1000)[1]
 
 
 @query(
@@ -6776,13 +6774,16 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sq(c: str) -> Column:
         return F.sum(F.col(c).cast("decimal(38,0)") * F.col(c)).cast("double")
 
+    # linear sums also ride decimal(38,0): tr_u is full monthly revenue
+    # in micro-dollars, and a plain bigint SUM wraps near sf40 where
+    # the oracle's HUGEINT accumulation stays exact (review finding)
     sums = rows.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("r_u").cast("double").alias("s_r"),
+        F.sum(F.col("r_u").cast("decimal(38,0)")).cast("double").alias("s_r"),
         _sq("r_u").alias("s_rr"),
-        F.sum("sr_u").cast("double").alias("s_sr"),
+        F.sum(F.col("sr_u").cast("decimal(38,0)")).cast("double").alias("s_sr"),
         _sq("sr_u").alias("s_srsr"),
-        F.sum("tr_u").cast("double").alias("s_tr"),
+        F.sum(F.col("tr_u").cast("decimal(38,0)")).cast("double").alias("s_tr"),
         _sq("tr_u").alias("s_trtr"),
     )
     var_r = F.col("s_rr") - F.col("s_r") * F.col("s_r") / F.col("n")
@@ -6845,6 +6846,8 @@ def ml_quantile_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.weekday("ts") + 1).alias("wd"),
         )
         .agg(F.count(F.lit(1)).alias("x"))
+        # three consumers (min-date, train, test): pay the events scan once
+        .localCheckpoint(eager=True)
     )
     mn = cnt.agg(F.min("d").alias("md"))
     with_mn = cnt.crossJoin(F.broadcast(mn))
@@ -6928,9 +6931,14 @@ GROUP BY c.event_type, qq.n_days, qq.q1, qq.q3
 )
 def dq_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cnt = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).alias("x"))
+    cnt = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        # consumed by both the rank pass and the fence join: scan once
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("event_type").orderBy("x", "d")
     ranked = cnt.select(
         "event_type",
@@ -7134,22 +7142,28 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = spark.range(1, len(_PGRAM_KS) + 1).select(F.col("id").cast("int").alias("k"))
     terms = (
         monthly.crossJoin(F.broadcast(ks))
+        # accumulate the fixed-point products in decimal(38,0), the
+        # ts_periodogram HUGEINT-headroom rule — a plain bigint sum
+        # wraps near sf50 where the DuckDB oracle stays exact
         .groupBy("k")
         .agg(
-            F.sum(F.col("y") * F.expr(f"({cos_lit})[k - 1][t + 1 - 1]"))
-            .cast("bigint")
-            .alias("c_fp"),
-            F.sum(F.col("y") * F.expr(f"({sin_lit})[k - 1][t + 1 - 1]"))
-            .cast("bigint")
-            .alias("s_fp"),
+            F.sum(
+                (F.col("y") * F.expr(f"({cos_lit})[k - 1][t + 1 - 1]")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("c_fp"),
+            F.sum(
+                (F.col("y") * F.expr(f"({sin_lit})[k - 1][t + 1 - 1]")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s_fp"),
         )
     )
     energy = terms.select(
         "k",
         (
-            F.col("c_fp").cast("decimal(38,0)") * F.col("c_fp")
-            + F.col("s_fp").cast("decimal(38,0)") * F.col("s_fp")
-        ).alias("e"),
+            F.col("c_fp") * F.col("c_fp") + F.col("s_fp") * F.col("s_fp")
+        ).cast("decimal(38,0)").alias("e"),
     )
     tot = energy.agg(F.sum("e").cast("decimal(38,0)").alias("te"))
     p = F.col("e").cast("double") / F.col("te").cast("double")

@@ -11767,10 +11767,13 @@ def text_stem_porter_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests.  Scale: one suffstats pass + one val-panel pass with the
 # 1-row beta relation broadcast — corpus-linear, no pairs anywhere.
 
-_SHAP_X1 = "cast(floor(cast(embedding[0] as double) * 1024e0 + 5e-1) as bigint)"
-_SHAP_X2 = "cast(floor(cast(embedding[1] as double) * 1024e0 + 5e-1) as bigint)"
-_SHAP_X1_D = "CAST(floor(CAST(embedding[1] AS DOUBLE) * 1024e0 + 5e-1) AS BIGINT)"
-_SHAP_X2_D = "CAST(floor(CAST(embedding[2] AS DOUBLE) * 1024e0 + 5e-1) AS BIGINT)"
+# dimension-0 expressions ARE the lambda-path quantization (one
+# definition, four consumers — review finding); dimension 1 shifts the
+# probed index by one on each engine's indexing base.
+_SHAP_X1 = _RLP_XQ_SPARK
+_SHAP_X1_D = _RLP_XQ_DUCK
+_SHAP_X2 = _RLP_XQ_SPARK.replace("embedding[0]", "embedding[1]")
+_SHAP_X2_D = _RLP_XQ_DUCK.replace("embedding[1]", "embedding[2]")
 
 # phi expressions shared verbatim: b1/b2 full-model, c1/c2 solo-model
 # slopes; phi_i = 5e-1 * (ci * xi + (b_full_i * xi + b_full_other *

@@ -1420,8 +1420,11 @@ def stream_progress_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
         def onQueryTerminated(self, event):  # noqa: D102
             seen["terminated"].add(str(event.id))
 
+    import uuid
+
     listener = _MetricsListener()
     spark.streams.addListener(listener)
+    sink = f"psvm_listener_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1433,7 +1436,7 @@ def stream_progress_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
-            .queryName("psvm_listener_probe")
+            .queryName(sink)
             .option("checkpointLocation", scratch_dir("psvm_ckpt_"))
             .trigger(availableNow=True)
             .start()
