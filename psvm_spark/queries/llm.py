@@ -11997,3 +11997,146 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("a", 9).alias("intercept"),
         F.expr(_rlp_sse("")).alias("val_sse"),
     )
+
+
+# --------------------------------------------------------------------------
+# B570 (round 10) — k-fold cross-validation of the 1-feature ridge
+# (lambda pinned at the learning-curve's 16): folds are vec_id % 4,
+# each fold's model trains on the OTHER three folds' sufficient
+# statistics — computed as totals-minus-fold, so the whole CV is ONE
+# per-fold aggregation pass however many folds run (the
+# ml_learning_curve prefix trick, complement form) — and scores its
+# held-out fold with the mirrored SSE expansion.  The cross-fold mean
+# (each fold's SSE normalized per-row, rounded and decimal-summed) is
+# the CV estimate every hyperparameter sweep ranks by.  Exactness:
+# DECIMAL(38,0) normal equations, one rounded double per fold.
+
+_CV_FOLDS = 4
+_CV_LAMBDA = 16
+
+
+@query(
+    "ml_kfold_cv_ridge",
+    oracle=f"""
+WITH q AS (
+  SELECT {_RLP_XQ_DUCK} AS x, CAST(label AS BIGINT) AS y,
+         vec_id % {_CV_FOLDS} AS f
+  FROM embeddings),
+fs AS (
+  SELECT f, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM q GROUP BY f),
+tot AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx,
+         SUM(sy) AS sy, SUM(sxy) AS sxy
+  FROM fs),
+tr AS (
+  SELECT fs.f,
+         CAST(tot.n - fs.n AS DECIMAL(38,0)) AS n_t,
+         CAST(tot.sx - fs.sx AS DECIMAL(38,0)) AS sx_t,
+         CAST(tot.sxx - fs.sxx AS DECIMAL(38,0)) AS sxx_t,
+         CAST(tot.sy - fs.sy AS DECIMAL(38,0)) AS sy_t,
+         CAST(tot.sxy - fs.sxy AS DECIMAL(38,0)) AS sxy_t,
+         CAST(fs.n AS DOUBLE) AS n_v, CAST(fs.sx AS DOUBLE) AS sx_v,
+         CAST(fs.sxx AS DOUBLE) AS sxx_v, CAST(fs.sy AS DOUBLE) AS sy_v,
+         CAST(fs.sxy AS DOUBLE) AS sxy_v, CAST(fs.syy AS DOUBLE) AS syy_v
+  FROM fs, tot),
+fit AS (
+  SELECT f, CAST(n_t AS BIGINT) AS n_train, CAST(n_v AS BIGINT) AS n_val,
+         CAST(n_t * sxy_t - sx_t * sy_t AS DOUBLE)
+           / CAST(n_t * (sxx_t + {_CV_LAMBDA}) - sx_t * sx_t AS DOUBLE) AS b,
+         n_t, sx_t, sy_t,
+         n_v, sx_v, sxx_v, sy_v, sxy_v, syy_v
+  FROM tr),
+ab AS (
+  SELECT f, n_train, n_val, b,
+         (CAST(sy_t AS DOUBLE) - b * CAST(sx_t AS DOUBLE))
+           / CAST(n_t AS DOUBLE) AS a,
+         n_v, sx_v, sxx_v, sy_v, sxy_v, syy_v
+  FROM fit),
+scored AS (
+  SELECT CAST(f AS BIGINT) AS fold, n_train, n_val,
+         round(b, 9) AS slope, round(a, 9) AS intercept,
+         round({_rlp_sse('')} / n_v, 9) AS val_mse
+  FROM ab)
+SELECT fold, n_train, n_val, slope, intercept, val_mse,
+       round(CAST((SELECT SUM(CAST(val_mse AS DECIMAL(28,9))) FROM scored)
+                  AS DOUBLE) / {_CV_FOLDS}, 9) AS cv_mse
+FROM scored
+""",
+)
+def ml_kfold_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(_RLP_XQ_SPARK).alias("x"),
+        F.col("label").cast("bigint").alias("y"),
+        (F.col("vec_id") % _CV_FOLDS).alias("f"),
+    )
+    fs = e.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).localCheckpoint(eager=True)
+    tot = fs.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    tr = fs.crossJoin(F.broadcast(tot)).select(
+        "f",
+        (F.col("tn") - F.col("n")).cast("decimal(38,0)").alias("n_t"),
+        (F.col("tsx") - F.col("sx")).cast("decimal(38,0)").alias("sx_t"),
+        (F.col("tsxx") - F.col("sxx")).cast("decimal(38,0)").alias("sxx_t"),
+        (F.col("tsy") - F.col("sy")).cast("decimal(38,0)").alias("sy_t"),
+        (F.col("tsxy") - F.col("sxy")).cast("decimal(38,0)").alias("sxy_t"),
+        F.col("n").cast("double").alias("n_v"),
+        F.col("sx").cast("double").alias("sx_v"),
+        F.col("sxx").cast("double").alias("sxx_v"),
+        F.col("sy").cast("double").alias("sy_v"),
+        F.col("sxy").cast("double").alias("sxy_v"),
+        F.col("syy").cast("double").alias("syy_v"),
+    )
+    fit = tr.select(
+        "f",
+        F.col("n_t").cast("bigint").alias("n_train"),
+        F.col("n_v").cast("bigint").alias("n_val"),
+        (
+            (F.col("n_t") * F.col("sxy_t") - F.col("sx_t") * F.col("sy_t")).cast("double")
+            / (
+                F.col("n_t") * (F.col("sxx_t") + _CV_LAMBDA)
+                - F.col("sx_t") * F.col("sx_t")
+            ).cast("double")
+        ).alias("b"),
+        "n_t", "sx_t", "sy_t",
+        "n_v", "sx_v", "sxx_v", "sy_v", "sxy_v", "syy_v",
+    )
+    ab = fit.select(
+        "f",
+        "n_train",
+        "n_val",
+        "b",
+        (
+            (F.col("sy_t").cast("double") - F.col("b") * F.col("sx_t").cast("double"))
+            / F.col("n_t").cast("double")
+        ).alias("a"),
+        "n_v", "sx_v", "sxx_v", "sy_v", "sxy_v", "syy_v",
+    )
+    scored = ab.select(
+        F.col("f").cast("bigint").alias("fold"),
+        "n_train",
+        "n_val",
+        F.round("b", 9).alias("slope"),
+        F.round("a", 9).alias("intercept"),
+        F.round(F.expr(_rlp_sse("")) / F.col("n_v"), 9).alias("val_mse"),
+    )
+    cv = scored.agg(
+        F.round(
+            F.sum(F.col("val_mse").cast("decimal(28,9)")).cast("double") / _CV_FOLDS,
+            9,
+        ).alias("cv_mse")
+    )
+    return scored.crossJoin(F.broadcast(cv))

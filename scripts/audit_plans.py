@@ -139,6 +139,7 @@ WHITELIST = {
     "ts_spectral_entropy": "(a/b) 6-row frequency-grid broadcast against the monthly rollup + 1-row total-energy broadcast",
     "ml_learning_curve": "(b) 8-row bucket-suffstats broadcast range-joined (b < k) to the 4-row fraction grid + 1-row val-stats broadcast",
     "ab_test_ipw_estimate": "(a) 1-row stratum-count relation attached to the 1-row IPW aggregate; the stratum join is a 5-row broadcast equi-join",
+    "ml_kfold_cv_ridge": "(a) 1-row totals + 1-row cv-mean broadcasts against the 4-row fold-suffstats relation",
 }
 
 # Unpartitioned (global) Window nodes are the OTHER canonical 100 TB

@@ -837,3 +837,40 @@ class TestTreeDepth2:
                 assert sizes["L"] == s.n_left
             if "R" in sizes:
                 assert sizes["R"] == s.n_right
+
+
+class TestKfoldCvRidge:
+    def test_complement_suffstats_and_cv_mean(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        rows = sorted(
+            QUERIES["ml_kfold_cv_ridge"](spark, sf_dir).collect(),
+            key=lambda r: r.fold,
+        )
+        assert [r.fold for r in rows] == [0, 1, 2, 3]
+        data = load_table(spark, sf_dir, "embeddings").select(
+            F.expr(
+                "cast(floor(cast(embedding[0] as double) * 1024e0 + 5e-1) as bigint)"
+            ).alias("x"),
+            F.col("label").cast("bigint").alias("y"),
+            (F.col("vec_id") % 4).alias("f"),
+        ).collect()
+        n_all = len(data)
+        for r in rows:
+            assert r.n_train + r.n_val == n_all
+            tr = [d for d in data if d.f != r.fold]
+            va = [d for d in data if d.f == r.fold]
+            n = len(tr)
+            sx = sum(d.x for d in tr); sxx = sum(d.x * d.x for d in tr)
+            sy = sum(d.y for d in tr); sxy = sum(d.x * d.y for d in tr)
+            b = (n * sxy - sx * sy) / (n * (sxx + 16) - sx * sx)
+            a = (sy - b * sx) / n
+            mse = sum((d.y - a - b * d.x) ** 2 for d in va) / len(va)
+            assert abs(r.slope - b) < 1e-9
+            assert abs(r.val_mse - mse) < 1e-6
+        cv = sum(r.val_mse for r in rows) / 4
+        assert abs(rows[0].cv_mse - cv) < 1e-8
