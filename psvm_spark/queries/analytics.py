@@ -7096,17 +7096,16 @@ WITH monthly AS (
   FROM orders GROUP BY 1),
 terms AS (
   SELECT k.k,
-         CAST(SUM(m.y * ({{COS}})[k.k][m.t + 1]) AS BIGINT) AS c_fp,
-         CAST(SUM(m.y * ({{SIN}})[k.k][m.t + 1]) AS BIGINT) AS s_fp
+         CAST(SUM(m.y * ({{COS}})[k.k][m.t + 1]) AS HUGEINT) AS c_fp,
+         CAST(SUM(m.y * ({{SIN}})[k.k][m.t + 1]) AS HUGEINT) AS s_fp
   FROM monthly m
   CROSS JOIN (SELECT unnest(generate_series(1, {len(_PGRAM_KS)})) AS k) k
   WHERE m.t >= 0 AND m.t < {_PGRAM_N}
   GROUP BY k.k),
 energy AS (
-  SELECT k, CAST(c_fp AS DECIMAL(38,0)) * c_fp
-            + CAST(s_fp AS DECIMAL(38,0)) * s_fp AS e
+  SELECT k, c_fp * c_fp + s_fp * s_fp AS e
   FROM terms),
-tot AS (SELECT CAST(SUM(e) AS DECIMAL(38,0)) AS te FROM energy),
+tot AS (SELECT CAST(SUM(e) AS HUGEINT) AS te FROM energy),
 plnp AS (
   SELECT CASE WHEN e = 0 THEN CAST(0 AS DECIMAL(16,12))
               ELSE CAST(round(CAST(e AS DOUBLE) / CAST(te AS DOUBLE)
@@ -7143,8 +7142,9 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = (
         monthly.crossJoin(F.broadcast(ks))
         # accumulate the fixed-point products in decimal(38,0), the
-        # ts_periodogram HUGEINT-headroom rule — a plain bigint sum
-        # wraps near sf50 where the DuckDB oracle stays exact
+        # ts_periodogram HUGEINT-headroom rule — the oracle accumulates
+        # (and squares) in HUGEINT, so both engines stay exact past the
+        # bigint wrap point (~sf50)
         .groupBy("k")
         .agg(
             F.sum(

@@ -11569,8 +11569,17 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-free arithmetic — corpus size never touches the sweep.
 
 _RLP_GRID = (0, 4, 16, 64, 256, 1024)
-_RLP_XQ_SPARK = "cast(floor(cast(embedding[0] as double) * 1024e0 + 5e-1) as bigint)"
-_RLP_XQ_DUCK = "CAST(floor(CAST(embedding[1] AS DOUBLE) * 1024e0 + 5e-1) AS BIGINT)"
+def _rlp_xq(dim: int) -> tuple[str, str]:
+    """(Spark, DuckDB) quantized-feature expressions for embedding[dim]
+    (0-based; DuckDB lists are 1-based) — ml_ridge_closed_form's
+    1/1024 quantization, one definition for every consumer."""
+    return (
+        f"cast(floor(cast(embedding[{dim}] as double) * 1024e0 + 5e-1) as bigint)",
+        f"CAST(floor(CAST(embedding[{dim + 1}] AS DOUBLE) * 1024e0 + 5e-1) AS BIGINT)",
+    )
+
+
+_RLP_XQ_SPARK, _RLP_XQ_DUCK = _rlp_xq(0)
 
 
 def _rlp_sse(pfx: str) -> str:
@@ -11767,13 +11776,10 @@ def text_stem_porter_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests.  Scale: one suffstats pass + one val-panel pass with the
 # 1-row beta relation broadcast — corpus-linear, no pairs anywhere.
 
-# dimension-0 expressions ARE the lambda-path quantization (one
-# definition, four consumers — review finding); dimension 1 shifts the
-# probed index by one on each engine's indexing base.
-_SHAP_X1 = _RLP_XQ_SPARK
-_SHAP_X1_D = _RLP_XQ_DUCK
-_SHAP_X2 = _RLP_XQ_SPARK.replace("embedding[0]", "embedding[1]")
-_SHAP_X2_D = _RLP_XQ_DUCK.replace("embedding[1]", "embedding[2]")
+# both dimensions come from the single parameterized quantization
+# helper — no string surgery that could silently no-op (review finding)
+_SHAP_X1, _SHAP_X1_D = _rlp_xq(0)
+_SHAP_X2, _SHAP_X2_D = _rlp_xq(1)
 
 # phi expressions shared verbatim: b1/b2 full-model, c1/c2 solo-model
 # slopes; phi_i = 5e-1 * (ci * xi + (b_full_i * xi + b_full_other *
