@@ -98,10 +98,10 @@ def query(
 
 
 # Keys the driver's 50-key/round correctness sample has already covered
-# (union of CORRECTNESS_r01..r07.json).  load_all() fronts everything NOT
+# (union of CORRECTNESS_r01..r10.json).  load_all() fronts everything NOT
 # in this set so each round's sample lands on fresh keys.  Append each
 # round's newly sampled keys here when rotating.
-_DRIVER_SAMPLED_R1_R9: frozenset[str] = frozenset({
+_DRIVER_SAMPLED_R1_R10: frozenset[str] = frozenset({
     "agg_approx_distinct", "agg_approx_percentile", "agg_bitmap_distinct",
     "agg_chi2_independence", "agg_cms_heavy_hitters", "agg_collect",
     "agg_cube", "agg_distinct", "agg_equidepth_bins", "agg_filtered",
@@ -246,14 +246,11 @@ _DRIVER_SAMPLED_R1_R9: frozenset[str] = frozenset({
     "ts_granger_lag1", "ts_ljung_box", "ts_pacf", "vec_norm_histogram",
     "vocab_bpe_merges", "warehouse_compaction_planner",
     "warehouse_deletion_vectors",
-})
-
-# The 47 keys that had never been driver-sampled as of the round-9 close
-# (verdict r9 item 1).  Pinned explicitly so keys ADDED in round 10+
-# queue BEHIND this pool and the stale-converted tier — 47 + 3 stale
-# fills the 50-key round-10 sample exactly, finishing the full-registry
-# sweep; new keys get their first sample the following round.
-_NEVER_SAMPLED_AS_OF_R9: frozenset[str] = frozenset({
+    # -- round 10 sample (CORRECTNESS_r10.json; 49 hash-green + the
+    #    by-design rows-only stream_file_sink_exactly_once): the final
+    #    47 never-sampled-as-of-r9 keys.  The 3 stale re-serves also in
+    #    that sample (scan_libsvm, svm_model_roundtrip,
+    #    mm_decode_features) were already members above. --
     "dedup_bloom_prefilter", "dedup_url_canonical", "doc_winnowing",
     "feat_robust_scaler", "feat_woe_encode", "join_asof_nearest",
     "join_asof_tolerance", "join_bloom_prune", "join_edit_distance_blocked",
@@ -273,13 +270,48 @@ _NEVER_SAMPLED_AS_OF_R9: frozenset[str] = frozenset({
     "udtf_polymorphic_json", "vocab_bpe_encode", "vocab_wordpiece_encode",
 })
 
-# Keys last driver-sampled while still rows-only (r4/r5 ``no_oracle``)
+# The 69 round-10 additions that had never been driver-sampled as of the
+# round-10 close (verdict r10 item 1).  Pinned explicitly so keys ADDED
+# in round 11+ queue BEHIND this pool and the stale-converted tier —
+# round 11's 50-key sample serves 50 of these; the remaining 19 plus the
+# 5 stale re-serves fill round 12, finishing the full-registry sweep.
+_NEVER_SAMPLED_AS_OF_R10: frozenset[str] = frozenset({
+    "ab_test_bayesian_beta", "ab_test_ipw_estimate", "ab_test_ratio_delta",
+    "agg_approx_top_k_exact_twin", "agg_aqe_coalesced_shuffle",
+    "dedup_minhash_recall", "dq_fact_detail_reconcile", "dq_freshness_lag",
+    "dq_iqr_fences", "geo_dbscan_core", "graph_katz_centrality",
+    "graph_leiden_aggregate", "graph_leiden_refine", "graph_mst_boruvka",
+    "graph_personalized_pagerank", "graph_transitivity",
+    "join_dynamic_partition_pruning", "join_lateral_topn",
+    "join_runtime_bloom_filter", "ml_auc_delong_ci",
+    "ml_conformal_coverage", "ml_fairness_gaps", "ml_hosmer_lemeshow",
+    "ml_kendall_tau", "ml_kfold_cv_ridge", "ml_label_permutation_test",
+    "ml_learning_curve", "ml_mcnemar_test", "ml_permutation_importance",
+    "ml_quantile_pinball", "ml_ridge_lambda_path", "ml_shapley_two_feature",
+    "ml_tree_depth2", "pack_padding_waste", "scalar_collation_group",
+    "scalar_lateral_column_alias", "scalar_parameterized_sql",
+    "scalar_try_arithmetic", "scan_aggregate_pushdown",
+    "scan_state_store_reader", "select_preference_pairs",
+    "seq_skipgram_pairs", "setops_union_by_name", "sim_sq8_topk",
+    "sink_pyds_stream_sink", "stream_dedup_digest",
+    "stream_dedup_windowed_agg", "stream_full_outer_interval_join",
+    "stream_interval_join", "stream_outer_interval_join",
+    "stream_progress_listener", "stream_rocksdb_state_store",
+    "stream_session_dynamic_gap", "subquery_recursive_cte",
+    "text_quality_composite", "text_stem_porter_lite", "ts_hampel_filter",
+    "ts_mann_kendall", "ts_rolling_origin_backtest", "ts_seasonal_strength",
+    "ts_ses_optimal_alpha", "ts_sma_crossover", "ts_spectral_entropy",
+    "ts_unit_root_df", "ts_weekday_anova", "udf_sql_function",
+    "warehouse_clustering_depth", "warehouse_incremental_join_mv",
+    "warehouse_row_lineage",
+})
+
+# Keys last driver-sampled while still rows-only (r4 ``no_oracle``)
 # whose oracles landed in later rounds; the never-sampled-first ordering
 # would otherwise never re-serve them.  Ordered right after the
 # never-sampled pool so spare sample slots refresh their evidence to
-# hash-green (verdict r9 item 2).
+# hash-green (verdict r9 item 2; the first 3 re-served green in r10).
 _STALE_CONVERTED: tuple[str, ...] = (
-    "scan_libsvm", "svm_model_roundtrip", "mm_decode_features",
     "mm_frame_sample", "stream_watermark", "stream_dedup",
     "stream_stateful", "map_in_pandas_tokens",
 )
@@ -327,24 +359,24 @@ def load_all() -> None:
     )
 
     def _fresh(k: str) -> bool:
-        return k not in _DRIVER_SAMPLED_R1_R9
+        return k not in _DRIVER_SAMPLED_R1_R10
 
     pool_oracle = [
         k for k in QUERIES
-        if k in _NEVER_SAMPLED_AS_OF_R9 and _fresh(k) and k in ORACLES
+        if k in _NEVER_SAMPLED_AS_OF_R10 and _fresh(k) and k in ORACLES
     ]
     pool_rows = [
         k for k in QUERIES
-        if k in _NEVER_SAMPLED_AS_OF_R9 and _fresh(k) and k not in ORACLES
+        if k in _NEVER_SAMPLED_AS_OF_R10 and _fresh(k) and k not in ORACLES
     ]
     stale = [k for k in _STALE_CONVERTED if k in QUERIES]
     new_oracle = [
         k for k in QUERIES
-        if _fresh(k) and k not in _NEVER_SAMPLED_AS_OF_R9 and k in ORACLES
+        if _fresh(k) and k not in _NEVER_SAMPLED_AS_OF_R10 and k in ORACLES
     ]
     new_rows = [
         k for k in QUERIES
-        if _fresh(k) and k not in _NEVER_SAMPLED_AS_OF_R9 and k not in ORACLES
+        if _fresh(k) and k not in _NEVER_SAMPLED_AS_OF_R10 and k not in ORACLES
     ]
     seen = [
         k for k in QUERIES
