@@ -7055,7 +7055,10 @@ def ab_test_bayesian_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("post_mean").alias("o_mean"),
         F.col("post_var").alias("o_var"),
     )
-    return post.join(F.broadcast(other), "variant").select(
+    # LEFT join: with a lone arm in the data the oracle's correlated
+    # MAX(CASE ...) subquery still emits that arm's row with NULL
+    # z_vs_other; an inner join would drop it (ADVICE r10).
+    return post.join(F.broadcast(other), "variant", "left").select(
         F.col("variant").cast("bigint").alias("variant"),
         F.col("n").cast("bigint").alias("n"),
         "s",
@@ -7076,12 +7079,16 @@ def ab_test_bayesian_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shannon entropy of the normalized periodogram (ts_periodogram's
 # fixed-point trig machinery reused verbatim), the standard
 # "how concentrated is the seasonality" feature in forecasting
-# pipelines (tsfeatures / M4).  Exactness: per-frequency energy
-# e_k = c_fp^2 + s_fp^2 and the total are EXACT DECIMAL(38,0)
-# integers, so every p_k = e_k/total is one double division of
-# identical operands; ln(p) is rounded to 9 (the libm-parity rule),
-# each p*ln(p) term is rounded and frozen as DECIMAL, and the
-# normalizer ln(K) is rounded before the final division.  Scale: one
+# pipelines (tsfeatures / M4).  Exactness: the per-frequency LINEAR
+# accumulators c_fp/s_fp stay exact integers (DECIMAL(38,0) /
+# HUGEINT — linear headroom to ~1e38, far past any realistic sf); the
+# NONLINEAR math (squaring, ratios, ln) runs as ONE fixed-order double
+# expression tree over the 6 frequencies pivoted into a single row, so
+# no aggregation order exists to diverge and no exact square can
+# overflow (the r10 c_fp^2 DECIMAL(38,0) form hit a hard ceiling near
+# sf30-50; ADVICE r10).  ln(p) is rounded to 9 (the libm-parity rule),
+# each p*ln(p) term to 12, and the normalizer ln(K) to 9 before the
+# final division — identical guards on both engines.  Scale: one
 # monthly rollup + a K=6-term combine.
 
 
@@ -7102,21 +7109,51 @@ terms AS (
   CROSS JOIN (SELECT unnest(generate_series(1, {len(_PGRAM_KS)})) AS k) k
   WHERE m.t >= 0 AND m.t < {_PGRAM_N}
   GROUP BY k.k),
-energy AS (
-  SELECT k, c_fp * c_fp + s_fp * s_fp AS e
+piv AS (
+  SELECT
+    MAX(CASE WHEN k = 1 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c1,
+    MAX(CASE WHEN k = 1 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s1,
+    MAX(CASE WHEN k = 2 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c2,
+    MAX(CASE WHEN k = 2 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s2,
+    MAX(CASE WHEN k = 3 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c3,
+    MAX(CASE WHEN k = 3 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s3,
+    MAX(CASE WHEN k = 4 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c4,
+    MAX(CASE WHEN k = 4 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s4,
+    MAX(CASE WHEN k = 5 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c5,
+    MAX(CASE WHEN k = 5 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s5,
+    MAX(CASE WHEN k = 6 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c6,
+    MAX(CASE WHEN k = 6 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s6
   FROM terms),
-tot AS (SELECT CAST(SUM(e) AS HUGEINT) AS te FROM energy),
-plnp AS (
-  SELECT CASE WHEN e = 0 THEN CAST(0 AS DECIMAL(16,12))
-              ELSE CAST(round(CAST(e AS DOUBLE) / CAST(te AS DOUBLE)
-                              * round(ln(CAST(e AS DOUBLE) / CAST(te AS DOUBLE)), 9),
-                        12) AS DECIMAL(16,12)) END AS term
-  FROM energy, tot)
+en AS (
+  SELECT
+         c1 * c1 + s1 * s1 AS e1,
+         c2 * c2 + s2 * s2 AS e2,
+         c3 * c3 + s3 * s3 AS e3,
+         c4 * c4 + s4 * s4 AS e4,
+         c5 * c5 + s5 * s5 AS e5,
+         c6 * c6 + s6 * s6 AS e6
+  FROM piv),
+tt AS (SELECT *, e1 + e2 + e3 + e4 + e5 + e6 AS te FROM en),
+pl AS (
+  SELECT
+    CASE WHEN e1 = 0 THEN 0e0
+         ELSE round(e1 / te * round(ln(e1 / te), 9), 12) END AS t1,
+    CASE WHEN e2 = 0 THEN 0e0
+         ELSE round(e2 / te * round(ln(e2 / te), 9), 12) END AS t2,
+    CASE WHEN e3 = 0 THEN 0e0
+         ELSE round(e3 / te * round(ln(e3 / te), 9), 12) END AS t3,
+    CASE WHEN e4 = 0 THEN 0e0
+         ELSE round(e4 / te * round(ln(e4 / te), 9), 12) END AS t4,
+    CASE WHEN e5 = 0 THEN 0e0
+         ELSE round(e5 / te * round(ln(e5 / te), 9), 12) END AS t5,
+    CASE WHEN e6 = 0 THEN 0e0
+         ELSE round(e6 / te * round(ln(e6 / te), 9), 12) END AS t6
+  FROM tt)
 SELECT CAST({len(_PGRAM_KS)} AS BIGINT) AS n_components,
-       round(CAST(-SUM(term) AS DOUBLE), 9) AS entropy,
-       round(CAST(-SUM(term) AS DOUBLE) / round(ln({len(_PGRAM_KS)}e0), 9), 9)
+       round(-(t1 + t2 + t3 + t4 + t5 + t6), 9) AS entropy,
+       round(-(t1 + t2 + t3 + t4 + t5 + t6) / round(ln({len(_PGRAM_KS)}e0), 9), 9)
          AS entropy_norm
-FROM plnp
+FROM pl
 """.replace("{COS}", _pgram_lit(_PGRAM_COS, True)).replace(
         "{SIN}", _pgram_lit(_PGRAM_SIN, True)
     ),
@@ -7139,12 +7176,11 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_lit = _pgram_lit(_PGRAM_COS, False)
     sin_lit = _pgram_lit(_PGRAM_SIN, False)
     ks = spark.range(1, len(_PGRAM_KS) + 1).select(F.col("id").cast("int").alias("k"))
+    # linear fixed-point accumulators in decimal(38,0) — exact, and the
+    # ONLY aggregation in the key; everything nonlinear below is a
+    # single-row projection (no float aggregation order to diverge)
     terms = (
         monthly.crossJoin(F.broadcast(ks))
-        # accumulate the fixed-point products in decimal(38,0), the
-        # ts_periodogram HUGEINT-headroom rule — the oracle accumulates
-        # (and squares) in HUGEINT, so both engines stay exact past the
-        # bigint wrap point (~sf50)
         .groupBy("k")
         .agg(
             F.sum(
@@ -7159,24 +7195,42 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s_fp"),
         )
     )
-    energy = terms.select(
-        "k",
-        (
-            F.col("c_fp") * F.col("c_fp") + F.col("s_fp") * F.col("s_fp")
-        ).cast("decimal(38,0)").alias("e"),
+    fp = float(_PGRAM_FP)
+    piv = terms.agg(
+        *[
+            F.max(
+                F.when(F.col("k") == k, F.col(col).cast("double") / fp)
+            ).alias(f"{col[0]}{k}")
+            for k in range(1, len(_PGRAM_KS) + 1)
+            for col in ("c_fp", "s_fp")
+        ]
     )
-    tot = energy.agg(F.sum("e").cast("decimal(38,0)").alias("te"))
-    p = F.col("e").cast("double") / F.col("te").cast("double")
-    plnp = energy.crossJoin(F.broadcast(tot)).select(
-        F.when(F.col("e") == 0, F.lit(0).cast("decimal(16,12)"))
-        .otherwise(F.round(p * F.round(F.log(p), 9), 12).cast("decimal(16,12)"))
-        .alias("term")
+    en = piv.select(
+        *[
+            (F.col(f"c{k}") * F.col(f"c{k}") + F.col(f"s{k}") * F.col(f"s{k}")).alias(
+                f"e{k}"
+            )
+            for k in range(1, len(_PGRAM_KS) + 1)
+        ]
     )
+    te = None
+    for k in range(1, len(_PGRAM_KS) + 1):
+        te = F.col(f"e{k}") if te is None else te + F.col(f"e{k}")
+    tt = en.select("*", te.alias("te"))
+    def _term(k: int):
+        p = F.col(f"e{k}") / F.col("te")
+        return F.when(F.col(f"e{k}") == 0, F.lit(0.0)).otherwise(
+            F.round(p * F.round(F.log(p), 9), 12)
+        )
+    tsum = None
+    for k in range(1, len(_PGRAM_KS) + 1):
+        t = _term(k)
+        tsum = t if tsum is None else tsum + t
     k_n = len(_PGRAM_KS)
-    return plnp.agg((-F.sum("term")).cast("double").alias("h")).select(
+    return tt.select(
         F.lit(k_n).cast("bigint").alias("n_components"),
-        F.round(F.col("h"), 9).alias("entropy"),
-        F.round(F.col("h") / F.round(F.log(F.lit(float(k_n))), 9), 9).alias(
+        F.round(-tsum, 9).alias("entropy"),
+        F.round(-tsum / F.round(F.log(F.lit(float(k_n))), 9), 9).alias(
             "entropy_norm"
         ),
     )

@@ -1835,7 +1835,7 @@ deg AS (
   SELECT node, COUNT(*) AS d
   FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
   GROUP BY node),
-wedges AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+wedges AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
 tri AS (
   SELECT COUNT(*) AS n_triangles
   FROM edges e1
@@ -1853,8 +1853,14 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # Per-vertex wedges integrally (d*(d-1) is even, so DIV 2 is exact),
+    # summed in decimal(38,0) — a double SUM drifts nondeterministically
+    # past 2^53 total wedges, and DuckDB's // sum is HUGEINT-exact
+    # (ADVICE r10; same headroom rule as ts_periodogram).
     wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+        F.sum(F.expr("CAST(d * (d - 1) DIV 2 AS DECIMAL(38,0))"))
+        .cast("bigint")
+        .alias("n_wedges")
     )
     e1 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
     e2 = e.select(F.col("a").alias("x_b"), F.col("b").alias("w_c"))
