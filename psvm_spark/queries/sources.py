@@ -131,6 +131,72 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B571 (round 11) — Avro OCF sink/scan round-trip: the second
+# ROW-oriented interchange format (after the libsvm/JSONL/CSV text
+# family), completing the format matrix next to the columnar
+# parquet/ORC pair.  format("avro") is absent from this container
+# (external spark-avro module; probed round 11), so the round-trip runs
+# through the pure-Python ``avro_ocf`` DataSource written against the
+# public Avro 1.12 spec — zigzag varints, union-prefixed nullables,
+# little-endian doubles, header-embedded schema (schema INFERENCE from
+# the file header, like the JVM module).  Spec compliance is proven
+# against the reference JVM decoder on Spark's own classpath
+# (avro-1.12.1.jar) in tests/test_operators.py::TestAvroOcf — that
+# cross-check caught a real union-encoding defect during development.
+# Type fidelity: long / string / double / date / boolean survive the
+# trip and the decimal-recast SUM must hash-match the oracle computed
+# on the original parquet.  The 10% orderkey slice bounds the
+# Python-loop encode cost so the 20x amp run prices the format, not
+# the fixture.
+
+
+@query(
+    "sink_avro_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_date,
+       CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_date,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent
+FROM orders
+WHERE o_orderkey % 10 = 0
+GROUP BY o_orderstatus
+""",
+)
+def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.sources.avro_ocf import register
+
+    register(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+        )
+    )
+    out = scratch_dir("psvm_sink_avro_") + "/orders_avro"
+    o.write.format("avro_ocf").option("path", out).mode("overwrite").save()
+    back = spark.read.format("avro_ocf").option("path", out).load()
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total"),
+        F.min("o_orderdate").cast("string").alias("first_date"),
+        F.max("o_orderdate").cast("string").alias("last_date"),
+        F.sum(F.col("is_urgent").cast("bigint")).alias("n_urgent"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Range-clustered sink: repartitionByRange + sortWithinPartitions on the
 # clustering key before writing.  Each output file then covers a
 # disjoint key range, so its parquet footer min/max statistics let any

@@ -1,0 +1,500 @@
+"""Python DataSource (Spark 4 API) for Avro Object Container Files.
+
+This container ships Spark without the external ``spark-avro`` module
+(``format("avro")`` raises DATA_SOURCE_NOT_FOUND — probed round 11), so
+the second ROW-oriented interchange format is implemented against the
+public Avro 1.12 specification (https://avro.apache.org/docs/1.12.0/
+specification/): magic ``Obj\\x01``, file-metadata map carrying the
+embedded JSON schema and codec, 16-byte sync marker, then data blocks of
+``(count, byte_size, records..., sync)`` with zigzag-varint longs,
+little-endian IEEE doubles/floats, and length-prefixed UTF-8 strings /
+bytes.  Codec ``null`` (uncompressed) and ``deflate`` are supported on
+read; writes emit ``null``.
+
+Supported schema subset (the engine's fixture surface): records of
+``boolean / int / long / float / double / string / bytes``, the
+``date`` (int) and ``timestamp-micros`` (long) logical types, nullable
+``["null", T]`` unions, and arrays of those primitives.  The reader
+infers the Spark schema from the FIRST file's embedded Avro schema —
+no side-channel schema option needed, exactly how the JVM module
+behaves.
+
+Interop is proven against the REFERENCE JVM implementation, not just
+self-roundtrip: ``avro-1.12.1.jar`` ships on Spark's own classpath, so
+tests decode files written by this source with
+``org.apache.avro.file.DataFileReader`` + ``GenericDatumReader`` via
+py4j, and read JVM-written files back through this source
+(tests/test_operators.py::TestAvroOcf).
+
+The classes are defined inside :func:`make_datasource` so cloudpickle
+serializes them BY VALUE (Spark's Python workers do not have this repo
+on sys.path — same rule as libsvm_text.py).
+
+At 100 TB the same pattern holds: one InputPartition per file (a
+directory written by N tasks reads N-wide), the reader streams blocks
+without materializing a file, and the writer emits one OCF shard per
+task with an all-or-nothing ``_SUCCESS`` commit.
+"""
+
+from __future__ import annotations
+
+MAGIC = b"Obj\x01"
+
+
+def make_datasource():
+    """Build the DataSource class hierarchy (pickled by value)."""
+    import json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    magic = MAGIC
+
+    # ---- spec primitives (encode) ------------------------------------
+    def zigzag_encode(n: int) -> bytes:
+        u = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def enc_bytes(b: bytes) -> bytes:
+        return zigzag_encode(len(b)) + b
+
+    def enc_str(s: str) -> bytes:
+        return enc_bytes(s.encode("utf-8"))
+
+    # ---- spec primitives (decode) ------------------------------------
+    def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+        u, shift = 0, 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (u >> 1) ^ -(u & 1), pos
+
+    # ---- avro <-> spark schema mapping --------------------------------
+    # (avro_type, logical) keyed; unions handled by the caller.
+    _TO_SPARK = {
+        ("boolean", None): BooleanType(),
+        ("int", None): IntegerType(),
+        ("int", "date"): DateType(),
+        ("long", None): LongType(),
+        ("long", "timestamp-micros"): TimestampType(),
+        ("float", None): FloatType(),
+        ("double", None): DoubleType(),
+        ("string", None): StringType(),
+        ("bytes", None): BinaryType(),
+    }
+
+    def avro_field_to_spark(ftype) -> tuple:
+        """-> (SparkType, nullable, decoder_key). decoder_key is the
+        normalized (type, logical, item_key|None) tuple used at read."""
+        nullable = False
+        if isinstance(ftype, list):  # union — only ["null", T] supported
+            branches = [t for t in ftype if t != "null"]
+            if len(branches) != 1 or "null" not in ftype:
+                raise ValueError(f"avro_ocf: unsupported union {ftype!r}")
+            nullable = True
+            ftype = branches[0]
+        if isinstance(ftype, dict) and ftype.get("type") == "array":
+            item_spark, item_null, item_key = avro_field_to_spark(
+                ftype["items"]
+            )
+            return (
+                ArrayType(item_spark, containsNull=item_null),
+                nullable,
+                ("array", None, (item_key, item_null)),
+            )
+        if isinstance(ftype, dict):
+            key = (ftype.get("type"), ftype.get("logicalType"))
+        else:
+            key = (ftype, None)
+        if key not in _TO_SPARK:
+            raise ValueError(f"avro_ocf: unsupported avro type {ftype!r}")
+        return _TO_SPARK[key], nullable, key + (None,)
+
+    def spark_field_to_avro(dt, name: str):
+        """-> (avro type json fragment, encoder_key)."""
+        m = {
+            BooleanType(): ("boolean", ("boolean", None, None)),
+            IntegerType(): ("int", ("int", None, None)),
+            DateType(): (
+                {"type": "int", "logicalType": "date"},
+                ("int", "date", None),
+            ),
+            LongType(): ("long", ("long", None, None)),
+            TimestampType(): (
+                {"type": "long", "logicalType": "timestamp-micros"},
+                ("long", "timestamp-micros", None),
+            ),
+            FloatType(): ("float", ("float", None, None)),
+            DoubleType(): ("double", ("double", None, None)),
+            StringType(): ("string", ("string", None, None)),
+            BinaryType(): ("bytes", ("bytes", None, None)),
+        }
+        if isinstance(dt, ArrayType):
+            item_json, item_key = spark_field_to_avro(dt.elementType, name)
+            if dt.containsNull:
+                item_json = ["null", item_json]
+            return (
+                {"type": "array", "items": item_json},
+                ("array", None, (item_key, dt.containsNull)),
+            )
+        if dt in m:
+            return m[dt]
+        raise ValueError(f"avro_ocf: unsupported spark type {dt} for {name}")
+
+    # ---- per-type value codecs ----------------------------------------
+    import struct as _struct
+
+    def encode_value(key, v) -> bytes:
+        t = key[0]
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if t in ("int", "long"):
+            if key[1] == "date":
+                import datetime
+
+                v = (v - datetime.date(1970, 1, 1)).days
+            elif key[1] == "timestamp-micros":
+                import calendar
+
+                v = (
+                    calendar.timegm(v.utctimetuple()) * 1_000_000
+                    + v.microsecond
+                )
+            return zigzag_encode(int(v))
+        if t == "float":
+            return _struct.pack("<f", v)
+        if t == "double":
+            return _struct.pack("<d", v)
+        if t == "string":
+            return enc_str(v)
+        if t == "bytes":
+            return enc_bytes(bytes(v))
+        if t == "array":
+            item_key, item_nullable = key[2]
+            out = bytearray()
+            items = list(v)
+            if items:
+                out += zigzag_encode(len(items))
+                for it in items:
+                    # spec: a ["null", T] item is union-branch-prefixed
+                    if item_nullable:
+                        if it is None:
+                            out += zigzag_encode(0)
+                            continue
+                        out += zigzag_encode(1)
+                    elif it is None:
+                        raise ValueError("avro_ocf: null array item")
+                    out += encode_value(item_key, it)
+            out += zigzag_encode(0)
+            return bytes(out)
+        raise ValueError(f"avro_ocf: cannot encode {key!r}")
+
+    def decode_value(key, buf: bytes, pos: int):
+        t = key[0]
+        if t == "boolean":
+            return buf[pos] == 1, pos + 1
+        if t in ("int", "long"):
+            v, pos = zigzag_decode(buf, pos)
+            if key[1] == "date":
+                import datetime
+
+                return (
+                    datetime.date(1970, 1, 1) + datetime.timedelta(days=v),
+                    pos,
+                )
+            if key[1] == "timestamp-micros":
+                import datetime
+
+                return (
+                    datetime.datetime(
+                        1970, 1, 1, tzinfo=datetime.timezone.utc
+                    )
+                    + datetime.timedelta(microseconds=v),
+                    pos,
+                )
+            return v, pos
+        if t == "float":
+            return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+        if t == "double":
+            return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+        if t in ("string", "bytes"):
+            n, pos = zigzag_decode(buf, pos)
+            raw = buf[pos : pos + n]
+            return (raw.decode("utf-8") if t == "string" else raw), pos + n
+        if t == "array":
+            item_key, item_nullable = key[2]
+            out = []
+            while True:
+                cnt, pos = zigzag_decode(buf, pos)
+                if cnt == 0:
+                    return out, pos
+                if cnt < 0:  # block-size-prefixed form (spec-legal)
+                    cnt = -cnt
+                    _, pos = zigzag_decode(buf, pos)
+                for _ in range(cnt):
+                    if item_nullable:
+                        idx, pos = zigzag_decode(buf, pos)
+                        if idx == 0:
+                            out.append(None)
+                            continue
+                    v, pos = decode_value(item_key, buf, pos)
+                    out.append(v)
+        raise ValueError(f"avro_ocf: cannot decode {key!r}")
+
+    # ---- OCF header ----------------------------------------------------
+    def read_header(fh) -> tuple[dict, bytes]:
+        """-> (metadata dict, sync marker); fh positioned at first block."""
+        if fh.read(4) != magic:
+            raise ValueError("avro_ocf: bad magic (not an OCF file)")
+        data = fh.read()
+        meta: dict[str, bytes] = {}
+        pos = 0
+        while True:
+            cnt, pos = zigzag_decode(data, pos)
+            if cnt == 0:
+                break
+            if cnt < 0:
+                cnt = -cnt
+                _, pos = zigzag_decode(data, pos)
+            for _ in range(cnt):
+                klen, pos = zigzag_decode(data, pos)
+                k = data[pos : pos + klen].decode("utf-8")
+                pos += klen
+                vlen, pos = zigzag_decode(data, pos)
+                meta[k] = data[pos : pos + vlen]
+                pos += vlen
+        sync = data[pos : pos + 16]
+        fh.seek(4 + pos + 16)
+        return meta, sync
+
+    def parse_schema(meta: dict):
+        """-> (field names, decoder key per field incl. nullability)."""
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        if schema.get("type") != "record":
+            raise ValueError("avro_ocf: top-level schema must be a record")
+        names, keys, spark_fields = [], [], []
+        for f in schema["fields"]:
+            spark_t, nullable, key = avro_field_to_spark(f["type"])
+            names.append(f["name"])
+            keys.append((key, nullable))
+            spark_fields.append(StructField(f["name"], spark_t, nullable))
+        return names, keys, StructType(spark_fields)
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    def _list_files(options) -> list[str]:
+        import glob
+        import os
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("avro_ocf: 'path' option is required")
+        files = sorted(
+            glob.glob(os.path.join(path, "*"))
+            if os.path.isdir(path)
+            else glob.glob(path)
+        )
+        return [
+            f
+            for f in files
+            if os.path.isfile(f) and not f.endswith((".crc", "_SUCCESS"))
+        ]
+
+    class AvroOcfReader(DataSourceReader):
+        def __init__(self, options):
+            self._files = _list_files(options)
+
+        def partitions(self):
+            return [_FilePartition(f) for f in self._files] or [
+                _FilePartition("")
+            ]
+
+        def read(self, partition):
+            if not partition.path:
+                return
+            import zlib
+
+            with open(partition.path, "rb") as fh:
+                meta, sync = read_header(fh)
+                _, keys, _ = parse_schema(meta)
+                codec = meta.get("avro.codec", b"null").decode()
+                if codec not in ("null", "deflate"):
+                    raise ValueError(f"avro_ocf: unsupported codec {codec}")
+                while True:
+                    head = fh.read(1)
+                    if not head:
+                        return
+                    # re-join the varint we already split (two longs are
+                    # at most 10 bytes each)
+                    buf = head + fh.read(19)
+                    n_obj, p = zigzag_decode(buf, 0)
+                    n_bytes, p = zigzag_decode(buf, p)
+                    fh.seek(p - len(buf), 1)
+                    block = fh.read(n_bytes)
+                    if codec == "deflate":
+                        block = zlib.decompress(block, -15)
+                    if fh.read(16) != sync:
+                        raise ValueError("avro_ocf: sync marker mismatch")
+                    pos = 0
+                    for _ in range(n_obj):
+                        row = []
+                        for key, nullable in keys:
+                            if nullable:
+                                idx, pos = zigzag_decode(block, pos)
+                                if idx == 0:
+                                    row.append(None)
+                                    continue
+                            v, pos = decode_value(key, block, pos)
+                            row.append(v)
+                        yield tuple(row)
+
+    class _Committed(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int):
+            self.path = path
+            self.n_rows = n_rows
+
+    class AvroOcfWriter(DataSourceWriter):
+        """One OCF shard per task; deterministic sync marker derived
+        from the shard name (content-addressable output, no RNG in the
+        data path); _SUCCESS written only after every task commits."""
+
+        def __init__(self, options, overwrite: bool, schema):
+            import os
+            import shutil
+
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("avro_ocf: 'path' option is required")
+            if overwrite and os.path.isdir(self._path):
+                shutil.rmtree(self._path)
+            fields, self._enc_keys = [], []
+            for f in schema.fields:
+                type_json, key = spark_field_to_avro(f.dataType, f.name)
+                if f.nullable:
+                    type_json = ["null", type_json]
+                fields.append({"name": f.name, "type": type_json})
+                self._enc_keys.append((key, f.nullable))
+            self._schema_json = json.dumps(
+                {"type": "record", "name": "psvm_row", "fields": fields}
+            )
+
+        def write(self, iterator):
+            import hashlib
+            import os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self._path, exist_ok=True)
+            out = os.path.join(self._path, f"part-{pid:05d}.avro")
+            sync = hashlib.md5(out.encode()).digest()
+            body = bytearray()
+            n = 0
+            for row in iterator:
+                for (key, nullable), v in zip(self._enc_keys, row):
+                    if nullable:
+                        if v is None:
+                            body += zigzag_encode(0)
+                            continue
+                        body += zigzag_encode(1)
+                    elif v is None:
+                        raise ValueError(
+                            "avro_ocf: NULL in non-nullable field"
+                        )
+                    body += encode_value(key, v)
+                n += 1
+            header = bytearray(magic)
+            header += zigzag_encode(2)
+            header += enc_str("avro.schema") + enc_str(self._schema_json)
+            header += enc_str("avro.codec") + enc_str("null")
+            header += zigzag_encode(0)
+            header += sync
+            with open(out, "wb") as fh:
+                fh.write(bytes(header))
+                if n:
+                    fh.write(zigzag_encode(n))
+                    fh.write(zigzag_encode(len(body)))
+                    fh.write(bytes(body))
+                    fh.write(sync)
+            return _Committed(out, n)
+
+        def commit(self, messages):
+            import os
+
+            with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
+                fh.write(str(sum(m.n_rows for m in messages)))
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class AvroOcfDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "avro_ocf"
+
+        def schema(self):
+            # spec-true inference: the schema travels IN the file header
+            files = _list_files(self.options)
+            if not files:
+                raise ValueError(
+                    "avro_ocf: cannot infer schema from an empty directory"
+                )
+            with open(files[0], "rb") as fh:
+                meta, _ = read_header(fh)
+            _, _, spark_schema = parse_schema(meta)
+            return spark_schema
+
+        def reader(self, schema):  # noqa: ARG002 - schema from header
+            return AvroOcfReader(self.options)
+
+        def writer(self, schema, overwrite):
+            return AvroOcfWriter(self.options, overwrite, schema)
+
+    return AvroOcfDataSource
+
+
+def register(spark) -> None:
+    """Idempotent registration (same contract as libsvm_text.register)."""
+    try:
+        spark.dataSource.register(make_datasource())
+    except Exception as exc:
+        msg = str(exc).upper()
+        if "ALREADY" not in msg and "EXISTS" not in msg:
+            raise
