@@ -714,3 +714,64 @@ GROUP BY c_mktsegment
 """,
         args={"metric": "c_acctbal", "min_bal": 100, "skip_segment": "MACHINERY"},
     )
+
+
+# --------------------------------------------------------------------------
+# B573 (round 11) — SQL pipe syntax (Spark 4.0+ `|>`): the TPC-H Q1
+# pricing-summary shape written as a linear operator chain —
+# FROM |> WHERE |> EXTEND |> AGGREGATE..GROUP BY |> ORDER BY — the
+# parse-surface twin of B551's parameterized SQL (probed available in
+# this 4.1 build, round 11).  Pipe syntax desugars to the identical
+# Catalyst plan as the nested form, so pushdown/pruning/codegen are
+# unaffected: the point of the key is that the ENGINE accepts the
+# surface a pipeline-authoring user writes, with EXTEND introducing
+# the exact-decimal charge columns once and the aggregate reusing
+# them by name.  Oracle: the hand-nested ANSI equivalent.
+
+
+@query(
+    "scalar_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_disc,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_charge,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def scalar_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "psvm_pipe_lineitem"
+    )
+    return spark.sql(
+        """
+FROM psvm_pipe_lineitem
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> EXTEND cast(l_extendedprice as decimal(12,2)) AS base,
+          cast(l_extendedprice as decimal(12,2))
+            * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))
+            AS disc_price
+|> EXTEND disc_price
+            * (cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2)))
+            AS charge
+|> AGGREGATE cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
+             cast(sum(base) as double) AS sum_base,
+             cast(sum(disc_price) as double) AS sum_disc,
+             cast(sum(charge) as double) AS sum_charge,
+             count(*) AS n
+   GROUP BY l_returnflag, l_linestatus
+|> SELECT l_returnflag, l_linestatus,
+          sum_qty, sum_base, sum_disc, sum_charge, n
+|> ORDER BY l_returnflag, l_linestatus
+"""
+    )

@@ -710,6 +710,64 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B572 (round 11) — watermarked stream-stream LEFT SEMI interval join:
+# the attribution-dedup shape ("which errors had ANY nearby click",
+# emitted once per error, never multiplied by match count) — the third
+# member of the streaming join family next to the inner (B502) and
+# outer (B504/B505) interval joins.  Semi emission semantics differ
+# from both siblings: Spark emits the left row AS SOON AS its first
+# match arrives (no watermark-flush wait like outer's null extension),
+# then drops it from state — so a single availableNow pass is complete
+# and no restart protocol is needed; unmatched left rows age out of
+# state silently when the watermark passes.  The raw sink IS the
+# result (each error at most once), so the key proves at-most-once
+# emission directly rather than through a rollup.  Oracle: the batch
+# EXISTS subquery.  At 100 TB: left-side state is bounded by
+# (watermark x error rate) and shrinks faster than the inner join's,
+# because matched rows leave state immediately instead of lingering
+# for later duplicates.
+
+
+@query(
+    "stream_semi_interval_join",
+    oracle="""
+SELECT e.event_id AS error_id, e.user_id
+FROM events e
+WHERE e.event_type = 'error'
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click'
+      AND c.user_id = e.user_id
+      AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000)
+""",
+)
+def stream_semi_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 day")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 day")
+    )
+    j = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "left_semi",
+    ).select("error_id", "user_id")
+    return run_to_table(j, "append", state_partitions=8)
+
+
+# --------------------------------------------------------------------------
 # B503 (round 10) — streaming dedup-within-watermark over the content
 # digest: the streaming twin of B45 `dedup_exact`.  Documents arrive
 # as a stream (synthesized ingest time = epoch + doc_id seconds,

@@ -558,6 +558,120 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B574 (round 11) — Hilbert-curve clustered sink: the locality-better
+# sibling of the Morton Z-order layout above (Delta OPTIMIZE moved its
+# default from Z-order to Hilbert for exactly this reason — Hilbert
+# has no Morton "seam jumps", so a 2D range query touches fewer
+# files).  The xy->d index is the standard iterative rotate-and-fold
+# (16 levels for two 16-bit dims), expressed as ONE Spark
+# ``aggregate`` higher-order fold over descending bit positions with a
+# (d, x, y) struct accumulator — pure codegen'd JVM expression, no
+# UDF.  DuckDB has no typed-accumulator fold, so the oracle iterates
+# the identical 16 steps via a recursive CTE.  The written layout
+# partitions by the top-6-bit Hilbert bucket and sorts by d within
+# files (the same contract the Z-order key proves); the aggregate is
+# over the RE-READ table, so bucket membership, counts, bbox and the
+# exact-decimal balance sum must all survive the layout.
+# tests/test_warehouse.py additionally proves the fold IS the Hilbert
+# bijection on a full 64x64 grid.
+
+
+_HILBERT_D = """
+aggregate(
+  sequence(15, 0, -1),
+  struct(cast(0 as bigint) as d, x as hx, y as hy),
+  (acc, i) -> struct(
+    acc.d + cast(shiftleft(1, i) as bigint) * cast(shiftleft(1, i) as bigint)
+          * cast((3 * (shiftright(acc.hx, i) & 1)) ^ (shiftright(acc.hy, i) & 1)
+                 as bigint),
+    case when (shiftright(acc.hy, i) & 1) = 0
+         then case when (shiftright(acc.hx, i) & 1) = 1
+                   then shiftleft(1, i) - 1 - acc.hy else acc.hy end
+         else acc.hx end,
+    case when (shiftright(acc.hy, i) & 1) = 0
+         then case when (shiftright(acc.hx, i) & 1) = 1
+                   then shiftleft(1, i) - 1 - acc.hx else acc.hx end
+         else acc.hy end),
+  acc -> acc.d)
+"""
+
+
+def write_hilbert(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.expr(_Z_X).alias("x"),
+        F.expr(_Z_Y).alias("y"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    coded = pts.withColumn("d", F.expr(_HILBERT_D)).withColumn(
+        "hb", F.expr("cast(d >> 26 as bigint)")
+    )
+    # sort by (hb, d), not d alone: the dynamic-partition writer requires
+    # ordering on the partition column and would insert its own UNSTABLE
+    # sort on hb, destroying the within-file d order; a sort the required
+    # ordering is already a prefix of is reused as-is
+    (
+        coded.repartition("hb")
+        .sortWithinPartitions("hb", "d")
+        .write.mode("overwrite")
+        .partitionBy("hb")
+        .parquet(out_dir)
+    )
+
+
+@query(
+    "sink_hilbert_cluster",
+    oracle="""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey,
+         CAST(floor((c_acctbal + 1000.0) * 3) AS BIGINT) AS x,
+         CAST(c_custkey % 65536 AS BIGINT) AS y,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer),
+h AS (
+  SELECT c_custkey, x, y, x AS hx, y AS hy, bal,
+         CAST(0 AS BIGINT) AS d, 15 AS i
+  FROM pts
+  UNION ALL
+  SELECT c_custkey, x, y,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN s - 1 - hy ELSE hy END
+              ELSE hx END,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN s - 1 - hx ELSE hx END
+              ELSE hy END,
+         bal,
+         d + s * s * xor(3 * rx, ry),
+         i - 1
+  FROM (SELECT *, CAST(1 AS BIGINT) << i AS s,
+               (hx >> i) & 1 AS rx, (hy >> i) & 1 AS ry
+        FROM h WHERE i >= 0)),
+coded AS (SELECT c_custkey, x, y, bal, d FROM h WHERE i = -1)
+SELECT CAST(d >> 26 AS BIGINT) AS hb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(x) AS INT) AS min_x, CAST(MAX(x) AS INT) AS max_x,
+       CAST(MIN(y) AS INT) AS min_y, CAST(MAX(y) AS INT) AS max_y,
+       CAST(SUM(bal) AS DOUBLE) AS total_bal
+FROM coded GROUP BY 1
+""",
+)
+def sink_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = scratch_dir("psvm_sink_h_") + "/customer_hilbert"
+    write_hilbert(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("hb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("x").cast("int").alias("min_x"),
+        F.max("x").cast("int").alias("max_x"),
+        F.min("y").cast("int").alias("min_y"),
+        F.max("y").cast("int").alias("max_y"),
+        F.sum("bal").cast("double").alias("total_bal"),
+    ).select(F.col("hb").cast("bigint").alias("hb"), "n", "min_x", "max_x",
+             "min_y", "max_y", "total_bal")
+
+
+# --------------------------------------------------------------------------
 # B109 (round 4) — parquet bloom-filter sink for secondary-key point
 # lookups.  Range clustering (sink_sorted_clustered) and Z-order
 # (sink_zorder_cluster) make footer min/max selective on the SORT

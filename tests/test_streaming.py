@@ -674,3 +674,37 @@ class TestStateStoreReader:
             .collect()
         }
         assert got == want and len(got) == 5
+
+
+class TestSemiIntervalJoin:
+    def test_at_most_once_emission_and_batch_truth(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES, load_all
+
+        load_all()
+        got = QUERIES["stream_semi_interval_join"](spark, sf_dir).collect()
+        # semi emits each left row AT MOST once, even with many matches
+        assert len(got) == len({r.error_id for r in got})
+        ev = load_table(spark, sf_dir, "events")
+        e = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+        )
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        want = (
+            e.join(
+                c,
+                (F.col("user_id") == F.col("c_user"))
+                & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+                & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 5 MINUTES")),
+                "left_semi",
+            )
+            .select("error_id", "user_id")
+            .collect()
+        )
+        assert sorted((r.error_id, r.user_id) for r in got) == sorted(
+            (r.error_id, r.user_id) for r in want
+        )

@@ -339,3 +339,45 @@ class TestFreshnessLag:
             assert row.lag_minutes == lag_min
             assert row.n_last_day == n_last
             assert abs(row.volume_ratio - n_last / (len(hist) / n_days)) < 1e-6
+
+
+class TestHilbertCluster:
+    def test_fold_is_the_hilbert_bijection_on_a_full_grid(self, spark):
+        """The aggregate-fold must hit every d in [0, 4096) exactly once
+        over a full 64x64 grid — the defining property of the curve —
+        and adjacent d values must be grid neighbors (unit L1 step),
+        the locality Z-order lacks."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.queries.warehouse import _HILBERT_D
+
+        grid = (
+            spark.range(64 * 64)
+            .select(
+                (F.col("id") % 64).cast("int").alias("x"),
+                (F.col("id") / 64).cast("int").alias("y"),
+            )
+            .withColumn("d", F.expr(_HILBERT_D))
+        )
+        rows = grid.collect()
+        ds = sorted(r.d for r in rows)
+        assert ds == list(range(4096))
+        by_d = {r.d: (r.x, r.y) for r in rows}
+        for d in range(4095):
+            (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+    def test_layout_partitions_and_within_file_sort(self, spark, sf_dir, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from psvm_spark.queries.warehouse import write_hilbert
+
+        out = str(tmp_path / "hilbert")
+        write_hilbert(spark, sf_dir, out)
+        parts = glob.glob(out + "/hb=*/*.parquet")
+        assert parts, "no partitioned output written"
+        for f in parts:
+            d = pq.read_table(f, columns=["d"]).column("d").to_pylist()
+            assert d == sorted(d), f"within-file Hilbert order violated: {f}"
