@@ -935,3 +935,108 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# B577 (round 11) — AQE skew-join split (OptimizeSkewedJoin): the
+# RUNTIME answer to the manual salting of join_salted_skew — AQE
+# measures the map-output sizes after the shuffle, sees one partition
+# dwarfing the median, and splits it into sub-partitions that join the
+# (duplicated) other side in parallel, no query rewrite.  The fixture
+# plants the skew: half of lineitem collapses onto key 0 while the
+# other half keeps distinct keys, and the dim side has exactly one row
+# per key, so the hot partition is ~half the fact table.  Thresholds
+# are opened (they target cluster-sized shuffles) and broadcast is
+# disabled so the sort-merge path AQE splits is the one that runs —
+# the split itself is pinned in tests via the executed plan's
+# `SortMergeJoin(skew=true)` + `AQEShuffleRead skewed`.  Two shapes
+# matter, found by probing this build: (a) the skewed partition can
+# only be split along MAP boundaries, and the single-file fixture scan
+# is ONE map task — the round-robin repartition(8) exists to give the
+# splitter 8 map outputs to slice (on a real cluster the thousands of
+# input tasks provide this for free); (b) OptimizeSkewedJoin applies
+# to the join when it is the FINAL stage, so the join materializes via
+# localCheckpoint under the overrides (the join_runtime_bloom_filter
+# pattern) and the rollup runs after, on the pinned result.  At 100 TB
+# this is the default posture: leave join skew to AQE, reserve manual
+# salting for aggregations and the cases AQE cannot see.
+
+
+@query(
+    "join_aqe_skew_split",
+    oracle="""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS sk,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+  FROM lineitem),
+dim AS (
+  SELECT o_orderkey AS ok, o_orderpriority AS pri
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 0, 'HOT-KEY'),
+j AS (SELECT d.pri, f.price FROM fact f JOIN dim d ON f.sk = d.ok)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(price) AS DOUBLE) AS revenue
+FROM j GROUP BY pri
+""",
+)
+def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # build FIRST: load_table applies the session invariants, which
+    # re-enable partition coalescing — overrides must land after
+    joined = build_skew_join(spark, sf_dir)
+    conf = spark.conf
+    overrides = {
+        # skew detection targets 256MB+ partitions; open the gate so the
+        # SPLIT PATH (not the threshold) is under test on the fixture
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        # no coalescing of the tiny non-skewed partitions into one —
+        # that would erase the median the factor compares against
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        conf.set(k, v)
+    try:
+        pinned = joined.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    return pinned.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+def build_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bare skewed join (pre-rollup), shared with the plan test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("sk"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    ).repartition(8)
+    dim = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(0).cast("long").alias("ok"),
+                F.lit("HOT-KEY").alias("pri"),
+            )
+        )
+    )
+    return fact.join(dim, fact.sk == dim.ok).select("pri", "price")

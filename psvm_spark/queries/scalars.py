@@ -775,3 +775,60 @@ FROM psvm_pipe_lineitem
 |> ORDER BY l_returnflag, l_linestatus
 """
     )
+
+
+# --------------------------------------------------------------------------
+# B575 (round 11) — SQL session variables (Spark 4 DECLARE / SET
+# VARIABLE): the sanctioned replacement for driver-side string
+# templating when a threshold is COMPUTED by one query and consumed by
+# the next — the two-step form every parameter-sweep notebook uses.
+# The variable is typed (DECIMAL(12,2)), assigned from a scalar
+# subquery, and referenced in a WHERE + SELECT; after binding,
+# Catalyst sees an ordinary literal (foldable), so the filter still
+# reaches the parquet scan.  MAX (not AVG) keeps the assignment
+# rounding-free on both engines.  Oracle: the hand-expanded scalar
+# subquery.
+
+
+@query(
+    "scalar_session_variables",
+    oracle="""
+WITH thr AS (
+  SELECT MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS t
+  FROM customer
+  WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 7 = 0)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(thr.t AS DOUBLE) AS threshold
+FROM customer c, thr
+WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) > thr.t
+GROUP BY c.c_mktsegment, thr.t
+""",
+)
+def scalar_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "psvm_var_customer"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE psvm_seg_max DECIMAL(12,2) DEFAULT 0.00"
+    )
+    spark.sql(
+        """
+SET VARIABLE psvm_seg_max =
+  (SELECT MAX(cast(c_acctbal as decimal(12,2)))
+   FROM psvm_var_customer
+   WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 7 = 0)
+"""
+    )
+    return spark.sql(
+        """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       cast(sum(cast(c_acctbal as decimal(12,2))) as double) AS total,
+       cast(psvm_seg_max as double) AS threshold
+FROM psvm_var_customer
+WHERE cast(c_acctbal as decimal(12,2)) > psvm_seg_max
+GROUP BY c_mktsegment
+"""
+    )

@@ -536,3 +536,54 @@ def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, min_c long, max_c long, min_key long, max_key long",
     )
+
+
+# --------------------------------------------------------------------------
+# B576 (round 11) — hidden file-metadata columns (`_metadata` on file
+# sources): per-file lineage without a manifest — the struct Spark
+# synthesizes at scan time (file_path/name/size/modification_time,
+# block start/length), which is how incremental pipelines attribute
+# rows to input files and audits prove which file contributed what.
+# The fixture writes orders repartitioned BY the partition column so
+# each status lands in exactly ONE file (making per-file groups
+# deterministic); the query then groups by `_metadata.file_path` —
+# proving row->file attribution survives the scan — and returns the
+# per-file aggregates WITHOUT the name itself (part-file names embed a
+# random UUID; values, not names, are the deterministic contract).
+# Oracle: the same aggregate per status on the base table.
+
+
+@query(
+    "scan_metadata_columns",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("psvm_meta_") + "/orders_by_status"
+    (
+        o.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "o_orderkey",
+        "o_totalprice",
+        # file_PATH, not file_name: one task writing N partition dirs
+        # reuses its base name (part-00000-<uuid>) in every dir, so only
+        # the full path distinguishes the per-status files
+        F.col("_metadata.file_path").alias("src_file"),
+    )
+    return back.groupBy("src_file").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total"),
+    ).drop("src_file")

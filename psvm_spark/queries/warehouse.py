@@ -2878,3 +2878,108 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("volume_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# B578 (round 11) — branch + fast-forward merge (the Iceberg v2
+# branching/tagging surface, re-implemented relationally like the
+# sibling time-travel/manifest keys — the real table-format libs are
+# unavailable offline): a catalog maps named REFS to snapshot ids and
+# snapshots to immutable file lists, so "create branch" is one ref
+# entry, a branch commit appends a corrections file and advances ONLY
+# the branch ref (writer isolation: main keeps serving the old
+# snapshot), and the merge is a FAST-FORWARD — legal only after an
+# explicit ancestry walk proves main's head is an ancestor of the
+# branch head, the same check `manageSnapshots().fastForwardBranch`
+# performs.  The key returns main-before / branch-head / main-after
+# summaries; after the merge, main reads the branch's snapshot with no
+# data copied — refs moved, files didn't.  At 100 TB that is the
+# point: audit/backfill pipelines stage arbitrarily large changes on a
+# branch for validation, then publish by moving one pointer.
+
+
+@query(
+    "warehouse_branch_merge",
+    oracle="""
+WITH base AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS tc
+  FROM orders),
+adj AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS tc
+  FROM orders WHERE o_orderkey % 97 = 0)
+SELECT 'main@before' AS ref_state,
+       CAST(base.n AS BIGINT) AS n_rows, CAST(base.tc AS BIGINT) AS total_c
+FROM base
+UNION ALL
+SELECT 'audit@head', CAST(base.n + adj.n AS BIGINT),
+       CAST(base.tc + adj.tc AS BIGINT)
+FROM base, adj
+UNION ALL
+SELECT 'main@after_ff', CAST(base.n + adj.n AS BIGINT),
+       CAST(base.tc + adj.tc AS BIGINT)
+FROM base, adj
+""",
+)
+def warehouse_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    o = load_table(spark, sf_dir, "orders")
+    root = scratch_dir("psvm_branch_")
+    cat_path = f"{root}/catalog.json"
+
+    o.write.mode("overwrite").parquet(f"{root}/data/base")
+    catalog = {
+        "refs": {"main": "s1"},
+        "snapshots": {"s1": [f"{root}/data/base"]},
+        "parents": {"s1": None},
+    }
+    # CREATE BRANCH audit FROM main: one ref entry, zero data movement
+    catalog["refs"]["audit"] = catalog["refs"]["main"]
+    # branch commit: append the late-arriving corrections file; only
+    # the audit ref advances — main's snapshot list is untouched
+    o.filter(F.col("o_orderkey") % 97 == 0).write.mode("overwrite").parquet(
+        f"{root}/data/adj"
+    )
+    head = catalog["refs"]["audit"]
+    catalog["snapshots"]["s2"] = catalog["snapshots"][head] + [
+        f"{root}/data/adj"
+    ]
+    catalog["parents"]["s2"] = head
+    catalog["refs"]["audit"] = "s2"
+    with open(cat_path, "w") as fh:
+        json.dump(catalog, fh)
+
+    def read_ref(ref: str) -> DataFrame:
+        with open(cat_path) as fh:
+            cat = json.load(fh)
+        return spark.read.parquet(*cat["snapshots"][cat["refs"][ref]])
+
+    def summarize(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_c"),
+        ).select(F.lit(label).alias("ref_state"), "n_rows", "total_c")
+
+    before = summarize("main@before", read_ref("main"))
+    head_df = summarize("audit@head", read_ref("audit"))
+
+    # FAST-FORWARD: main -> audit head, legal only if main's head is an
+    # ancestor of the branch head (walk the parent chain; a diverged
+    # main would need a real merge and must fail loudly here)
+    with open(cat_path) as fh:
+        cat = json.load(fh)
+    node, main_head = cat["refs"]["audit"], cat["refs"]["main"]
+    while node is not None and node != main_head:
+        node = cat["parents"].get(node)
+    if node != main_head:
+        raise RuntimeError("fast-forward refused: main is not an ancestor")
+    cat["refs"]["main"] = cat["refs"]["audit"]
+    with open(cat_path, "w") as fh:
+        json.dump(cat, fh)
+
+    after = summarize("main@after_ff", read_ref("main"))
+    return before.unionByName(head_df).unionByName(after)

@@ -1955,3 +1955,39 @@ class TestAvroOcf:
             (10, "alpha", 0.5),
             (20, "béta", None),
         ]
+
+
+class TestAqeSkewSplit:
+    def test_executed_plan_splits_the_hot_partition(self, spark, sf_dir):
+        from psvm_spark.queries.joins import build_skew_join
+
+        # build FIRST: load_table inside applies session invariants,
+        # which would clobber the coalesce override below
+        j = build_skew_join(spark, sf_dir)
+        conf = spark.conf
+        overrides = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            # the suite runs at sf0.001 where the hot partition is only
+            # ~tens of KB compressed; the query's own 64KB gate is sized
+            # for its sf0.1+ bench scale
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            conf.set(k, v)
+        try:
+            j.collect()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan, plan[:1500]
