@@ -7418,3 +7418,101 @@ def ab_test_ipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0"), 9
         ).alias("ate_naive"),
     )
+
+
+# --------------------------------------------------------------------------
+# B582 (round 11) — hexagonal grid binning (axial coordinates + cube
+# rounding): the H3/Uber-style spatial index shape next to the square
+# grid of geo_nearest_site — hex cells have uniform neighbor distance,
+# so density aggregates don't carry the square grid's corner bias.
+# Flat-top hexes of size 5 degrees over the synthetic md5 coordinate
+# space: axial (qf, rf) from the standard basis (sqrt(3)/3 embedded as
+# a LITERAL so no engine libm is consulted), then cube rounding — round
+# all three cube axes and re-derive the one with the largest rounding
+# error from the other two.  Every step is identical double arithmetic
+# + away-from-zero rounds on identical operands, so the cell ids match
+# bitwise across engines; tests cross-check against an independent
+# per-point Python reference.  Scale: pure per-row projection + one
+# aggregate — the canonical pre-shuffle binning for spatial rollups.
+
+_HEX_SIZE = "5.0"
+_HEX_S3O3 = "0.5773502691896257"  # sqrt(3)/3, shared literal
+
+
+def _hex_qr_sql(x: str, y: str) -> dict[str, str]:
+    """The shared axial/cube-rounding expression set (ANSI, both engines)."""
+    qf = f"(((2.0 / 3.0) * {x}) / {_HEX_SIZE})"
+    rf = f"((((-1.0) / 3.0) * {x} + {_HEX_S3O3} * {y}) / {_HEX_SIZE})"
+    return {"qf": qf, "rf": rf}
+
+
+@query(
+    "geo_hex_binning",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, {_CLON_D} AS x, {_CLAT_D} AS y,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
+  FROM customer),
+ax AS (
+  SELECT *, {_hex_qr_sql('x', 'y')['qf']} AS qf,
+            {_hex_qr_sql('x', 'y')['rf']} AS rf
+  FROM pts),
+rnd AS (
+  SELECT *, round(qf) AS rx, round(-qf - rf) AS ry, round(rf) AS rz FROM ax),
+adj AS (
+  SELECT *, abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy,
+            abs(rz - rf) AS dz
+  FROM rnd),
+fin AS (
+  SELECT bal_c,
+         CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END
+              AS BIGINT) AS q,
+         CAST(CASE WHEN dx > dy AND dx > dz THEN rz
+                   WHEN dy > dz THEN rz
+                   ELSE -rx - ry END AS BIGINT) AS r
+  FROM adj)
+SELECT q, r, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(bal_c) AS BIGINT) AS bal_c_sum
+FROM fin GROUP BY q, r
+""",
+)
+def geo_hex_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    e = _hex_qr_sql("x", "y")
+    pts = c.select(
+        F.expr(_CLON_S).alias("x"),
+        F.expr(_CLAT_S).alias("y"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_c"),
+    )
+    ax = pts.select(
+        "bal_c", F.expr(e["qf"]).alias("qf"), F.expr(e["rf"]).alias("rf")
+    )
+    rnd = ax.select(
+        "*",
+        F.expr("round(qf)").alias("rx"),
+        F.expr("round(-qf - rf)").alias("ry"),
+        F.expr("round(rf)").alias("rz"),
+    )
+    adj = rnd.select(
+        "*",
+        F.expr("abs(rx - qf)").alias("dx"),
+        F.expr("abs(ry - (-qf - rf))").alias("dy"),
+        F.expr("abs(rz - rf)").alias("dz"),
+    )
+    fin = adj.select(
+        "bal_c",
+        F.expr(
+            "cast(case when dx > dy and dx > dz then -ry - rz else rx end"
+            " as bigint)"
+        ).alias("q"),
+        F.expr(
+            "cast(case when dx > dy and dx > dz then rz"
+            " when dy > dz then rz else -rx - ry end as bigint)"
+        ).alias("r"),
+    )
+    return fin.groupBy("q", "r").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal_c").alias("bal_c_sum"),
+    )

@@ -587,3 +587,91 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     ).drop("src_file")
+
+
+# --------------------------------------------------------------------------
+# B579 (round 11) — Python DataSource FILTER PUSHDOWN (Spark 4.1
+# `pushFilters`): the reader is handed Catalyst's conjunctive filter
+# list at planning time, claims the segment-equality it can answer
+# from its `seg=<value>.csv` layout (pruning whole files), and returns
+# the balance predicate as a RESIDUAL for Spark to apply post-scan —
+# the division of labor every partition-aware external source uses.
+# The pruning is structurally observable (scan partition count == the
+# pruned file count, pinned in tests); this query proves the VALUE
+# side: pushed + residual filters together must reproduce the oracle
+# computed on the base table.  Gated by the 4.1 conf
+# spark.sql.python.filterPushdown.enabled (set for this query, restored
+# after; with it off the source still answers correctly — every file
+# scans and Spark applies all filters).  Derivation writes one CSV per
+# mktsegment from customer (custkey, balance cents).
+
+
+def write_segmented_csv(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    import os
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_c"),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    # one file per segment, written segment-at-a-time: the LAYOUT is the
+    # index this source pushes filters into (5 dimension-sized files;
+    # at scale this is the external system's own partitioning)
+    for row in sorted(c.select("c_mktsegment").distinct().collect()):
+        seg = row.c_mktsegment
+        rows = (
+            c.filter(F.col("c_mktsegment") == seg)
+            .select("c_custkey", "bal_c")
+            .sort("c_custkey")
+            .collect()
+        )
+        with open(os.path.join(out_dir, f"seg={seg}.csv"), "w") as fh:
+            for r in rows:
+                fh.write(f"{r.c_custkey},{r.bal_c}\n")
+
+
+@query(
+    "scan_pyds_filter_pushdown",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_c_sum
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) > 0
+GROUP BY c_mktsegment
+""",
+)
+def scan_pyds_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.sources.segmented_csv import register
+
+    register(spark)
+    out = scratch_dir("psvm_pyds_push_") + "/segments"
+    write_segmented_csv(spark, sf_dir, out)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("segmented_csv")
+            .option("path", out)
+            .load()
+            .filter(
+                F.col("segment").isin("BUILDING", "MACHINERY")
+                & (F.col("bal_c") > 0)
+            )
+        )
+        agg = df.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_c").alias("bal_c_sum"),
+        )
+        # pin plan + values while the pushdown conf is on
+        return agg.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)

@@ -443,3 +443,110 @@ def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(SUM(order_c) AS BIGINT) AS total_c
            FROM spend_tiers() GROUP BY tier"""
     )
+
+
+# --------------------------------------------------------------------------
+# B580 (round 11) — grouped-map over ARROW tables (`applyInArrow`,
+# Spark 4.0): the zero-copy sibling of B54's applyInPandas — the UDF
+# receives each group as a pyarrow.Table and returns one, skipping the
+# pandas conversion entirely (the right tier when the group logic is
+# expressible in Arrow compute kernels: columnar, no per-row Python).
+# Semantics: per-mktsegment min-max scaling of account balances in
+# exact cents, one double division per row; Arrow's round is forced to
+# half_towards_infinity (away-from-zero on these non-negative values)
+# to match Spark/DuckDB ROUND.  At 100 TB each
+# group streams through a worker as Arrow batches — the shuffle is the
+# only data-sized cost, identical to the pandas variant but without
+# the serialization tax.
+
+
+@query(
+    "grouped_arrow_scale",
+    oracle="""
+WITH b AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
+  FROM customer),
+rng AS (
+  SELECT *, MIN(bal_c) OVER (PARTITION BY c_mktsegment) AS lo,
+            MAX(bal_c) OVER (PARTITION BY c_mktsegment) AS hi
+  FROM b)
+SELECT c_custkey, c_mktsegment AS segment,
+       CASE WHEN hi = lo THEN 0e0
+            ELSE round((bal_c - lo) / CAST(hi - lo AS DOUBLE), 9) END AS scaled
+FROM rng
+""",
+)
+def grouped_arrow_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_c"),
+    )
+
+    def scale(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        bal = table.column("bal_c")
+        lo = pc.min(bal).as_py()
+        hi = pc.max(bal).as_py()
+        if hi == lo:
+            scaled = pa.array([0.0] * table.num_rows, pa.float64())
+        else:
+            delta = pc.cast(pc.subtract(bal, pa.scalar(lo)), pa.float64())
+            scaled = pc.round(
+                pc.divide(delta, pa.scalar(float(hi - lo))),
+                ndigits=9,
+                round_mode="half_towards_infinity",
+            )
+        return pa.table(
+            {
+                "c_custkey": table.column("c_custkey"),
+                "segment": table.column("segment"),
+                "scaled": scaled,
+            }
+        )
+
+    return c.groupBy("segment").applyInArrow(
+        scale, "c_custkey bigint, segment string, scaled double"
+    )
+
+
+# --------------------------------------------------------------------------
+# B581 (round 11) — ARROW-OPTIMIZED scalar Python UDF
+# (`udf(..., useArrow=True)`, Spark 3.5+): same authoring surface as
+# B53's row-at-a-time UDF, but the runtime ships Arrow batches instead
+# of pickled rows — the migration path for legacy scalar UDFs that
+# cannot be rewritten as pandas UDFs.  The function itself stays
+# per-value Python (a digit sum — deliberately string-shaped so the
+# oracle exercises the same per-digit decomposition in SQL); the key's
+# point is the execution tier, pinned in tests via ArrowEvalPython in
+# the plan.
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT ds AS digit_sum, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT CAST(list_sum(list_transform(
+           generate_series(1, length(CAST(o_orderkey AS VARCHAR))),
+           i -> CAST(substr(CAST(o_orderkey AS VARCHAR), i, 1) AS INT)))
+         AS BIGINT) AS ds
+  FROM orders)
+GROUP BY ds
+""",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit_sum = F.udf(
+        lambda k: sum(int(ch) for ch in str(k)), LongType(), useArrow=True
+    )
+    return (
+        o.select(digit_sum("o_orderkey").alias("digit_sum"))
+        .groupBy("digit_sum")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

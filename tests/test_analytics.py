@@ -1647,3 +1647,64 @@ class TestIpwEstimate:
         # magnitude can differ; both must be finite
         for v in (row.mu1_ipw, row.mu0_ipw, row.ate_ipw, row.ate_naive):
             assert v == v  # not NaN
+
+
+class TestHexBinning:
+    def test_matches_independent_python_reference(self, spark, sf_dir):
+        """Cross-check the SQL cube-rounding against a from-scratch
+        Python hex binner on the same points (axial flat-top, size 5)."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.analytics import _CLAT_S, _CLON_S
+        from psvm_spark.registry import QUERIES
+
+        got = {
+            (r.q, r.r): (r.n, r.bal_c_sum)
+            for r in QUERIES["geo_hex_binning"](spark, sf_dir).collect()
+        }
+
+        pts = (
+            load_table(spark, sf_dir, "customer")
+            .select(
+                F.expr(_CLON_S).alias("x"),
+                F.expr(_CLAT_S).alias("y"),
+                (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                .alias("bal_c"),
+            )
+            .collect()
+        )
+
+        def hex_qr(x, y, size=5.0):
+            s3o3 = 0.5773502691896257
+            qf = ((2.0 / 3.0) * x) / size
+            rf = ((-1.0) / 3.0 * x + s3o3 * y) / size
+            xf, zf = qf, rf
+            yf = -xf - zf
+            import math
+
+            def rnd(v):  # away-from-zero, the SQL ROUND rule
+                return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+            rx, ry, rz = rnd(xf), rnd(yf), rnd(zf)
+            dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)
+            if dx > dy and dx > dz:
+                rx = -ry - rz
+            elif dy > dz:
+                ry = -rx - rz
+            else:
+                rz = -rx - ry
+            return int(rx), int(rz)
+
+        import collections
+
+        want = collections.defaultdict(lambda: [0, 0])
+        for p in pts:
+            cell = hex_qr(p.x, p.y)
+            want[cell][0] += 1
+            want[cell][1] += p.bal_c
+        assert got == {k: tuple(v) for k, v in want.items()}
+        # hex invariant: each cell id is a valid cube coordinate (q+r+s=0
+        # holds by construction); density spreads across many cells
+        assert len(got) > 100

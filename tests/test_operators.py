@@ -1991,3 +1991,104 @@ class TestAqeSkewSplit:
                     conf.set(k, v)
         assert "skew=true" in plan, plan[:1500]
         assert "AQEShuffleRead skewed" in plan, plan[:1500]
+
+
+class TestPydsFilterPushdown:
+    def test_partition_count_is_the_pruned_file_count(self, spark, sf_dir, tmp_path):
+        from psvm_spark.queries.sources import write_segmented_csv
+        from psvm_spark.sources.segmented_csv import register
+
+        register(spark)
+        out = str(tmp_path / "segs")
+        write_segmented_csv(spark, sf_dir, out)
+        prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        try:
+            df = spark.read.format("segmented_csv").option("path", out).load()
+            assert df.rdd.getNumPartitions() == 5  # all segment files
+            eq = df.filter(F.col("segment") == "BUILDING")
+            assert eq.rdd.getNumPartitions() == 1  # EqualTo pruned
+            isin = df.filter(F.col("segment").isin("BUILDING", "MACHINERY"))
+            assert isin.rdd.getNumPartitions() == 2  # In pruned
+            # residual-only filter: nothing prunable, all files scan
+            res = df.filter(F.col("bal_c") > 0)
+            assert res.rdd.getNumPartitions() == 5
+            # pruning must not leak between plannings of the same df
+            assert df.rdd.getNumPartitions() == 5
+            # values: pushed + residual together reproduce the truth
+            got = {
+                r.segment: (r.n, r.s)
+                for r in eq.filter(F.col("bal_c") > 0)
+                .groupBy("segment")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("bal_c").alias("s"))
+                .collect()
+            }
+            want = {
+                r.c_mktsegment: (r.n, r.s)
+                for r in load_table(spark, sf_dir, "customer")
+                .filter(
+                    (F.col("c_mktsegment") == "BUILDING")
+                    & (F.col("c_acctbal").cast("decimal(12,2)") > 0)
+                )
+                .groupBy("c_mktsegment")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast(
+                            "bigint"
+                        )
+                    ).alias("s"),
+                )
+                .collect()
+            }
+            assert got == want
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+            else:
+                spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+class TestArrowPythonTiers:
+    def test_arrow_udf_runs_on_the_arrow_tier(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        df = QUERIES["udf_arrow_scalar"](spark, sf_dir)
+        assert "ArrowEvalPython" in _plan(df)
+
+    def test_apply_in_arrow_matches_window_truth(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+        from pyspark.sql import Window
+
+        got = {
+            r.c_custkey: r.scaled
+            for r in QUERIES["grouped_arrow_scale"](spark, sf_dir).collect()
+        }
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("bal_c"),
+        )
+        w = Window.partitionBy("c_mktsegment")
+        want = {
+            r.c_custkey: r.scaled
+            for r in c.select(
+                "c_custkey",
+                F.when(
+                    F.max("bal_c").over(w) == F.min("bal_c").over(w), F.lit(0.0)
+                )
+                .otherwise(
+                    F.round(
+                        (F.col("bal_c") - F.min("bal_c").over(w))
+                        / (F.max("bal_c").over(w) - F.min("bal_c").over(w)).cast(
+                            "double"
+                        ),
+                        9,
+                    )
+                )
+                .alias("scaled"),
+            ).collect()
+        }
+        assert got == want
