@@ -54,3 +54,40 @@ def asof_join(
         .filter(F.col(_TAG) == 1)
         .drop(_TS, _TAG, _VAL)
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """For each left row, attach ``value_col`` of the EARLIEST right row
+    with matching keys and ``right_ts >= left_ts`` (forward as-of,
+    inclusive) — the mirror of :func:`asof_join`, walking the same
+    union from +infinity downward: ordering by (ts DESC, tag ASC) puts
+    the right row first at equal timestamps, so the running ``last``
+    each left row sees is the smallest right ts at-or-after its own.
+    Identical cost model: one shuffle on the keys + one sort.
+    """
+    lu = left.withColumn(_TS, F.col(left_ts)).withColumn(_TAG, F.lit(1))
+    ru = right.select(
+        *[F.col(rk).alias(lk) for rk, lk in zip(right_keys, left_keys)],
+        F.col(right_ts).alias(_TS),
+        F.col(value_col).alias(_VAL),
+    ).withColumn(_TAG, F.lit(0))
+    u = lu.unionByName(ru, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*left_keys)
+        .orderBy(F.col(_TS).desc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(out_col, F.last(_VAL, ignorenulls=True).over(w))
+        .filter(F.col(_TAG) == 1)
+        .drop(_TS, _TAG, _VAL)
+    )

@@ -1040,3 +1040,51 @@ def build_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fact.join(dim, fact.sk == dim.ok).select("pri", "price")
+
+
+# --------------------------------------------------------------------------
+# B583 (round 11) — FORWARD as-of join: "the next view at or after each
+# purchase" — completes the as-of direction matrix (backward B15,
+# nearest B103, tolerance-bounded backward, and now forward), the
+# follow-up-attribution shape every funnel pipeline needs.  Same
+# union + running-window construction as the backward operator with
+# the sort reversed (operators/asof.py asof_join_forward): one shuffle
+# on user_id, one in-partition sort, no correlated subquery, no
+# nested loop.  Oracle: the MIN-over-future correlated subquery.
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       p.ts AS purchase_ts,
+       (SELECT min(v.ts) FROM events v
+         WHERE v.user_id = p.user_id AND v.event_type = 'view'
+           AND v.ts >= p.ts)
+       AS next_view_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from psvm_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    return asof_join_forward(
+        purchases,
+        views,
+        left_keys=["user_id"],
+        right_keys=["v_user"],
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        value_col="view_ts",
+        out_col="next_view_ts",
+    )
