@@ -7111,18 +7111,18 @@ terms AS (
   GROUP BY k.k),
 piv AS (
   SELECT
-    MAX(CASE WHEN k = 1 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c1,
-    MAX(CASE WHEN k = 1 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s1,
-    MAX(CASE WHEN k = 2 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c2,
-    MAX(CASE WHEN k = 2 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s2,
-    MAX(CASE WHEN k = 3 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c3,
-    MAX(CASE WHEN k = 3 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s3,
-    MAX(CASE WHEN k = 4 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c4,
-    MAX(CASE WHEN k = 4 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s4,
-    MAX(CASE WHEN k = 5 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c5,
-    MAX(CASE WHEN k = 5 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s5,
-    MAX(CASE WHEN k = 6 THEN CAST(c_fp AS DOUBLE) / 10000 END) AS c6,
-    MAX(CASE WHEN k = 6 THEN CAST(s_fp AS DOUBLE) / 10000 END) AS s6
+    MAX(CASE WHEN k = 1 THEN CAST(c_fp AS DOUBLE) / {_PGRAM_FP} END) AS c1,
+    MAX(CASE WHEN k = 1 THEN CAST(s_fp AS DOUBLE) / {_PGRAM_FP} END) AS s1,
+    MAX(CASE WHEN k = 2 THEN CAST(c_fp AS DOUBLE) / {_PGRAM_FP} END) AS c2,
+    MAX(CASE WHEN k = 2 THEN CAST(s_fp AS DOUBLE) / {_PGRAM_FP} END) AS s2,
+    MAX(CASE WHEN k = 3 THEN CAST(c_fp AS DOUBLE) / {_PGRAM_FP} END) AS c3,
+    MAX(CASE WHEN k = 3 THEN CAST(s_fp AS DOUBLE) / {_PGRAM_FP} END) AS s3,
+    MAX(CASE WHEN k = 4 THEN CAST(c_fp AS DOUBLE) / {_PGRAM_FP} END) AS c4,
+    MAX(CASE WHEN k = 4 THEN CAST(s_fp AS DOUBLE) / {_PGRAM_FP} END) AS s4,
+    MAX(CASE WHEN k = 5 THEN CAST(c_fp AS DOUBLE) / {_PGRAM_FP} END) AS c5,
+    MAX(CASE WHEN k = 5 THEN CAST(s_fp AS DOUBLE) / {_PGRAM_FP} END) AS s5,
+    MAX(CASE WHEN k = 6 THEN CAST(c_fp AS DOUBLE) / {_PGRAM_FP} END) AS c6,
+    MAX(CASE WHEN k = 6 THEN CAST(s_fp AS DOUBLE) / {_PGRAM_FP} END) AS s6
   FROM terms),
 en AS (
   SELECT

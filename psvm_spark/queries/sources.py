@@ -617,20 +617,19 @@ def write_segmented_csv(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .alias("bal_c"),
     )
     os.makedirs(out_dir, exist_ok=True)
-    # one file per segment, written segment-at-a-time: the LAYOUT is the
-    # index this source pushes filters into (5 dimension-sized files;
-    # at scale this is the external system's own partitioning)
-    for row in sorted(c.select("c_mktsegment").distinct().collect()):
-        seg = row.c_mktsegment
-        rows = (
-            c.filter(F.col("c_mktsegment") == seg)
-            .select("c_custkey", "bal_c")
-            .sort("c_custkey")
-            .collect()
-        )
+    # one file per segment from ONE collect, bucketed driver-side: the
+    # LAYOUT is the index this source pushes filters into (5
+    # dimension-sized files; at scale this is the external system's own
+    # partitioning).  A per-segment filter+collect loop scanned customer
+    # six times for the same bytes (code-review r11).
+    by_seg: dict[str, list] = {}
+    for r in c.collect():
+        by_seg.setdefault(r.c_mktsegment, []).append((r.c_custkey, r.bal_c))
+    for seg, rows in by_seg.items():
+        rows.sort()
         with open(os.path.join(out_dir, f"seg={seg}.csv"), "w") as fh:
-            for r in rows:
-                fh.write(f"{r.c_custkey},{r.bal_c}\n")
+            for k, b in rows:
+                fh.write(f"{k},{b}\n")
 
 
 @query(

@@ -2906,8 +2906,12 @@ WITH base AS (
          SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS tc
   FROM orders),
 adj AS (
+  -- COALESCE: with no corrections rows the branch still exists and the
+  -- engine side sums base + an empty appended file = base, so the
+  -- oracle's empty-subset SUM must read 0, not NULL (code-review r11)
   SELECT COUNT(*) AS n,
-         SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS tc
+         COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)), 0) AS tc
   FROM orders WHERE o_orderkey % 97 = 0)
 SELECT 'main@before' AS ref_state,
        CAST(base.n AS BIGINT) AS n_rows, CAST(base.tc AS BIGINT) AS total_c

@@ -115,23 +115,26 @@ def make_datasource():
     }
 
     def avro_field_to_spark(ftype) -> tuple:
-        """-> (SparkType, nullable, decoder_key). decoder_key is the
-        normalized (type, logical, item_key|None) tuple used at read."""
-        nullable = False
-        if isinstance(ftype, list):  # union — only ["null", T] supported
+        """-> (SparkType, null_idx, decoder_key).  null_idx is the union
+        branch index of "null" (None when not nullable) — the spec does
+        NOT require null-first, and decoding must honor the file's own
+        branch order (code-review r11).  decoder_key is the normalized
+        (type, logical, item|None) tuple used at read."""
+        null_idx = None
+        if isinstance(ftype, list):  # union — only 2-branch with null
             branches = [t for t in ftype if t != "null"]
             if len(branches) != 1 or "null" not in ftype:
                 raise ValueError(f"avro_ocf: unsupported union {ftype!r}")
-            nullable = True
+            null_idx = ftype.index("null")
             ftype = branches[0]
         if isinstance(ftype, dict) and ftype.get("type") == "array":
-            item_spark, item_null, item_key = avro_field_to_spark(
+            item_spark, item_null_idx, item_key = avro_field_to_spark(
                 ftype["items"]
             )
             return (
-                ArrayType(item_spark, containsNull=item_null),
-                nullable,
-                ("array", None, (item_key, item_null)),
+                ArrayType(item_spark, containsNull=item_null_idx is not None),
+                null_idx,
+                ("array", None, (item_key, item_null_idx)),
             )
         if isinstance(ftype, dict):
             key = (ftype.get("type"), ftype.get("logicalType"))
@@ -139,7 +142,7 @@ def make_datasource():
             key = (ftype, None)
         if key not in _TO_SPARK:
             raise ValueError(f"avro_ocf: unsupported avro type {ftype!r}")
-        return _TO_SPARK[key], nullable, key + (None,)
+        return _TO_SPARK[key], null_idx, key + (None,)
 
     def spark_field_to_avro(dt, name: str):
         """-> (avro type json fragment, encoder_key)."""
@@ -166,7 +169,7 @@ def make_datasource():
                 item_json = ["null", item_json]
             return (
                 {"type": "array", "items": item_json},
-                ("array", None, (item_key, dt.containsNull)),
+                ("array", None, (item_key, 0 if dt.containsNull else None)),
             )
         if dt in m:
             return m[dt]
@@ -186,9 +189,17 @@ def make_datasource():
                 v = (v - datetime.date(1970, 1, 1)).days
             elif key[1] == "timestamp-micros":
                 import calendar
+                import datetime
 
+                # naive datetimes are taken as UTC wall clock (the
+                # engine pins the session timezone to UTC, so this is
+                # also the correct instant); aware ones normalize first
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(
+                        tzinfo=None
+                    )
                 v = (
-                    calendar.timegm(v.utctimetuple()) * 1_000_000
+                    calendar.timegm(v.timetuple()) * 1_000_000
                     + v.microsecond
                 )
             return zigzag_encode(int(v))
@@ -201,14 +212,15 @@ def make_datasource():
         if t == "bytes":
             return enc_bytes(bytes(v))
         if t == "array":
-            item_key, item_nullable = key[2]
+            item_key, item_null_idx = key[2]
             out = bytearray()
             items = list(v)
             if items:
                 out += zigzag_encode(len(items))
                 for it in items:
-                    # spec: a ["null", T] item is union-branch-prefixed
-                    if item_nullable:
+                    # spec: a ["null", T] item is union-branch-prefixed;
+                    # the WRITER always emits null-first (null_idx 0)
+                    if item_null_idx is not None:
                         if it is None:
                             out += zigzag_encode(0)
                             continue
@@ -236,10 +248,12 @@ def make_datasource():
             if key[1] == "timestamp-micros":
                 import datetime
 
+                # NAIVE UTC out, mirroring the naive-in rule above: the
+                # write/read pair is the identity on naive values, and
+                # Spark re-interprets the naive value in the (UTC)
+                # session zone — the correct instant
                 return (
-                    datetime.datetime(
-                        1970, 1, 1, tzinfo=datetime.timezone.utc
-                    )
+                    datetime.datetime(1970, 1, 1)
                     + datetime.timedelta(microseconds=v),
                     pos,
                 )
@@ -253,7 +267,7 @@ def make_datasource():
             raw = buf[pos : pos + n]
             return (raw.decode("utf-8") if t == "string" else raw), pos + n
         if t == "array":
-            item_key, item_nullable = key[2]
+            item_key, item_null_idx = key[2]
             out = []
             while True:
                 cnt, pos = zigzag_decode(buf, pos)
@@ -263,9 +277,9 @@ def make_datasource():
                     cnt = -cnt
                     _, pos = zigzag_decode(buf, pos)
                 for _ in range(cnt):
-                    if item_nullable:
+                    if item_null_idx is not None:
                         idx, pos = zigzag_decode(buf, pos)
-                        if idx == 0:
+                        if idx == item_null_idx:
                             out.append(None)
                             continue
                     v, pos = decode_value(item_key, buf, pos)
@@ -273,29 +287,39 @@ def make_datasource():
         raise ValueError(f"avro_ocf: cannot decode {key!r}")
 
     # ---- OCF header ----------------------------------------------------
+    def zigzag_read(fh) -> int:
+        """Decode one zigzag varint with byte-at-a-time reads."""
+        u, shift = 0, 0
+        while True:
+            b = fh.read(1)
+            if not b:
+                raise ValueError("avro_ocf: truncated varint")
+            u |= (b[0] & 0x7F) << shift
+            if not b[0] & 0x80:
+                return (u >> 1) ^ -(u & 1)
+            shift += 7
+
     def read_header(fh) -> tuple[dict, bytes]:
-        """-> (metadata dict, sync marker); fh positioned at first block."""
+        """-> (metadata dict, sync marker); fh positioned at first block.
+
+        Bounded incremental reads — the header is a few hundred bytes;
+        slurping the rest of the file here doubled every task's I/O and
+        made driver-side schema inference load a whole shard
+        (code-review r11)."""
         if fh.read(4) != magic:
             raise ValueError("avro_ocf: bad magic (not an OCF file)")
-        data = fh.read()
         meta: dict[str, bytes] = {}
-        pos = 0
         while True:
-            cnt, pos = zigzag_decode(data, pos)
+            cnt = zigzag_read(fh)
             if cnt == 0:
                 break
             if cnt < 0:
                 cnt = -cnt
-                _, pos = zigzag_decode(data, pos)
+                zigzag_read(fh)  # byte size of the metadata block
             for _ in range(cnt):
-                klen, pos = zigzag_decode(data, pos)
-                k = data[pos : pos + klen].decode("utf-8")
-                pos += klen
-                vlen, pos = zigzag_decode(data, pos)
-                meta[k] = data[pos : pos + vlen]
-                pos += vlen
-        sync = data[pos : pos + 16]
-        fh.seek(4 + pos + 16)
+                k = fh.read(zigzag_read(fh)).decode("utf-8")
+                meta[k] = fh.read(zigzag_read(fh))
+        sync = fh.read(16)
         return meta, sync
 
     def parse_schema(meta: dict):
@@ -305,10 +329,12 @@ def make_datasource():
             raise ValueError("avro_ocf: top-level schema must be a record")
         names, keys, spark_fields = [], [], []
         for f in schema["fields"]:
-            spark_t, nullable, key = avro_field_to_spark(f["type"])
+            spark_t, null_idx, key = avro_field_to_spark(f["type"])
             names.append(f["name"])
-            keys.append((key, nullable))
-            spark_fields.append(StructField(f["name"], spark_t, nullable))
+            keys.append((key, null_idx))
+            spark_fields.append(
+                StructField(f["name"], spark_t, null_idx is not None)
+            )
         return names, keys, StructType(spark_fields)
 
     class _FilePartition(InputPartition):
@@ -371,10 +397,10 @@ def make_datasource():
                     pos = 0
                     for _ in range(n_obj):
                         row = []
-                        for key, nullable in keys:
-                            if nullable:
+                        for key, null_idx in keys:
+                            if null_idx is not None:
                                 idx, pos = zigzag_decode(block, pos)
-                                if idx == 0:
+                                if idx == null_idx:
                                     row.append(None)
                                     continue
                             v, pos = decode_value(key, block, pos)
@@ -406,7 +432,8 @@ def make_datasource():
                 if f.nullable:
                     type_json = ["null", type_json]
                 fields.append({"name": f.name, "type": type_json})
-                self._enc_keys.append((key, f.nullable))
+                # writer schema is always null-first -> null_idx 0
+                self._enc_keys.append((key, 0 if f.nullable else None))
             self._schema_json = json.dumps(
                 {"type": "record", "name": "psvm_row", "fields": fields}
             )
@@ -421,34 +448,49 @@ def make_datasource():
             os.makedirs(self._path, exist_ok=True)
             out = os.path.join(self._path, f"part-{pid:05d}.avro")
             sync = hashlib.md5(out.encode()).digest()
-            body = bytearray()
-            n = 0
-            for row in iterator:
-                for (key, nullable), v in zip(self._enc_keys, row):
-                    if nullable:
-                        if v is None:
-                            body += zigzag_encode(0)
-                            continue
-                        body += zigzag_encode(1)
-                    elif v is None:
-                        raise ValueError(
-                            "avro_ocf: NULL in non-nullable field"
-                        )
-                    body += encode_value(key, v)
-                n += 1
             header = bytearray(magic)
             header += zigzag_encode(2)
             header += enc_str("avro.schema") + enc_str(self._schema_json)
             header += enc_str("avro.codec") + enc_str("null")
             header += zigzag_encode(0)
             header += sync
+            # flush a data block every ~1 MB instead of buffering the
+            # whole partition in memory (spec allows any block split;
+            # code-review r11) — memory stays bounded at any shard size
+            block_limit = 1 << 20
+            n = 0
             with open(out, "wb") as fh:
                 fh.write(bytes(header))
-                if n:
-                    fh.write(zigzag_encode(n))
-                    fh.write(zigzag_encode(len(body)))
-                    fh.write(bytes(body))
-                    fh.write(sync)
+                body = bytearray()
+                n_block = 0
+
+                def flush():
+                    nonlocal body, n_block
+                    if n_block:
+                        fh.write(zigzag_encode(n_block))
+                        fh.write(zigzag_encode(len(body)))
+                        fh.write(bytes(body))
+                        fh.write(sync)
+                        body = bytearray()
+                        n_block = 0
+
+                for row in iterator:
+                    for (key, null_idx), v in zip(self._enc_keys, row):
+                        if null_idx is not None:
+                            if v is None:
+                                body += zigzag_encode(0)
+                                continue
+                            body += zigzag_encode(1)
+                        elif v is None:
+                            raise ValueError(
+                                "avro_ocf: NULL in non-nullable field"
+                            )
+                        body += encode_value(key, v)
+                    n_block += 1
+                    n += 1
+                    if len(body) >= block_limit:
+                        flush()
+                flush()
             return _Committed(out, n)
 
         def commit(self, messages):

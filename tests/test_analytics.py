@@ -1684,8 +1684,18 @@ class TestHexBinning:
             yf = -xf - zf
             import math
 
-            def rnd(v):  # away-from-zero, the SQL ROUND rule
-                return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+            def rnd(v):
+                # away-from-zero (the SQL ROUND rule) WITHOUT the
+                # v + 0.5 double trap (v = nextafter(0.5, 0) would
+                # round up).  v - floor(v) is exact (Sterbenz), so the
+                # tie test is exact; ties go away from zero.
+                f = math.floor(v)
+                r = v - f
+                if r > 0.5:
+                    return f + 1
+                if r < 0.5:
+                    return f
+                return f + 1 if v > 0 else f
 
             rx, ry, rz = rnd(xf), rnd(yf), rnd(zf)
             dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)

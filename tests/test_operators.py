@@ -2092,3 +2092,82 @@ class TestArrowPythonTiers:
             ).collect()
         }
         assert got == want
+
+
+class TestAvroOcfSpecEdges:
+    def test_null_second_union_from_jvm_decodes_correctly(self, spark, tmp_path):
+        """The spec does not require null-first unions; a ["long","null"]
+        field must decode with the file's own branch order (the r11
+        code-review defect: idx 0 was hardcoded as the null branch)."""
+        from psvm_spark.sources.avro_ocf import register
+
+        register(spark)
+        jvm = spark.sparkContext._jvm
+        schema_json = (
+            '{"type":"record","name":"r","fields":['
+            '{"name":"x","type":["long","null"]}]}'
+        )
+        sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+        d = tmp_path / "nullsecond"
+        d.mkdir()
+        wtr = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+        )
+        wtr.create(sch, jvm.java.io.File(str(d / "seg=j.avro".replace("seg=", ""))))
+        # values above 2^31 so py4j ships them as java.lang.Long — the
+        # avro union resolver refuses Integer for a "long" branch
+        for v in [7_000_000_000, None, 42_000_000_000]:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+            rec.put("x", v)
+            wtr.append(rec)
+        wtr.close()
+        got = [
+            r.x
+            for r in spark.read.format("avro_ocf")
+            .option("path", str(d))
+            .load()
+            .collect()
+        ]
+        assert sorted(got, key=lambda v: (v is None, v)) == [
+            7_000_000_000,
+            42_000_000_000,
+            None,
+        ]
+
+    def test_timestamp_micros_roundtrip(self, spark, tmp_path):
+        """timestamp-micros survives the trip under the engine's UTC
+        session: naive-in == naive-out, and the JVM reference decoder
+        sees the exact epoch micros."""
+        import datetime
+        import glob
+
+        from psvm_spark.sources.avro_ocf import register
+
+        register(spark)
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 3, 5, 12, 34, 56, 789000))],
+            "k long, ts timestamp",
+        )
+        out = str(tmp_path / "ts")
+        df.coalesce(1).write.format("avro_ocf").option("path", out).mode(
+            "overwrite"
+        ).save()
+        back = spark.read.format("avro_ocf").option("path", out).load()
+        row = back.collect()[0]
+        assert row.ts == datetime.datetime(2024, 3, 5, 12, 34, 56, 789000)
+        jvm = spark.sparkContext._jvm
+        f = sorted(glob.glob(out + "/part-*.avro"))[0]
+        rdr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(f),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        micros = rdr.next().get("ts")
+        rdr.close()
+        want = int(
+            datetime.datetime(
+                2024, 3, 5, 12, 34, 56, 789000,
+                tzinfo=datetime.timezone.utc,
+            ).timestamp()
+            * 1_000_000
+        )
+        assert micros == want
