@@ -7516,3 +7516,99 @@ def geo_hex_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("bal_c").alias("bal_c_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# B585 (round 11) — polygon area + orientation by the shoelace formula,
+# EXACT: the missing polygon-geometry tier next to the point ops
+# (geo_nearest_site, geo_geohash_cells, join_point_in_polygon,
+# geo_hex_binning).  Each supplier gets a synthetic 8-vertex star
+# polygon around its md5 coordinate: radii from the salted-md5 integer
+# idiom, trig from EMBEDDED 1e4 fixed-point literals (no engine libm),
+# so every vertex is an exact BIGINT and the shoelace cross-product
+# sum 2A = sum(x_k*y_{k+1} - x_{k+1}*y_k) is exact integer arithmetic
+# end to end — each term is computed directly from (suppkey, k), no
+# array zip needed, so the whole thing is one explode + one groupBy.
+# Monotone angles make every star polygon simple, so |2A| is twice the
+# true area and the sign is the winding orientation.  Scale: 8 rows
+# per polygon, one shuffle.
+
+_POLY_COS = "(10000, 7071, 0, -7071, -10000, -7071, 0, 7071)"
+_POLY_SIN = "(0, 7071, 10000, 7071, 0, -7071, -10000, -7071)"
+
+
+@query(
+    "geo_polygon_shoelace",
+    oracle=f"""
+WITH s AS (
+  SELECT s_suppkey, s_nationkey,
+         CAST(round({_SLON_D} * 100) AS BIGINT) AS cx,
+         CAST(round({_SLAT_D} * 100) AS BIGINT) AS cy
+  FROM supplier),
+v AS (
+  SELECT s_suppkey, s_nationkey, k.k,
+         ((('0x' || substr(md5('poly:' || s_suppkey || ':' || k.k), 1, 8))::BIGINT
+           % 100) + 100) AS r,
+         ((('0x' || substr(md5('poly:' || s_suppkey || ':' || ((k.k + 1) % 8)), 1, 8))::BIGINT
+           % 100) + 100) AS r2,
+         cx, cy
+  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) k),
+t AS (
+  SELECT s_suppkey, s_nationkey,
+         (cx * 10000 + r * (list_value{_POLY_COS})[k + 1])
+           * (cy * 10000 + r2 * (list_value{_POLY_SIN})[((k + 1) % 8) + 1])
+         - (cx * 10000 + r2 * (list_value{_POLY_COS})[((k + 1) % 8) + 1])
+           * (cy * 10000 + r * (list_value{_POLY_SIN})[k + 1]) AS cross_k
+  FROM v),
+poly AS (
+  SELECT s_suppkey, s_nationkey, SUM(cross_k) AS area2
+  FROM t GROUP BY s_suppkey, s_nationkey)
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_polys,
+       CAST(SUM(abs(area2)) AS BIGINT) AS sum_abs_area2,
+       CAST(MAX(abs(area2)) AS BIGINT) AS max_abs_area2,
+       CAST(SUM(CASE WHEN area2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ccw
+FROM poly GROUP BY s_nationkey
+""",
+)
+def geo_polygon_shoelace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.expr(f"cast(round({_SLON_S} * 100) as bigint)").alias("cx"),
+        F.expr(f"cast(round({_SLAT_S} * 100) as bigint)").alias("cy"),
+    )
+    cos_arr = "array" + _POLY_COS
+    sin_arr = "array" + _POLY_SIN
+    rad = (
+        "((cast(conv(substring(md5(concat('poly:', cast(s_suppkey as string),"
+        " ':', cast({K} as string))), 1, 8), 16, 10) as bigint) % 100) + 100)"
+    )
+    v = s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "cx",
+        "cy",
+        F.explode(F.expr("sequence(0, 7)")).alias("k"),
+    ).select(
+        "*",
+        F.expr(rad.format(K="k")).alias("r"),
+        F.expr(rad.format(K="pmod(k + 1, 8)")).alias("r2"),
+    )
+    cross_k = F.expr(
+        f"(cx * 10000 + r * ({cos_arr})[k])"
+        f" * (cy * 10000 + r2 * ({sin_arr})[pmod(k + 1, 8)])"
+        f" - (cx * 10000 + r2 * ({cos_arr})[pmod(k + 1, 8)])"
+        f" * (cy * 10000 + r * ({sin_arr})[k])"
+    )
+    poly = (
+        v.select("s_suppkey", "s_nationkey", cross_k.alias("cross_k"))
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(F.sum("cross_k").alias("area2"))
+    )
+    return poly.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_polys"),
+        F.sum(F.abs("area2")).alias("sum_abs_area2"),
+        F.max(F.abs("area2")).alias("max_abs_area2"),
+        F.sum((F.col("area2") > 0).cast("bigint")).alias("n_ccw"),
+    )

@@ -550,3 +550,76 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit_sum")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# B584 (round 11) — UDTF with a TABLE(...) argument (Spark 4):
+# `SELECT * FROM f(TABLE(t) PARTITION BY k ORDER BY ts)` streams each
+# partition's rows, IN ORDER, through one UDTF instance — the
+# SQL-surface twin of applyInPandasWithState for order-dependent
+# per-key logic, and the sanctioned way to hand a whole relation to a
+# Python table function (the scalar-arg UDTF of B180 can't see rows).
+# Semantics: per-user session-gap profile over events — event count,
+# number of >30-min gaps, and the maximum gap — all exact integer
+# microsecond arithmetic.  Oracle: the LAG window twin.  At 100 TB:
+# one shuffle on user_id; each partition streams through its instance
+# without materializing (terminate() emits one row per user).
+
+
+@query(
+    "udtf_table_argument",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_us
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us
+FROM d GROUP BY user_id
+""",
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, n_gaps bigint, max_gap_us bigint")
+    class SessionGaps:
+        def __init__(self):
+            self.user = None
+            self.n = 0
+            self.n_gaps = 0
+            self.max_gap = 0
+            self.prev_us = None
+
+        def eval(self, row):
+            self.user = row.user_id
+            self.n += 1
+            us = row.ts_us
+            if self.prev_us is not None:
+                gap = us - self.prev_us
+                if gap > 1_800_000_000:
+                    self.n_gaps += 1
+                if gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev_us = us
+
+        def terminate(self):
+            if self.user is not None:
+                yield (self.user, self.n, self.n_gaps, self.max_gap)
+
+    spark.udtf.register("psvm_session_gaps", SessionGaps)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    ev.createOrReplaceTempView("psvm_udtf_events")
+    return spark.sql(
+        """
+SELECT * FROM psvm_session_gaps(
+  TABLE(psvm_udtf_events) PARTITION BY user_id ORDER BY (ts_us, event_id))
+"""
+    )

@@ -2171,3 +2171,35 @@ class TestAvroOcfSpecEdges:
             * 1_000_000
         )
         assert micros == want
+
+    def test_deflate_codec_from_jvm_decodes_correctly(self, spark, tmp_path):
+        """The reader claims deflate support; prove it against a
+        JVM-written deflate file (raw zlib blocks, -15 window)."""
+        from psvm_spark.sources.avro_ocf import register
+
+        register(spark)
+        jvm = spark.sparkContext._jvm
+        schema_json = (
+            '{"type":"record","name":"r","fields":['
+            '{"name":"x","type":"long"},{"name":"s","type":"string"}]}'
+        )
+        sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+        d = tmp_path / "deflate"
+        d.mkdir()
+        wtr = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+        )
+        wtr.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+        wtr.create(sch, jvm.java.io.File(str(d / "d1.avro")))
+        for i in range(1000):
+            rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+            rec.put("x", i * 10_000_000_000)  # > 2^31: ships as Long
+            rec.put("s", f"row-{i}")
+            wtr.append(rec)
+        wtr.close()
+        rows = sorted(
+            spark.read.format("avro_ocf").option("path", str(d)).load().collect()
+        )
+        assert len(rows) == 1000
+        assert (rows[0].x, rows[0].s) == (0, "row-0")
+        assert (rows[-1].x, rows[-1].s) == (9_990_000_000_000, "row-999")
