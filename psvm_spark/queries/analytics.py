@@ -7606,9 +7606,15 @@ def geo_polygon_shoelace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_nationkey")
         .agg(F.sum("cross_k").alias("area2"))
     )
+    # abs(area2) ~ 3e17 per polygon, so a BIGINT sum overflows past ~30
+    # polys/nation x large SF while DuckDB's HUGEINT stays exact — sum in
+    # decimal(38,0) before the final BIGINT cast (ADVICE r11; same
+    # headroom rule as graph_transitivity).
     return poly.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_polys"),
-        F.sum(F.abs("area2")).alias("sum_abs_area2"),
+        F.sum(F.abs("area2").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("sum_abs_area2"),
         F.max(F.abs("area2")).alias("max_abs_area2"),
         F.sum((F.col("area2") > 0).cast("bigint")).alias("n_ccw"),
     )

@@ -1703,6 +1703,137 @@ def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B586 (round 12) — fixed-iteration hinge-loss subgradient descent with
+# an EXACT SQL oracle: the differential twin the A10 SVM training
+# family (svm_train_eval et al., rows-only iterative solvers) was
+# missing (verdict r11 item 4).  Same sufficient-statistics recipe as
+# ml_logistic_irls: one shuffle compresses the corpus to (x, y, n) over
+# the clamped integer score domain (<= 2*2048 cells by construction),
+# then K full-batch Pegasos-style steps run at rank 0 and are replayed
+# exactly by the oracle's recursive CTE.  The hinge twin is actually
+# STRONGER than the IRLS one: the margin-violator indicator
+# y*(w0 + w1*x) < WSC is pure BIGINT comparison (no libm at all in the
+# E-step), so the per-iteration sums S_y / S_yx / n_viol / n_err are
+# exact integers; only the (1 - eta*lam) shrink + eta*grad step uses
+# doubles, re-quantized to the WSC grid before the next iteration
+# (identical IEEE ops in Python and DuckDB — the IRLS contract).
+# n_viol / n_err in row k are measured with the PRE-update weights
+# (iteration k-1's model), i.e. the margin state the step descended on.
+# At 100 TB the scan+groupBy is the only data-sized cost; the solver
+# never sees rows, only the bounded stat table.
+
+_SVM_K = 5  # subgradient iterations
+_SVM_ETA0 = 0.5  # step size eta_k = ETA0 / k
+_SVM_LAM = 0.01  # L2 regularization
+_SVM_XSC = 1024  # feature scale: z = x / XSC in [-1, 1)
+
+
+@query(
+    "svm_hinge_fixed_iter",
+    oracle=f"""
+WITH RECURSIVE q AS (
+  SELECT least(greatest(list_transform{_KML_Q}[1], {-_IRLS_CL}),
+               {_IRLS_CL - 1}) AS x,
+         CAST(label < 5 AS INT) * 2 - 1 AS y
+  FROM embeddings),
+stats AS (SELECT x, y, COUNT(*) AS n FROM q GROUP BY x, y),
+it AS (
+  SELECT 0 AS k, CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         CAST(0 AS BIGINT) AS n_viol, CAST(0 AS BIGINT) AS n_err
+  UNION ALL
+  SELECT it.k + 1,
+         CAST(floor(((1.0 - {_SVM_ETA0} / (it.k + 1) * {_SVM_LAM})
+                     * (CAST(it.w0 AS DOUBLE) / {_IRLS_WSC})
+                     + {_SVM_ETA0} / (it.k + 1)
+                       * (CAST(s.s_y AS DOUBLE) / s.nn))
+                    * {_IRLS_WSC} + 0.5) AS BIGINT),
+         CAST(floor(((1.0 - {_SVM_ETA0} / (it.k + 1) * {_SVM_LAM})
+                     * (CAST(it.w1 AS DOUBLE) / {_IRLS_WSC})
+                     + {_SVM_ETA0} / (it.k + 1)
+                       * (CAST(s.s_yx AS DOUBLE) / s.nn / {_SVM_XSC}))
+                    * {_IRLS_WSC} + 0.5) AS BIGINT),
+         s.nv, s.ne
+  FROM it, LATERAL (
+    SELECT SUM(n) AS nn,
+           SUM(CASE WHEN y * ({_SVM_XSC} * it.w0 + it.w1 * x)
+                         < {_SVM_XSC} * CAST({_IRLS_WSC} AS BIGINT)
+                    THEN n * y ELSE 0 END) AS s_y,
+           SUM(CASE WHEN y * ({_SVM_XSC} * it.w0 + it.w1 * x)
+                         < {_SVM_XSC} * CAST({_IRLS_WSC} AS BIGINT)
+                    THEN n * y * x ELSE 0 END) AS s_yx,
+           SUM(CASE WHEN y * ({_SVM_XSC} * it.w0 + it.w1 * x)
+                         < {_SVM_XSC} * CAST({_IRLS_WSC} AS BIGINT)
+                    THEN n ELSE 0 END) AS nv,
+           SUM(CASE WHEN y * ({_SVM_XSC} * it.w0 + it.w1 * x) <= 0
+                    THEN n ELSE 0 END) AS ne
+    FROM stats) s
+  WHERE it.k < {_SVM_K})
+SELECT CAST(k AS INT) AS iter, w0 AS w0_fp, w1 AS w1_fp, n_viol, n_err
+FROM it WHERE k >= 1
+""",
+)
+def svm_hinge_fixed_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s_expr = F.expr(
+        "cast(floor(cast(embedding[0] as double) * 1000.0 + 0.5) as bigint)"
+    )
+    stats = [
+        (int(r.x), int(r.y), int(r.n))
+        for r in e.select(
+            F.least(
+                F.greatest(s_expr, F.lit(-_IRLS_CL)), F.lit(_IRLS_CL - 1)
+            ).alias("x"),
+            ((F.col("label") < 5).cast("int") * 2 - 1).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    nn = sum(n for _, _, n in stats)
+    w0, w1 = 0, 0  # WSC fixed-point bigints
+    out = []
+    for k in range(1, _SVM_K + 1):
+        s_y = s_yx = nv = ne = 0
+        for x, y, n in stats:
+            # exact integer margin test: y*(w0 + w1*(x/XSC)) < 1 in
+            # natural units <=> y*(XSC*w0 + w1*x) < XSC*WSC in bigints
+            m = y * (_SVM_XSC * w0 + w1 * x)
+            if m < _SVM_XSC * _IRLS_WSC:
+                s_y += n * y
+                s_yx += n * y * x
+                nv += n
+            if m <= 0:
+                ne += n
+        w0 = int(
+            math.floor(
+                (
+                    (1.0 - _SVM_ETA0 / k * _SVM_LAM) * (float(w0) / _IRLS_WSC)
+                    + _SVM_ETA0 / k * (float(s_y) / nn)
+                )
+                * _IRLS_WSC
+                + 0.5
+            )
+        )
+        w1 = int(
+            math.floor(
+                (
+                    (1.0 - _SVM_ETA0 / k * _SVM_LAM) * (float(w1) / _IRLS_WSC)
+                    + _SVM_ETA0 / k * (float(s_yx) / nn / _SVM_XSC)
+                )
+                * _IRLS_WSC
+                + 0.5
+            )
+        )
+        out.append((k, w0, w1, nv, ne))
+    return spark.createDataFrame(
+        out,
+        "iter int, w0_fp bigint, w1_fp bigint, n_viol bigint, n_err bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # B569 (round 10) — depth-2 histogram tree growth: the recursive step
 # on top of ml_stump_split's primitive.  Level 1 finds the best
 # quantity split per l_linestatus group (identical machinery); level 2

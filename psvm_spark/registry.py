@@ -306,6 +306,47 @@ _NEVER_SAMPLED_AS_OF_R10: frozenset[str] = frozenset({
     "warehouse_row_lineage",
 })
 
+# The 50 keys the round-11 driver sample covered (CORRECTNESS_r11.json,
+# 50/50 hash-green) — all drawn from the never-sampled round-10 pool.
+# Rotated out of the fresh tier so round 12's sample lands on the 19
+# pool remainders + 5 stale re-serves + 15 round-11 additions (39 keys),
+# completing first-party driver evidence for the whole registry; the
+# 11 spare slots refresh the oldest evidence (_R12_REFRESHERS).
+_DRIVER_SAMPLED_R11: frozenset[str] = frozenset({
+    "ab_test_bayesian_beta", "ab_test_ipw_estimate",
+    "ab_test_ratio_delta", "agg_approx_top_k_exact_twin",
+    "agg_aqe_coalesced_shuffle", "dedup_minhash_recall",
+    "dq_fact_detail_reconcile", "dq_freshness_lag", "dq_iqr_fences",
+    "geo_dbscan_core", "graph_katz_centrality",
+    "graph_leiden_aggregate", "graph_leiden_refine",
+    "graph_mst_boruvka", "graph_personalized_pagerank",
+    "graph_transitivity", "join_dynamic_partition_pruning",
+    "ml_auc_delong_ci", "ml_conformal_coverage", "ml_fairness_gaps",
+    "ml_hosmer_lemeshow", "ml_kendall_tau", "ml_kfold_cv_ridge",
+    "ml_label_permutation_test", "ml_learning_curve", "ml_mcnemar_test",
+    "ml_permutation_importance", "ml_quantile_pinball",
+    "ml_ridge_lambda_path", "ml_shapley_two_feature", "ml_tree_depth2",
+    "pack_padding_waste", "select_preference_pairs",
+    "seq_skipgram_pairs", "sim_sq8_topk", "stream_interval_join",
+    "text_quality_composite", "text_stem_porter_lite",
+    "ts_hampel_filter", "ts_mann_kendall", "ts_rolling_origin_backtest",
+    "ts_seasonal_strength", "ts_ses_optimal_alpha", "ts_sma_crossover",
+    "ts_spectral_entropy", "ts_unit_root_df", "ts_weekday_anova",
+    "warehouse_clustering_depth", "warehouse_incremental_join_mv",
+    "warehouse_row_lineage",
+})
+
+# Round-12 spare-slot refreshers: the 11 oracle-backed keys with the
+# OLDEST driver evidence (all last sampled in round 2, per the
+# CORRECTNESS_r01..r11 ledgers).  Pinned right after the round-11
+# additions so the 39 sweep-completing keys + these 11 fill the 50.
+_R12_REFRESHERS: tuple[str, ...] = (
+    "anomaly_mad", "cohort_retention", "dedup_embedding", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
+    "doc_rolling_hash", "funnel_steps", "fuzzy_blocked_match",
+    "metric_wau",
+)
+
 # Keys last driver-sampled while still rows-only (r4 ``no_oracle``)
 # whose oracles landed in later rounds; the never-sampled-first ordering
 # would otherwise never re-serve them.  Ordered right after the
@@ -359,7 +400,8 @@ def load_all() -> None:
     )
 
     def _fresh(k: str) -> bool:
-        return k not in _DRIVER_SAMPLED_R1_R10
+        return (k not in _DRIVER_SAMPLED_R1_R10
+                and k not in _DRIVER_SAMPLED_R11)
 
     pool_oracle = [
         k for k in QUERIES
@@ -378,13 +420,19 @@ def load_all() -> None:
         k for k in QUERIES
         if _fresh(k) and k not in _NEVER_SAMPLED_AS_OF_R10 and k not in ORACLES
     ]
+    refreshers = [
+        k for k in _R12_REFRESHERS
+        if k in QUERIES and k not in _STALE_CONVERTED
+    ]
+    front = pool_oracle + pool_rows + stale + new_oracle + new_rows + refreshers
+    placed = set(front)
     seen = [
         k for k in QUERIES
-        if not _fresh(k) and k not in _STALE_CONVERTED
+        if not _fresh(k) and k not in placed
     ]
     ordered = {
         k: QUERIES[k]
-        for k in pool_oracle + pool_rows + stale + new_oracle + new_rows + seen
+        for k in front + seen
     }
     QUERIES.clear()
     QUERIES.update(ordered)

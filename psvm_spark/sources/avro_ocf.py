@@ -362,6 +362,18 @@ def make_datasource():
     class AvroOcfReader(DataSourceReader):
         def __init__(self, options):
             self._files = _list_files(options)
+            # Pin the first file's schema as the directory contract so a
+            # heterogeneous directory raises instead of yielding silently
+            # misaligned tuples (schema() infers from the first file only;
+            # ADVICE r11).  (names, decoder keys) is the full decode shape.
+            self._ref_sig = None
+            self._ref_file = ""
+            if self._files:
+                with open(self._files[0], "rb") as fh:
+                    meta, _ = read_header(fh)
+                names, keys, _ = parse_schema(meta)
+                self._ref_sig = (tuple(names), tuple(keys))
+                self._ref_file = self._files[0]
 
         def partitions(self):
             return [_FilePartition(f) for f in self._files] or [
@@ -375,7 +387,13 @@ def make_datasource():
 
             with open(partition.path, "rb") as fh:
                 meta, sync = read_header(fh)
-                _, keys, _ = parse_schema(meta)
+                names, keys, _ = parse_schema(meta)
+                if (tuple(names), tuple(keys)) != self._ref_sig:
+                    raise ValueError(
+                        "avro_ocf: file schema mismatch — "
+                        f"{partition.path} does not match the directory "
+                        f"schema inferred from {self._ref_file}"
+                    )
                 codec = meta.get("avro.codec", b"null").decode()
                 if codec not in ("null", "deflate"):
                     raise ValueError(f"avro_ocf: unsupported codec {codec}")
@@ -426,6 +444,17 @@ def make_datasource():
                 raise ValueError("avro_ocf: 'path' option is required")
             if overwrite and os.path.isdir(self._path):
                 shutil.rmtree(self._path)
+            elif not overwrite and os.path.isdir(self._path) and any(
+                not f.endswith((".crc", "_SUCCESS"))
+                for f in os.listdir(self._path)
+            ):
+                # Shard names are partition-id-deterministic, so a second
+                # non-overwrite save would silently clobber prior shards
+                # (ADVICE r11) — refuse instead of corrupting the dataset.
+                raise ValueError(
+                    "avro_ocf: target directory is non-empty; only "
+                    "mode('overwrite') is supported for existing output"
+                )
             fields, self._enc_keys = [], []
             for f in schema.fields:
                 type_json, key = spark_field_to_avro(f.dataType, f.name)

@@ -587,6 +587,58 @@ class TestGmmEm:
         assert abs(last.pi1_fp - 500_000) < 200_000
 
 
+class TestSvmHingeFixedIter:
+    def test_descent_beats_majority_and_prestate_replays(self, spark, sf_dir):
+        """The hinge twin's two contracts: (1) the fixed-iteration
+        descent actually learns (final training error <= majority
+        class), and (2) n_viol/n_err in row k are the PRE-update margin
+        state — recomputable exactly from row k-1's weights with pure
+        integer arithmetic."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.ml import _IRLS_CL, _IRLS_WSC, _SVM_XSC
+        from psvm_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["svm_hinge_fixed_iter"](spark, sf_dir).collect(),
+            key=lambda r: r.iter,
+        )
+        assert [r.iter for r in rows] == [1, 2, 3, 4, 5]
+        e = load_table(spark, sf_dir, "embeddings")
+        s = F.expr(
+            "cast(floor(cast(embedding[0] as double) * 1000.0 + 0.5) as bigint)"
+        )
+        data = [
+            (int(r.x), int(r.y))
+            for r in e.select(
+                F.least(
+                    F.greatest(s, F.lit(-_IRLS_CL)), F.lit(_IRLS_CL - 1)
+                ).alias("x"),
+                ((F.col("label") < 5).cast("int") * 2 - 1).alias("y"),
+            ).collect()
+        ]
+        n = len(data)
+        n_pos = sum(1 for _, y in data if y == 1)
+        # at w = 0 every margin is 0, so iteration 1 reports full error
+        assert rows[0].n_err == n
+        assert rows[-1].n_err <= min(n_pos, n - n_pos)
+        for prev, cur in zip(rows, rows[1:]):
+            ne = sum(
+                1
+                for x, y in data
+                if y * (_SVM_XSC * prev.w0_fp + prev.w1_fp * x) <= 0
+            )
+            nv = sum(
+                1
+                for x, y in data
+                if y * (_SVM_XSC * prev.w0_fp + prev.w1_fp * x)
+                < _SVM_XSC * _IRLS_WSC
+            )
+            assert ne == cur.n_err
+            assert nv == cur.n_viol
+
+
 class TestMcNemar:
     def test_cells_consistent_with_confusion_counts(self, spark, sf_dir):
         """b + c must equal the number of test rows where exactly one

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from psvm_spark import registry
@@ -2203,3 +2204,60 @@ class TestAvroOcfSpecEdges:
         assert len(rows) == 1000
         assert (rows[0].x, rows[0].s) == (0, "row-0")
         assert (rows[-1].x, rows[-1].s) == (9_990_000_000_000, "row-999")
+
+    def test_nonempty_dir_without_overwrite_refuses(self, spark, tmp_path):
+        """Shard names are partition-id-deterministic, so a second save
+        without overwrite would silently clobber prior shards (ADVICE
+        r11) — the writer must refuse up front."""
+        from psvm_spark.sources.avro_ocf import register
+
+        register(spark)
+        df = spark.createDataFrame([(1, "a")], "k long, s string")
+        out = str(tmp_path / "clobber")
+        df.write.format("avro_ocf").option("path", out).mode(
+            "overwrite"
+        ).save()
+        with pytest.raises(Exception, match="non-empty"):
+            df.write.format("avro_ocf").option("path", out).mode(
+                "append"
+            ).save()
+        # overwrite still works and replaces the data cleanly
+        df2 = spark.createDataFrame([(9, "z")], "k long, s string")
+        df2.coalesce(1).write.format("avro_ocf").option("path", out).mode(
+            "overwrite"
+        ).save()
+        got = (
+            spark.read.format("avro_ocf").option("path", out).load().collect()
+        )
+        assert [(r.k, r.s) for r in got] == [(9, "z")]
+
+    def test_heterogeneous_directory_schema_raises(self, spark, tmp_path):
+        """schema() infers from the first file only; a directory mixing
+        record schemas must raise instead of yielding misaligned tuples
+        (ADVICE r11)."""
+        from psvm_spark.sources.avro_ocf import register
+
+        register(spark)
+        d = tmp_path / "hetero"
+        spark.createDataFrame([(1, "a")], "k long, s string").coalesce(
+            1
+        ).write.format("avro_ocf").option("path", str(d / "one")).mode(
+            "overwrite"
+        ).save()
+        spark.createDataFrame([(2.5, True)], "x double, b boolean").coalesce(
+            1
+        ).write.format("avro_ocf").option("path", str(d / "two")).mode(
+            "overwrite"
+        ).save()
+        import shutil
+
+        shutil.copy(
+            str(d / "one" / "part-00000.avro"), str(d / "a-first.avro")
+        )
+        shutil.copy(
+            str(d / "two" / "part-00000.avro"), str(d / "b-second.avro")
+        )
+        shutil.rmtree(str(d / "one"))
+        shutil.rmtree(str(d / "two"))
+        with pytest.raises(Exception, match="schema mismatch"):
+            spark.read.format("avro_ocf").option("path", str(d)).load().collect()
