@@ -768,6 +768,75 @@ def stream_semi_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B588 (round 12) — stream-stream interval join with ASYMMETRIC
+# per-side watermark delays (verdict r11 item 7a): errors tolerate a
+# day of lateness (rare, routed through retry queues), clicks two
+# hours (high-volume firehose, near-real-time).  Two semantics this
+# key pins down, both properties of Spark's default
+# multipleWatermarkPolicy=min:
+#   1. The GLOBAL watermark is min over sides of (max event time seen
+#      - that side's delay) — the loose side governs.  Asserted
+#      against lastProgress eventTime.watermark in
+#      tests/test_streaming.py.
+#   2. Per-side STATE eviction follows the global watermark plus the
+#      join bounds, NOT the side's own delay — so the tight 2 h click
+#      delay does not shrink click state while the error side lags a
+#      day.  Asymmetric delays are a latency/telemetry lever, not a
+#      per-side state lever; state on both sides stays bounded by
+#      (loose delay + band) x arrival rate.
+# The band itself is also asymmetric — the CAUSAL forward window
+# [e_ts, e_ts + 10 min] ("clicks following the error"), the
+# attribution shape — so eviction bounds differ per side too: an
+# error can evict once the global watermark passes e_ts + 10 min, a
+# click once it passes c_ts.  Join emits raw pairs in append mode;
+# the per-error rollup runs as a batch aggregate on the drained sink.
+# Oracle: the batch forward-band join.
+
+
+@query(
+    "stream_asym_watermark_join",
+    oracle="""
+SELECT e.event_id AS error_id, e.user_id,
+       COUNT(*) AS n_following_clicks
+FROM events e JOIN events c
+  ON e.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(e.ts)
+ AND epoch_us(c.ts) <= epoch_us(e.ts) + 600000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+""",
+)
+def stream_asym_watermark_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 day")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    j = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("error_id", "user_id")
+    pairs = run_to_table(j, "append", state_partitions=8)
+    return pairs.groupBy("error_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_following_clicks")
+    )
+
+
+# --------------------------------------------------------------------------
 # B503 (round 10) — streaming dedup-within-watermark over the content
 # digest: the streaming twin of B45 `dedup_exact`.  Documents arrive
 # as a stream (synthesized ingest time = epoch + doc_id seconds,

@@ -121,6 +121,7 @@ def cogroup_reconcile_arrow(spark, sf_dir):
 
     o = (
         load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
         .select(
             "o_orderkey",
             (F.col("o_orderkey") % _COGROUP_SHARDS).alias("shard"),

@@ -708,3 +708,123 @@ class TestSemiIntervalJoin:
         assert sorted((r.error_id, r.user_id) for r in got) == sorted(
             (r.error_id, r.user_id) for r in want
         )
+
+
+class TestAsymWatermarkJoin:
+    def test_global_watermark_is_min_of_sides(self, spark, tmp_path):
+        """With different delays per side, the default
+        multipleWatermarkPolicy=min sets the GLOBAL watermark to the
+        minimum of (side max event time - side delay) — the loose side
+        governs.  Run 1 establishes and checkpoints the per-side
+        watermarks; run 2's progress reports the committed global
+        value.  Also checks the join itself emitted the causal pair."""
+        import datetime
+
+        d_err = str(tmp_path / "errors")
+        d_clk = str(tmp_path / "clicks")
+        ckpt = str(tmp_path / "ckpt")
+
+        def mk(path, col, rows):
+            spark.createDataFrame(
+                [(i, ts) for i, ts in rows], f"id long, {col}_s string"
+            ).select(
+                "id", F.col(f"{col}_s").cast("timestamp").alias(col)
+            ).coalesce(1).write.mode("append").parquet(path)
+
+        max_e = "2024-01-02 00:00:00"
+        max_c = "2024-01-02 00:05:00"
+        mk(d_err, "e_ts", [(1, max_e)])
+        mk(d_clk, "c_ts", [(1, max_c)])
+
+        def run():
+            got = []
+            es = spark.read.parquet(d_err).schema
+            cs = spark.read.parquet(d_clk).schema
+            errors = (
+                spark.readStream.schema(es)
+                .parquet(d_err)
+                .withWatermark("e_ts", "1 day")
+                .select(F.col("id").alias("e_id"), "e_ts")
+            )
+            clicks = (
+                spark.readStream.schema(cs)
+                .parquet(d_clk)
+                .withWatermark("c_ts", "2 hours")
+                .select(F.col("id").alias("c_id"), "c_ts")
+            )
+            j = errors.join(
+                clicks,
+                (F.col("e_id") == F.col("c_id"))
+                & (F.col("c_ts") >= F.col("e_ts"))
+                & (
+                    F.col("c_ts")
+                    <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")
+                ),
+                "inner",
+            )
+            q = (
+                j.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda df, bid: got.extend(
+                        (r.e_id, r.c_id) for r in df.collect()
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return got, q.lastProgress
+
+        pairs, _ = run()
+        assert pairs == [(1, 1)]
+
+        # fresh on-time rows so run 2 has a data batch to report against
+        mk(d_err, "e_ts", [(2, "2024-01-02 01:00:00")])
+        mk(d_clk, "c_ts", [(2, "2024-01-02 01:01:00")])
+        pairs2, prog = run()
+        assert pairs2 == [(2, 2)]
+        wm = datetime.datetime.strptime(
+            prog["eventTime"]["watermark"], "%Y-%m-%dT%H:%M:%S.%fZ"
+        )
+        fmt = "%Y-%m-%d %H:%M:%S"
+        # run 2's committed watermark reflects run 2's per-side maxima
+        side_e = datetime.datetime.strptime(
+            "2024-01-02 01:00:00", fmt
+        ) - datetime.timedelta(days=1)
+        side_c = datetime.datetime.strptime(
+            "2024-01-02 01:01:00", fmt
+        ) - datetime.timedelta(hours=2)
+        assert wm == min(side_e, side_c) == side_e
+        assert wm < side_c  # the tight side does NOT govern
+
+    def test_matches_batch_oracle(self, spark, sf_dir):
+        from psvm_spark.registry import QUERIES
+
+        got = QUERIES["stream_asym_watermark_join"](spark, sf_dir)
+        ev = load_table(spark, sf_dir, "events")
+        e = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        want = (
+            e.join(
+                c,
+                (F.col("e_user") == F.col("c_user"))
+                & (F.col("c_ts") >= F.col("e_ts"))
+                & (
+                    F.col("c_ts")
+                    <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")
+                ),
+            )
+            .groupBy("error_id", "e_user")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(
+            (r.error_id, r.user_id, r.n_following_clicks)
+            for r in got.collect()
+        ) == sorted((r.error_id, r.e_user, r.n) for r in want.collect())

@@ -381,3 +381,118 @@ class TestHilbertCluster:
         for f in parts:
             d = pq.read_table(f, columns=["d"]).column("d").to_pylist()
             assert d == sorted(d), f"within-file Hilbert order violated: {f}"
+
+
+class TestPageIndexPrune:
+    def test_column_index_in_file_and_prune_agrees(self, spark, sf_dir, tmp_path):
+        """Prove the ColumnIndex/OffsetIndex pair is physically in the
+        written file through the parquet-mr footer reader (pyarrow 16
+        exposes page-index WRITE only), that the small-page knob
+        actually produced page-granular entries, and that reads with
+        page-index filtering on vs off return identical rows."""
+        import glob
+
+        from psvm_spark.queries.warehouse import (
+            _PAGE_IDX_HI,
+            _PAGE_IDX_LO,
+            write_page_indexed,
+        )
+
+        out = str(tmp_path / "pgidx")
+        write_page_indexed(spark, sf_dir, out)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        files = sorted(glob.glob(out + "/*.parquet"))
+        assert files
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jvm.org.apache.hadoop.fs.Path(files[0]), conf
+            )
+        )
+        try:
+            blocks = rdr.getFooter().getBlocks()
+            assert blocks.size() >= 1
+            found = False
+            for bi in range(blocks.size()):
+                cols = blocks.get(bi).getColumns()
+                for ci in range(cols.size()):
+                    cc = cols.get(ci)
+                    if cc.getPath().toDotString() != "o_orderkey":
+                        continue
+                    colidx = rdr.readColumnIndex(cc)
+                    offidx = rdr.readOffsetIndex(cc)
+                    assert colidx is not None, "ColumnIndex missing"
+                    assert offidx is not None, "OffsetIndex missing"
+                    assert offidx.getPageCount() > 1, (
+                        "page.row.count.limit did not split pages"
+                    )
+                    # sorted layout => per-page min/max are monotone
+                    mins = colidx.getMinValues()
+                    assert mins.size() == offidx.getPageCount()
+                    found = True
+            assert found, "o_orderkey chunk not found"
+        finally:
+            rdr.close()
+
+        def rows(enabled: bool):
+            return sorted(
+                (r.o_orderkey, r.o_custkey)
+                for r in spark.read.option(
+                    "parquet.filter.columnindex.enabled", str(enabled).lower()
+                )
+                .parquet(out)
+                .filter(
+                    f"o_orderkey between {_PAGE_IDX_LO} and {_PAGE_IDX_HI}"
+                )
+                .select("o_orderkey", "o_custkey")
+                .collect()
+            )
+
+        on, off = rows(True), rows(False)
+        assert on == off and len(on) > 0
+
+
+class TestMergeCowVsMor:
+    def test_costs_and_equivalence(self, spark, sf_dir):
+        """CoW and MoR reads of the same MERGE must agree exactly
+        (total_c_cow == total_c_mor), the CoW write amplification must
+        dominate the MoR commit when updates are sparse, and the
+        one-file-per-month layout contract must hold physically."""
+        from psvm_spark.queries.warehouse import warehouse_merge_cow_vs_mor
+
+        row = warehouse_merge_cow_vs_mor(spark, sf_dir).collect()[0]
+        assert row.total_c_cow == row.total_c_mor
+        assert row.n_dv_entries_mor > 0
+        # write amplification: whole-file rewrite >> row-level DV
+        assert row.n_rows_rewritten_cow >= row.n_dv_entries_mor
+        assert row.n_delta_rows_mor >= row.n_dv_entries_mor
+        # row accounting: final = base + inserts
+        from psvm_spark.catalog import load_table
+
+        n_base = load_table(spark, sf_dir, "orders").count()
+        assert row.n_rows_final == n_base + (
+            row.n_delta_rows_mor - row.n_dv_entries_mor
+        )
+
+    def test_one_file_per_month_layout(self, spark, sf_dir, tmp_path):
+        """repartition('mo') before partitionBy('mo') must yield
+        exactly one data file per month dir — the contract that makes
+        n_files_touched_cow layout-deterministic."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        out = str(tmp_path / "mo_layout")
+        snap = o.select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mo"),
+        )
+        snap.repartition("mo").write.partitionBy("mo").mode(
+            "overwrite"
+        ).parquet(out)
+        for d in glob.glob(out + "/mo=*"):
+            files = glob.glob(d + "/*.parquet")
+            assert len(files) == 1, d
