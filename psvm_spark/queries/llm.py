@@ -2288,6 +2288,77 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B591 (round 12) — differentially-private histogram release (the
+# Laplace mechanism, Dwork et al. 2006): per-month order counts with
+# Laplace(sensitivity/epsilon) noise, the release shape every DP
+# warehouse surface (BigQuery DP, Tumult, OpenDP) implements for
+# COUNT.  Mechanism correctness is made EXACTLY replayable by seeding
+# the noise deterministically: u = (first-8-hex(md5('dp:'||month)) +
+# 0.5) / 2^32 in (0,1), then the inverse-CDF transform
+# x = -b*sign(u-1/2)*ln(1-2|u-1/2|) with b = 1/eps — one shared-libm
+# ln of identical doubles (the IRLS contract), quantized to
+# milli-counts.  A DEPLOYMENT would use real randomness; this key
+# pins the mechanism arithmetic (and therefore outputs true counts
+# next to noisy ones — it is a mechanism test, not a privacy claim).
+# One shuffle to the bounded month histogram; noise is O(groups).
+
+_DP_EPS_MILLI = 500  # epsilon = 0.5, sensitivity 1 => b = 2.0
+
+
+@query(
+    "scrub_dp_histogram",
+    oracle=f"""
+WITH g AS (
+  SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mo,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1),
+seeded AS (
+  SELECT mo, n,
+         (CAST(('0x' || substr(md5('dp:' || mo), 1, 8))::BIGINT AS DOUBLE)
+          + 0.5) / 4294967296.0 AS u
+  FROM g),
+noised AS (
+  SELECT mo, n,
+         -(1000.0 / {_DP_EPS_MILLI})
+           * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS lap
+  FROM seeded)
+SELECT mo, CAST(n AS BIGINT) AS n_true,
+       CAST(floor((n + lap) * 1000 + 0.5) AS BIGINT) AS noisy_milli,
+       CAST(abs(CAST(floor((n + lap) * 1000 + 0.5) AS BIGINT) - n * 1000)
+            AS BIGINT) AS abs_err_milli
+FROM noised
+""",
+)
+def scrub_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.date_trunc("month", "o_orderdate")
+        .cast("date")
+        .cast("string")
+        .alias("mo")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat('dp:', mo)), 1, 8), 16, 10)"
+            " as bigint)"
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    lap = (
+        F.lit(-1000.0 / _DP_EPS_MILLI)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    noisy = F.floor((F.col("n") + lap) * 1000 + 0.5).cast("bigint")
+    return g.select(
+        "mo",
+        F.col("n").cast("bigint").alias("n_true"),
+        noisy.alias("noisy_milli"),
+        F.abs(noisy - F.col("n") * 1000).cast("bigint").alias("abs_err_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing: redact email addresses and long digit runs before
 # training, with per-corpus audit counts.  ASCII-only character-class
 # patterns (no shorthand escapes) evaluate identically in Java regex
@@ -9067,6 +9138,136 @@ def vocab_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("piece_digest"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B590 (round 12) — Unigram-LM tokenizer Viterbi segmentation (the
+# SentencePiece decode step, Kudo 2018), completing the tokenizer
+# triad next to BPE train/encode (B208/B266) and WordPiece (B267).
+# The exactness trick: token log-probs are QUANTIZED to integer
+# milli-nats once — c(s) = floor(1000*ln((T+N)/(wfreq(s)+1)) + 0.5),
+# a single shared-libm ln of an exactly-representable double ratio
+# (the IRLS contract) — so the Viterbi DP itself is pure-integer
+# minimization and the (cost, n_tokens) lexicographic objective packs
+# into one BIGINT key (cost*64 + n_tokens; n_tokens <= 12 < 64).
+# Candidate vocab = all substrings (len 1-4) of the word panel with
+# +1-smoothed corpus-weighted counts; single-char candidates make
+# every word segmentable.  One shuffle compresses the corpus to word
+# frequencies; the panel (top 64 by freq desc, word asc) and its
+# <= 64*12*4 candidate table are bounded, so the DP runs at rank 0
+# and is replayed exactly by the oracle's recursive CTE, which
+# carries the last-4 DP window as a list column (a recursive CTE
+# only sees the previous iteration, so best[j-4..j-1] rides in the
+# row).  At 100 TB the scan+groupBy is the only data-sized cost —
+# the shape a real SentencePiece trainer's corpus pass has.
+
+_UNI_MAXW = 12  # max panel word length (chars)
+_UNI_MAXL = 4  # max candidate token length
+_UNI_PANEL = 64  # panel size
+
+
+def _uni_dp_case(length: int) -> str:
+    return f"""
+          CASE WHEN j + 1 - {length} >= 0
+                AND win[{4 - length + 1}] IS NOT NULL
+               THEN win[{4 - length + 1}]
+                    + 64 * (SELECT c FROM cost
+                            WHERE sub = substr(w, j + 2 - {length}, {length}))
+                    + 1
+          END"""
+
+
+@query(
+    "vocab_unigram_viterbi",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT w, COUNT(*) AS f FROM toks
+       WHERE len(w) BETWEEN 1 AND {_UNI_MAXW} GROUP BY w),
+panel AS (SELECT w, f FROM wf ORDER BY f DESC, w LIMIT {_UNI_PANEL}),
+cand AS (
+  SELECT sub, SUM(f) AS wfreq FROM (
+    SELECT p.f, substr(p.w, i, l) AS sub
+    FROM panel p,
+         LATERAL (SELECT unnest(generate_series(1, len(p.w))) AS i) ii,
+         LATERAL (SELECT unnest(generate_series(1, {_UNI_MAXL})) AS l) ll
+    WHERE i + l - 1 <= len(p.w))
+  GROUP BY sub),
+tot AS (SELECT SUM(wfreq) AS t, COUNT(*) AS nc FROM cand),
+cost AS (
+  SELECT sub,
+         CAST(floor(1000.0 * ln((CAST(t AS DOUBLE) + nc)
+                                / (CAST(wfreq AS DOUBLE) + 1.0)) + 0.5)
+              AS BIGINT) AS c
+  FROM cand, tot),
+dp AS (
+  SELECT w, f, 0 AS j,
+         [CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          CAST(NULL AS BIGINT), CAST(0 AS BIGINT)] AS win
+  FROM panel
+  UNION ALL
+  SELECT w, f, j + 1,
+         [win[2], win[3], win[4],
+          list_min([{_uni_dp_case(1)},{_uni_dp_case(2)},{_uni_dp_case(3)},{_uni_dp_case(4)}])]
+  FROM dp WHERE j < len(w))
+SELECT w AS word, CAST(f AS BIGINT) AS freq,
+       CAST(win[4] % 64 AS BIGINT) AS n_tokens,
+       CAST(win[4] // 64 AS BIGINT) AS min_cost
+FROM dp WHERE j = len(w)
+""",
+)
+def vocab_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w").between(1, _UNI_MAXW))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    panel = [
+        (r.w, int(r.f))
+        for r in wf.orderBy(F.desc("f"), F.asc("w"))
+        .limit(_UNI_PANEL)
+        .collect()
+    ]
+    # bounded candidate table: every (position, length) occurrence
+    # contributes the word's frequency, duplicates included (matches
+    # the oracle's occurrence-level SUM)
+    cand: dict[str, int] = {}
+    for w, f in panel:
+        for i in range(len(w)):
+            for length in range(1, _UNI_MAXL + 1):
+                if i + length <= len(w):
+                    sub = w[i : i + length]
+                    cand[sub] = cand.get(sub, 0) + f
+    t, nc = sum(cand.values()), len(cand)
+    cost = {
+        sub: int(
+            math.floor(
+                1000.0 * math.log((float(t) + nc) / (wfreq + 1.0)) + 0.5
+            )
+        )
+        for sub, wfreq in cand.items()
+    }
+    out = []
+    for w, f in panel:
+        # best[j] = packed (cost, n_tokens) key; lexicographic min
+        best: list[int | None] = [0] + [None] * len(w)
+        for j in range(1, len(w) + 1):
+            opts = [
+                best[j - length] + 64 * cost[w[j - length : j]] + 1
+                for length in range(1, min(_UNI_MAXL, j) + 1)
+                if best[j - length] is not None
+                and w[j - length : j] in cost
+            ]
+            best[j] = min(opts) if opts else None
+        key = best[len(w)]
+        out.append((w, f, key % 64, key // 64))
+    return spark.createDataFrame(
+        out, "word string, freq bigint, n_tokens bigint, min_cost bigint"
     )
 
 

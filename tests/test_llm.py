@@ -2020,3 +2020,95 @@ class TestPaddingWaste:
         assert row.pad_bucketed == pad(lambda t: (t[1], t[0]))
         # the whole point: length bucketing pays less padding
         assert row.pad_bucketed < row.pad_arrival
+
+
+class TestUnigramViterbi:
+    def test_dp_is_optimal_vs_brute_force(self, spark, sf_dir):
+        """The packed-key DP must find the true lexicographic-minimum
+        (cost, n_tokens) over ALL segmentations — recomputed here by
+        exhaustive composition enumeration (words <= 12 chars, so
+        <= 2^11 compositions), with the cost table rebuilt
+        independently from the same panel definition."""
+        import itertools
+        import math
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _UNI_MAXL, _UNI_MAXW, _UNI_PANEL
+        from psvm_spark.registry import QUERIES
+
+        rows = {
+            r.word: r
+            for r in QUERIES["vocab_unigram_viterbi"](spark, sf_dir).collect()
+        }
+        d = load_table(spark, sf_dir, "documents")
+        wf = (
+            d.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.length("w").between(1, _UNI_MAXW))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+        panel = [
+            (r.w, int(r.f))
+            for r in wf.orderBy(F.desc("f"), F.asc("w"))
+            .limit(_UNI_PANEL)
+            .collect()
+        ]
+        assert set(rows) == {w for w, _ in panel}
+        cand: dict[str, int] = {}
+        for w, f in panel:
+            for i in range(len(w)):
+                for ln in range(1, _UNI_MAXL + 1):
+                    if i + ln <= len(w):
+                        cand[w[i : i + ln]] = cand.get(w[i : i + ln], 0) + f
+        t, nc = sum(cand.values()), len(cand)
+        cost = {
+            s: int(math.floor(1000.0 * math.log((float(t) + nc) / (v + 1.0)) + 0.5))
+            for s, v in cand.items()
+        }
+
+        def all_segs(w):
+            n = len(w)
+            for cuts in itertools.product([0, 1], repeat=n - 1):
+                parts, start = [], 0
+                for i, c in enumerate(cuts, 1):
+                    if c:
+                        parts.append(w[start:i])
+                        start = i
+                parts.append(w[start:])
+                if all(len(p) <= _UNI_MAXL and p in cost for p in parts):
+                    yield parts
+
+        for w, _ in panel:
+            best = min(
+                (sum(cost[p] for p in parts), len(parts))
+                for parts in all_segs(w)
+            )
+            assert (rows[w].min_cost, rows[w].n_tokens) == best, w
+
+
+class TestDpHistogram:
+    def test_noise_is_the_seeded_laplace_transform(self, spark, sf_dir):
+        """Every released value must equal the inverse-CDF Laplace
+        transform of the month's md5 seed, recomputed independently;
+        the noise must actually dither both directions."""
+        import hashlib
+        import math
+
+        from psvm_spark.queries.llm import _DP_EPS_MILLI
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["scrub_dp_histogram"](spark, sf_dir).collect()
+        assert len(rows) > 10
+        b = 1000.0 / _DP_EPS_MILLI  # sensitivity/epsilon
+        for r in rows:
+            h = int(hashlib.md5(f"dp:{r.mo}".encode()).hexdigest()[:8], 16)
+            u = (float(h) + 0.5) / 4294967296.0
+            lap = -b * math.copysign(1.0, u - 0.5) * math.log(
+                1.0 - 2.0 * abs(u - 0.5)
+            )
+            assert r.noisy_milli == math.floor((r.n_true + lap) * 1000 + 0.5)
+            assert r.abs_err_milli == abs(r.noisy_milli - r.n_true * 1000)
+        errs = [r.noisy_milli - r.n_true * 1000 for r in rows]
+        assert any(e > 0 for e in errs) and any(e < 0 for e in errs)
