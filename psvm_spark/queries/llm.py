@@ -2288,6 +2288,149 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B592 (round 12) — corpus-level BLEU-2 (Papineni et al. 2002): the
+# generation-eval aggregate every LLM pipeline runs over (hypothesis,
+# reference) pairs.  Pairing here is deterministic from the fixture
+# (each doc scored against the NEXT doc of its source — a same-domain
+# near-reference), but the MECHANISM is the real one: per-pair clipped
+# n-gram matches min(count_hyp, count_ref) for n=1,2, corpus-pooled
+# totals, brevity penalty min(1, e^(1-ref/hyp)) on corpus lengths,
+# geometric mean of precisions.  Every count column is an exact
+# integer (the strong part of the oracle); the final score quantizes
+# the shared-libm exp/sqrt to micro-BLEU fixed point.  Scale shape:
+# explode n-grams -> (pair, gram) counts -> equi-join hyp vs ref ->
+# sum — all key-partitioned shuffles, no pair blowup beyond the
+# corpus' own n-gram volume.  (The pairs subtree feeds four counting
+# branches lazily; a 100 TB run would persist it once — one cache
+# line, same plan.)
+
+
+@query(
+    "eval_bleu_corpus",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+p AS (
+  SELECT doc_id, tk,
+         lead(tk) OVER (PARTITION BY source ORDER BY doc_id) AS rtk
+  FROM d),
+pairs AS (SELECT doc_id, tk, rtk FROM p WHERE rtk IS NOT NULL),
+hc1 AS (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(tk) AS g FROM pairs) GROUP BY 1, 2),
+rc1 AS (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(rtk) AS g FROM pairs) GROUP BY 1, 2),
+hc2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest([tk[i] || ' ' || tk[i + 1]
+                         FOR i IN generate_series(1, len(tk) - 1)]) AS g
+          FROM pairs WHERE len(tk) >= 2) GROUP BY 1, 2),
+rc2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest([rtk[i] || ' ' || rtk[i + 1]
+                         FOR i IN generate_series(1, len(rtk) - 1)]) AS g
+          FROM pairs WHERE len(rtk) >= 2) GROUP BY 1, 2),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+         (SELECT SUM(len(tk)) FROM pairs) AS hyp_tokens,
+         (SELECT SUM(len(rtk)) FROM pairs) AS ref_tokens,
+         (SELECT SUM(LEAST(hc1.c, rc1.c))
+          FROM hc1 JOIN rc1 USING (doc_id, g)) AS match1,
+         (SELECT SUM(len(tk)) FROM pairs) AS total1,
+         (SELECT SUM(LEAST(hc2.c, rc2.c))
+          FROM hc2 JOIN rc2 USING (doc_id, g)) AS match2,
+         (SELECT SUM(GREATEST(len(tk) - 1, 0)) FROM pairs) AS total2)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(hyp_tokens AS BIGINT) AS hyp_tokens,
+       CAST(ref_tokens AS BIGINT) AS ref_tokens,
+       CAST(match1 AS BIGINT) AS match1, CAST(total1 AS BIGINT) AS total1,
+       CAST(match2 AS BIGINT) AS match2, CAST(total2 AS BIGINT) AS total2,
+       CAST(floor(
+         LEAST(1.0, exp(1.0 - CAST(ref_tokens AS DOUBLE) / hyp_tokens))
+         * sqrt((CAST(match1 AS DOUBLE) / total1)
+                * (CAST(match2 AS DOUBLE) / total2)) * 1000000 + 0.5)
+            AS BIGINT) AS bleu2_fp
+FROM agg
+""",
+)
+def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("tk"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        d.select("doc_id", "tk", F.lead("tk").over(w).alias("rtk"))
+        .filter(F.col("rtk").isNotNull())
+    )
+    bigr = (
+        "transform(sequence(1, size({c}) - 1),"
+        " i -> concat({c}[i - 1], ' ', {c}[i]))"
+    )
+
+    def counts(col: str, gram_expr: str, guard: int):
+        return (
+            pairs.filter(F.size(col) >= guard)
+            .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def clipped(h, r):
+        return h.alias("h").join(
+            r.alias("r"), ["doc_id", "g"]
+        ).agg(
+            F.sum(F.least(F.col("h.c"), F.col("r.c")))
+            .cast("bigint")
+        )
+
+    m1 = clipped(counts("tk", "tk", 1), counts("rtk", "rtk", 1)).toDF(
+        "match1"
+    )
+    m2 = clipped(
+        counts("tk", bigr.format(c="tk"), 2),
+        counts("rtk", bigr.format(c="rtk"), 2),
+    ).toDF("match2")
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.size("tk")).cast("bigint").alias("hyp_tokens"),
+        F.sum(F.size("rtk")).cast("bigint").alias("ref_tokens"),
+        F.sum(F.size("tk")).cast("bigint").alias("total1"),
+        F.sum(F.greatest(F.size("tk") - 1, F.lit(0)))
+        .cast("bigint")
+        .alias("total2"),
+    )
+    joined = stats.crossJoin(m1).crossJoin(m2)
+    bleu = F.floor(
+        F.least(
+            F.lit(1.0),
+            F.exp(
+                F.lit(1.0)
+                - F.col("ref_tokens").cast("double") / F.col("hyp_tokens")
+            ),
+        )
+        * F.sqrt(
+            (F.col("match1").cast("double") / F.col("total1"))
+            * (F.col("match2").cast("double") / F.col("total2"))
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    return joined.select(
+        "n_pairs",
+        "hyp_tokens",
+        "ref_tokens",
+        "match1",
+        "total1",
+        "match2",
+        "total2",
+        bleu.alias("bleu2_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B591 (round 12) — differentially-private histogram release (the
 # Laplace mechanism, Dwork et al. 2006): per-month order counts with
 # Laplace(sensitivity/epsilon) noise, the release shape every DP

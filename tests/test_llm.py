@@ -2112,3 +2112,52 @@ class TestDpHistogram:
             assert r.abs_err_milli == abs(r.noisy_milli - r.n_true * 1000)
         errs = [r.noisy_milli - r.n_true * 1000 for r in rows]
         assert any(e > 0 for e in errs) and any(e < 0 for e in errs)
+
+
+class TestBleuCorpus:
+    def test_recomputes_from_raw_pairs(self, spark, sf_dir):
+        """Corpus BLEU-2 recomputed independently with Counter clipping
+        over the same deterministic pairing must match every column."""
+        import math
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        row = QUERIES["eval_bleu_corpus"](spark, sf_dir).collect()[0]
+        docs = sorted(
+            (r.source, r.doc_id, [t for t in r.text.split(" ") if t])
+            for r in load_table(spark, sf_dir, "documents")
+            .select("source", "doc_id", "text")
+            .collect()
+        )
+        pairs = [
+            (tk, docs[i + 1][2])
+            for i, (src, _, tk) in enumerate(docs[:-1])
+            if docs[i + 1][0] == src
+        ]
+        assert row.n_pairs == len(pairs) > 0
+
+        def grams(tk, n):
+            return Counter(
+                " ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)
+            )
+
+        m1 = sum(
+            sum((grams(h, 1) & grams(r, 1)).values()) for h, r in pairs
+        )
+        m2 = sum(
+            sum((grams(h, 2) & grams(r, 2)).values()) for h, r in pairs
+        )
+        hyp = sum(len(h) for h, _ in pairs)
+        ref = sum(len(r) for _, r in pairs)
+        t2 = sum(max(len(h) - 1, 0) for h, _ in pairs)
+        assert (row.match1, row.total1) == (m1, hyp)
+        assert (row.match2, row.total2) == (m2, t2)
+        assert (row.hyp_tokens, row.ref_tokens) == (hyp, ref)
+        bp = min(1.0, math.exp(1.0 - float(ref) / hyp))
+        bleu = bp * math.sqrt((float(m1) / hyp) * (float(m2) / t2))
+        assert row.bleu2_fp == math.floor(bleu * 1000000 + 0.5)
+        assert 0 < row.bleu2_fp < 1_000_000  # near-refs, not identical
