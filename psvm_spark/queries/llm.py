@@ -2288,6 +2288,115 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B593 (round 12) — multi-turn SFT packing with LOSS-MASK accounting:
+# the post-training sibling of pack_nextfit/pack_padding_waste.
+# Conversations are (user, week) turn groups; each turn carries a
+# deterministic md5-derived token cost, and only "assistant-like"
+# turns (click/purchase) count toward the loss mask — the packer must
+# track BOTH totals because the pad/loss ratio is what sizes an SFT
+# batch's effective gradient signal.  Oversize conversations (> the
+# budget) are DROPPED, not split (the conservative SFT rule: a
+# truncated conversation leaks a reply without its prompt); next-fit
+# packs the remainder per user-hash shard so the sequential scan
+# parallelizes across shards (the pack_nextfit 100 TB shape), and the
+# recursive-CTE oracle replays the per-shard scan exactly.
+
+_CHAT_BUDGET = 2_048  # tokens per packed sequence
+_CHAT_SHARDS = 8
+
+
+@query(
+    "pack_chat_turns",
+    oracle=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id % {_CHAT_SHARDS} AS shard, user_id,
+         CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk,
+         1 + (('0x' || substr(md5('tok:' || event_id), 1, 8))::BIGINT
+              % 64) AS nt,
+         event_type
+  FROM events),
+conv AS (
+  SELECT shard, user_id, wk, SUM(nt) AS ct,
+         SUM(CASE WHEN event_type IN ('click', 'purchase')
+                  THEN nt ELSE 0 END) AS lt
+  FROM ev GROUP BY 1, 2, 3),
+kept AS (
+  SELECT shard, ct, lt,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY user_id, wk) AS rn
+  FROM conv WHERE ct <= {_CHAT_BUDGET}),
+pk AS (
+  SELECT shard, rn, ct, lt, CAST(1 AS BIGINT) AS pack_id, ct AS fill
+  FROM kept WHERE rn = 1
+  UNION ALL
+  SELECT k.shard, k.rn, k.ct, k.lt,
+         CASE WHEN p.fill + k.ct <= {_CHAT_BUDGET}
+              THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + k.ct <= {_CHAT_BUDGET}
+              THEN p.fill + k.ct ELSE k.ct END
+  FROM pk p JOIN kept k ON k.shard = p.shard AND k.rn = p.rn + 1)
+SELECT CAST(shard AS BIGINT) AS shard, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(ct) AS BIGINT) AS total_tokens,
+       CAST(SUM(lt) AS BIGINT) AS loss_tokens,
+       CAST({_CHAT_BUDGET} - SUM(ct) AS BIGINT) AS pad_tokens
+FROM pk GROUP BY 1, 2
+""",
+)
+def pack_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    budget = _CHAT_BUDGET
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod("user_id", F.lit(_CHAT_SHARDS)).alias("shard"),
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").cast("string").alias("wk"),
+        (
+            F.lit(1)
+            + F.pmod(
+                F.expr(
+                    "cast(conv(substring(md5(concat('tok:',"
+                    " cast(event_id as string))), 1, 8), 16, 10) as bigint)"
+                ),
+                F.lit(64),
+            )
+        ).alias("nt"),
+        "event_type",
+    )
+    conv = ev.groupBy("shard", "user_id", "wk").agg(
+        F.sum("nt").alias("ct"),
+        F.sum(
+            F.when(
+                F.col("event_type").isin("click", "purchase"), F.col("nt")
+            ).otherwise(0)
+        ).alias("lt"),
+    )
+    kept = conv.filter(F.col("ct") <= budget)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "wk"]).reset_index(drop=True)
+        packs, fill, pid = [], 0, 0
+        for ct in pdf["ct"]:
+            if pid == 0 or fill + ct > budget:
+                pid += 1
+                fill = int(ct)
+            else:
+                fill += int(ct)
+            packs.append(pid)
+        return pdf.assign(pack_id=packs)[["shard", "pack_id", "ct", "lt"]]
+
+    packed = kept.groupBy("shard").applyInPandas(
+        pack, "shard bigint, pack_id bigint, ct bigint, lt bigint"
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.sum("ct").cast("bigint").alias("total_tokens"),
+        F.sum("lt").cast("bigint").alias("loss_tokens"),
+        (F.lit(budget) - F.sum("ct")).cast("bigint").alias("pad_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B592 (round 12) — corpus-level BLEU-2 (Papineni et al. 2002): the
 # generation-eval aggregate every LLM pipeline runs over (hypothesis,
 # reference) pairs.  Pairing here is deterministic from the fixture

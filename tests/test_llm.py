@@ -2161,3 +2161,69 @@ class TestBleuCorpus:
         bleu = bp * math.sqrt((float(m1) / hyp) * (float(m2) / t2))
         assert row.bleu2_fp == math.floor(bleu * 1000000 + 0.5)
         assert 0 < row.bleu2_fp < 1_000_000  # near-refs, not identical
+
+
+class TestPackChatTurns:
+    def test_packing_invariants_and_independent_replay(self, spark, sf_dir):
+        """Every pack fits the budget; the per-shard next-fit is
+        replayed independently from the conversation table; oversize
+        conversations are dropped, not split."""
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.queries.llm import _CHAT_BUDGET, _CHAT_SHARDS
+        from psvm_spark.registry import QUERIES
+
+        rows = QUERIES["pack_chat_turns"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r.total_tokens <= _CHAT_BUDGET
+            assert r.pad_tokens == _CHAT_BUDGET - r.total_tokens
+            assert 0 <= r.loss_tokens <= r.total_tokens
+
+        ev = load_table(spark, sf_dir, "events").select(
+            F.pmod("user_id", F.lit(_CHAT_SHARDS)).alias("shard"),
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").cast("string").alias("wk"),
+            (
+                F.lit(1)
+                + F.pmod(
+                    F.expr(
+                        "cast(conv(substring(md5(concat('tok:',"
+                        " cast(event_id as string))), 1, 8), 16, 10)"
+                        " as bigint)"
+                    ),
+                    F.lit(64),
+                )
+            ).alias("nt"),
+        )
+        conv = (
+            ev.groupBy("shard", "user_id", "wk")
+            .agg(F.sum("nt").alias("ct"))
+            .collect()
+        )
+        per_shard: dict[int, list] = {}
+        dropped = 0
+        for c in sorted(conv, key=lambda c: (c.shard, c.user_id, c.wk)):
+            if c.ct > _CHAT_BUDGET:
+                dropped += 1
+                continue
+            per_shard.setdefault(c.shard, []).append(int(c.ct))
+        want = {}
+        for shard, cts in per_shard.items():
+            fill, pid, agg = 0, 0, {}
+            for ct in cts:
+                if pid == 0 or fill + ct > _CHAT_BUDGET:
+                    pid += 1
+                    fill = ct
+                else:
+                    fill += ct
+                n, tot = agg.get(pid, (0, 0))
+                agg[pid] = (n + 1, tot + ct)
+            for pid, (n, tot) in agg.items():
+                want[(shard, pid)] = (n, tot)
+        got = {
+            (r.shard, r.pack_id): (r.n_convs, r.total_tokens) for r in rows
+        }
+        assert got == want
+        assert len(conv) == sum(len(v) for v in per_shard.values()) + dropped
