@@ -308,10 +308,12 @@ _NEVER_SAMPLED_AS_OF_R10: frozenset[str] = frozenset({
 
 # The 50 keys the round-11 driver sample covered (CORRECTNESS_r11.json,
 # 50/50 hash-green) — all drawn from the never-sampled round-10 pool.
-# Rotated out of the fresh tier so round 12's sample lands on the 19
-# pool remainders + 5 stale re-serves + 15 round-11 additions (39 keys),
-# completing first-party driver evidence for the whole registry; the
-# 11 spare slots refresh the oldest evidence (_R12_REFRESHERS).
+# Rotated out of the fresh tier so round 12's sample completes
+# first-party driver evidence for the whole registry: 19 pool
+# remainders + 5 stale re-serves + 15 round-11 additions + the 8
+# round-12 additions (B586-B593, which register as fresh new_oracle
+# keys and sort ahead of the refreshers) = 47 sweep keys, leaving 3
+# spare slots for the oldest-evidence refreshers (_R12_REFRESHERS).
 _DRIVER_SAMPLED_R11: frozenset[str] = frozenset({
     "ab_test_bayesian_beta", "ab_test_ipw_estimate",
     "ab_test_ratio_delta", "agg_approx_top_k_exact_twin",
@@ -336,15 +338,16 @@ _DRIVER_SAMPLED_R11: frozenset[str] = frozenset({
     "warehouse_row_lineage",
 })
 
-# Round-12 spare-slot refreshers: the 11 oracle-backed keys with the
-# OLDEST driver evidence (all last sampled in round 2, per the
-# CORRECTNESS_r01..r11 ledgers).  Pinned right after the round-11
-# additions so the 39 sweep-completing keys + these 11 fill the 50.
+# Round-12 spare-slot refreshers: oracle-backed keys with the OLDEST
+# driver evidence (last sampled in round 2, per the CORRECTNESS_r01..r11
+# ledgers).  Queued after every fresh (never-sampled) key; with 47
+# sweep keys ahead of them only the first 3 fit round 12's 50-key
+# sample — the remainder of the round-2 cohort (dedup_exact,
+# dedup_ngram_jaccard, dedup_simhash, doc_fingerprint,
+# doc_rolling_hash, funnel_steps, fuzzy_blocked_match, metric_wau)
+# queues for round 13's spare slots.
 _R12_REFRESHERS: tuple[str, ...] = (
-    "anomaly_mad", "cohort_retention", "dedup_embedding", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
-    "doc_rolling_hash", "funnel_steps", "fuzzy_blocked_match",
-    "metric_wau",
+    "anomaly_mad", "cohort_retention", "dedup_embedding",
 )
 
 # Keys last driver-sampled while still rows-only (r4 ``no_oracle``)

@@ -289,8 +289,10 @@ VARIANTS = {
 
 
 def main() -> int:
+    import os
+
     out_path = sys.argv[1] if len(sys.argv) > 1 else "arrow_tier_audit.json"
-    base = "/root/testdata/sf0.1"
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out20 = "/tmp/psvm_scale20"
     spark = get_spark("psvm_arrow_audit")
     spark.sparkContext.setLogLevel("ERROR")

@@ -35,6 +35,7 @@ from psvm_spark.session import get_spark
 #   (c) a deliberate non-equi demo on bounded inputs
 WHITELIST = {
     "join_cross": "(c) deliberate cross join demo (dim x dim, both tiny)",
+    "eval_bleu_corpus": "(a) 1-row x 1-row x 1-row stat combine (corpus totals x match1 x match2); the n-gram clipping joins are equi on (doc_id, gram)",
     "graph_triangle_count": "(a) 1-row x 1-row x 1-row stat combine; wedge/closure joins are equi",
     "join_bloom_prune": "(a) 1-row bloom-bitmap broadcast attach; the data joins are equi/semi",
     "join_theta": "(c) deliberate non-equi theta join demo (bounded inputs)",

@@ -426,9 +426,20 @@ class TestPageIndexPrune:
                     assert offidx.getPageCount() > 1, (
                         "page.row.count.limit did not split pages"
                     )
-                    # sorted layout => per-page min/max are monotone
+                    # sorted layout => per-page INT64 mins are
+                    # non-decreasing (the property pruning relies on)
                     mins = colidx.getMinValues()
                     assert mins.size() == offidx.getPageCount()
+                    decoded = []
+                    for mi in range(mins.size()):
+                        bb = mins.get(mi)
+                        raw = bytes(
+                            bb.get(k) & 0xFF for k in range(bb.remaining())
+                        )
+                        decoded.append(
+                            int.from_bytes(raw, "little", signed=True)
+                        )
+                    assert decoded == sorted(decoded), decoded
                     found = True
             assert found, "o_orderkey chunk not found"
         finally:
