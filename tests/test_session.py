@@ -40,40 +40,52 @@ class TestHostileSessionConfs:
 
 
 class TestRegistrationRotation:
-    def test_first_50_keys_fill_the_round_11_sample(self):
+    def test_first_50_keys_complete_the_registry_sweep(self):
         """The driver's correctness sample is the FIRST 50 registered
-        keys; the round-11 rotation pins the ordering as: the 69-key
-        never-sampled-as-of-r10 pool (oracle-backed first), then the
-        5 remaining stale-converted keys (re-serve tier), then keys
-        added in round 11+, then everything already sampled.  The
-        round-11 sample draws 50 of the 69; the leftover 19 + 5 stale
-        fill round 12's sample, finishing the full-registry sweep —
-        pin that so an innocent import reorder or an early-module
-        addition can't displace it."""
+        keys; the round-12 rotation pins the ordering as: every
+        never-driver-sampled key (19 round-10 pool remainders,
+        oracle-backed first, then the round-11/12 additions), then the
+        5 stale-converted re-serves, then the 3 spare-slot refreshers
+        — so round 12's sample grants first-party driver evidence to
+        EVERY remaining key (the full-registry sweep).  Pin that so an
+        innocent import reorder or an early-module addition can't
+        displace it."""
         from psvm_spark import registry
 
         registry.load_all()
         keys = list(registry.QUERIES)
-        first50 = keys[:50]
-        pool_in = [
-            k for k in first50 if k in registry._NEVER_SAMPLED_AS_OF_R10
-        ]
-        assert len(pool_in) == 50
-        # group order is total: pool(oracle, rows), stale, new, sampled
+        first50 = set(keys[:50])
+        sampled = (
+            registry._DRIVER_SAMPLED_R1_R10 | registry._DRIVER_SAMPLED_R11
+        )
+        never = [k for k in keys if k not in sampled]
+        # the sweep completes: every never-sampled key + the stale
+        # re-serves + the refreshers all fit in the 50-key window
+        assert (
+            len(never)
+            + len(registry._STALE_CONVERTED)
+            + len(registry._R12_REFRESHERS)
+            == 50
+        )
+        assert all(k in first50 for k in never)
+        assert all(k in first50 for k in registry._STALE_CONVERTED)
+        assert all(k in first50 for k in registry._R12_REFRESHERS)
+
+        # group order is total: pool(oracle, rows), stale, new,
+        # refreshers, long-sampled
         def rank(k):
-            if k in registry._NEVER_SAMPLED_AS_OF_R10:
+            if k in registry._NEVER_SAMPLED_AS_OF_R10 and k not in sampled:
                 return 0 if k in registry.ORACLES else 1
             if k in registry._STALE_CONVERTED:
                 return 2
-            if k not in registry._DRIVER_SAMPLED_R1_R10:
+            if k not in sampled:
                 return 3
-            return 4
+            if k in registry._R12_REFRESHERS:
+                return 4
+            return 5
 
         ranks = [rank(k) for k in keys]
         assert ranks == sorted(ranks)
-        # the 24 keys right after the 69-key pool are the round-12 queue:
-        # the 5 stale re-serves come immediately after the pool
-        assert keys[69:74] == list(registry._STALE_CONVERTED)
 
     def test_every_registry_key_traces_to_survey_section_2(self):
         """The driver contract (__spark_entry__) defines queries() as
