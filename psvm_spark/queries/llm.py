@@ -2426,29 +2426,31 @@ p AS (
          lead(tk) OVER (PARTITION BY source ORDER BY doc_id) AS rtk
   FROM d),
 pairs AS (SELECT doc_id, tk, rtk FROM p WHERE rtk IS NOT NULL),
-hc1 AS (SELECT doc_id, g, COUNT(*) AS c
-        FROM (SELECT doc_id, unnest(tk) AS g FROM pairs) GROUP BY 1, 2),
-rc1 AS (SELECT doc_id, g, COUNT(*) AS c
-        FROM (SELECT doc_id, unnest(rtk) AS g FROM pairs) GROUP BY 1, 2),
-hc2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
-          SELECT doc_id,
-                 unnest([tk[i] || ' ' || tk[i + 1]
-                         FOR i IN generate_series(1, len(tk) - 1)]) AS g
-          FROM pairs WHERE len(tk) >= 2) GROUP BY 1, 2),
-rc2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
-          SELECT doc_id,
-                 unnest([rtk[i] || ' ' || rtk[i + 1]
-                         FOR i IN generate_series(1, len(rtk) - 1)]) AS g
-          FROM pairs WHERE len(rtk) >= 2) GROUP BY 1, 2),
+hc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+         SELECT doc_id,
+                unnest(list_concat(tk,
+                  [tk[i] || ' ' || tk[i + 1]
+                   FOR i IN generate_series(1, len(tk) - 1)])) AS g
+         FROM pairs) GROUP BY 1, 2),
+rc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+         SELECT doc_id,
+                unnest(list_concat(rtk,
+                  [rtk[i] || ' ' || rtk[i + 1]
+                   FOR i IN generate_series(1, len(rtk) - 1)])) AS g
+         FROM pairs) GROUP BY 1, 2),
+m AS (
+  SELECT SUM(CASE WHEN strpos(g, ' ') = 0
+                  THEN LEAST(hc.c, rc.c) ELSE 0 END) AS match1,
+         SUM(CASE WHEN strpos(g, ' ') > 0
+                  THEN LEAST(hc.c, rc.c) ELSE 0 END) AS match2
+  FROM hc JOIN rc USING (doc_id, g)),
 agg AS (
   SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
          (SELECT SUM(len(tk)) FROM pairs) AS hyp_tokens,
          (SELECT SUM(len(rtk)) FROM pairs) AS ref_tokens,
-         (SELECT SUM(LEAST(hc1.c, rc1.c))
-          FROM hc1 JOIN rc1 USING (doc_id, g)) AS match1,
+         (SELECT match1 FROM m) AS match1,
          (SELECT SUM(len(tk)) FROM pairs) AS total1,
-         (SELECT SUM(LEAST(hc2.c, rc2.c))
-          FROM hc2 JOIN rc2 USING (doc_id, g)) AS match2,
+         (SELECT match2 FROM m) AS match2,
          (SELECT SUM(GREATEST(len(tk) - 1, 0)) FROM pairs) AS total2)
 SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(hyp_tokens AS BIGINT) AS hyp_tokens,
@@ -2474,34 +2476,38 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "tk", F.lead("tk").over(w).alias("rtk"))
         .filter(F.col("rtk").isNotNull())
     )
-    bigr = (
-        "transform(sequence(1, size({c}) - 1),"
-        " i -> concat({c}[i - 1], ' ', {c}[i]))"
+    # unigrams never contain a space and bigrams always do, so BOTH
+    # n-gram orders ride one count table per side and one clipping
+    # join, split back by the space test — halves the evaluations of
+    # the pairs subtree vs per-order branches (sf1 tail trim, r12)
+    grams = (
+        "concat({c}, if(size({c}) >= 2,"
+        " transform(sequence(1, size({c}) - 1),"
+        " i -> concat({c}[i - 1], ' ', {c}[i])), array()))"
     )
 
-    def counts(col: str, gram_expr: str, guard: int):
+    def counts(gram_expr: str):
         return (
-            pairs.filter(F.size(col) >= guard)
-            .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+            pairs.select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
             .groupBy("doc_id", "g")
             .agg(F.count(F.lit(1)).alias("c"))
         )
 
-    def clipped(h, r):
-        return h.alias("h").join(
-            r.alias("r"), ["doc_id", "g"]
-        ).agg(
-            F.sum(F.least(F.col("h.c"), F.col("r.c")))
+    is_bigram = F.col("g").contains(" ")
+    clip = F.least(F.col("h.c"), F.col("r.c"))
+    m = (
+        counts(grams.format(c="tk"))
+        .alias("h")
+        .join(counts(grams.format(c="rtk")).alias("r"), ["doc_id", "g"])
+        .agg(
+            F.sum(F.when(~is_bigram, clip).otherwise(0))
             .cast("bigint")
+            .alias("match1"),
+            F.sum(F.when(is_bigram, clip).otherwise(0))
+            .cast("bigint")
+            .alias("match2"),
         )
-
-    m1 = clipped(counts("tk", "tk", 1), counts("rtk", "rtk", 1)).toDF(
-        "match1"
     )
-    m2 = clipped(
-        counts("tk", bigr.format(c="tk"), 2),
-        counts("rtk", bigr.format(c="rtk"), 2),
-    ).toDF("match2")
     stats = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(F.size("tk")).cast("bigint").alias("hyp_tokens"),
@@ -2511,7 +2517,7 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total2"),
     )
-    joined = stats.crossJoin(m1).crossJoin(m2)
+    joined = stats.crossJoin(m)
     bleu = F.floor(
         F.least(
             F.lit(1.0),
