@@ -2546,6 +2546,120 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B594 (round 12) — corpus ROUGE-L (Lin 2004): the LCS-based summary/
+# generation metric next to BLEU-2 (B592), same deterministic
+# next-doc-in-source pairing.  The LCS row recurrence dp[i][j] =
+# max(dp[i-1][j], dp[i][j-1], dp[i-1][j-1]+eq) has an in-row
+# dependency, but unrolling it gives dp[i][j] = max_{k<=j} t[k] with
+# t[k] = max(dp[i-1][k], dp[i-1][k-1]+eq_ik) — a RUNNING MAX, which
+# numpy computes as maximum.accumulate inside an Arrow-batched pandas
+# UDF (one O(n*m) vectorized pass per pair, no Python inner loop) and
+# the oracle replays as a nested list comprehension in a recursive CTE
+# that carries the previous DP row as a list column.  All DP values
+# are exact integers; only the final corpus F-measure quantizes to
+# micro-ROUGE fixed point.  Scale shape: embarrassingly parallel per
+# pair after one window shuffle — no joins at all.
+
+
+@query(
+    "eval_rouge_l",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents),
+p AS (
+  SELECT doc_id, tk,
+         lead(tk) OVER (PARTITION BY source ORDER BY doc_id) AS rtk
+  FROM d),
+pairs AS (SELECT doc_id, tk, rtk FROM p WHERE rtk IS NOT NULL),
+dp AS (
+  SELECT doc_id, tk, rtk, 0 AS i,
+         list_transform(generate_series(0, len(rtk)),
+                        x -> CAST(0 AS BIGINT)) AS row
+  FROM pairs
+  UNION ALL
+  SELECT doc_id, tk, rtk, i + 1,
+         list_prepend(CAST(0 AS BIGINT),
+           [list_max(
+              [GREATEST(row[k + 1], row[k]
+                        + CASE WHEN rtk[k] = tk[i + 1]
+                               THEN 1 ELSE 0 END)
+               FOR k IN generate_series(1, j)])
+            FOR j IN generate_series(1, len(rtk))])
+  FROM dp WHERE i < len(tk)),
+lcs AS (
+  SELECT doc_id, row[len(rtk) + 1] AS l, len(tk) AS nh, len(rtk) AS nr
+  FROM dp WHERE i = len(tk)),
+agg AS (
+  SELECT COUNT(*) AS n_pairs, SUM(l) AS sum_lcs,
+         SUM(nh) AS hyp_tokens, SUM(nr) AS ref_tokens
+  FROM lcs)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(sum_lcs AS BIGINT) AS sum_lcs,
+       CAST(hyp_tokens AS BIGINT) AS hyp_tokens,
+       CAST(ref_tokens AS BIGINT) AS ref_tokens,
+       CAST(floor(2.0 * (CAST(sum_lcs AS DOUBLE) / hyp_tokens)
+                      * (CAST(sum_lcs AS DOUBLE) / ref_tokens)
+                  / (CAST(sum_lcs AS DOUBLE) / hyp_tokens
+                     + CAST(sum_lcs AS DOUBLE) / ref_tokens)
+                  * 1000000 + 0.5) AS BIGINT) AS rouge_l_f_fp
+FROM agg
+""",
+)
+def eval_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def lcs_len(hyps, refs):  # two pd.Series of token lists
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for a, b in zip(hyps, refs):
+            b_arr = np.asarray(b, dtype=object)
+            prev = np.zeros(len(b_arr) + 1, dtype=np.int64)
+            for x in a:
+                t = np.maximum(prev[1:], prev[:-1] + (b_arr == x))
+                prev = np.concatenate(([0], np.maximum.accumulate(t)))
+            out.append(int(prev[-1]))
+        return pd.Series(out, dtype="int64")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("tk"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        d.select("doc_id", "tk", F.lead("tk").over(w).alias("rtk"))
+        .filter(F.col("rtk").isNotNull())
+    )
+    scored = fan_out(pairs, spark).select(
+        lcs_len("tk", "rtk").alias("l"),
+        F.size("tk").alias("nh"),
+        F.size("rtk").alias("nr"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("l").cast("bigint").alias("sum_lcs"),
+        F.sum("nh").cast("bigint").alias("hyp_tokens"),
+        F.sum("nr").cast("bigint").alias("ref_tokens"),
+    )
+    prec = F.col("sum_lcs").cast("double") / F.col("hyp_tokens")
+    rec = F.col("sum_lcs").cast("double") / F.col("ref_tokens")
+    return agg.select(
+        "n_pairs",
+        "sum_lcs",
+        "hyp_tokens",
+        "ref_tokens",
+        F.floor(2.0 * prec * rec / (prec + rec) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("rouge_l_f_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B591 (round 12) — differentially-private histogram release (the
 # Laplace mechanism, Dwork et al. 2006): per-month order counts with
 # Laplace(sensitivity/epsilon) noise, the release shape every DP

@@ -310,9 +310,9 @@ _NEVER_SAMPLED_AS_OF_R10: frozenset[str] = frozenset({
 # 50/50 hash-green) — all drawn from the never-sampled round-10 pool.
 # Rotated out of the fresh tier so round 12's sample completes
 # first-party driver evidence for the whole registry: 19 pool
-# remainders + 5 stale re-serves + 15 round-11 additions + the 8
-# round-12 additions (B586-B593, which register as fresh new_oracle
-# keys and sort ahead of the refreshers) = 47 sweep keys, leaving 3
+# remainders + 5 stale re-serves + 15 round-11 additions + the 9
+# round-12 additions (B586-B594, which register as fresh new_oracle
+# keys and sort ahead of the refreshers) = 48 sweep keys, leaving 2
 # spare slots for the oldest-evidence refreshers (_R12_REFRESHERS).
 _DRIVER_SAMPLED_R11: frozenset[str] = frozenset({
     "ab_test_bayesian_beta", "ab_test_ipw_estimate",
@@ -340,14 +340,14 @@ _DRIVER_SAMPLED_R11: frozenset[str] = frozenset({
 
 # Round-12 spare-slot refreshers: oracle-backed keys with the OLDEST
 # driver evidence (last sampled in round 2, per the CORRECTNESS_r01..r11
-# ledgers).  Queued after every fresh (never-sampled) key; with 47
-# sweep keys ahead of them only the first 3 fit round 12's 50-key
-# sample — the remainder of the round-2 cohort (dedup_exact,
-# dedup_ngram_jaccard, dedup_simhash, doc_fingerprint,
+# ledgers).  Queued after every fresh (never-sampled) key; with 48
+# sweep keys ahead of them only the first 2 fit round 12's 50-key
+# sample — the remainder of the round-2 cohort (dedup_embedding,
+# dedup_exact, dedup_ngram_jaccard, dedup_simhash, doc_fingerprint,
 # doc_rolling_hash, funnel_steps, fuzzy_blocked_match, metric_wau)
 # queues for round 13's spare slots.
 _R12_REFRESHERS: tuple[str, ...] = (
-    "anomaly_mad", "cohort_retention", "dedup_embedding",
+    "anomaly_mad", "cohort_retention",
 )
 
 # Keys last driver-sampled while still rows-only (r4 ``no_oracle``)

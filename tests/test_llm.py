@@ -2227,3 +2227,51 @@ class TestPackChatTurns:
         }
         assert got == want
         assert len(conv) == sum(len(v) for v in per_shard.values()) + dropped
+
+
+class TestRougeL:
+    def test_lcs_matches_classic_dp(self, spark, sf_dir):
+        """The running-max row formulation must equal the classic
+        O(nm) LCS table on every pair, recomputed in pure Python, and
+        the corpus aggregates must assemble from those lengths."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+        from psvm_spark.registry import QUERIES
+
+        row = QUERIES["eval_rouge_l"](spark, sf_dir).collect()[0]
+        docs = sorted(
+            (r.source, r.doc_id, [t for t in r.text.split(" ") if t])
+            for r in load_table(spark, sf_dir, "documents")
+            .select("source", "doc_id", "text")
+            .collect()
+        )
+        pairs = [
+            (tk, docs[i + 1][2])
+            for i, (src, _, tk) in enumerate(docs[:-1])
+            if docs[i + 1][0] == src
+        ]
+
+        def lcs(a, b):
+            dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i, x in enumerate(a, 1):
+                for j, y in enumerate(b, 1):
+                    dp[i][j] = (
+                        dp[i - 1][j - 1] + 1
+                        if x == y
+                        else max(dp[i - 1][j], dp[i][j - 1])
+                    )
+            return dp[-1][-1]
+
+        s_lcs = sum(lcs(a, b) for a, b in pairs)
+        hyp = sum(len(a) for a, _ in pairs)
+        ref = sum(len(b) for _, b in pairs)
+        assert (row.n_pairs, row.sum_lcs) == (len(pairs), s_lcs)
+        assert (row.hyp_tokens, row.ref_tokens) == (hyp, ref)
+        p, r = s_lcs / hyp, s_lcs / ref
+        assert row.rouge_l_f_fp == math.floor(
+            2.0 * p * r / (p + r) * 1000000 + 0.5
+        )
+        assert 0 < row.rouge_l_f_fp < 1_000_000
