@@ -62,7 +62,11 @@ GROUP BY o_orderstatus
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     out = scratch_dir("psvm_sink_") + "/orders_by_status"
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    # repartition on the partition column: one file per status written in
+    # parallel instead of every status from every input split (guide §6)
+    o.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
     back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),

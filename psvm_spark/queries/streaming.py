@@ -601,9 +601,12 @@ def stream_state_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    run_once()  # processes half 1, commits state, stops
-    half2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h2")
-    run_once()  # restart: new input is ONLY half 2; state must recover
+    from psvm_spark.streaming.jobs import state_partitions_ctx
+
+    with state_partitions_ctx(spark):
+        run_once()  # processes half 1, commits state, stops
+        half2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h2")
+        run_once()  # restart: new input is ONLY half 2; state must recover
     return spark.table(sink).select("event_type", F.col("n").cast("bigint").alias("n"))
 
 
@@ -940,21 +943,24 @@ def stream_dedup_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    run_once()  # real events: state accumulates, no window finalizes
-    # sentinel anchors to MAX(ts): anchoring to an arbitrary row (the
-    # original limit(1) + 30 days) left the stream's last minutes
-    # inside the final watermark and silently withheld their windows
-    # once the span approached the margin (round-10 review catch)
-    sentinel = ev.agg(F.max("ts").alias("mx")).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("__sentinel__").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit("{}").alias("props"),
-    ).select(*ev.columns)
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/flush")
-    run_once()  # sentinel pushes the watermark: every real window emits
+    from psvm_spark.streaming.jobs import state_partitions_ctx
+
+    with state_partitions_ctx(spark):
+        run_once()  # real events: state accumulates, no window finalizes
+        # sentinel anchors to MAX(ts): anchoring to an arbitrary row (the
+        # original limit(1) + 30 days) left the stream's last minutes
+        # inside the final watermark and silently withheld their windows
+        # once the span approached the margin (round-10 review catch)
+        sentinel = ev.agg(F.max("ts").alias("mx")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).select(*ev.columns)
+        sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/flush")
+        run_once()  # sentinel pushes the watermark: every real window emits
     return (
         spark.read.parquet(out)
         .filter(F.col("event_type") != "__sentinel__")
@@ -1065,25 +1071,28 @@ def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    run_once()  # real events: inner matches emit, unmatched lefts held
-    # The query's GLOBAL watermark is the MIN across both sides'
-    # watermark operators, so the flush needs a sentinel on EACH side:
-    # one '__sentinel__' row advances the error side, one 'click' row
-    # (user -1, matches only the sentinel error, filtered below)
-    # advances the click side — otherwise errors within the band of the
-    # last real click are never proven unmatched and never emit.
-    sentinel = ev.agg(F.max("ts").alias("mx")).select(
-        F.explode(
-            F.array(F.lit("__sentinel__"), F.lit("click"))
-        ).alias("event_type"),
-        F.lit(-1).cast("long").alias("event_id"),
-        (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit(0.0).alias("value"),
-        F.lit("{}").alias("props"),
-    ).select(*ev.columns)
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/flush")
-    run_once()  # watermark passes: retained lefts flush null-extended
+    from psvm_spark.streaming.jobs import state_partitions_ctx
+
+    with state_partitions_ctx(spark):
+        run_once()  # real events: inner matches emit, unmatched lefts held
+        # The query's GLOBAL watermark is the MIN across both sides'
+        # watermark operators, so the flush needs a sentinel on EACH side:
+        # one '__sentinel__' row advances the error side, one 'click' row
+        # (user -1, matches only the sentinel error, filtered below)
+        # advances the click side — otherwise errors within the band of the
+        # last real click are never proven unmatched and never emit.
+        sentinel = ev.agg(F.max("ts").alias("mx")).select(
+            F.explode(
+                F.array(F.lit("__sentinel__"), F.lit("click"))
+            ).alias("event_type"),
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).select(*ev.columns)
+        sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/flush")
+        run_once()  # watermark passes: retained lefts flush null-extended
     pairs = spark.read.parquet(out).filter(F.col("event_type") == "error")
     per_error = pairs.groupBy("error_id", "user_id").agg(
         F.max(F.col("matched").cast("int")).alias("any_match")
@@ -1310,23 +1319,26 @@ def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
         )
         q.awaitTermination()
 
-    run_once()  # real events: inner matches emit, both sides retained
-    # Dual-side sentinel (stream_outer_interval_join protocol): one
-    # '__sentinel__' error and one user -1 click advance each side's
-    # watermark past every real row, flushing the retained unmatched
-    # rows from BOTH state stores.
-    sentinel = ev.agg(F.max("ts").alias("mx")).select(
-        F.explode(
-            F.array(F.lit("__sentinel__"), F.lit("click"))
-        ).alias("event_type"),
-        F.lit(-1).cast("long").alias("event_id"),
-        (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit(0.0).alias("value"),
-        F.lit("{}").alias("props"),
-    ).select(*ev.columns)
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/flush")
-    run_once()  # watermark passes: both sides' unmatched flush
+    from psvm_spark.streaming.jobs import state_partitions_ctx
+
+    with state_partitions_ctx(spark):
+        run_once()  # real events: inner matches emit, both sides retained
+        # Dual-side sentinel (stream_outer_interval_join protocol): one
+        # '__sentinel__' error and one user -1 click advance each side's
+        # watermark past every real row, flushing the retained unmatched
+        # rows from BOTH state stores.
+        sentinel = ev.agg(F.max("ts").alias("mx")).select(
+            F.explode(
+                F.array(F.lit("__sentinel__"), F.lit("click"))
+            ).alias("event_type"),
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).select(*ev.columns)
+        sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/flush")
+        run_once()  # watermark passes: both sides' unmatched flush
     rows = spark.read.parquet(out)
     err_side = (
         rows.filter(F.col("e_type") == "error")
@@ -1430,10 +1442,13 @@ def stream_rocksdb_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true",
     )
+    from psvm_spark.streaming.jobs import state_partitions_ctx
+
     try:
-        run_once()  # half 1 into RocksDB state, stop
-        half2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h2")
-        run_once()  # restart: RocksDB state must recover via changelog
+        with state_partitions_ctx(spark):
+            run_once()  # half 1 into RocksDB state, stop
+            half2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/h2")
+            run_once()  # restart: RocksDB state must recover via changelog
     finally:
         for key, prev in (
             ("spark.sql.streaming.stateStore.providerClass", prev_provider),
@@ -1478,15 +1493,18 @@ def scan_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     ckpt = scratch_dir("psvm_ssread_ckpt_")
     name = f"psvm_ssread_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from psvm_spark.streaming.jobs import state_partitions_ctx
+
+    with state_partitions_ctx(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.event_type").alias("event_type"),

@@ -1095,7 +1095,12 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
     )
     out = scratch_dir("psvm_dynow_") + "/orders_by_month"
-    o.write.mode("overwrite").partitionBy("mth").parquet(out)
+    # repartition on the partition column first: a dynamic-partition
+    # write from N input partitions otherwise opens one file per
+    # (task x month) — N*12 tiny files and a single-threaded write when
+    # the input is one split (guide §6 small-files).  One exchange of
+    # the skinny projection buys per-partition parallel single files.
+    o.repartition("mth").write.mode("overwrite").partitionBy("mth").parquet(out)
     # restate January only, under DYNAMIC overwrite.  Cast the adjusted
     # column BACK to decimal(12,2): decimal + decimal widens to
     # decimal(13,2), and writing that would leave January's parquet
@@ -1982,6 +1987,7 @@ def warehouse_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFram
     root = scratch_dir("psvm_manifest_")
     (
         o.withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
+        .repartition("o_month")  # one file per month, written in parallel
         .write.mode("overwrite")
         .partitionBy("o_month")
         .parquet(f"{root}/data")
@@ -2095,6 +2101,7 @@ def warehouse_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     # commit 1: initial month-partitioned write + snapshot-1 manifest
     (
         o.withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
+        .repartition("o_month")  # one file per month, written in parallel
         .write.mode("overwrite")
         .partitionBy("o_month")
         .parquet(f"{root}/data")
@@ -2199,6 +2206,7 @@ def warehouse_vacuum_unreferenced(spark: SparkSession, sf_dir: str) -> DataFrame
     root = scratch_dir("psvm_vacuum_")
     (
         o.withColumn("o_month", F.date_trunc("month", "o_orderdate").cast("date"))
+        .repartition("o_month")  # one file per month, written in parallel
         .write.mode("overwrite")
         .partitionBy("o_month")
         .parquet(f"{root}/data")
@@ -2315,6 +2323,7 @@ def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     split = F.lit(_PE_SPLIT).cast("date")
     (
         o.filter(F.col("o_orderdate") < split)
+        .repartition("o_month")  # one file per spec-1 partition
         .write.mode("overwrite")
         .partitionBy("o_month")
         .parquet(f"{root}/spec1")
@@ -2322,16 +2331,28 @@ def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     (
         o.filter(F.col("o_orderdate") >= split)
         .withColumn("o_prio", F.col("o_orderpriority"))
+        .repartition("o_month", "o_prio")  # one file per spec-2 partition
         .write.mode("overwrite")
         .partitionBy("o_month", "o_prio")
         .parquet(f"{root}/spec2")
     )
-    ent1 = [
-        {"spec": 1, "path": f"{root}/spec1/o_month={r.mo}", "month": str(r.mo)}
-        for r in o.filter(F.col("o_orderdate") < split)
-        .select(F.col("o_month").alias("mo"))
+    # ONE manifest-derivation job for both specs (was two distinct+collect
+    # jobs over the same scan): spec-1 months are deduplicated in Python
+    # from the (month, prio) grain, a few hundred rows either way.
+    specs = (
+        o.select(
+            F.col("o_month").alias("mo"),
+            F.when(F.col("o_orderdate") < split, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("spec"),
+            F.col("o_orderpriority").alias("prio"),
+        )
         .distinct()
         .collect()
+    )
+    ent1 = [
+        {"spec": 1, "path": f"{root}/spec1/o_month={m}", "month": m}
+        for m in sorted({str(r.mo) for r in specs if r.spec == 1})
     ]
     ent2 = [
         {
@@ -2340,10 +2361,8 @@ def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
             "month": str(r.mo),
             "prio": r.prio,
         }
-        for r in o.filter(F.col("o_orderdate") >= split)
-        .select(F.col("o_month").alias("mo"), F.col("o_orderpriority").alias("prio"))
-        .distinct()
-        .collect()
+        for r in specs
+        if r.spec == 2
     ]
     with open(f"{root}/manifest.json", "w") as fh:
         json.dump(ent1 + ent2, fh)
@@ -2618,7 +2637,6 @@ def warehouse_merge_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    n_files_touched = touched.count()
     n_rows_rewritten = rewritten.count()
     rewritten.unionByName(inserts).write.mode("overwrite").parquet(
         f"{root}/cow_v2"
@@ -2641,8 +2659,17 @@ def warehouse_merge_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(inserts).write.mode("overwrite").parquet(f"{root}/delta")
     vec = spark.read.parquet(f"{root}/dv")
     delta = spark.read.parquet(f"{root}/delta")
-    n_dv = vec.count()
-    n_delta = delta.count()
+    # one stats job instead of three (touched.count, vec.count,
+    # delta.count): all three are aggregates of the SAME base scan —
+    # n_dv = update rows, n_delta = update + insert rows by construction
+    stats = base.agg(
+        F.countDistinct(F.when(is_upd, F.col("_file"))).alias("nf"),
+        F.sum(is_upd.cast("long")).alias("nu"),
+        F.sum(is_ins.cast("long")).alias("ni"),
+    ).collect()[0]
+    n_files_touched = int(stats.nf)
+    n_dv = int(stats.nu)
+    n_delta = int(stats.nu) + int(stats.ni)
     mor_read = base.join(
         F.broadcast(vec), ["_file", "_pos"], "left_anti"
     ).select("o_orderkey", "cents").unionByName(
@@ -2942,7 +2969,9 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("price_c"),
     )
-    fact.write.mode("overwrite").partitionBy("m").parquet(f"{root}/fact")
+    fact.repartition("m").write.mode("overwrite").partitionBy("m").parquet(
+        f"{root}/fact"
+    )
     part = spark.read.parquet(f"{root}/fact")
     dim = (
         o.filter(

@@ -18,6 +18,7 @@ state stores shard by the grouping key across executors.
 from __future__ import annotations
 
 import itertools
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,46 @@ from psvm_spark.queries._util import scratch_dir
 from psvm_spark.session import ensure_session_invariants
 
 _counter = itertools.count()
+
+# Raw parquet schemas memoized per (session, path): plan METADATA only —
+# never rows — so re-deriving it per streaming key (there are ~40) would
+# just repeat the same footer read + inference job.  Same contract as
+# catalog.load_table's DataFrame memo.
+_schema_cache: dict[tuple[int, str], object] = {}
+
+
+def _raw_schema(spark: SparkSession, path: str):
+    key = (id(spark), path)
+    if key not in _schema_cache:
+        _schema_cache[key] = spark.read.parquet(path).schema
+    return _schema_cache[key]
+
+
+@contextmanager
+def state_partitions_ctx(spark: SparkSession, n: int | None = None):
+    """Run a streaming query with its state sized to key cardinality.
+
+    A stateful operator creates one state-store instance per shuffle
+    partition, FIXED at the query's first run; store instances dominate
+    the cost of low-cardinality demos (RocksDB native init, HDFS-backed
+    delta files per store per batch).  `psvm.stream.state_partitions`
+    (default 8) parameterizes it: at 100 TB the same knob is set to
+    match key cardinality / throughput, exactly as run_to_table already
+    does for its callers.  Restores the session conf afterwards; only
+    the streaming run inside the context is affected, so batch results
+    are unchanged (values never depend on partitioning).
+    """
+    if n is None:
+        try:
+            n = int(spark.conf.get("psvm.stream.state_partitions", "8"))
+        except Exception:  # noqa: BLE001
+            n = 8
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +85,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_invariants(spark)
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _raw_schema(spark, path)
     if os.path.isdir(path):
         df = spark.readStream.schema(raw_schema).parquet(path)
     else:
@@ -70,7 +111,7 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_invariants(spark)
     path = f"{sf_dir.rstrip('/')}/documents.parquet"
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _raw_schema(spark, path)
     if os.path.isdir(path):
         df = spark.readStream.schema(raw_schema).parquet(path)
     else:
