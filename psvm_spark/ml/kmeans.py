@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
+from psvm_spark.queries._util import lit_double_matrix
 
 
 def _dist_expr() -> str:
@@ -61,7 +62,7 @@ def lloyd(
     used = init
     for it in range(n_iter):
         used = cents
-        lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+        lit = lit_double_matrix(cents)
         assigned = (
             emb.withColumn("cents", lit)
             .withColumn("d", F.expr(_dist_expr()))

@@ -65,6 +65,45 @@ def sql_davg(expr: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*)"
 
 
+def lit_long_array(vals) -> Column:
+    """Literal ARRAY<BIGINT> built as ONE SQL expression string.
+
+    ``F.array(*[F.lit(int(v)).cast("long") ...])`` costs 3 py4j
+    round-trips per element — ~2 s of pure driver time for a k x dim
+    centroid matrix (measured 8.3 s for 4 builds of 8x64 vs 0.25 s via
+    expr).  The parsed literal is identical."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
+def lit_long_matrix(rows) -> Column:
+    """Literal ARRAY<ARRAY<BIGINT>> as one expression string (see
+    :func:`lit_long_array`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in row) + ")" for row in rows
+        )
+        + ")"
+    )
+
+
+def lit_double_array(vals) -> Column:
+    """Literal ARRAY<DOUBLE> as one expression string.  The ``D`` suffix
+    parses via Double.parseDouble, and repr() round-trips exactly, so the
+    literal is bit-identical to the Python float."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")" for row in rows
+        )
+        + ")"
+    )
+
+
 def fan_out(df, spark):
     """Round-robin repartition a *small-cardinality* input up to the
     cluster's parallelism before a compute-heavy stage (pair joins,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
 from psvm_spark.ml import kernels as K
-from psvm_spark.queries._util import fan_out
+from psvm_spark.queries._util import fan_out, lit_long_matrix
 from psvm_spark.registry import query
 
 
@@ -1899,7 +1899,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster",
         )
     )
-    lit = F.array(*[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in cents])
+    lit = lit_long_matrix(cents)
     d_expr = (
         "transform(cents, c -> aggregate(zip_with(q, c, (a, b) ->"
         " (a - b) * (a - b)), 0L, (s, x) -> s + x))"
@@ -7629,9 +7629,7 @@ def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = [int(first.vec_id)]
     out = [(1, int(first.vec_id), 0)]
     for step in range(2, _KC_K + 1):
-        cents_lit = F.array(
-            *[F.array(*[F.lit(v).cast("long") for v in c]) for c in centers]
-        )
+        cents_lit = lit_long_matrix(centers)
         rows = (
             qv.filter(~F.col("vec_id").isin(picked))
             .withColumn("cents", cents_lit)

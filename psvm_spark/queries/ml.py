@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 from psvm_spark.catalog import load_table
 from psvm_spark.ml import kernels as K
 from psvm_spark.registry import query
-from psvm_spark.queries._util import scratch_dir
+from psvm_spark.queries._util import (
+    lit_double_array,
+    lit_long_array,
+    lit_long_matrix,
+    scratch_dir,
+)
 
 GAMMA = 0.5
 POLY_COEF = 1.0
@@ -748,14 +753,14 @@ def ml_icf_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         # math.sqrt and the engines' sqrt are all correctly-rounded IEEE
         # doubles of the SAME presid, so embedding it as a literal is safe
         sq = math.sqrt(presid)
-        pq_lit = F.array(*[F.lit(int(v)).cast("long") for v in pq])
+        pq_lit = lit_long_array(pq)
         kip = F.aggregate(
             F.zip_with(F.col("q"), pq_lit, lambda x, y: x * y),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         ).cast("double")
         if ph:
-            ph_lit = F.array(*[F.lit(float(v)) for v in ph])
+            ph_lit = lit_double_array(ph)
             hdot = F.aggregate(
                 F.zip_with(F.col("h"), ph_lit, lambda x, y: x * y),
                 F.lit(0.0),
@@ -877,7 +882,7 @@ FROM af GROUP BY cluster
 
 
 def _kml_assign(qv: DataFrame, cents: list[list[int]]) -> DataFrame:
-    lit = F.array(*[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in cents])
+    lit = lit_long_matrix(cents)
     return (
         qv.withColumn("cents", lit)
         .withColumn(
