@@ -71,9 +71,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared shingling: word 4-grams.  Both engines build the identical
 # shingle list (Spark slice(words,i,4) == DuckDB words[i:i+3] inclusive).
 
+# The split is BOUND ONCE via a 1-element transform lambda (Spark has
+# no LET; HOF lambda bodies are re-evaluated per element, so the naive
+# `slice(split(text,' '), i, 4)` re-splits the whole text per shingle
+# position — O(L^2) per doc, measured 4x slower on the sf0.1 corpus).
 _SHINGLE_SPARK = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 1)), "
-    "i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+    "element_at(transform(array(split(text, ' ')), w -> "
+    "transform(sequence(1, greatest(size(w) - 3, 1)), "
+    "i -> array_join(slice(w, i, 4), ' '))), 1)"
 )
 _SHINGLE_DUCK = (
     "list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1) + 1), "
@@ -410,15 +415,20 @@ _SIMHASH_BANDS = 4  # 16 bits per block -> guarantees recall for hamming <= 3
 _SIMHASH_MAX_HAMMING = 3
 
 # per-word vote arrays: md5 computed once per word, then 64 bit lookups
-# on the cached 16-hex-char digest.
+# on the cached 16-hex-char digest.  The digest array is BOUND ONCE via
+# a 1-element transform lambda — inlining it under the outer
+# transform(sequence(0,63), ...) would re-derive every word's md5 for
+# each of the 64 bits (HOF lambda bodies re-evaluate per element).
 _SIMHASH_FP_SPARK = """
-transform(sequence(0, 63), k ->
-  IF(aggregate(
-       transform(array_distinct(split(text, ' ')), x -> substring(md5(x), 1, 16)),
-       0,
-       (acc, d) -> acc + 2 * (CAST(shiftright(
-           instr('0123456789abcdef', substring(d, (k div 4) + 1, 1)) - 1,
-           k % 4) AS INT) & 1) - 1) >= 0, 1, 0))
+element_at(transform(
+  array(transform(array_distinct(split(text, ' ')), x -> substring(md5(x), 1, 16))),
+  digs -> transform(sequence(0, 63), k ->
+    IF(aggregate(
+         digs,
+         0,
+         (acc, d) -> acc + 2 * (CAST(shiftright(
+             instr('0123456789abcdef', substring(d, (k div 4) + 1, 1)) - 1,
+             k % 4) AS INT) & 1) - 1) >= 0, 1, 0))), 1)
 """
 
 _SIMHASH_FP_DUCK = """
@@ -1468,9 +1478,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expressions — one scan, no shuffle, embarrassingly parallel at any
 # scale; the ratio is exact-integer division so parity is bitwise.
 
+# split bound once via the 1-element transform lambda (see
+# _SHINGLE_SPARK: the inline form re-splits the text per position).
 _BIGRAM_SPARK = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
-    "i -> array_join(slice(split(text, ' '), i, 2), ' '))"
+    "element_at(transform(array(split(text, ' ')), w -> "
+    "transform(sequence(1, greatest(size(w) - 1, 1)), "
+    "i -> array_join(slice(w, i, 2), ' '))), 1)"
 )
 _BIGRAM_DUCK = (
     "list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1), "
@@ -3459,9 +3472,13 @@ FROM scored WHERE containment >= 0.5
 )
 def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # Materialize the shingle table ONCE: the five consumers below
+    # (eval/train postings, df-cap aggregate, both scoring sides) are
+    # distinct subtrees, so without this the shingle HOF re-runs over
+    # the corpus five times (plan showed 10 parquet scans).
     sh = d.select(
         "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
     ev = sh.filter(F.col("doc_id") % 7 == 0)
     tr = sh.filter(F.col("doc_id") % 7 != 0)
     post_e = ev.select(F.col("doc_id").alias("id_eval"), F.explode("shingles").alias("s"))
@@ -8091,7 +8108,11 @@ def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0), spark
     )
-    sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    # Materialized once: postings, df-cap aggregate and both scoring
+    # sides all re-derive the shingle HOF otherwise (24 parquet scans).
+    sh = d.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles")
+    ).localCheckpoint(eager=True)
     post = df_capped_postings(sh.select("doc_id", F.explode("shingles").alias("s")))
     cand = (
         post.alias("pa")
@@ -8103,19 +8124,23 @@ def text_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_distinct(F.concat("sa", "sb")))
-    scored = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+    # sa/sb are already distinct arrays, so |union| = |sa| + |sb| - inter
+    # (identical int, skips a second hash-set build per pair).
+    union = F.size("sa") + F.size("sb") - inter
+    scored = cand.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
     )
+    # Both orientations via one explode — a unionByName here would
+    # duplicate the whole candidate+scoring subtree in the plan.
     edges = scored.select(
-        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr"), "jaccard"
-    ).unionByName(
-        scored.select(
-            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr"), "jaccard"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")),
+                F.struct(F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")),
+            )
+        ).alias("e"),
+        "jaccard",
+    ).select("e.doc_id", "e.nbr", "jaccard")
     w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "nbr")
     return (
         edges.withColumn("rnk", F.row_number().over(w))
@@ -8296,18 +8321,20 @@ def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.explode(
+            # split bound once via the 1-element transform lambda (the
+            # inline form re-splits the text per gram position — O(L^2)).
             F.expr(
-                "concat("
-                " transform(split(text, ' '), t -> struct(1 as n, t as gram)),"
-                " CASE WHEN size(split(text, ' ')) < 2 THEN"
+                "element_at(transform(array(split(text, ' ')), w -> concat("
+                " transform(w, t -> struct(1 as n, t as gram)),"
+                " CASE WHEN size(w) < 2 THEN"
                 "   array()"
-                " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
-                "   i -> struct(2 as n, array_join(slice(split(text, ' '), i, 2), ' ') as gram)) END,"
-                " CASE WHEN size(split(text, ' ')) < 3 THEN"
+                " ELSE transform(sequence(1, size(w) - 1),"
+                "   i -> struct(2 as n, array_join(slice(w, i, 2), ' ') as gram)) END,"
+                " CASE WHEN size(w) < 3 THEN"
                 "   array()"
-                " ELSE transform(sequence(1, size(split(text, ' ')) - 2),"
-                "   i -> struct(3 as n, array_join(slice(split(text, ' '), i, 3), ' ') as gram)) END"
-                ")"
+                " ELSE transform(sequence(1, size(w) - 2),"
+                "   i -> struct(3 as n, array_join(slice(w, i, 3), ' ') as gram)) END"
+                ")), 1)"
             )
         ).alias("t"),
     ).select("lang", "source", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
@@ -9975,13 +10002,17 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("wa", "wb").alias("y"),
         )
         .distinct()
+        # Materialize the co-occurrence graph ONCE: deg, nv, links and
+        # the rank seed each re-derive the token self-join otherwise
+        # (the per-iteration broadcast(nv) multiplied it to 96 scans).
+        .localCheckpoint(eager=True)
     )
     oe = pairs.select("lang", F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
         pairs.select("lang", F.col("y").alias("src"), F.col("x").alias("dst"))
     )
     deg = oe.groupBy("lang", "src").agg(F.count(F.lit(1)).alias("outdeg"))
     links = oe.join(deg, ["lang", "src"]).localCheckpoint(eager=True)
-    nv = deg.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    nv = deg.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     ranks = deg.join(F.broadcast(nv), "lang").select(
         "lang", "src", F.expr(f"cast({_TR_SCALE} div n as bigint)").alias("rank")
     )

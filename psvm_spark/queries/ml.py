@@ -1175,31 +1175,44 @@ WHERE p.d = p.e
 
 @query("ml_pca_power_iteration", oracle=_pca_oracle())
 def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qv = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(f"transform{_KML_Q}").alias("q")
+    from psvm_spark.queries._util import fan_out
+
+    # fan_out: the embeddings fixture is one input split, so without a
+    # spread the 2080-cell triangle explode runs on a single core.
+    qv = fan_out(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr(f"transform{_KML_Q}").alias("q")
+        ),
+        spark,
     )
-    n = qv.count()
+    # ONE pass emits the upper-triangle products AND the per-dim sums
+    # (e=0 sentinel) AND the row count ((0,0) sentinel) — previously
+    # three serial jobs each rescanned the table.  All cells are exact
+    # integer sums, so the merge cannot change any value.
     tri = (
-        f"flatten(transform(sequence(1, {_PCA_DIM}), d ->"
-        f" transform(sequence(d, {_PCA_DIM}), e ->"
-        " struct(d AS d, e AS e, element_at(q, d) * element_at(q, e) AS p))))"
+        f"concat("
+        f" flatten(transform(sequence(1, {_PCA_DIM}), d ->"
+        f"  transform(sequence(d, {_PCA_DIM}), e ->"
+        "   struct(d AS d, e AS e, element_at(q, d) * element_at(q, e) AS p)))),"
+        f" transform(sequence(1, {_PCA_DIM}), d ->"
+        "  struct(d AS d, 0 AS e, element_at(q, d) AS p)),"
+        " array(struct(0 AS d, 0 AS e, CAST(1 AS BIGINT) AS p)))"
     )
-    pairs = (
+    cells = (
         qv.select(F.explode(F.expr(tri)).alias("c"))
         .select("c.d", "c.e", "c.p")
         .groupBy("d", "e")
         .agg(F.sum("p").alias("s2"))
         .cache()
     )
-    sums = (
-        qv.select(F.posexplode("q").alias("pos", "v"))
-        .select((F.col("pos") + 1).alias("dim"), "v")
-        .groupBy("dim")
-        .agg(F.sum("v").alias("s"))
-        .cache()
+    pairs = cells.filter((F.col("d") > 0) & (F.col("e") > 0))
+    sums = cells.filter((F.col("d") > 0) & (F.col("e") == 0)).select(
+        F.col("d").alias("dim"), F.col("s2").alias("s")
     )
-    s2 = {(r.d, r.e): r.s2 for r in pairs.collect()}
-    s = {r.dim: r.s for r in sums.collect()}
+    rows = cells.collect()
+    n = next(int(r.s2) for r in rows if r.d == 0 and r.e == 0)
+    s2 = {(r.d, r.e): r.s2 for r in rows if r.d > 0 and r.e > 0}
+    s = {r.d: r.s2 for r in rows if r.d > 0 and r.e == 0}
     dim = _PCA_DIM
     m = [
         [
