@@ -1651,7 +1651,11 @@ HAVING COUNT(*) >= 2
 )
 def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # Materialize the distinct basket items once: the self-join otherwise
+    # re-scans lineitem and re-runs the distinct for each side (guide §2.4).
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )
     a = items.alias("a")
     b = items.alias("b")
     pairs = a.join(
@@ -1709,7 +1713,11 @@ CROSS JOIN nb
 )
 def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # items feeds four consumers (supp, nb, both self-join sides); without
+    # materialization each re-scans lineitem + re-runs the distinct.
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     nb = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     a = items.alias("a")
@@ -1725,6 +1733,9 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
+        # The rules union references pair twice; materialize so the basket
+        # self-join runs once, not once per direction.
+        .localCheckpoint(eager=True)
     )
     rules = pair.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
@@ -3019,6 +3030,11 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("y")
         )
+        # One corpus pass: the rollup output is <= brands x months rows, but
+        # the a/b self-join below references it twice — without materializing
+        # it each side re-runs the lineitem⋈part rollup from parquet
+        # (guide §2.4 / §3.3: materialize to dedupe expensive subtrees).
+        .localCheckpoint(eager=True)
     )
     a = monthly.select("p_brand", F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = monthly.select("p_brand", F.col("x").alias("x2"), F.col("y").alias("y2"))

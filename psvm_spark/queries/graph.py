@@ -1259,46 +1259,59 @@ FROM stats
 """,
 )
 def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-pass conditional aggregation per threshold instead of the former
+    # ks-crossJoin + groupBy, which replicated the degree table and the
+    # edge-endpoint join output 4x through a nested-loop join (guide §2.3
+    # aggregate before you shuffle; du>k AND dv>k == least(du,dv)>k).
     e = edge_set(spark, sf_dir, materialize=True)
     adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("n"))
     )
-    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    # deg feeds both endpoint joins and the nk aggregate — materialize once.
+    deg = (
+        adj.groupBy("x").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=True)
+    )
     da = deg.select(F.col("x").alias("a"), F.col("d").alias("du"))
     db = deg.select(F.col("x").alias("b"), F.col("d").alias("dv"))
-    ed = e.join(da, "a").join(db, "b").select("du", "dv")
-    ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], "k int")
-    nk = (
-        ks.crossJoin(deg)
-        .filter(F.col("d") > F.col("k"))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("nk"))
+    md = e.join(da, "a").join(db, "b").select(F.least("du", "dv").alias("dmin"))
+    ks = [2, 4, 8, 16]
+    nk_cells = deg.agg(
+        *[F.count(F.when(F.col("d") > k, 1)).alias(f"nk{k}") for k in ks]
     )
-    ek = (
-        ks.crossJoin(ed)
-        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("ek"))
+    ek_cells = md.agg(
+        *[F.count(F.when(F.col("dmin") > k, 1)).alias(f"ek{k}") for k in ks]
     )
-    out = (
-        ks.join(nk, "k", "left")
-        .join(ek, "k", "left")
+    stats = (
+        F.broadcast(nk_cells)
+        .crossJoin(F.broadcast(ek_cells))
         .select(
-            F.col("k").cast("int").alias("k"),
-            F.coalesce("nk", F.lit(0)).cast("bigint").alias("n_nodes"),
-            F.coalesce("ek", F.lit(0)).cast("bigint").alias("n_edges"),
-            F.when(
-                F.coalesce("nk", F.lit(0)) >= 2,
-                F.round(
-                    2.0
-                    * F.coalesce("ek", F.lit(0))
-                    / (F.col("nk").cast("double") * (F.col("nk") - 1)),
-                    9,
-                ),
-            ).alias("phi"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            F.col(f"nk{k}").alias("nk"),
+                            F.col(f"ek{k}").alias("ek"),
+                        )
+                        for k in ks
+                    ]
+                )
+            ).alias("s")
         )
+        .select("s.k", "s.nk", "s.ek")
     )
-    return out
+    return stats.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("nk").cast("bigint").alias("n_nodes"),
+        F.col("ek").cast("bigint").alias("n_edges"),
+        F.when(
+            F.col("nk") >= 2,
+            F.round(
+                2.0 * F.col("ek") / (F.col("nk").cast("double") * (F.col("nk") - 1)),
+                9,
+            ),
+        ).alias("phi"),
+    )
 
 
 # --------------------------------------------------------------------------

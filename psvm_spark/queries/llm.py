@@ -231,7 +231,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force — and at 100 TB the cross join is simply not runnable).
     # Jaccard itself is exact over the full shingle sets.
     d = fan_out(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0), spark)
-    sh = d.select("doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles"))
+    # _jaccard_pairs consumes sh three times (postings + both exact sides);
+    # materialize the shingle pass once.
+    sh = d.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles")
+    ).localCheckpoint(eager=True)
     return _jaccard_pairs(sh).select("id_a", "id_b", "jaccard"
     )
 
@@ -711,10 +715,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"struct({t} AS tbl, {_ann_bucket_spark(t)} AS bucket)"
         for t in range(_ANN_TABLES)
     )
-    banded = qv.select(
-        "vec_id", F.expr(f"explode(array({band_structs}))").alias("bb")
-    ).select(
-        "vec_id", F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket")
+    # banded feeds both the probe filter and the bucket join; materialize so
+    # the quantize + band-hash pass over the embeddings runs once.
+    banded = (
+        qv.select("vec_id", F.expr(f"explode(array({band_structs}))").alias("bb"))
+        .select(
+            "vec_id", F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket")
+        )
+        .localCheckpoint(eager=True)
     )
     probes_b = banded.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
         F.col("vec_id").alias("i"), "tbl", "bucket"
@@ -7067,7 +7075,10 @@ HAVING MAX(run_tokens) >= {_SUBSTR_MIN_RUN}
 )
 def dedup_substring_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    grams = substring_gram_postings(d)
+    # One gram-explode pass: the df-cap consumes the postings twice (hot
+    # agg + anti-join) and the run finder self-joins the capped postings,
+    # so the unmaterialized HOF explode ran 4x (8 scans in the before-plan).
+    grams = substring_gram_postings(d).localCheckpoint(eager=True)
     capped = df_capped_postings(grams, s_col="gh", cap=_SUBSTR_GRAM_CAP)
     return substring_runs_from_postings(capped)
 
@@ -7878,19 +7889,29 @@ WHERE rnk <= {_IVFPQ_TOPK}
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+    # cent is consumed by the assignment pass and re-attached to both the
+    # cluster residuals and the probe set below — materialize the 10-row
+    # centroid table once.
     cent = (
         dims.groupBy("label", "pos")
         .agg((F.round(F.sum("col"), 6) / F.count(F.lit(1))).alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(F.col("label").alias("clab"), F.col("pc.c").alias("centroid"))
+        .localCheckpoint(eager=True)
     )
     dist = F.round(K.sq_l2(F.col("embedding"), F.col("centroid")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("clab").asc())
+    # One crossJoin + window pass: materialize the slim nprobe-bounded
+    # assignment (vec_id, clab, rk) — previously this pass ran twice (once
+    # for the stored clusters, once for the probe set); centroids re-attach
+    # via the 10-row broadcast instead of riding the checkpoint.
     assign = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("rk", F.row_number().over(w_assign))
-        .select("vec_id", "embedding", "clab", "centroid", "rk")
+        .filter(F.col("rk") <= _IVFPQ_NPROBE)
+        .select("vec_id", "clab", "rk")
+        .localCheckpoint(eager=True)
     )
     res_expr = F.zip_with(
         F.col("embedding").cast("array<double>"),
@@ -7898,7 +7919,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a - b,
     )
     clusters = (
-        assign.filter(F.col("rk") == 1)
+        e.join(assign.filter(F.col("rk") == 1), "vec_id")
+        .join(F.broadcast(cent), "clab")
         .select("vec_id", "clab", res_expr.alias("res"))
         .localCheckpoint(eager=True)
     )
@@ -7929,9 +7951,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("vec_id", "clab", "s", "c")
     )
-    probe_c = assign.filter(
-        (F.col("vec_id") % _probe_mod(spark) == 0) & (F.col("rk") <= _IVFPQ_NPROBE)
-    ).select(F.col("vec_id").alias("i"), "clab", "centroid")
+    probe_c = (
+        assign.filter(F.col("vec_id") % _probe_mod(spark) == 0)
+        .join(F.broadcast(cent), "clab")
+        .select(F.col("vec_id").alias("i"), "clab", "centroid")
+    )
     pe = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("pemb"))
     pres = (
         probe_c.join(F.broadcast(pe), "i")
@@ -8934,7 +8958,17 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
     )
-    mp = member.join(plen, ["lang", "doc_id", "g"])
+    # The phrase string IS its member words in position order (words are
+    # space-split and non-empty), so re-exploding it replaces the former
+    # member⋈plen join — no second pass over the token pipeline at all.
+    mp = plen.select(
+        "lang",
+        "doc_id",
+        "g",
+        "plen",
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
     wscore = (
         mp.groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
@@ -11134,9 +11168,12 @@ FROM hit
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _MHR_HASHES // _MHR_BANDS
     d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    # sh is consumed four times (postings + both exact-Jaccard sides inside
+    # _jaccard_pairs, plus the MinHash signature build) — materialize the
+    # shingle pass once instead of re-running the HOF explode per consumer.
     sh = d.select(
         "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
     truth = (
         _jaccard_pairs(sh)
         .filter(F.col("jaccard") >= 0.5)

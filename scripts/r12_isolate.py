@@ -54,9 +54,10 @@ def main() -> int:
     if mode == "time":
         out_path, keys = sys.argv[2], sys.argv[3:]
         rec: dict[str, dict] = {}
+        n_runs = int(os.environ.get("R12_ISO_RUNS", "3"))
         for k in keys:
             runs = []
-            for _ in range(3):
+            for _ in range(n_runs):
                 housekeep(spark)
                 t0 = time.perf_counter()
                 registry.QUERIES[k](spark, sf_dir).write.format("noop").mode(
