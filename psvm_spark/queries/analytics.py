@@ -4003,6 +4003,10 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
             ).alias("x")
         )
+        # <= |regions| x 27 rows, but its subtree is the full
+        # orders|x|customer rollup — consumed by the spine, the spine
+        # join, and both sides of the pair join (4 plannings otherwise)
+        .localCheckpoint(eager=True)
     )
     spine = (
         t.select("rn")

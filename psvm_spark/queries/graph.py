@@ -299,7 +299,12 @@ JOIN supp sb ON p.pb = sb.l_partkey
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # distinct (order, part) pairs feed the support rollup AND both
+    # sides of the co-occurrence self-join; materialize once (the same
+    # shape graph_copurchase_pairs pins)
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     a = items.alias("a")
     b = items.alias("b")
@@ -378,24 +383,34 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     nodes = e.select(F.explode(F.array("a", "b")).alias("node")).distinct()
-    settled = nodes.filter(F.col("node") % _BFS_SRC_MOD == 0).select(
+    seed = nodes.filter(F.col("node") % _BFS_SRC_MOD == 0).select(
         "node", F.lit(0).alias("dist")
     ).localCheckpoint(eager=True)
-    frontier = settled.select("node")
+    # Accumulate per-hop frontiers instead of rewriting the whole
+    # settled set each hop: the anti-join unions the (checkpointed)
+    # hop slices lazily, saving one O(settled) materialization job per
+    # hop — hop count is bounded, so the union stays <= 9 leaves.
+    parts = [seed]
+    frontier = seed.select("node")
     for hop in range(1, _BFS_MAX_HOPS + 1):
+        settled_ids = parts[0].select("node")
+        for p in parts[1:]:
+            settled_ids = settled_ids.unionAll(p.select("node"))
         nxt = (
             frontier.join(und, frontier.node == und.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(settled.select("node"), "node", "left_anti")
+            .join(settled_ids, "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        settled = settled.unionAll(
-            nxt.select("node", F.lit(hop).alias("dist"))
-        ).localCheckpoint(eager=True)
-        frontier = nxt
+        parts.append(nxt)
+        frontier = nxt.select("node")
+    settled = parts[0]
+    for p in parts[1:]:
+        settled = settled.unionAll(p)
     return settled.select("node", F.col("dist").cast("int").alias("dist"))
 
 
@@ -993,6 +1008,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("b").alias("x"), F.col("a").alias("n"))
     )
     deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    # NOT checkpointed: the wedge self-join's two sides are the same
+    # subtree shuffled on the same key (the window already partitions
+    # by z), so Spark reuses one exchange — an eager checkpoint was
+    # MEASURED SLOWER (5.1 s vs 3.9 s, r12 wave 5).
     capped = capped_adjacency(adj)
     a1 = capped.select(F.col("x").alias("x1"), F.col("n").alias("z"))
     a2 = capped.select(F.col("x").alias("x2"), F.col("n").alias("z"))
@@ -1156,7 +1175,10 @@ def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("n"))
     )
-    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    # deg feeds du, dn, the label spine and the node count (4 consumers)
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=True
+    )
     m = e.agg(F.count(F.lit(1)).alias("m"))
     du = deg.select(F.col("x").alias("x"), F.col("d").alias("du"))
     dn = deg.select(F.col("x").alias("n"), F.col("d").alias("dn"))
@@ -1176,9 +1198,11 @@ def graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x")
         .agg((F.min(F.col("dn") * shift + F.col("n")) % shift).alias("move_to"))
     )
+    # lab feeds both edge-endpoint label joins, dsum and moved (4
+    # consumers, each re-running the best-move join otherwise)
     lab = deg.join(best, "x", "left").select(
         "x", "d", F.coalesce("move_to", F.col("x")).alias("c")
-    )
+    ).localCheckpoint(eager=True)
     la = lab.select(F.col("x").alias("a"), F.col("c").alias("ca"))
     lb = lab.select(F.col("x").alias("b"), F.col("c").alias("cb"))
     within = (

@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
 from psvm_spark.ml import kernels as K
-from psvm_spark.queries._util import fan_out, lit_long_matrix
+from psvm_spark.queries._util import (
+    fan_out,
+    lit_double_matrix,
+    lit_long_array,
+    lit_long_matrix,
+)
 from psvm_spark.registry import query
 
 
@@ -821,21 +826,39 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(F.col("label").alias("clab"), F.col("pc.c").alias("centroid"))
     )
-    dist = F.round(K.sq_l2(F.col("embedding"), F.col("centroid")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("clab").asc())
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .select("vec_id", "embedding", "clab", "rk")
+    # The centroid table is one row per label — a bounded driver
+    # reduction (collect k x 64 doubles) re-embedded as ONE literal
+    # expression (bit-exact repr round-trip, the _util.lit_* helpers).
+    # Every row's cluster ranking is then a per-row array_sort over the
+    # k broadcast-free literal centroids: the former corpus x k
+    # crossJoin + TWO ranking-window passes (clusters and probe_c each
+    # re-planned the whole assignment) become one narrow projection
+    # with no exchange at all.
+    crows = cent.orderBy("clab").collect()
+    cm = lit_double_matrix([list(r.centroid) for r in crows])
+    cl = lit_long_array([int(r.clab) for r in crows])
+    ranked_cl = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(crows))),
+            lambda ix: F.struct(
+                F.round(K.sq_l2(F.col("embedding"), F.element_at(cm, ix)), 6).alias("d"),
+                F.element_at(cl, ix).alias("clab"),
+            ),
+        )
     )
-    clusters = assign.filter(F.col("rk") == 1).select(
-        F.col("vec_id").alias("j"), F.col("embedding").alias("ve"), F.col("clab").alias("cl_j")
+    clusters = e.select(
+        F.col("vec_id").alias("j"),
+        F.col("embedding").alias("ve"),
+        F.element_at(ranked_cl, 1)["clab"].alias("cl_j"),
     )
-    probe_c = assign.filter((F.col("vec_id") % _probe_mod(spark) == 0) & (F.col("rk") <= _IVF_NPROBE)).select(
-        F.col("vec_id").alias("i"), F.col("clab").alias("cl_i")
-    )
-    probes = e.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
-        F.col("vec_id").alias("i"), F.col("embedding").alias("vp")
+    probe_c = (
+        e.filter(F.col("vec_id") % _probe_mod(spark) == 0)
+        .select(
+            F.col("vec_id").alias("i"),
+            F.col("embedding").alias("vp"),
+            F.explode(F.slice(ranked_cl, 1, _IVF_NPROBE)).alias("pc"),
+        )
+        .select("i", "vp", F.col("pc.clab").alias("cl_i"))
     )
     cosine = F.round(
         K.dot(F.col("vp"), F.col("ve"))
@@ -844,8 +867,8 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
     return (
-        probe_c.join(clusters, (F.col("cl_i") == F.col("cl_j")) & (F.col("j") != F.col("i")))
-        .join(probes, "i")
+        F.broadcast(probe_c)
+        .join(clusters, (F.col("cl_i") == F.col("cl_j")) & (F.col("j") != F.col("i")))
         .select("i", "j", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= _IVF_TOPK)
@@ -2493,9 +2516,13 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("filter(split(text, ' '), t -> t != '')").alias("tk"),
     )
     w = Window.partitionBy("source").orderBy("doc_id")
+    # pairs feeds the hyp-gram counts, the ref-gram counts and the
+    # corpus-length stats (3 consumers, each re-tokenizing the corpus
+    # through the window otherwise) — materialize once
     pairs = (
         d.select("doc_id", "tk", F.lead("tk").over(w).alias("rtk"))
         .filter(F.col("rtk").isNotNull())
+        .localCheckpoint(eager=True)
     )
     # unigrams never contain a space and bigrams always do, so BOTH
     # n-gram orders ride one count table per side and one clipping
@@ -3352,27 +3379,26 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv"),
         )
     )
-    rk = F.row_number().over(
-        Window.partitionBy("vec_id", "s").orderBy("d", "c")
-    )
-    codes = (
+    # codes and lut both need the subvector-to-centroid distance table;
+    # compute the broadcast join ONCE (arrays dropped before
+    # materialization: 4 scalar columns only) and derive both from it,
+    # so the embeddings scan + explode + distance pass runs once, not
+    # twice.  The per-(vec, subspace) argmin is a map-side-combinable
+    # min_by aggregate instead of a ranking window (no sort, partial
+    # aggregation before the exchange).
+    dist = (
         subs.join(F.broadcast(cents), "s")
         .select("vec_id", "s", "c", sq_l2(F.col("sv"), F.col("cv")).alias("d"))
-        .select("vec_id", "s", "c", rk.alias("rk"))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .localCheckpoint(eager=True)
     )
-    lut = (
-        subs.filter(F.col("vec_id") % _probe_mod(spark) == 0)
-        .join(F.broadcast(cents), "s")
-        .select(
-            F.col("vec_id").alias("i"),
-            "s",
-            "c",
-            F.round(sq_l2(F.col("sv"), F.col("cv")), 9)
-            .cast("decimal(18,9)")
-            .alias("dt"),
-        )
+    codes = dist.groupBy("vec_id", "s").agg(
+        F.min_by("c", F.struct("d", "c")).alias("c")
+    )
+    lut = dist.filter(F.col("vec_id") % _probe_mod(spark) == 0).select(
+        F.col("vec_id").alias("i"),
+        "s",
+        "c",
+        F.round(F.col("d"), 9).cast("decimal(18,9)").alias("dt"),
     )
     scored = (
         codes.join(F.broadcast(lut), ["s", "c"])
@@ -6859,9 +6885,18 @@ def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tgt))
     )
-    bc = toks.groupBy("b").agg(
-        F.sum(F.when(F.col("lang") == F.col("tlang"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("lang") == F.col("tlang"), 0).otherwise(1)).alias("cr"),
+    # One (doc, lang, bucket) rollup is the common ancestor of the
+    # bucket counts AND the per-doc scoring table; materializing it
+    # means the corpus is tokenized ONCE (bc -> n, bc -> lr and docb
+    # each re-ran the explode+hash pass before: 3 full passes).
+    dball = (
+        toks.groupBy("doc_id", "lang", "tlang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bc = dball.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == F.col("tlang"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("lang") == F.col("tlang"), 0).otherwise(F.col("c"))).alias("cr"),
     )
     n = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     lr = bc.crossJoin(F.broadcast(n)).select(
@@ -6876,10 +6911,8 @@ def select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lr_fp"),
     )
-    docb = (
-        toks.filter(F.col("lang") != F.col("tlang"))
-        .groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    docb = dball.filter(F.col("lang") != F.col("tlang")).select(
+        "doc_id", "lang", "b", "c"
     )
     scored = (
         docb.join(F.broadcast(lr), "b")
@@ -8662,22 +8695,38 @@ def select_rho_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    rtok = tok.filter(F.col("source").isin(*_RHO_REF_SRC))
-    cur = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_cur"))
-    ref = rtok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_ref"))
-    wts = cur.join(ref, "tok", "left").select(
+    # One conditional aggregate yields both the corpus and the
+    # reference-slice count per token (c_ref = 0 where the token never
+    # appears in a reference source, matching the oracle's
+    # COALESCE(r.c_ref, 0)); materialized once because it feeds the
+    # weight table AND the corpus-total scalars below — the corpus is
+    # tokenized exactly twice (here + the per-doc scoring pass), not 6x.
+    cur = (
+        tok.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("c_cur"),
+            F.sum(
+                F.when(F.col("source").isin(*_RHO_REF_SRC), 1).otherwise(0)
+            ).alias("c_ref"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wts = cur.select(
         "tok",
         (
-            F.round(F.log(F.coalesce(F.col("c_ref"), F.lit(0)) + 1), 9)
-            .cast("decimal(18,9)")
+            F.round(F.log(F.col("c_ref") + 1), 9).cast("decimal(18,9)")
             - F.round(F.log(F.col("c_cur") + 1), 9).cast("decimal(18,9)")
         ).alias("dw"),
     )
     # bounded driver scalars (corpus totals), mirroring the oracle's
-    # scalar subqueries; the smoothing constants are then in-engine logs
-    tot_cur = tok.count()
-    tot_ref = rtok.count()
-    v = cur.count()
+    # scalar subqueries; one small job over the vocab-sized checkpoint
+    # replaces three separate corpus passes
+    totals = cur.agg(
+        F.sum("c_cur").alias("tc"),
+        F.sum("c_ref").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    ).first()
+    tot_cur, tot_ref, v = int(totals.tc), int(totals.tr), int(totals.v)
     n_docs = d.count()
     n_sel = n_docs // _RHO_KEEP_DEN
     cc = F.round(F.log(F.lit(float(tot_cur + v))), 9).cast("decimal(18,9)")
@@ -8812,12 +8861,17 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (
         d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
         .filter(F.col("w") != "")
-        .select("doc_id", "pos", "w", _bpe_char_ds("w").alias("ds"))
     )
+    # The tokenization ds is a pure function of the WORD, so run the K
+    # chained merge folds (each an O(word-length) aggregate lambda) over
+    # the distinct vocabulary once and re-attach by equi-join, instead
+    # of re-folding every (doc, pos) occurrence — the Zipf-bounded vocab
+    # is orders of magnitude smaller than the token stream (guide §8:
+    # decide on the lightweight proxy, re-attach once).
+    vocab = words.select("w").distinct().select("w", _bpe_char_ds("w").alias("ds"))
     for _, ta, tb, _cnt in merges:
-        words = words.select(
-            "doc_id", "pos", "w", _bpe_merge_fold(ta, tb).alias("ds")
-        )
+        vocab = vocab.select("w", _bpe_merge_fold(ta, tb).alias("ds"))
+    words = words.join(vocab.localCheckpoint(eager=True), "w")
     return words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.length("w")).cast("bigint").alias("n_chars"),
@@ -10179,6 +10233,9 @@ FROM m
 def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    # spend is consumed five times (twice inside each _avg_rank2 + the
+    # pr spine join); materialize the customer|x|orders rollup once so
+    # the join+aggregate subtree is not re-planned per consumer.
     spend = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
@@ -10192,6 +10249,7 @@ def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ).alias("sp_c"),
         )
+        .localCheckpoint(eager=True)
     )
     ra = _avg_rank2(spend, "bal_c", 16384).withColumnRenamed("r2", "x")
     rb = _avg_rank2(spend, "sp_c", 1 << 24).withColumnRenamed("r2", "y")
@@ -10703,18 +10761,23 @@ def ml_lof_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = pd_.withColumn(
         "r", F.row_number().over(Window.partitionBy("i").orderBy("d2", "j"))
     )
-    kd = rk.filter(F.col("r") == _LOF_K).select("i", F.col("d2").alias("kdist"))
-    knn = rk.filter(F.col("r") <= _LOF_K).select("i", "j", "d2")
+    # The O(n^2) pair join + ranking window feeds kd and knn, each
+    # consumed twice downstream; keep only the r <= K rows (K per point)
+    # and materialize them once so the quadratic subtree runs once.
+    knn_full = rk.filter(F.col("r") <= _LOF_K).localCheckpoint(eager=True)
+    kd = knn_full.filter(F.col("r") == _LOF_K).select("i", F.col("d2").alias("kdist"))
+    knn = knn_full.select("i", "j", "d2")
     reach = knn.join(
         kd.select(F.col("i").alias("j"), F.col("kdist").alias("kdist_j")), "j"
     ).select("i", "j", F.round(F.greatest("kdist_j", "d2"), 9).alias("rd"))
+    # lrd (one row per sampled point) is joined twice in the LOF ratio.
     lrd = reach.groupBy("i").agg(
         F.round(
             F.lit(_LOF_K)
             / F.sum(F.col("rd").cast("decimal(18,9)")).cast("double"),
             9,
         ).alias("lrd")
-    )
+    ).localCheckpoint(eager=True)
     lof = (
         knn.join(lrd.select(F.col("i").alias("j"), F.col("lrd").alias("lrd_j")), "j")
         .join(lrd, "i")
@@ -11619,12 +11682,13 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv, test = _cal_sv_test(spark, sf_dir)
     w = Window.orderBy("t_id")
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # panel-sized; feeds both the base and the permuted variant branch
     shifted = test.select(
         "t_id",
         "label",
         "t_vec",
         F.coalesce(F.lead("t_vec").over(w), F.first("t_vec").over(w_full)).alias("nxt"),
-    )
+    ).localCheckpoint(eager=True)
     base = shifted.select(F.lit(0).alias("dim"), "t_id", "label", F.col("t_vec").alias("v"))
     dims = spark.createDataFrame([(d,) for d in _PERM_DIMS], "dim int")
     perm = (
@@ -11648,10 +11712,13 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pred = F.when(F.col("score") >= 0, 1).otherwise(-1)
     truth = F.when(F.col("label") % 2 == 0, 1).otherwise(-1)
+    # |dims|+1 rows, but the subtree is the full variants x SV scoring
+    # cross join — consumed by both the baseline row and the final
+    # select, so without materialization the scoring pass runs TWICE.
     acc = scored.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n_test"),
         F.sum(F.when(pred == truth, 1).otherwise(0)).cast("bigint").alias("n_correct"),
-    )
+    ).localCheckpoint(eager=True)
     b = acc.filter(F.col("dim") == 0).select(
         (F.col("n_correct").cast("double") / F.col("n_test")).alias("acc_base_raw")
     )

@@ -1204,7 +1204,22 @@ def sink_pyds_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register(spark)
-    ev = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    # The events fixture is a single parquet split, so without an
+    # explicit repartition the whole Python-side JSONL encode (and the
+    # read-back, one task per committed shard) runs on ONE worker.
+    # Spread the micro-batch across the session's parallelism — sized
+    # by conf, not a local[32] constant (at 100 TB the knob follows
+    # target shard size).
+    n_sink = int(
+        spark.conf.get(
+            "psvm.stream.sink_partitions", str(spark.sparkContext.defaultParallelism)
+        )
+    )
+    ev = (
+        stream_events(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .repartition(n_sink)
+    )
     sink = scratch_dir("psvm_jsonl_sink_")
     ckpt = scratch_dir("psvm_jsonl_ckpt_")
     q = (
