@@ -1378,6 +1378,7 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
 
     def track(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         # state: prefix p, running min m, peak s (all cents), n, alarms
@@ -1386,16 +1387,23 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
-                p += int(round(float(v) * 100)) - 500
-                if p < m:
-                    m = p
-                s = p - (m if m < 0 else 0)
-                if s > peak:
-                    peak = s
-                if s > 2000:
-                    alarms += 1
-                n += 1
+            # vectorized fold (guide §4.2): the cumulative sum replays
+            # the per-event prefix, the running min replays the m
+            # updates (np.rint is half-even like Python round), and the
+            # excursion s_i = pre_i - min(m_i, 0) is elementwise exact
+            # integer math — bit-identical to the former row loop.
+            d = np.rint(pdf["value"].to_numpy(dtype=np.float64) * 100).astype(
+                np.int64
+            ) - 500
+            if len(d):
+                pre = p + np.cumsum(d)
+                m_run = np.minimum.accumulate(np.minimum(pre, m))
+                s = pre - np.minimum(m_run, 0)
+                peak = max(peak, int(s.max()))
+                alarms += int((s > 2000).sum())
+                n += len(d)
+                p = int(pre[-1])
+                m = int(m_run[-1])
         state.update((p, m, peak, n, alarms))
         yield pd.DataFrame(
             {

@@ -561,6 +561,9 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     levels = [frontier]
     for _ in range(_WALK_LEN):
+        # lazy checkpoint: each level is still materialized exactly once
+        # (the next hop's join and the final union share the cached RDD),
+        # but all 4 hops ride ONE action instead of 4 eager jobs + 1
         frontier = (
             frontier.join(adj, adj.u == frontier.vertex)
             .select("seed", "step", "vertex", "nb")
@@ -569,7 +572,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("step") + 1).alias("step"),
                 F.expr(pick).alias("vertex"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         levels.append(frontier)
     out = levels[0]

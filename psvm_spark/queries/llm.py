@@ -5877,9 +5877,12 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, in
             break
         ta, tb, tc = top[0].a, top[0].b, int(top[0].pcnt)
         merges.append((step, ta, tb, tc))
+        # lazy: the re-fold materializes inside the NEXT step's argmax
+        # job (one job per step instead of two) while still truncating
+        # lineage — each step's fold runs exactly once either way
         words = words.select(
             "w", "cnt", _bpe_merge_fold(ta, tb).alias("ds")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
