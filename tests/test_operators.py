@@ -714,22 +714,27 @@ class TestLlmTierPlans:
         assert "BroadcastNestedLoopJoin" not in plan
 
     def test_ivf_broadcasts_centroids_not_corpus(self, spark, sf_dir):
-        """Cluster assignment fans the k x d centroid table out to every
-        embedding row — that is the ONE deliberate nested-loop in the
-        query (tiny broadcast side); the candidate join itself must stay
-        an equi-join on the cluster key.  The assignment subtree is
-        planned twice (cluster members + probe routes), so exactly two
-        centroid NL joins may appear — each must build (broadcast) the
-        centroid side, and nothing else may go nested-loop."""
+        """Cluster assignment evaluates the k x d centroid table as a
+        per-row literal array_sort (r12: no join, no exchange for the
+        assignment at all); the candidate join is an equi hash join on
+        the cluster key that broadcasts the tiny probe subset (the
+        vec_id % 50 filter) — the corpus side may never be built or go
+        nested-loop."""
         plan = _plan(registry.QUERIES["sim_ivf"](spark, sf_dir))
-        assert "BroadcastExchange" in plan
-        # tree-form count ("formatted" repeats each node in the detail
-        # section, so count the tree spelling only)
-        assert plan.count("BroadcastNestedLoopJoin Cross") <= 2
-        assert "BuildLeft" not in plan  # corpus may never be the build side
+        # assignment produced no nested-loop anywhere
+        assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
-        # the candidate join is equi (SMJ or BHJ), present in the plan
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # candidate join: equi join, probe side broadcast
+        assert "BroadcastExchange" in plan
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
+        # the broadcast (build) subtree is the probe filter, not the corpus:
+        # the % 50 probe predicate must sit under the exchange
+        bx = plan.index("BroadcastExchange")
+        assert "% 50)" in plan[bx:] or "% 50 " in plan[bx:]
 
 
 class TestTpchShapePlans:

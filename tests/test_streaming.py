@@ -313,6 +313,49 @@ class TestStreamCusum:
         }
         assert got == want
 
+    def test_vectorized_fold_matches_scalar_reference(self, spark, sf_dir):
+        """The r12 NumPy rewrite of the state fold rests on np.rint
+        being half-even like Python round(); replay the former scalar
+        loop over every fixture value AND a crafted .5-boundary panel
+        and assert the vectorized fold's per-step state is identical."""
+        import numpy as np
+
+        from psvm_spark.catalog import load_table
+
+        vals = [
+            float(r.value)
+            for r in load_table(spark, sf_dir, "events").select("value").collect()
+        ]
+        vals += [0.005, 0.015, 0.025, 5.125, 5.135, -0.005, 123.455, 123.465]
+        # scalar reference (the pre-r12 loop)
+        p = m = peak = alarms = 0
+        ref = []
+        for v in vals:
+            p += int(round(v * 100)) - 500
+            if p < m:
+                m = p
+            s = p - (m if m < 0 else 0)
+            peak = max(peak, s)
+            if s > 2000:
+                alarms += 1
+            ref.append((p, m, peak, alarms))
+        # vectorized fold (what stream_cusum's track() does)
+        d = np.rint(np.asarray(vals, dtype=np.float64) * 100).astype(np.int64) - 500
+        pre = np.cumsum(d)
+        m_run = np.minimum.accumulate(np.minimum(pre, 0))
+        s = pre - np.minimum(m_run, 0)
+        peak_run = np.maximum.accumulate(s)
+        alarms_run = np.cumsum(s > 2000)
+        got = list(
+            zip(
+                (int(x) for x in pre),
+                (int(x) for x in m_run),
+                (int(x) for x in peak_run),
+                (int(x) for x in alarms_run),
+            )
+        )
+        assert got == ref
+
 
 class TestExactlyOnceFileSink:
     def test_rerun_commits_nothing(self, spark, sf_dir):
