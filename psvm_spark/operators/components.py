@@ -133,6 +133,7 @@ def connected_components(
     max_iter: int = 25,
     star_after: int = 8,
     driver_threshold: int = 50_000,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Return DataFrame[v, component]: min vertex id reachable from v.
 
@@ -151,12 +152,18 @@ def connected_components(
     Raises if ``max_iter`` propagation rounds AND the contraction cap
     are both exhausted.
     """
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
+    # ``assume_unique``: the caller guarantees edges are canonical
+    # (src < dst) and deduplicated — then BOTH union branches are unique
+    # and disjoint (s < d vs s > d), so the distinct() below would be a
+    # pure extra shuffle of the whole edge set.  Candidate-pair
+    # generators that end in groupBy(ia, ib) qualify; label-contracted
+    # graphs do NOT (both orientations of a pair can appear).
+    if not assume_unique:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     # Size the working partitioning to the measured edge count: the loop
     # below runs O(diameter) tiny jobs, and on a small graph (the common
     # case after candidate pruning) 32-task rounds are pure scheduler

@@ -241,13 +241,77 @@ GROUP BY l_returnflag
 """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-pass exact percentile (r12 optimization): the buffering
+    # `F.percentile` aggregate holds every (value, count) pair of a group
+    # in one task's memory — with only 3 l_returnflag groups that is 3
+    # giant buffers at 100 TB.  Instead: (1) value-histogram groupBy
+    # (map-side combined, parallel on (flag, price)), (2) cumulative
+    # rank window over the per-flag DISTINCT values, (3) pick the two
+    # bracketing values per requested percentile and interpolate with
+    # EXACTLY Spark's Percentile formula — position = p * (n-1),
+    # lower/higher = floor/ceil(position), result = (higher - position)
+    # * lowerValue + (position - lower) * higherValue (bit-identical;
+    # proven old-vs-new in tests/test_aggregates.py and vs the oracle).
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(price, 0.5), 9).alias("median_price"),
-        F.round(F.percentile(price, 0.95), 9).alias("p95_price"),
-        F.min(price).alias("min_price"),
-        F.max(price).alias("max_price"),
+    dist = (
+        li.filter(price.isNotNull())
+        .groupBy("l_returnflag", price.alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # hi_rank = 1-based rank of the LAST occurrence of this value; the
+    # value covers ranks (hi_rank - c, hi_rank].
+    ranked = dist.withColumn("hi_rank", F.sum("c").over(w))
+    tot = dist.groupBy("l_returnflag").agg(
+        F.sum("c").alias("n"),
+        F.min("p").alias("min_price"),
+        F.max("p").alias("max_price"),
+    )
+    j = ranked.join(F.broadcast(tot), "l_returnflag")
+
+    def bracket(q: float, tag: str) -> list:
+        pos = F.lit(q) * (F.col("n") - 1).cast("double")
+        lo_rank = F.floor(pos) + 1  # 1-based rank of lowerValue
+        hi_rank_t = F.ceil(pos) + 1
+        covers = lambda r: (F.col("hi_rank") - F.col("c") < r) & (
+            r <= F.col("hi_rank")
+        )
+        return [
+            F.max(F.when(covers(lo_rank), F.col("p"))).alias(f"lv_{tag}"),
+            F.max(F.when(covers(hi_rank_t), F.col("p"))).alias(f"hv_{tag}"),
+        ]
+
+    agg = j.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.max("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+        *bracket(0.5, "med"),
+        *bracket(0.95, "p95"),
+    )
+
+    def interp(q: float, tag: str):
+        pos = F.lit(q) * (F.col("n") - 1).cast("double")
+        lo = F.floor(pos)
+        hi = F.ceil(pos)
+        lv, hv = F.col(f"lv_{tag}"), F.col(f"hv_{tag}")
+        return F.round(
+            F.when(lo == hi, lv).otherwise(
+                (hi.cast("double") - pos) * lv + (pos - lo.cast("double")) * hv
+            ),
+            9,
+        )
+
+    return agg.select(
+        "l_returnflag",
+        interp(0.5, "med").alias("median_price"),
+        interp(0.95, "p95").alias("p95_price"),
+        "min_price",
+        "max_price",
     )
 
 

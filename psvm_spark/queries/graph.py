@@ -1424,7 +1424,10 @@ FROM split
 )
 def graph_leiden_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab, adjc, _e, _deg = _leiden_labels(spark, sf_dir)
-    r = _leiden_rounds(lab, adjc, 4)
+    # r has two consumers (split + n_subcommunities); without the
+    # checkpoint each re-plans and re-executes the 4-round label chain
+    # (same fix graph_leiden_aggregate already carries).
+    r = _leiden_rounds(lab, adjc, 4).localCheckpoint(eager=False)
     split = (
         lab.join(r, "x")
         .groupBy("c")
@@ -1554,20 +1557,25 @@ def graph_leiden_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra = r.select(F.col("x").alias("a"), F.col("r").alias("sa"))
     rb = r.select(F.col("x").alias("b"), F.col("r").alias("sb"))
     relabeled = e.join(ra, "a").join(rb, "b").select("sa", "sb")
-    super_edges = (
-        relabeled.filter(F.col("sa") != F.col("sb"))
-        .select(
-            F.least("sa", "sb").alias("u"), F.greatest("sa", "sb").alias("v")
-        )
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    se_stats = super_edges.agg(
-        F.count(F.lit(1)).alias("n_super_edges"),
-        F.coalesce(F.max("w"), F.lit(0)).alias("max_edge_weight"),
-    )
-    within = relabeled.filter(F.col("sa") == F.col("sb")).agg(
-        F.count(F.lit(1)).alias("w")
+    # ONE weighted-contraction pass feeds both the super-edge stats and
+    # the within-community edge count (previously super_edges and within
+    # each re-ran the e |><| ra |><| rb relabel join).  Self-loops (sa ==
+    # sb) group on u == v with w_in = true; the second-level aggregate
+    # splits on that flag, so the whole thing is one pipeline — no
+    # duplicated subtree, no extra materialization.
+    ses = relabeled.groupBy(
+        F.least("sa", "sb").alias("u"),
+        F.greatest("sa", "sb").alias("v"),
+        (F.col("sa") == F.col("sb")).alias("w_in"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    se_stats = ses.agg(
+        F.count(F.when(~F.col("w_in"), True)).alias("n_super_edges"),
+        F.coalesce(F.max(F.when(~F.col("w_in"), F.col("w"))), F.lit(0)).alias(
+            "max_edge_weight"
+        ),
+        F.coalesce(F.sum(F.when(F.col("w_in"), F.col("w"))), F.lit(0)).alias(
+            "w"
+        ),
     )
     dsum = (
         r.join(deg, "x")
@@ -1583,7 +1591,6 @@ def graph_leiden_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(nsn)
         .crossJoin(F.broadcast(se_stats))
-        .crossJoin(F.broadcast(within))
         .crossJoin(F.broadcast(dsum))
         .crossJoin(F.broadcast(m))
         .select(

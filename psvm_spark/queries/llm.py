@@ -198,7 +198,10 @@ def _jaccard_pairs(sh):
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    # |union| = |sa| + |sb| - |inter|: both sides are distinct arrays, so
+    # this is the identical integer without materializing the
+    # concatenated array per pair (same identity text_knn_graph uses).
+    union = F.size("sa") + F.size("sb") - inter
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -383,7 +386,10 @@ def _minhash_lsh_pairs(
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    # |union| = |sa| + |sb| - |inter|: both sides are distinct arrays, so
+    # this is the identical integer without materializing the
+    # concatenated array per pair (same identity text_knn_graph uses).
+    union = F.size("sa") + F.size("sb") - inter
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1499,7 +1505,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # immediately unions pairs with its own column-swap, and without the
     # checkpoint both union branches re-run the expensive shingle
     # self-join (measured 2x the pair-join cost at sf0.1)
-    cc = connected_components(pairs, src="ia", dst="ib")
+    # pairs is groupBy(ia, ib) output with ia < ib — canonical and unique,
+    # so the operator can skip its defensive distinct() shuffle.
+    cc = connected_components(pairs, src="ia", dst="ib", assume_unique=True)
     return cc.select(F.col("v").alias("doc_id"), "component")
 
 
@@ -5256,7 +5264,10 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    # |union| = |sa| + |sb| - |inter|: both sides are distinct arrays, so
+    # this is the identical integer without materializing the
+    # concatenated array per pair (same identity text_knn_graph uses).
+    union = F.size("sa") + F.size("sb") - inter
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -5567,7 +5578,13 @@ def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("pa"), F.col("b.doc_id").alias("pb"))
         )
-        built = connected_components(base_pairs, src="ia", dst="ib")
+        # base_pairs is groupBy(ia, ib) output with ia < ib — canonical
+        # and unique, so skip the operator's defensive distinct().
+        # (cc2 below must NOT skip it: label contraction can emit both
+        # orientations of a pair.)
+        built = connected_components(
+            base_pairs, src="ia", dst="ib", assume_unique=True
+        )
         # uuid, not pid: two sessions in one process must not share tmp
         tmp = f"{cache}.tmp-{uuid.uuid4().hex}"
         built.write.mode("overwrite").parquet(tmp)

@@ -2321,35 +2321,53 @@ def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     root = scratch_dir("psvm_specevo_")
     split = F.lit(_PE_SPLIT).cast("date")
-    (
-        o.filter(F.col("o_orderdate") < split)
-        .repartition("o_month")  # one file per spec-1 partition
-        .write.mode("overwrite")
-        .partitionBy("o_month")
-        .parquet(f"{root}/spec1")
-    )
-    (
-        o.filter(F.col("o_orderdate") >= split)
-        .withColumn("o_prio", F.col("o_orderpriority"))
-        .repartition("o_month", "o_prio")  # one file per spec-2 partition
-        .write.mode("overwrite")
-        .partitionBy("o_month", "o_prio")
-        .parquet(f"{root}/spec2")
-    )
-    # ONE manifest-derivation job for both specs (was two distinct+collect
-    # jobs over the same scan): spec-1 months are deduplicated in Python
-    # from the (month, prio) grain, a few hundred rows either way.
-    specs = (
-        o.select(
-            F.col("o_month").alias("mo"),
-            F.when(F.col("o_orderdate") < split, F.lit(1))
-            .otherwise(F.lit(2))
-            .alias("spec"),
-            F.col("o_orderpriority").alias("prio"),
+
+    # The two spec writes and the manifest-derivation job are three
+    # independent scans of orders — overlap them (guide section 2.6)
+    # instead of paying three sequential job tails.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_spec1() -> None:
+        (
+            o.filter(F.col("o_orderdate") < split)
+            .repartition("o_month")  # one file per spec-1 partition
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(f"{root}/spec1")
         )
-        .distinct()
-        .collect()
-    )
+
+    def _write_spec2() -> None:
+        (
+            o.filter(F.col("o_orderdate") >= split)
+            .withColumn("o_prio", F.col("o_orderpriority"))
+            .repartition("o_month", "o_prio")  # one file per spec-2 partition
+            .write.mode("overwrite")
+            .partitionBy("o_month", "o_prio")
+            .parquet(f"{root}/spec2")
+        )
+
+    def _derive_specs():
+        # ONE manifest-derivation job for both specs (was two
+        # distinct+collect jobs over the same scan): spec-1 months are
+        # deduplicated in Python from the (month, prio) grain.
+        return (
+            o.select(
+                F.col("o_month").alias("mo"),
+                F.when(F.col("o_orderdate") < split, F.lit(1))
+                .otherwise(F.lit(2))
+                .alias("spec"),
+                F.col("o_orderpriority").alias("prio"),
+            )
+            .distinct()
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        w1 = pool.submit(_write_spec1)
+        w2 = pool.submit(_write_spec2)
+        sp = pool.submit(_derive_specs)
+        w1.result(), w2.result()
+        specs = sp.result()
     ent1 = [
         {"spec": 1, "path": f"{root}/spec1/o_month={m}", "month": m}
         for m in sorted({str(r.mo) for r in specs if r.spec == 1})
@@ -2609,12 +2627,20 @@ def warehouse_merge_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap.repartition("mo").write.partitionBy("mo").mode("overwrite").parquet(
         f"{root}/base"
     )
-    base = spark.read.parquet(f"{root}/base").select(
-        "o_orderkey",
-        "mo",
-        "cents",
-        F.col("_metadata.file_path").alias("_file"),
-        F.col("_metadata.row_index").alias("_pos"),
+    # Materialize the base snapshot (rows + their _metadata coordinates)
+    # ONCE: every downstream job (cow rewrite, dv, delta, both merge
+    # reads, the stats rollup) previously re-scanned the base parquet —
+    # 7 scans -> 1.  After the checkpoint _file/_pos are plain columns.
+    base = (
+        spark.read.parquet(f"{root}/base")
+        .select(
+            "o_orderkey",
+            "mo",
+            "cents",
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        .localCheckpoint(eager=True)
     )
     is_upd = F.pmod("o_orderkey", F.lit(_MERGE_UPD_MOD)) == _MERGE_UPD_RES
     is_ins = F.pmod("o_orderkey", F.lit(_MERGE_INS_MOD)) == _MERGE_INS_RES
@@ -2623,6 +2649,31 @@ def warehouse_merge_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mo",
         "cents",
     )
+
+    # ONE per-file rollup feeds every scalar the merge report needs
+    # (was: a touched-count job + a rewritten-count job + a stats job —
+    # all aggregates of the same base scan): n_files = files with any
+    # matched row, n_rewritten = rows in those files (CoW write
+    # amplification), n_dv = matched rows, n_delta = matched + insert.
+    per_file = (
+        base.groupBy("_file")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(is_upd.cast("long")).alias("nu"),
+            F.sum(is_ins.cast("long")).alias("ni"),
+        )
+        .agg(
+            F.count(F.when(F.col("nu") > 0, True)).alias("nf"),
+            F.sum(F.when(F.col("nu") > 0, F.col("rows"))).alias("nrw"),
+            F.sum("nu").alias("nu"),
+            F.sum("ni").alias("ni"),
+        )
+        .collect()[0]
+    )
+    n_files_touched = int(per_file.nf)
+    n_rows_rewritten = int(per_file.nrw or 0)
+    n_dv = int(per_file.nu)
+    n_delta = int(per_file.nu) + int(per_file.ni)
 
     # ---- CoW: rewrite whole touched files into a new snapshot dir;
     # untouched files are carried by reference (the manifest move)
@@ -2637,48 +2688,61 @@ def warehouse_merge_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    n_rows_rewritten = rewritten.count()
-    rewritten.unionByName(inserts).write.mode("overwrite").parquet(
-        f"{root}/cow_v2"
-    )
+
+    # The three commit writes are independent jobs over the
+    # checkpointed base — overlap them so the tail of one back-fills
+    # the others (guide section 2.6); job descriptions are thread-local.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_cow() -> None:
+        rewritten.unionByName(inserts).write.mode("overwrite").parquet(
+            f"{root}/cow_v2"
+        )
+
+    def _write_dv() -> None:
+        base.filter(is_upd).select("_file", "_pos").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/dv")
+
+    def _write_delta() -> None:
+        base.filter(is_upd).select(
+            "o_orderkey", "mo", (F.col("cents") + _MERGE_BUMP_C).alias("cents")
+        ).unionByName(inserts).write.mode("overwrite").parquet(f"{root}/delta")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(_write_cow), pool.submit(_write_dv),
+                  pool.submit(_write_delta)]:
+            f.result()
+
+    # ---- the two physical merge reads (must agree with each other and
+    # with the oracle's SQL MERGE) — independent, overlapped as above
+    vec = spark.read.parquet(f"{root}/dv")
+    delta = spark.read.parquet(f"{root}/delta")
     cow_read = base.join(F.broadcast(touched), "_file", "left_anti").select(
         "o_orderkey", "cents"
     ).unionByName(
         spark.read.parquet(f"{root}/cow_v2").select("o_orderkey", "cents")
     )
-    cow = cow_read.agg(
-        F.sum("cents").cast("bigint").alias("total_c_cow")
-    ).collect()[0]
-
-    # ---- MoR: O(changed) deletion vector + delta file, applied at read
-    base.filter(is_upd).select("_file", "_pos").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/dv")
-    base.filter(is_upd).select(
-        "o_orderkey", "mo", (F.col("cents") + _MERGE_BUMP_C).alias("cents")
-    ).unionByName(inserts).write.mode("overwrite").parquet(f"{root}/delta")
-    vec = spark.read.parquet(f"{root}/dv")
-    delta = spark.read.parquet(f"{root}/delta")
-    # one stats job instead of three (touched.count, vec.count,
-    # delta.count): all three are aggregates of the SAME base scan —
-    # n_dv = update rows, n_delta = update + insert rows by construction
-    stats = base.agg(
-        F.countDistinct(F.when(is_upd, F.col("_file"))).alias("nf"),
-        F.sum(is_upd.cast("long")).alias("nu"),
-        F.sum(is_ins.cast("long")).alias("ni"),
-    ).collect()[0]
-    n_files_touched = int(stats.nf)
-    n_dv = int(stats.nu)
-    n_delta = int(stats.nu) + int(stats.ni)
     mor_read = base.join(
         F.broadcast(vec), ["_file", "_pos"], "left_anti"
     ).select("o_orderkey", "cents").unionByName(
         delta.select("o_orderkey", "cents")
     )
-    mor = mor_read.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows_final"),
-        F.sum("cents").cast("bigint").alias("total_c_mor"),
-    ).collect()[0]
+
+    def _agg_cow():
+        return cow_read.agg(
+            F.sum("cents").cast("bigint").alias("total_c_cow")
+        ).collect()[0]
+
+    def _agg_mor():
+        return mor_read.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_final"),
+            F.sum("cents").cast("bigint").alias("total_c_mor"),
+        ).collect()[0]
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cow_f, mor_f = pool.submit(_agg_cow), pool.submit(_agg_mor)
+        cow, mor = cow_f.result(), mor_f.result()
 
     return spark.createDataFrame(
         [

@@ -139,3 +139,41 @@ class TestLorenzCurve:
         # Lorenz curve lies under the diagonal (sorted ascending)
         for r in rows[:-1]:
             assert r.cum_share <= r.decile / 10 + 1e-9
+
+
+class TestPercentileTwoPass:
+    def test_bitwise_equal_to_buffering_percentile(self, spark, sf_dir):
+        """The r12 two-pass rewrite must reproduce Spark's buffering
+        Percentile aggregate BIT-FOR-BIT (same interpolation formula:
+        position = p*(n-1), (higher-position)*lower + (position-lower)
+        *higher), or the driver's oracle hash changes."""
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from psvm_spark.catalog import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        price = F.col("l_extendedprice").cast("double")
+        old = {
+            r.l_returnflag: r
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.round(F.percentile(price, 0.5), 9).alias("median_price"),
+                F.round(F.percentile(price, 0.95), 9).alias("p95_price"),
+                F.min(price).alias("min_price"),
+                F.max(price).alias("max_price"),
+            )
+            .collect()
+        }
+        new = {
+            r.l_returnflag: r
+            for r in registry.QUERIES["agg_percentile"](spark, sf_dir).collect()
+        }
+        assert set(old) == set(new) and len(old) > 0
+        for k in old:
+            for c in ("median_price", "p95_price", "min_price", "max_price"):
+                a, b = getattr(old[k], c), getattr(new[k], c)
+                assert struct.pack("<d", a) == struct.pack("<d", b), (
+                    f"{k}.{c}: {a!r} != {b!r}"
+                )
