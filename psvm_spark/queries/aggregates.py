@@ -267,10 +267,14 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hi_rank = 1-based rank of the LAST occurrence of this value; the
     # value covers ranks (hi_rank - c, hi_rank].
     ranked = dist.withColumn("hi_rank", F.sum("c").over(w))
-    tot = dist.groupBy("l_returnflag").agg(
-        F.sum("c").alias("n"),
-        F.min("p").alias("min_price"),
-        F.max("p").alias("max_price"),
+    # Group spine from the UNFILTERED table (count(col) skips NULLs like
+    # the Percentile aggregate does): a group whose prices are all NULL
+    # must still appear with NULL aggregates, exactly as the buffering
+    # form emitted it.
+    tot = li.groupBy("l_returnflag").agg(
+        F.count(price).alias("n"),
+        F.min(price).alias("min_price"),
+        F.max(price).alias("max_price"),
     )
     j = ranked.join(F.broadcast(tot), "l_returnflag")
 
@@ -286,13 +290,14 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(covers(hi_rank_t), F.col("p"))).alias(f"hv_{tag}"),
         ]
 
-    agg = j.groupBy("l_returnflag").agg(
-        F.max("n").alias("n"),
-        F.max("min_price").alias("min_price"),
-        F.max("max_price").alias("max_price"),
+    br = j.groupBy("l_returnflag").agg(
         *bracket(0.5, "med"),
         *bracket(0.95, "p95"),
     )
+    # LEFT join keeps all-NULL-price groups: their brackets are NULL, so
+    # the interpolation below yields NULL — matching F.percentile over
+    # an empty (all-NULL) buffer.
+    agg = tot.join(F.broadcast(br), "l_returnflag", "left")
 
     def interp(q: float, tag: str):
         pos = F.lit(q) * (F.col("n") - 1).cast("double")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2325,8 +2326,6 @@ def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     # The two spec writes and the manifest-derivation job are three
     # independent scans of orders — overlap them (guide section 2.6)
     # instead of paying three sequential job tails.
-    from concurrent.futures import ThreadPoolExecutor
-
     def _write_spec1() -> None:
         (
             o.filter(F.col("o_orderdate") < split)
@@ -2655,6 +2654,9 @@ def warehouse_merge_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all aggregates of the same base scan): n_files = files with any
     # matched row, n_rewritten = rows in those files (CoW write
     # amplification), n_dv = matched rows, n_delta = matched + insert.
+    # Deliberately SEQUENTIAL, not in the write pool below: submitting
+    # it as a 4th concurrent job was measured slower (warm 4.8-7.0 s vs
+    # 4.4-4.9 s) — the three writes already saturate local[32].
     per_file = (
         base.groupBy("_file")
         .agg(
@@ -2689,11 +2691,9 @@ def warehouse_merge_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # The three commit writes are independent jobs over the
-    # checkpointed base — overlap them so the tail of one back-fills
-    # the others (guide section 2.6); job descriptions are thread-local.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # The three commit writes and the stats rollup are independent
+    # jobs over the checkpointed base — overlap them so the tail of one
+    # back-fills the others (guide section 2.6).
     def _write_cow() -> None:
         rewritten.unionByName(inserts).write.mode("overwrite").parquet(
             f"{root}/cow_v2"
