@@ -104,6 +104,40 @@ def lit_double_matrix(rows) -> Column:
     )
 
 
+def local_df(spark, rows, schema: str):
+    """Small driver-side result -> DataFrame via the Arrow path.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows into a
+    pickled Python RDD over ``defaultParallelism`` slices: EVERY
+    downstream action pays one Python-worker round-trip per slice
+    (measured ~0.1 s each; a ``.coalesce(1)`` of a 2k-row result cost
+    3.6 s per action — 32 serial worker hops inside one task).  A pandas
+    DataFrame instead crosses to the JVM ONCE as Arrow batches at
+    creation (guide section 6: Arrow for driver transfers), so actions
+    never touch Python again (same 2k-row noop: 0.05 s).
+
+    Values are bit-identical: columns are built with dtype=object so
+    Python ints/floats/strings/None reach Arrow unchanged (NO NaN
+    coercion of None in float columns) and are cast per the explicit
+    ``schema``.  Falls back to the plain list path if pandas/Arrow is
+    unavailable."""
+    try:
+        import re
+
+        import pandas as pd
+
+        # split on top-level commas only (decimal(12,2) etc. keep theirs)
+        names = [f.split()[0] for f in re.split(r",(?![^(]*\))", schema)]
+        data = {
+            n: pd.Series([r[i] for r in rows], dtype=object)
+            for i, n in enumerate(names)
+        }
+        pdf = pd.DataFrame(data, columns=names)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:  # noqa: BLE001 — correctness first: fall back
+        return spark.createDataFrame(rows, schema)
+
+
 def fan_out(df, spark):
     """Round-robin repartition a *small-cardinality* input up to the
     cluster's parallelism before a compute-heavy stage (pair joins,

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
-from psvm_spark.queries._util import dmoney, dsum
+from psvm_spark.queries._util import dmoney, dsum, local_df
 from psvm_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -276,7 +276,20 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(price).alias("min_price"),
         F.max(price).alias("max_price"),
     )
-    j = ranked.join(F.broadcast(tot), "l_returnflag")
+    # NULL-safe group-key joins (ADVICE r12): l_returnflag is NOT NULL in
+    # TPC-H, but the buffering F.percentile this replaces would have
+    # grouped NULL keys into a real group — a plain equi-join here would
+    # silently drop that group's brackets and emit NULL stats for it.
+    # eqNullSafe keeps a NULL-key group flowing through both joins; with
+    # non-null keys the join output is identical.
+    j = (
+        ranked.alias("rk")
+        .join(
+            F.broadcast(tot.alias("tt")),
+            F.expr("rk.l_returnflag <=> tt.l_returnflag"),
+        )
+        .drop(F.col("tt.l_returnflag"))
+    )
 
     def bracket(q: float, tag: str) -> list:
         pos = F.lit(q) * (F.col("n") - 1).cast("double")
@@ -296,8 +309,16 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # LEFT join keeps all-NULL-price groups: their brackets are NULL, so
     # the interpolation below yields NULL — matching F.percentile over
-    # an empty (all-NULL) buffer.
-    agg = tot.join(F.broadcast(br), "l_returnflag", "left")
+    # an empty (all-NULL) buffer.  (NULL-safe for the same reason as j.)
+    agg = (
+        tot.alias("tb")
+        .join(
+            F.broadcast(br.alias("bb")),
+            F.expr("tb.l_returnflag <=> bb.l_returnflag"),
+            "left",
+        )
+        .drop(F.col("bb.l_returnflag"))
+    )
 
     def interp(q: float, tag: str):
         pos = F.lit(q) * (F.col("n") - 1).cast("double")
@@ -1422,7 +1443,7 @@ def agg_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cnt").over(wcum) - F.col("cnt")).alias("before"),
         F.sum("cnt").over(wcum).alias("through"),
     )
-    targets = spark.createDataFrame(
+    targets = local_df(spark, 
         [(p, (n - 1) * p // 100 + 1) for p in _Q2P_PCTS], "p int, k bigint"
     )
     tb = F.broadcast(targets).join(

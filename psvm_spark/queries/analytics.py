@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_events_range, load_table
+from psvm_spark.queries._util import local_df
 from psvm_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -2577,7 +2578,7 @@ def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t, round(pi[idx[t]], 9), obs.get(t, 0), obs.get(t, 0) / total)
         for t in types
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "event_type string, stationary_prob double, n_observed long, observed_freq double"
     )
 
@@ -3491,8 +3492,8 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("px").cast("double") / _PIP_CELL).cast("bigint").alias("cx"),
         F.floor(F.col("py").cast("double") / _PIP_CELL).cast("bigint").alias("cy"),
     )
-    cells = spark.createDataFrame(_pip_cells(), "poly_id int, cx bigint, cy bigint")
-    edges = spark.createDataFrame(
+    cells = local_df(spark, _pip_cells(), "poly_id int, cx bigint, cy bigint")
+    edges = local_df(spark, 
         _pip_edges(), "poly_id int, x1 long, y1 long, x2 long, y2 long"
     )
     cand = (
@@ -3914,7 +3915,7 @@ def ts_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         z, m_pick, x_pick = max(scored, key=lambda t: (t[0], -t[1]))
         out.append((k, m_pick, x_pick, z))
         removed.add(m_pick)
-    return spark.createDataFrame(out, "round int, m int, x_c bigint, z double")
+    return local_df(spark, out, "round int, m int, x_c bigint, z double")
 
 
 # --------------------------------------------------------------------------
@@ -4240,7 +4241,7 @@ def ts_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
             (level, len(s), sum(v * v for v in d), max(abs(v) for v in d), s[0])
         )
         a = s
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "level int, n_coeffs int, energy bigint, max_abs_d bigint,"
         " first_approx bigint",
@@ -6666,7 +6667,7 @@ def ts_ses_optimal_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
         )
     )
-    grid = spark.createDataFrame([(a,) for a in _SES_ALPHAS], "alpha double")
+    grid = local_df(spark, [(a,) for a in _SES_ALPHAS], "alpha double")
     fold = F.expr(
         """
         aggregate(
@@ -6889,7 +6890,7 @@ def ml_quantile_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy("wd")).alias("n"),
         )
     )
-    qs = spark.createDataFrame(
+    qs = local_df(spark, 
         [("0.25",), ("0.50",), ("0.75",)], "qs string"
     ).select(F.col("qs").cast("decimal(3,2)").alias("q"))
     fc = train.join(

@@ -1426,8 +1426,11 @@ def graph_leiden_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab, adjc, _e, _deg = _leiden_labels(spark, sf_dir)
     # r has two consumers (split + n_subcommunities); without the
     # checkpoint each re-plans and re-executes the 4-round label chain
-    # (same fix graph_leiden_aggregate already carries).
-    r = _leiden_rounds(lab, adjc, 4).localCheckpoint(eager=False)
+    # (same fix graph_leiden_aggregate already carries).  Eager, not
+    # lazy: both consumers are broadcast-exchange subtrees that Spark
+    # materializes in concurrent jobs — a lazy checkpoint lets them
+    # race and each compute the chain (ADVICE r12).
+    r = _leiden_rounds(lab, adjc, 4).localCheckpoint(eager=True)
     split = (
         lab.join(r, "x")
         .groupBy("c")
@@ -1486,10 +1489,15 @@ def _leiden_labels(spark: SparkSession, sf_dir: str):
         .filter(F.col("cx") == F.col("cn"))
         .select("x", "n")
     )
-    # both sides are re-traversed once per refinement round
+    # both sides are re-traversed once per refinement round — and the
+    # consumers are CONCURRENT (the 4 refinement-round map stages over
+    # adjc, and the broadcast-exchange subtrees over lab, are scheduled
+    # in parallel), so a lazy checkpoint can race and each consumer
+    # recompute the unpersisted chain (ADVICE r12).  Eager guarantees
+    # one materialization before anything plans against them.
     return (
-        lab.localCheckpoint(eager=False),
-        adjc.localCheckpoint(eager=False),
+        lab.localCheckpoint(eager=True),
+        adjc.localCheckpoint(eager=True),
         e,
         deg,
     )
@@ -1552,7 +1560,9 @@ FROM within, dsum, m
 )
 def graph_leiden_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab, adjc, e, deg = _leiden_labels(spark, sf_dir)
-    r = _leiden_rounds(lab, adjc, 4).localCheckpoint(eager=False)
+    # eager: r's three consumers (relabel join, dsum, n_super_nodes) are
+    # concurrent broadcast-exchange jobs — see graph_leiden_refine.
+    r = _leiden_rounds(lab, adjc, 4).localCheckpoint(eager=True)
     m = e.agg(F.count(F.lit(1)).alias("m"))
     ra = r.select(F.col("x").alias("a"), F.col("r").alias("sa"))
     rb = r.select(F.col("x").alias("b"), F.col("r").alias("sb"))

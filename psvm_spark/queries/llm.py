@@ -27,6 +27,7 @@ from psvm_spark.queries._util import (
     lit_double_matrix,
     lit_long_array,
     lit_long_matrix,
+    local_df,
 )
 from psvm_spark.registry import query
 
@@ -5057,7 +5058,7 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalars inlined per row rather than crossJoin'd: a cross join of two
     # 32-slice local frames is a 1024-task CartesianProduct stage (32x32),
     # ~10 s of pure scheduling for 65 output rows.
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "coef_idx int, coef double, train_r2 double, n_rows long"
     )
 
@@ -5905,7 +5906,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, in
 
 @query("vocab_bpe_merges", oracle=_bpe_oracle())
 def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.createDataFrame(
+    return local_df(spark, 
         _bpe_learn(spark, sf_dir),
         "step int, merge_left string, merge_right string, pair_count long",
     )
@@ -7732,7 +7733,7 @@ def select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         centers.append([int(v) for v in r.q])
         picked.append(int(r.vec_id))
         out.append((step, int(r.vec_id), int(r.mind)))
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "step int, center_vec_id bigint, radius_q bigint"
     )
 
@@ -8351,7 +8352,7 @@ def select_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected.append(int(best.sid))
         out.append((step, int(best.sid), int(best.gain)))
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "step int, center_vec_id bigint, marginal_gain bigint"
     )
 
@@ -9498,7 +9499,7 @@ def select_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _, _, _, w_raw in rows:  # lang-sorted fold, mirrored in the oracle
         tot += w_raw
     out = [(l, n, e, round(w / tot, 9)) for l, n, e, w in rows]
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "lang string, n_tok bigint, excess double, weight double"
     )
 
@@ -9771,7 +9772,7 @@ def vocab_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             best[j] = min(opts) if opts else None
         key = best[len(w)]
         out.append((w, f, key % 64, key // 64))
-    return spark.createDataFrame(
+    return local_df(spark, 
         out, "word string, freq bigint, n_tokens bigint, min_cost bigint"
     )
 
@@ -11257,11 +11258,15 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("shingles")
     ).localCheckpoint(eager=True)
+    # eager: truth/lsh each feed TWO concurrent broadcast-exchange jobs
+    # (their own count + the hit join) — a lazy checkpoint lets the
+    # concurrent builds race and each recompute the expensive subtree
+    # (the ADVICE-r12 leiden race, same shape).
     truth = (
         _jaccard_pairs(sh)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     sig_cols = [
         F.array_min(
             F.expr(f"transform(shingles, s -> substring(md5('r{k}:' || s), 1, 16))")
@@ -11285,7 +11290,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ba.doc_id") < F.col("bb.doc_id"))
         .select(F.col("ba.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b"))
         .distinct()
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
     n_hit = truth.join(lsh, ["id_a", "id_b"]).agg(
@@ -11501,7 +11506,9 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn_s",
         F.coalesce(F.sum("nn_s").over(w_up), F.lit(0)).alias("neg_below"),
         F.coalesce(F.sum("np_s").over(w_dn), F.lit(0)).alias("pos_above"),
-    ).localCheckpoint(eager=False)
+        # eager: tot's broadcast build and the main ss job are concurrent
+        # consumers — lazy lets them race and recompute cum (ADVICE r12).
+    ).localCheckpoint(eager=True)
     tot = cum.agg(
         F.sum("np_s").cast("bigint").alias("m"),
         F.sum("nn_s").cast("bigint").alias("n"),
@@ -11710,7 +11717,7 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lead("t_vec").over(w), F.first("t_vec").over(w_full)).alias("nxt"),
     ).localCheckpoint(eager=True)
     base = shifted.select(F.lit(0).alias("dim"), "t_id", "label", F.col("t_vec").alias("v"))
-    dims = spark.createDataFrame([(d,) for d in _PERM_DIMS], "dim int")
+    dims = local_df(spark, [(d,) for d in _PERM_DIMS], "dim int")
     perm = (
         shifted.crossJoin(F.broadcast(dims))
         .select(
@@ -12382,7 +12389,7 @@ def ml_ridge_lambda_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v * F.col("x") * F.col("y")).cast("double").alias("sxy_v"),
         F.sum(v * F.col("y") * F.col("y")).cast("double").alias("syy_v"),
     )
-    grid = spark.createDataFrame([(int(l),) for l in _RLP_GRID], "lam bigint")
+    grid = local_df(spark, [(int(l),) for l in _RLP_GRID], "lam bigint")
     fit = grid.crossJoin(F.broadcast(s)).select(
         "lam",
         (
@@ -12679,7 +12686,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     ).localCheckpoint(eager=True)
-    grid = spark.createDataFrame([(int(k),) for k in _LC_KS], "k bigint")
+    grid = local_df(spark, [(int(k),) for k in _LC_KS], "k bigint")
     tr = (
         grid.join(F.broadcast(bs), F.col("b") < F.col("k"))
         .groupBy("k")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_table
 from psvm_spark.registry import query
-from psvm_spark.queries._util import scratch_dir
+from psvm_spark.queries._util import local_df, scratch_dir
 
 # --------------------------------------------------------------------------
 # B2 — CSV and JSON scans with explicit schemas.  Side files are derived
@@ -366,7 +366,7 @@ def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one real pass (noop materialization) populates the observation
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(m["n_rows"]), float(m["value_mass"]), int(m["n_errors"]))],
         "n_rows long, value_mass double, n_errors long",
     )
@@ -528,7 +528,7 @@ def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = lambda v: int(  # noqa: E731
         (decimal.Decimal(str(v)).quantize(decimal.Decimal("0.01"))) * 100
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 row.n_rows,

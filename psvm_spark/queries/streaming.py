@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from psvm_spark.catalog import load_table
 from psvm_spark.registry import query
 from psvm_spark.streaming.jobs import run_to_table, stream_documents, stream_events
-from psvm_spark.queries._util import scratch_dir
+from psvm_spark.queries._util import local_df, scratch_dir
 
 # --------------------------------------------------------------------------
 # B38 — tumbling window aggregate (10-minute buckets x event_type).
@@ -535,7 +535,7 @@ def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     n_first = run_once()
     n_second = run_once()  # same checkpoint, nothing new -> no-op commit
     n_batch = load_table(spark, sf_dir, "events").count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(n_first),
@@ -1615,6 +1615,6 @@ def stream_progress_listener(spark: SparkSession, sf_dir: str) -> DataFrame:
     mine = [p for p in seen["progress"] if p[0] == qid]
     rows_total = sum(p[2] for p in mine)
     n_state = max(mine, key=lambda p: p[1])[3] if mine else 0
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(rows_total, n_state)], "rows_total bigint, n_state_groups bigint"
     )

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from psvm_spark.catalog import load_events_range, load_table
 from psvm_spark.registry import query
-from psvm_spark.queries._util import scratch_dir
+from psvm_spark.queries._util import local_df, scratch_dir
 
 # --------------------------------------------------------------------------
 # Incremental rollup refresh: the daily (day x event_type) rollup for
@@ -1931,7 +1931,7 @@ def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     )
     b_audit, b_pass, b_pub = stage_audit_publish(corrupt, "corrupt", "priority")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             ("clean", g_audit.n_rows, g_audit.n_src_rows, g_audit.checksum, g_pass, g_pub),
             ("corrupt", g_audit.n_rows, g_audit.n_src_rows, g_audit.checksum, b_pass, b_pub),
@@ -2036,7 +2036,7 @@ def warehouse_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total"),
         )
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [(len(entries), len(keep))], "files_total long, files_scanned long"
     )
     return F.broadcast(meta).crossJoin(pruned).select(
@@ -2257,7 +2257,7 @@ def warehouse_vacuum_unreferenced(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("total_c"),
         )
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [(len(on_disk), len(removed), len(live))],
         "files_before long, files_removed long, files_live long",
     )
@@ -2411,7 +2411,7 @@ def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("total_c"),
         )
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [(len(entries), len(keep1), len(keep2))],
         "files_total long, files_scanned_spec1 long, files_scanned_spec2 long",
     )
@@ -2744,7 +2744,7 @@ def warehouse_merge_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         cow_f, mor_f = pool.submit(_agg_cow), pool.submit(_agg_mor)
         cow, mor = cow_f.result(), mor_f.result()
 
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 n_files_touched,
@@ -2967,7 +2967,10 @@ def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
         F.lit("by_date").alias("layout"), "f", "lo", "hi"
     )
-    manifest = by_cust.unionAll(by_date).localCheckpoint(eager=False)
+    # eager: manifest feeds three consumers whose map stages schedule
+    # concurrently (both union branches of pts, files, depth) — lazy
+    # lets them race on the unpersisted partitions (ADVICE r12).
+    manifest = by_cust.unionAll(by_date).localCheckpoint(eager=True)
     pts = (
         manifest.select("layout", F.col("lo").alias("pt"), F.lit(1).alias("delta"))
         .unionAll(

@@ -177,3 +177,52 @@ class TestPercentileTwoPass:
                 assert struct.pack("<d", a) == struct.pack("<d", b), (
                     f"{k}.{c}: {a!r} != {b!r}"
                 )
+
+    def test_null_group_key_matches_buffering_percentile(self, spark, tmp_path):
+        """eqNullSafe joins (ADVICE r12): a NULL l_returnflag group must
+        get REAL percentiles — exactly what the buffering F.percentile
+        aggregate computed for it — not NULL stats from a silently
+        dropped join key.  Also covers the all-NULL-price group (NULL
+        everywhere) alongside a normal group."""
+        import struct
+
+        from pyspark.sql import functions as F
+
+        rows = (
+            [("A", float(v)) for v in (3, 1, 4, 1, 5)]
+            + [(None, float(v)) for v in (10, 20, 30, 40)]
+            + [("B", None), ("B", None)]
+        )
+        spark.createDataFrame(
+            rows, "l_returnflag string, l_extendedprice double"
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+        price = F.col("l_extendedprice").cast("double")
+        old = {
+            r.l_returnflag: r
+            for r in spark.read.parquet(str(tmp_path / "lineitem.parquet"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.round(F.percentile(price, 0.5), 9).alias("median_price"),
+                F.round(F.percentile(price, 0.95), 9).alias("p95_price"),
+                F.min(price).alias("min_price"),
+                F.max(price).alias("max_price"),
+            )
+            .collect()
+        }
+        new = {
+            r.l_returnflag: r
+            for r in registry.QUERIES["agg_percentile"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert set(old) == set(new) == {"A", "B", None}
+        for k in old:
+            for c in ("median_price", "p95_price", "min_price", "max_price"):
+                a, b = getattr(old[k], c), getattr(new[k], c)
+                if a is None or b is None:
+                    assert a is None and b is None, f"{k}.{c}: {a!r} != {b!r}"
+                else:
+                    assert struct.pack("<d", a) == struct.pack("<d", b), (
+                        f"{k}.{c}: {a!r} != {b!r}"
+                    )
