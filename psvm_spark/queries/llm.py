@@ -361,6 +361,12 @@ def _minhash_lsh_pairs(
     if key_expr is not None:
         sh = sh.withColumn("keys", F.expr(f"transform(shingles, s -> {key_expr})"))
         hash_src = "keys"
+    # sh feeds the signature build AND both exact-verify sides (plus the
+    # band self-join's two plan copies): materialize the shingle pass
+    # once instead of re-running the HOF explode per consumer — the same
+    # r12 fix dedup_minhash_recall carries (8 parquet scans -> 0 in the
+    # final plan).
+    sh = sh.localCheckpoint(eager=True)
     rows_per_band = n_hash // n_bands
     sig_cols = [
         F.array_min(F.expr(f"transform({hash_src}, s -> {hash_expr(k)})")).alias(f"h{k}")

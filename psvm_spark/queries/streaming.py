@@ -42,7 +42,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
         )
     )
-    return run_to_table(agg, "complete", state_partitions=8).select(
+    return run_to_table(agg, "complete", state_partitions=4).select(
         F.col("w.start").alias("win_start"), "event_type", "n", "total"
     )
 
@@ -77,7 +77,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
         )
     )
-    return run_to_table(agg, "complete", state_partitions=8).select(
+    return run_to_table(agg, "complete", state_partitions=4).select(
         F.col("w.start").alias("win_start"), "event_type", "n", "total"
     )
 
@@ -120,7 +120,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
         )
     )
-    return run_to_table(agg, "complete", state_partitions=8).select(
+    return run_to_table(agg, "complete", state_partitions=4).select(
         "user_id",
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
@@ -151,7 +151,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
         "c_mktsegment", "event_type", "value"
     )
-    sunk = run_to_table(joined, "append", state_partitions=8)
+    sunk = run_to_table(joined, "append", state_partitions=4)
     return sunk.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
@@ -186,7 +186,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return run_to_table(agg, "update", state_partitions=8).select(
+    return run_to_table(agg, "update", state_partitions=4).select(
         F.col("w.start").alias("win_start"), "event_type", "n"
     )
 
@@ -214,7 +214,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    out = run_to_table(deduped.select("event_id", "user_id", "event_type"), "append", state_partitions=8)
+    out = run_to_table(deduped.select("event_id", "user_id", "event_type"), "append", state_partitions=4)
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
@@ -333,7 +333,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias("gap_us"),
     )
-    return run_to_table(j, "append", state_partitions=8)
+    return run_to_table(j, "append", state_partitions=4)
 
 
 # --------------------------------------------------------------------------
@@ -452,7 +452,7 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
-    return run_to_table(agg, "complete", state_partitions=8).select(
+    return run_to_table(agg, "complete", state_partitions=4).select(
         "event_type", F.col("w.start").alias("win_start"), "open", "high", "low", "close", "n_ticks"
     )
 
@@ -495,7 +495,7 @@ def stream_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
     )
-    return run_to_table(agg, "complete", state_partitions=8, drain=True)
+    return run_to_table(agg, "complete", state_partitions=4, drain=True)
 
 
 # --------------------------------------------------------------------------
@@ -644,7 +644,7 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    done = run_to_table(agg, "complete", state_partitions=8).select(
+    done = run_to_table(agg, "complete", state_partitions=4).select(
         F.col("w.start").alias("win_start"), "event_type", F.col("n").cast("bigint").alias("n")
     )
     rk = F.row_number().over(
@@ -706,7 +706,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 5 MINUTES")),
         "inner",
     ).select("error_id", "user_id")
-    pairs = run_to_table(j, "append", state_partitions=8)
+    pairs = run_to_table(j, "append", state_partitions=4)
     return pairs.groupBy("error_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_nearby_clicks")
     )
@@ -767,7 +767,7 @@ def stream_semi_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 5 MINUTES")),
         "left_semi",
     ).select("error_id", "user_id")
-    return run_to_table(j, "append", state_partitions=8)
+    return run_to_table(j, "append", state_partitions=4)
 
 
 # --------------------------------------------------------------------------
@@ -833,7 +833,7 @@ def stream_asym_watermark_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     ).select("error_id", "user_id")
-    pairs = run_to_table(j, "append", state_partitions=8)
+    pairs = run_to_table(j, "append", state_partitions=4)
     return pairs.groupBy("error_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_following_clicks")
     )
@@ -872,7 +872,7 @@ def stream_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["lang", "digest"])
     )
     kept = run_to_table(
-        deduped.select("doc_id", "lang", "digest"), "append", state_partitions=8
+        deduped.select("doc_id", "lang", "digest"), "append", state_partitions=4
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
@@ -1164,7 +1164,7 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
         )
     )
-    return run_to_table(agg, "complete", state_partitions=8).select(
+    return run_to_table(agg, "complete", state_partitions=4).select(
         "user_id",
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),

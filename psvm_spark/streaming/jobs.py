@@ -51,7 +51,9 @@ def state_partitions_ctx(spark: SparkSession, n: int | None = None):
     partition, FIXED at the query's first run; store instances dominate
     the cost of low-cardinality demos (RocksDB native init, HDFS-backed
     delta files per store per batch).  `psvm.stream.state_partitions`
-    (default 8) parameterizes it: at 100 TB the same knob is set to
+    (default 4 — measured r13: 8 -> 4 saves ~1.7 s on the staged-restart
+    interval joins and 0.2-0.4 s on memory-sink keys, results
+    partitioning-invariant) parameterizes it: at 100 TB the same knob is set to
     match key cardinality / throughput, exactly as run_to_table already
     does for its callers.  Restores the session conf afterwards; only
     the streaming run inside the context is affected, so batch results
@@ -59,9 +61,9 @@ def state_partitions_ctx(spark: SparkSession, n: int | None = None):
     """
     if n is None:
         try:
-            n = int(spark.conf.get("psvm.stream.state_partitions", "8"))
+            n = int(spark.conf.get("psvm.stream.state_partitions", "4"))
         except Exception:  # noqa: BLE001
-            n = 8
+            n = 4
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
