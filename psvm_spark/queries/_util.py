@@ -117,17 +117,25 @@ def local_df(spark, rows, schema: str):
     never touch Python again (same 2k-row noop: 0.05 s).
 
     Values are bit-identical: columns are built with dtype=object so
-    Python ints/floats/strings/None reach Arrow unchanged (NO NaN
-    coercion of None in float columns) and are cast per the explicit
-    ``schema``.  Falls back to the plain list path if pandas/Arrow is
-    unavailable."""
+    Python ints/floats/strings/None reach Arrow unchanged (None stays
+    NULL — a float64 column would coerce None to NaN) and are cast per
+    the explicit ``schema``.  The ONE value the Arrow path cannot
+    represent faithfully is a literal float NaN (Arrow's from_pandas
+    masks NaN to null on object columns — verified in this env), so
+    rows containing NaN take the plain list path, which preserves it.
+    Falls back to the plain list path on any conversion error
+    (correctness first; the fast path is an optimization)."""
     try:
-        import re
-
         import pandas as pd
+        from pyspark.sql.types import StructType
 
-        # split on top-level commas only (decimal(12,2) etc. keep theirs)
-        names = [f.split()[0] for f in re.split(r",(?![^(]*\))", schema)]
+        if any(
+            isinstance(v, float) and v != v for r in rows for v in r
+        ):  # NaN: only the pickled path round-trips it as NaN, not NULL
+            return spark.createDataFrame(rows, schema)
+        # DDL parser handles nested/parameterized types (decimal(12,2),
+        # map<string,int>, ...) that naive comma-splitting would break on
+        names = StructType.fromDDL(schema).fieldNames()
         data = {
             n: pd.Series([r[i] for r in rows], dtype=object)
             for i, n in enumerate(names)
